@@ -1,0 +1,57 @@
+"""Operator corpus.
+
+Each submodule exposes:
+    QUERIES: dict[str, Callable[(SparkSession, sf_dir), DataFrame]]
+    ORACLE:  dict[str, str]   # duckdb-runnable ANSI SQL twins (subset)
+
+``all_queries()`` / ``all_oracle()`` merge every submodule for the driver
+contract in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import dedup, lifecycle, multimodal, relational, similarity, textstats, tpch
+    from ..streaming import jobs as streaming_jobs
+    from .. import governance
+
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (
+        relational,
+        tpch,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+        lifecycle,
+        governance,
+        streaming_jobs,
+    ):
+        merged.update(getattr(mod, "QUERIES", {}))
+    return merged
+
+
+def all_oracle() -> dict[str, str]:
+    from . import dedup, lifecycle, multimodal, relational, similarity, textstats, tpch
+    from ..streaming import jobs as streaming_jobs
+    from .. import governance
+
+    merged: dict[str, str] = {}
+    for mod in (
+        relational,
+        tpch,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+        lifecycle,
+        governance,
+        streaming_jobs,
+    ):
+        merged.update(getattr(mod, "ORACLE", {}))
+    return merged

@@ -1,0 +1,119 @@
+"""Driver-testdata table registry.
+
+Maps the reference's data model onto the driver-provided TPC-H-ish star
+schema (TESTDATA.md):
+
+- ``user_events`` (terraform/main.tf:97-135)  → ``events``
+  (event_id, ts, user_id, event_type, value, props-JSON) — same shape:
+  required long user id, event-type domain, timestamp, JSON-string
+  properties column (the map-declared / string-stored duality of
+  generate_sample_data.py:142-143).
+- ``user_profiles`` (terraform/snowflake.tf:115-146) → ``customer``
+  joined through ``nation``/``region`` for the region attribute.
+- ``documents`` / ``embeddings`` → the LLM-pipeline extension tables.
+
+All reads are plain ``spark.read.parquet`` — schema inference mirrors the
+reference's ``INFER_SCHEMA`` external table (performance_comparison.sql:14-21)
+and keeps Catalyst free to push filters/projections into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The driver's deterministic events table spans 2024-01-01 .. 2024-01-30.
+# The reference's CURRENT_DATE-relative predicates (performance_comparison.sql:73,99)
+# are pinned to literals against this window (SURVEY §5 determinism rules).
+EVENTS_END = "2024-01-31 00:00:00"
+CUTOFF_7D = "2024-01-24 00:00:00"  # CURRENT_DATE - 7
+CUTOFF_30D = "2024-01-01 00:00:00"  # CURRENT_DATE - 30
+CUTOFF_HOT = CUTOFF_7D  # hot/cold tier split (demo-setup/README.md:197-209)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one registry table as a DataFrame (columnar Parquet scan).
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
+    TimestampType column — the same floor-truncation duckdb applies when
+    casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_field = df.schema["ts"]
+        if isinstance(ts_field.dataType, LongType):
+            # integer DIV, not `/`: ns-since-epoch overflows double's mantissa
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose registry tables as temp views for the SQL entry point
+    (reference entry point 2, SURVEY §3.2)."""
+    for n, df in load_all(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def events_with_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the JSON ``props`` column decoded to a typed map — the
+    canonical resolution of the reference's map-declared/JSON-stored duality
+    (terraform/main.tf:119-127 vs generate_sample_data.py:142-143).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("props_map", F.from_json("props", "map<string,string>"))
+
+
+def user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``user_profiles`` dimension (user_id, name, region),
+    assembled from customer→nation→region. Both dims are tiny at any SF
+    (region=5 rows, nation=25) so they broadcast; the resulting profile dim
+    is itself broadcastable up to tens of millions of users.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("name"),
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+# duckdb-side equivalent of user_profiles, inlined into oracle SQL strings.
+PROFILES_SQL = (
+    "(SELECT c_custkey AS user_id, c_name AS name, r_name AS region, "
+    "c_mktsegment AS segment, c_acctbal AS acctbal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey)"
+)

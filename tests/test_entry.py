@@ -1,0 +1,36 @@
+"""Smoke checks of the driver contract surface."""
+
+import importlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+entry_mod = importlib.import_module("__spark_entry__")
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {
+        "region",
+        "total_events",
+        "unique_users",
+        "purchase_rate",
+    }
+
+
+def test_queries_and_oracle_align(spark):
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # every oracle key must have a query; queries may exceed oracles
+    assert set(osql) <= set(qs), set(osql) - set(qs)
+
+
+def test_all_queries_return_dataframes(spark):
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.columns, f"{name} returned no columns"
