@@ -1,2 +1,351 @@
-QUERIES = {}
-ORACLE = {}
+"""Deduplication operators over the ``documents`` table (north-star
+extension — SURVEY §7 step 8; no counterpart in the reference, which has no
+document pipeline).
+
+Five dedup families, each shuffle-aware for 100 TB:
+
+- exact (full-text groupBy) — correctness baseline; shuffles full text.
+- exact by content hash — the scale path: shuffle 32-byte digests, not
+  documents. At 100 TB this is the difference between a ~100 TB shuffle and
+  a ~tens-of-GB shuffle.
+- n-gram Jaccard — all-pairs similarity restricted to shingle-sharing
+  candidates (inverted-index join), never a cartesian product.
+- MinHash + LSH banding — the sublinear candidate generator: signature =
+  16 portable hashes, 4 bands × 4 rows; only band-collision pairs are
+  verified. Hashing is md5-prefix→int64 so the duckdb oracle reproduces it
+  bit-for-bit (engine-neutral, unlike xxhash64).
+- SimHash (32-bit) — near-dup fingerprint; Hamming-adjacent docs collide.
+
+Embedding-cosine near-dup lives in :mod:`similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load
+
+JACCARD_THRESHOLD = 0.10
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+# Portable 60-bit hash: md5 hex prefix → int64. Same value in Spark and
+# duckdb (verified), so LSH pipelines are exactly reproducible cross-engine.
+_SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+_DUCK_H = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-shingles per doc (docs with ≥3 tokens)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_DUCK_SHINGLES = r"""
+    sh AS (
+        SELECT DISTINCT doc_id, toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents) t,
+             UNNEST(range(len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3
+    )
+"""
+
+
+# --- exact dedup (full text) ------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("copies"),
+    ).select("keep_doc_id", "copies")
+
+
+# --- exact dedup by content hash (the 100 TB path) --------------------------
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+# --- n-gram Jaccard similarity join -----------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs share ≥1 shingle (inverted-index equi-join on the
+    shingle — a hash shuffle keyed on shingle, never O(n²)); Jaccard
+    computed from shared/set sizes. Hot shingles (stopword runs) are the
+    skew hazard at scale → AQE skew-join handles it; a frequency cap on
+    shingles is the documented mitigation."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- MinHash + LSH banding --------------------------------------------------
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """16 portable min-hashes per doc, computed as 16 column expressions over
+    the shingle rows (no seed-explosion: one pass, map-side partial MIN)."""
+    hash_cols = [
+        F.expr(_SPARK_H.format(expr=f"concat('{s}_', shingle)")).alias(f"h{s}")
+        for s in range(N_HASHES)
+    ]
+    per_shingle = sh.select("doc_id", *hash_cols)
+    return per_shingle.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(N_HASHES)]
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs, exactly reproducible by the oracle.
+
+    signatures → band hashes (md5 of 4 concatenated minhashes) → candidate
+    pairs sharing any band → verified with exact shingle Jaccard. Output:
+    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold. At scale the
+    band join shuffles only (band_idx, 32-byte hash, doc_id) tuples."""
+    sh = _shingles(spark, sf_dir).cache()
+    sig = _minhash_signatures(sh)
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+    long = banded.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_expr}) as (band_idx, band_hash)"
+    )
+    a = long.alias("a")
+    b = long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (shingle inverted-index join
+    # restricted to candidate docs via semi-joins)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    shared = (
+        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        cand.join(shared, ["doc_a", "doc_b"])
+        .join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared")
+                / (F.col("za.n") + F.col("zb.n") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- SimHash (32-bit) -------------------------------------------------------
+def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash over distinct tokens: portable token hash →
+    per-bit ±1 vote sums → sign bits reassembled. One groupBy(doc_id) with
+    32 conditional-sum aggregates — a single map-side-combinable pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", F.expr(_SPARK_H.format(expr="tok")))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)
+    ]
+    acc = bits[0]
+    for bit in bits[1:]:
+        acc = acc + bit
+    return votes.select("doc_id", acc.cast("bigint").alias("simhash"))
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash32": simhash32,
+}
+
+
+def _duck_minhash_sql() -> str:
+    mins = ",\n               ".join(
+        "MIN(%s) AS m%d" % (_DUCK_H.format(expr="concat('%d_', shingle)" % s), s)
+        for s in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = ",\n               ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f")) AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM banded"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH {_DUCK_SHINGLES},
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id,
+               {bands}
+            FROM sig
+        ),
+        long AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM long a JOIN long b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(CAST(s.shared AS DOUBLE) / (za.n + zb.n - s.shared), 6)
+                       AS jaccard
+            FROM cand c
+            JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+            JOIN sizes za ON c.doc_a = za.doc_id
+            JOIN sizes zb ON c.doc_b = zb.doc_id
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def _duck_simhash_sql() -> str:
+    h = _DUCK_H.format(expr="tok")
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    acc = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return rf"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        hashed AS (SELECT doc_id, {h} AS h FROM toks),
+        votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM votes
+    """
+
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_exact_hash": """
+        SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS copies
+        FROM documents GROUP BY sha256(text)
+    """,
+    "dedup_ngram_jaccard": rf"""
+        WITH {_DUCK_SHINGLES},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                       JOIN sizes sb ON doc_b = sb.doc_id
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_lsh_pairs": _duck_minhash_sql(),
+    "simhash32": _duck_simhash_sql(),
+}
