@@ -1,2 +1,207 @@
-QUERIES = {}
-ORACLE = {}
+"""Table-lifecycle semantics (SURVEY §2.10 T1-T10) on plain Parquet.
+
+The reference gets snapshots/time-travel/compaction from Iceberg
+(P:159-197, P:561-568); the idiomatic Spark route is the
+``iceberg-spark-runtime`` catalog, which is not installable in this offline
+container. This module provides the same *semantics* with a self-contained
+snapshot layer over Parquet — manifest JSONs pointing at immutable data
+files, exactly Iceberg's metadata→manifest→data layering in miniature:
+
+- append/overwrite  → new snapshot (atomic manifest write)  [T1/T2]
+- read(version=… / as_of=…)  → time travel                  [T4]
+- schema evolution via mergeSchema reads                     [T3]
+- compact()  → rewrite_data_files equivalent                 [T5]
+- expire_snapshots / remove_orphan_files                     [T6/T7]
+- files()/history()  → metadata tables                       [T9/T10]
+
+On a real cluster with the Iceberg runtime, every call here maps 1:1 to an
+Iceberg DDL/procedure (documented per-method); the interface is the
+engine's contract, so swapping the backend does not touch query code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import CUTOFF_7D, load
+
+
+class SnapshotTable:
+    """Versioned Parquet table: ``<path>/data/*.parquet`` immutable files +
+    ``<path>/snapshots/v<N>.json`` manifests. The manifest write is the
+    atomic commit point (os.rename), mirroring Iceberg's pointer swap
+    (P:205-224)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+
+    # -- metadata ------------------------------------------------------------
+    def _snapshot_files(self) -> list[str]:
+        d = os.path.join(self.path, "snapshots")
+        return sorted(
+            (f for f in os.listdir(d) if f.endswith(".json")),
+            key=lambda f: int(f[1:-5]),
+        )
+
+    @property
+    def current_version(self) -> int:
+        snaps = self._snapshot_files()
+        return int(snaps[-1][1:-5]) if snaps else 0
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.path, "snapshots", f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """T10/S12: snapshot history (Iceberg: ``<tbl>.history``)."""
+        return [self._manifest(int(f[1:-5])) for f in self._snapshot_files()]
+
+    def files(self, version: int | None = None) -> list[dict]:
+        """T10: data-file inventory (Iceberg: ``<tbl>.files``)."""
+        version = version or self.current_version
+        if version == 0:
+            return []
+        m = self._manifest(version)
+        out = []
+        for rel in m["files"]:
+            p = os.path.join(self.path, "data", rel)
+            out.append({"file": rel, "bytes": os.path.getsize(p)})
+        return out
+
+    # -- commits -------------------------------------------------------------
+    def _commit(self, files: list[str], operation: str) -> int:
+        version = self.current_version + 1
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "timestamp": time.time(),
+            "files": files,
+        }
+        snap_dir = os.path.join(self.path, "snapshots")
+        tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))  # atomic
+        return version
+
+    def _write_files(self, df: DataFrame, n_files: int | None) -> list[str]:
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
+        if n_files:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(staging)
+        added = []
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                new = f"{uuid.uuid4().hex[:12]}.parquet"
+                shutil.move(
+                    os.path.join(staging, f), os.path.join(self.path, "data", new)
+                )
+                added.append(new)
+        shutil.rmtree(staging)
+        return added
+
+    def append(self, df: DataFrame, n_files: int | None = None) -> int:
+        """T1: atomic append (Iceberg: ``writeTo(t).append()``)."""
+        prev = self._manifest(self.current_version)["files"] if self.current_version else []
+        return self._commit(prev + self._write_files(df, n_files), "append")
+
+    def overwrite(self, df: DataFrame, n_files: int | None = None) -> int:
+        """Full-table replace (Iceberg: ``writeTo(t).overwritePartitions()``)."""
+        return self._commit(self._write_files(df, n_files), "overwrite")
+
+    # -- reads ---------------------------------------------------------------
+    def read(
+        self, version: int | None = None, as_of: float | None = None
+    ) -> DataFrame:
+        """T4 time travel (Iceberg: ``VERSION AS OF`` / ``TIMESTAMP AS OF``).
+        ``mergeSchema`` makes added columns readable over old files (T3)."""
+        if as_of is not None:
+            versions = [m["version"] for m in self.history() if m["timestamp"] <= as_of]
+            if not versions:
+                raise ValueError(f"no snapshot at or before {as_of}")
+            version = max(versions)
+        version = version or self.current_version
+        m = self._manifest(version)
+        paths = [os.path.join(self.path, "data", f) for f in m["files"]]
+        if not paths:
+            raise ValueError("empty table")
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, target_files: int = 1) -> int:
+        """T5: rewrite small files into ``target_files`` larger ones
+        (Iceberg: ``CALL system.rewrite_data_files``). New snapshot; old
+        files stay referenced by old snapshots until expiry."""
+        df = self.read()
+        return self._commit(self._write_files(df, target_files), "compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """T6 (Iceberg: ``CALL system.expire_snapshots``)."""
+        snaps = self._snapshot_files()
+        expired = []
+        for f in snaps[:-keep_last] if keep_last else snaps:
+            os.remove(os.path.join(self.path, "snapshots", f))
+            expired.append(int(f[1:-5]))
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """T7 (Iceberg: ``CALL system.remove_orphan_files``): delete data
+        files referenced by no live snapshot."""
+        live: set[str] = set()
+        for m in self.history():
+            live.update(m["files"])
+        removed = []
+        data_dir = os.path.join(self.path, "data")
+        for f in os.listdir(data_dir):
+            if f not in live:
+                os.remove(os.path.join(data_dir, f))
+                removed.append(f)
+        return removed
+
+
+# --- driver-contract query: snapshot lifecycle roundtrip --------------------
+def lifecycle_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a snapshot table from events (v1=cold append, v2=+hot append,
+    v3=compaction), then time-travel every version and report row counts —
+    ACID append + time travel + compaction in one deterministic check."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="snaptbl_"))
+    tbl.append(ev.filter(F.col("ts") < cut), n_files=8)
+    tbl.append(ev.filter(F.col("ts") >= cut), n_files=8)
+    tbl.compact(target_files=1)
+    rows = []
+    ops = {m["version"]: m["operation"] for m in tbl.history()}
+    for v in (1, 2, 3):
+        rows.append((v, ops[v], tbl.read(version=v).count(), len(tbl.files(v))))
+    return spark.createDataFrame(
+        rows, "version int, operation string, row_count long, n_files int"
+    )
+
+
+QUERIES = {"lifecycle_snapshot_counts": lifecycle_snapshot_counts}
+
+_TS7 = "TIMESTAMP '2024-01-24 00:00:00'"
+
+ORACLE = {
+    "lifecycle_snapshot_counts": f"""
+        SELECT 1 AS version, 'append' AS operation,
+               (SELECT COUNT(*) FROM events WHERE ts < {_TS7}) AS row_count,
+               8 AS n_files
+        UNION ALL
+        SELECT 2, 'append', (SELECT COUNT(*) FROM events), 16
+        UNION ALL
+        SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
+    """,
+}

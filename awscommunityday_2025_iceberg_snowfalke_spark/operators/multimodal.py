@@ -1,2 +1,139 @@
-QUERIES = {}
-ORACLE = {}
+"""Multimodal column handling (north-star extension).
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque ``binary``
+column with typed metadata alongside; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` (one Python worker per partition, zero-copy
+batches), never per-row UDFs. Real codecs (PIL/torchaudio/ffmpeg) are not in
+this container, so the decode step is STUBBED (`NotImplementedError` for
+real decoding; a deterministic fake for tests) — the Spark-side plumbing
+(schema, batch iteration, partitioning) is real and oracle-checked where the
+output is arithmetic.
+
+The driver testdata has no binary column, so payloads are synthesized from
+``documents.text`` (UTF-8 encode) inside the query — the plumbing is
+identical to reading a real BLOB column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load
+
+FRAME_BYTES = 256  # fake "frame" granularity for the stub decoder
+
+
+def decode_image(payload: bytes):
+    """Real image decode — requires an image codec not present here."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv; not available in this container. "
+        "Use fake_decode_meta for deterministic tests."
+    )
+
+
+def decode_audio(payload: bytes):
+    raise NotImplementedError("audio decoding requires soundfile/torchaudio")
+
+
+def fake_decode_meta(payload: bytes) -> dict:
+    """Deterministic stand-in for a decoder: derives metadata purely from
+    the byte stream (stable across engines/runs)."""
+    n = len(payload)
+    return {
+        "payload_len": n,
+        "n_frames": n // FRAME_BYTES + 1,
+        "fmt": "txtimg",
+    }
+
+
+def _make_decode_batches(frame_bytes: int):
+    """Build the mapInPandas worker fn as a closure so cloudpickle ships it
+    BY VALUE — Spark's Python workers must not need this package importable
+    (the external driver runs from an arbitrary CWD)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            lens = [len(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload_len": _pd.Series(lens, dtype="int64"),
+                    "n_frames": _pd.Series(
+                        [n // frame_bytes + 1 for n in lens], dtype="int64"
+                    ),
+                    "fmt": ["txtimg"] * len(lens),
+                }
+            )
+
+    return decode_batches
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the synthetic binary payload column (S1-style binary ingest)."""
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+# --- decode pipeline (mapInPandas, oracle-checked arithmetic) ---------------
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = with_payload(docs)
+    return payloads.mapInPandas(
+        _make_decode_batches(FRAME_BYTES),
+        schema="doc_id long, payload_len long, n_frames long, fmt string",
+    )
+
+
+# --- frame sampling plan (pure-SQL twin of a frame extractor) ---------------
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each payload into sampled 'frame' offsets (every 4th frame) —
+    the partition-explosion shape of video frame sampling, kept JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    n_frames = (F.octet_length(F.encode("text", "UTF-8")) / FRAME_BYTES).cast(
+        "bigint"
+    ) + 1
+    return (
+        docs.select("doc_id", n_frames.alias("n_frames"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_offset", F.col("frame_idx") * FRAME_BYTES)
+    )
+
+
+QUERIES = {
+    "multimodal_ingest": multimodal_ingest,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLE = {
+    # documents.text is ASCII in the testdata, but use octet semantics anyway
+    "multimodal_ingest": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+               CAST(octet_length(encode(text)) // {FRAME_BYTES} + 1 AS BIGINT)
+                   AS n_frames,
+               'txtimg' AS fmt
+        FROM documents
+    """,
+    "multimodal_frame_sample": f"""
+        WITH nf AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) // {FRAME_BYTES} + 1 AS BIGINT)
+                       AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               CAST(i * {FRAME_BYTES} AS BIGINT) AS frame_offset
+        FROM nf, UNNEST(range(0, n_frames, 4)) AS u(i)
+    """,
+}

@@ -1,2 +1,293 @@
-QUERIES = {}
-ORACLE = {}
+"""Similarity search over the ``embeddings`` table (north-star extension).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (candidates only from matching buckets). Both are
+pure Spark SQL expressions — the dot product is a ``zip_with``/``aggregate``
+fold over ``array<double>``, which stays in codegen'd JVM execution (no
+Python in the hot path). The double fold is left-to-right in both Spark and
+duckdb, so results are bit-exact against the oracle.
+
+Scale design (100 TB): broadcast the query set (top-k is per-query); the
+corpus side streams through without a shuffle; per-partition partial top-k
+happens inside the window's sort. For an IVF-style route, the LSH variant
+shows the plan shape: hash → co-partition by bucket → local scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+N_PLANES = 6  # LSH hyperplanes → 64 buckets
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — identical values
+    are inlined into the duckdb oracle, so bucketing is engine-neutral."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:8], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+# --- exact brute-force cosine top-k -----------------------------------------
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("e")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 8).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+# --- per-vector norms (sanity/coverage for array math) ----------------------
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(_norm(e), 8).alias("l2_norm"),
+    )
+
+
+# --- centroid per label (IVF building block) --------------------------------
+def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average embedding per label, then each vector's cosine to its own
+    label centroid — the IVF coarse-quantizer shape (assign → residual).
+    Aggregation is a posexplode + groupBy(label, pos) mean: shuffles
+    (label, pos, value) triples only."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    cent = (
+        comp.groupBy("label", "pos")
+        # decimal mean: partition-order independent (see functions.det_avg)
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count("v")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    joined = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        (
+            _dot(_as_double("embedding"), F.col("centroid"))
+            / (_norm(_as_double("embedding")) * _norm(F.col("centroid")))
+        ).alias("c_raw"),
+    )
+    return joined.select(
+        "vec_id", "label", F.round("c_raw", 6).alias("centroid_cosine")
+    )
+
+
+# --- LSH-bucketed ANN (the scale path) --------------------------------------
+def _bucket_expr(col_arr) -> F.Column:
+    planes = hyperplanes()
+    bits = []
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(v) for v in plane])
+        bits.append(
+            F.when(_dot(col_arr, plane_lit) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    random-hyperplane bucket. At 100 TB the corpus is hash-partitioned by
+    bucket (co-located scan per bucket); here the query side broadcasts.
+    Deterministic + oracle-reproducible (hyperplanes inlined as literals)."""
+    emb = load(spark, sf_dir, "embeddings")
+    with_bucket = emb.select(
+        "vec_id", _as_double("embedding").alias("e"),
+        _bucket_expr(_as_double("embedding")).alias("bucket"),
+    )
+    queries = with_bucket.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("q"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = with_bucket.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias(
+                "cos_raw"
+            ),
+            F.col("vec_id"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 8).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+QUERIES = {
+    "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "embedding_norms": embedding_norms,
+    "label_centroid_sim": label_centroid_sim,
+    "ann_lsh_cosine": ann_lsh_cosine,
+}
+
+
+_DUCK_COS = (
+    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+def _duck_planes_values() -> str:
+    rows = []
+    for p, plane in enumerate(hyperplanes()):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        rows.append(f"({p}, CAST({arr} AS DOUBLE[]))")
+    return "planes(p, plane) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
+
+
+def _duck_bucket_cte() -> str:
+    # bucket = Σ 2^p over planes with non-negative dot product
+    return f"""
+        {_duck_planes_values()},
+        bucketed AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), plane) >= 0
+                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings, planes
+            GROUP BY vec_id, embedding
+        )
+    """
+
+
+ORACLE = {
+    "knn_bruteforce_cosine": f"""
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 8) AS cosine_sim, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DUCK_COS.format(a="q.embedding", b="c.embedding")} AS cos_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DUCK_COS.format(a="q.embedding", b="c.embedding")} DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    """,
+    "embedding_norms": """
+        SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+               ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 8) AS l2_norm
+        FROM embeddings
+    """,
+    "label_centroid_sim": """
+        WITH comp AS (
+            SELECT vec_id, label, e[i + 1] AS v, i AS pos
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+                 UNNEST(range(len(e))) AS u(i)
+        ),
+        cent AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+            FROM comp GROUP BY label, pos
+        ),
+        centroids AS (
+            SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+        )
+        SELECT e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 6)
+                   AS centroid_cosine
+        FROM embeddings e JOIN centroids c ON e.label = c.label
+    """,
+    "ann_lsh_cosine": f"""
+        WITH {_duck_bucket_cte()}
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 8) AS cosine_sim, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.e, c.e) AS cos_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id ASC
+                   ) AS rank
+            FROM bucketed q JOIN bucketed c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    """,
+}

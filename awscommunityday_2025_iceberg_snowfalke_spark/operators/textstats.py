@@ -1,2 +1,192 @@
-QUERIES = {}
-ORACLE = {}
+"""Text analysis over the ``documents`` table (north-star extension).
+
+Language-ID (stopword heuristic), quality scoring, token counting and
+document fingerprinting — all as built-in JVM-side expressions (split /
+regexp / higher-order array functions), no Python UDFs: at 100 TB these run
+inside whole-stage codegen on the scan, shuffle nothing, and reduce to a
+narrow per-doc output.
+
+Every operator is reproduced exactly by its duckdb oracle (portable
+regexes, portable md5-based token hash for the fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "den")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour")
+
+_FP_MOD = 1_000_003
+# portable token hash (same construction as operators.dedup)
+_SPARK_TH = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+_DUCK_TH = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+
+def _toks(col="text"):
+    return F.filter(
+        F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+_DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _in_list(words):
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return lambda t: F.array_contains(lit_arr, t)
+
+
+def _duck_in(words):
+    return "t IN (" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# --- quality scoring --------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    out = docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(n_nonspace / n_tokens.cast("double"), 6).alias("avg_token_len"),
+        F.round(n_stop / n_tokens.cast("double"), 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text").cast("double"), 6).alias("punct_ratio"),
+    )
+    # simple composite: long enough, some stopwords, not punctuation soup
+    return out.withColumn(
+        "quality_ok",
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("stopword_ratio") >= 0.05)
+            & (F.col("punct_ratio") <= 0.2)
+        ).cast("int"),
+    )
+
+
+# --- language identification (n-gram/stopword heuristic) --------------------
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    en = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    de = F.size(F.filter(toks, _in_list(STOPWORDS_DE)))
+    fr = F.size(F.filter(toks, _in_list(STOPWORDS_FR)))
+    pred = (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("lang_match"),
+    )
+
+
+# --- token counting (whitespace + BPE-ish estimate) -------------------------
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).alias("ws_tokens"),
+        F.size(words).alias("word_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+        F.size(F.array_distinct(words)).alias("unique_words"),
+    )
+
+
+# --- document fingerprint (rolling polynomial hash over tokens) -------------
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash: fold (acc*31 + h(token)) mod p over the
+    token sequence. Unlike content-hash dedup this is stable under trailing
+    whitespace/case changes, and the same fold runs in the oracle via
+    ``list_reduce``."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
+            f"cast(0 as bigint), "
+            f"(acc, t) -> (acc * 31 + ({_SPARK_TH} % {_FP_MOD})) % {_FP_MOD})"
+        ).alias("fingerprint"),
+    )
+
+
+QUERIES = {
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "token_stats": token_stats,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE = {
+    "text_quality": rf"""
+        SELECT doc_id, n_chars, n_tokens,
+               ROUND(n_nonspace / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+               ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+               ROUND(n_punct / CAST(len_text AS DOUBLE), 6) AS punct_ratio,
+               CAST(n_tokens >= 10
+                    AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+                    AND n_punct / CAST(len_text AS DOUBLE) <= 0.2 AS INT) AS quality_ok
+        FROM (
+            SELECT doc_id, n_chars,
+                   CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens,
+                   length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                   CAST(len(list_filter({_DUCK_TOKS},
+                        t -> {_duck_in(STOPWORDS_EN)})) AS INT) AS n_stop,
+                   length(text) AS len_text
+            FROM documents
+        )
+    """,
+    "lang_id": rf"""
+        SELECT doc_id, lang, en_hits, de_hits, fr_hits, pred_lang,
+               CAST(pred_lang = lang AS INT) AS lang_match
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_EN)})) AS INT) AS en_hits,
+                   CAST(len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_DE)})) AS INT) AS de_hits,
+                   CAST(len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_FR)})) AS INT) AS fr_hits,
+                   CASE WHEN len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_EN)}))
+                             >= len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_DE)}))
+                         AND len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_EN)}))
+                             >= len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_FR)}))
+                        THEN 'en'
+                        WHEN len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_DE)}))
+                             >= len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_FR)}))
+                        THEN 'de' ELSE 'fr' END AS pred_lang
+            FROM documents
+        )
+    """,
+    "token_stats": rf"""
+        SELECT doc_id,
+               CAST(len({_DUCK_TOKS}) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS word_tokens,
+               CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
+               CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INT)
+                   AS unique_words
+        FROM documents
+    """,
+    "doc_fingerprint": rf"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_DUCK_TOKS}, t -> {_DUCK_TH} % {_FP_MOD})),
+                   (acc, h) -> (acc * 31 + h) % {_FP_MOD}
+               ) AS fingerprint
+        FROM documents
+    """,
+}

@@ -1,2 +1,156 @@
-QUERIES = {}
-ORACLE = {}
+"""Streaming jobs: micro-batch ingest, dynamic-table refresh, and the
+driver-contract streaming queries."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (ts arrives as nano-long;
+    converted exactly like the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file source wants a directory/glob, not a bare file path
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation with availableNow micro-batches into
+    an in-memory sink; return the final table."""
+    qname = f"stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(qname)
+
+
+# --- S11: streaming ingest → aggregation (micro-batch parity) ---------------
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch `event_type_counts` computed through Structured Streaming —
+    proof the micro-batch path produces identical results (its oracle is
+    plain batch SQL)."""
+    agg = _events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count")
+    )
+    return _run_to_memory(agg)
+
+
+# --- windowed extension: tumbling-window counts (event-time) ----------------
+def streaming_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling windows with a watermark — the event-time extension
+    the reference lacks. availableNow over static files makes it exactly
+    reproducible: window boundaries are data-derived, no wall clock."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("event_date"),
+        "events",
+    )
+
+
+# --- S10: dynamic table (TARGET_LAG refresh) --------------------------------
+def refresh_dynamic_table(
+    spark: SparkSession, source_dir: str, target_path: str
+) -> None:
+    """One refresh cycle of the `user_engagement` dynamic table
+    (P:753-766): full recompute, atomic overwrite. Scheduled per TARGET_LAG
+    by an external trigger (or a ProcessingTime streaming query on a real
+    cluster)."""
+    ev = load(spark, source_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types_csv"
+        ),
+        F.max("ts").alias("last_seen"),
+    )
+    agg.write.mode("overwrite").parquet(target_path)
+
+
+def dynamic_table_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: refresh the dynamic table into a scratch
+    location, then read it back (what a TARGET_LAG='1 hour' consumer sees)."""
+    target = tempfile.mkdtemp(prefix="dyn_user_engagement_")
+    refresh_dynamic_table(spark, sf_dir, target)
+    return spark.read.parquet(target)
+
+
+# --- S11 library: file-stream ingest + small-file simulator -----------------
+def ingest_file_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema,
+) -> None:
+    """Landing-zone → partitioned table ingest with exactly-once progress
+    (checkpointed file tracking), availableNow micro-batches."""
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    if "ts" in dict(stream.dtypes) and dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = stream.withColumn("event_date", F.to_date("ts"))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def simulate_small_file_landing(
+    df: DataFrame, landing_dir: str, n_files: int = 24
+) -> None:
+    """Reproduce the reference's small-file pathology (GEN:83-110): land the
+    same data as many tiny files."""
+    df.repartition(n_files).write.mode("overwrite").parquet(landing_dir)
+
+
+QUERIES = {
+    "streaming_event_counts": streaming_event_counts,
+    "streaming_daily_windows": streaming_daily_windows,
+    "dynamic_table_user_engagement": dynamic_table_user_engagement,
+}
+
+ORACLE = {
+    # streaming results must equal their batch twins
+    "streaming_event_counts": """
+        SELECT event_type, COUNT(*) AS event_count FROM events GROUP BY event_type
+    """,
+    "dynamic_table_user_engagement": """
+        SELECT user_id, COUNT(*) AS total_events,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                   AS event_types_csv,
+               CAST(MAX(ts) AS TIMESTAMP) AS last_seen
+        FROM events GROUP BY user_id
+    """,
+    # streaming_daily_windows: approx_count_distinct is engine-specific →
+    # the `events` column is exact though; omit approx col from output? It
+    # is dropped in the final select, so the oracle is exact:
+    "streaming_daily_windows": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               COUNT(*) AS events
+        FROM events GROUP BY 1
+    """,
+}
