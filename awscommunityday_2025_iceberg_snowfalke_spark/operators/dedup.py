@@ -39,6 +39,10 @@ _DUCK_H = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-shingles per doc (docs with ≥3 tokens)."""
     docs = load(spark, sf_dir, "documents")
+    # single-file inputs arrive as one partition; spread docs across cores
+    # before the shingle explosion (at scale, many files make this a no-op
+    # but the explicit spread keeps the plan robust to skewed file sizes)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = F.split(F.lower(F.col("text")), r"\s+")
     return (
         docs.select("doc_id", toks.alias("toks"))
@@ -58,6 +62,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+        # eager local checkpoint: the shingle set feeds 3+ consumers
+        # (sizes, both join sides); a lazy .cache() lets concurrent
+        # broadcast jobs race to materialize it 2-3x. On a cluster this is
+        # executor-local storage of a narrow (doc_id, shingle) projection.
+        .localCheckpoint(eager=True)
     )
 
 
@@ -98,7 +107,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from shared/set sizes. Hot shingles (stopword runs) are the
     skew hazard at scale → AQE skew-join handles it; a frequency cap on
     shingles is the documented mitigation."""
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -146,7 +155,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing any band → verified with exact shingle Jaccard. Output:
     (doc_a, doc_b, jaccard) for verified pairs ≥ threshold. At scale the
     band join shuffles only (band_idx, 32-byte hash, doc_id) tuples."""
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir)
     sig = _minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = [
@@ -173,12 +182,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)  # consumed twice: pruning + final join
     )
-    # verify candidates with exact Jaccard (shingle inverted-index join
-    # restricted to candidate docs via semi-joins)
+    # verify candidates with exact Jaccard — the shingle join runs only over
+    # docs that appear in some candidate pair (semi-join pruning): at scale
+    # the verify cost tracks |candidates|, not |corpus|²
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    sa = sh_cand.alias("sa")
+    sb = sh_cand.alias("sb")
     shared = (
         sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
         .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
@@ -208,7 +225,9 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash over distinct tokens: portable token hash →
     per-bit ±1 vote sums → sign bits reassembled. One groupBy(doc_id) with
     32 conditional-sum aggregates — a single map-side-combinable pass."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = (
         docs.select(
             "doc_id",

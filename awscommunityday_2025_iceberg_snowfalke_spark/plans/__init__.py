@@ -1,0 +1,63 @@
+"""Plan inspection + query metrics (SURVEY §2.14 H1-H3).
+
+The reference's harness pulls engine metrics from Snowflake's
+``query_history`` (RPT:83-123). Spark-side, the equivalents are the
+formatted physical plan (pushdown/broadcast/codegen checks) and the
+observable metrics below — used both by tests (plan-shape assertions: the
+100 TB discipline) and by ``bench.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "formatted_plan",
+    "has_pushed_filters",
+    "has_broadcast_join",
+    "codegen_stage_count",
+    "shuffle_count",
+]
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
+    """True if the scan carries a pushed filter mentioning ``fragment`` —
+    i.e. the predicate reached Parquet instead of being a post-scan Filter."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line and "[]" not in line:
+            return True
+    return False
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """WholeStageCodegen span count in the final (post-AQE) physical plan.
+
+    Executes ``df`` — AQE only materializes the real stages (with their
+    codegen annotation) at runtime; ``.count()`` would execute a different
+    plan and leave this one unfinalized."""
+    import re
+
+    df.collect()
+    plan = str(df._jdf.queryExecution().executedPlan())
+    # codegen spans print as '*(N) Operator' in the final plan tree
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the scale
+    currency. Matches detail headers only ('(n) Exchange'), so broadcast
+    exchanges and the duplicated tree section don't inflate the count."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY §2.14; RPT:286-329 parity).
+
+Runs the headline queries — one per BASELINE.md wall-clock class plus the
+extension operators — at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": "..."}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from awscommunityday_2025_iceberg_snowfalke_spark.operators import all_queries
+from awscommunityday_2025_iceberg_snowfalke_spark.session import get_spark
+
+# one per baseline class, then the extension workloads
+HEADLINE = [
+    "count_all",            # simple COUNT          (baseline 2.4 s budget)
+    "filtered_counts_7d",   # filtered aggregation  (4.2 s)
+    "event_type_counts",    # aggregation           (5.6 s)
+    "region_join_agg",      # complex join          (9.4 s)
+    "activity_summary",     # join + multi-agg      (9.4 s)
+    "top5_per_user",        # window                (24 s)
+    "purchase_funnel",      # CTE + window-ish agg  (24 s)
+    "q1_pricing_summary",   # TPC-H-style wide agg
+    "q3_shipping_priority", # 3-way join top-k
+    "q5_regional_revenue",  # 6-way join
+    "dedup_ngram_jaccard",  # similarity self-join
+    "minhash_lsh_pairs",    # LSH dedup pipeline
+    "knn_bruteforce_cosine",# ANN brute force
+    "text_quality",         # text analysis scan
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    # warm the JVM/codegen path once with the cheapest query
+    queries["count_all"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

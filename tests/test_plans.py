@@ -1,0 +1,50 @@
+"""Physical-plan shape assertions — the 100 TB discipline, enforced:
+filters must reach the Parquet scan, small dims must broadcast, hot paths
+must stay in whole-stage codegen."""
+
+from awscommunityday_2025_iceberg_snowfalke_spark.operators import relational, tpch
+from awscommunityday_2025_iceberg_snowfalke_spark.plans import (
+    codegen_stage_count,
+    has_broadcast_join,
+    has_pushed_filters,
+    shuffle_count,
+)
+
+from conftest import SF_DIR
+
+
+def test_region_join_agg_broadcasts_and_pushes(spark):
+    df = relational.region_join_agg(spark, SF_DIR)
+    assert has_broadcast_join(df), "profile dim must broadcast"
+    assert has_pushed_filters(df, "ts"), "ts predicate must reach the events scan"
+
+
+def test_filtered_counts_pushdown(spark):
+    df = relational.filtered_counts_7d(spark, SF_DIR)
+    assert has_pushed_filters(df, "ts")
+
+
+def test_q1_pushdown_and_codegen(spark):
+    df = tpch.q1_pricing_summary(spark, SF_DIR)
+    assert has_pushed_filters(df, "l_shipdate")
+    assert codegen_stage_count(df) >= 1
+
+
+def test_q6_is_scan_plus_single_agg_exchange(spark):
+    df = tpch.q6_forecast_revenue(spark, SF_DIR)
+    assert has_pushed_filters(df, "l_shipdate")
+    # global agg: one exchange for the final single-partition reduce
+    assert shuffle_count(df) <= 1, "q6 must not shuffle more than the final reduce"
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = tpch.q5_regional_revenue(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # fact table must not be exchanged for the joins: only the final groupBy
+    # (+ possible AQE reads) — allow a small bound, not one per join
+    assert shuffle_count(df) <= 3, "dims must broadcast, not shuffle the fact"
+
+
+def test_activity_summary_broadcasts(spark):
+    df = relational.activity_summary(spark, SF_DIR)
+    assert has_broadcast_join(df)
