@@ -1,0 +1,77 @@
+"""Materialized views with an explicit refresh contract (SURVEY §2.1 S9).
+
+The reference's ``mv_daily_user_stats`` (performance_comparison.sql:37-46)
+is a Snowflake MV — auto-maintained. OSS Spark has no MV rewrite, so the
+parity contract is explicit (and matches how the reference *queries* the
+MV — by name, never relying on automatic rewrite):
+
+- ``refresh()`` recomputes and atomically replaces the stored table,
+  stamping the refresh time and source fingerprint,
+- ``read()`` returns the stored result (possibly stale),
+- ``is_stale()`` compares the stored fingerprint against the source.
+
+At 100 TB the refresh is the same partial-agg shuffle as the direct query;
+the MV's value is amortizing it across the many re-agg readers (A12).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class MaterializedView:
+    def __init__(
+        self,
+        name: str,
+        build: Callable[[SparkSession, str], DataFrame],
+        storage_dir: str,
+    ):
+        self.name = name
+        self.build = build
+        self.path = os.path.join(storage_dir, name)
+        self._meta_path = os.path.join(storage_dir, f"{name}.mv.json")
+
+    def refresh(self, spark: SparkSession, sf_dir: str) -> None:
+        df = self.build(spark, sf_dir)
+        df.write.mode("overwrite").parquet(self.path)
+        meta = {
+            "name": self.name,
+            "refreshed_at": time.time(),
+            "source": sf_dir,
+            "source_fingerprint": self._fingerprint(sf_dir),
+        }
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, self._meta_path)  # atomic metadata swap
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not os.path.exists(self._meta_path):
+            raise ValueError(f"MV {self.name} never refreshed")
+        return spark.read.parquet(self.path)
+
+    def read_or_refresh(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        if self.is_stale(sf_dir):
+            self.refresh(spark, sf_dir)
+        return self.read(spark)
+
+    def is_stale(self, sf_dir: str) -> bool:
+        if not os.path.exists(self._meta_path):
+            return True
+        with open(self._meta_path) as fh:
+            meta = json.load(fh)
+        return meta["source_fingerprint"] != self._fingerprint(sf_dir)
+
+    @staticmethod
+    def _fingerprint(sf_dir: str) -> str:
+        """Cheap source-change detector: file names + sizes + mtimes."""
+        parts = []
+        for f in sorted(os.listdir(sf_dir)):
+            st = os.stat(os.path.join(sf_dir, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        return "|".join(parts)

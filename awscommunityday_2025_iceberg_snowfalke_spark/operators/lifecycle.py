@@ -139,11 +139,18 @@ class SnapshotTable:
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- maintenance ---------------------------------------------------------
-    def compact(self, target_files: int = 1) -> int:
-        """T5: rewrite small files into ``target_files`` larger ones
-        (Iceberg: ``CALL system.rewrite_data_files``). New snapshot; old
-        files stay referenced by old snapshots until expiry."""
+    def compact(
+        self, target_files: int = 1, sort_by: list[str] | None = None
+    ) -> int:
+        """T5/T8: rewrite small files into ``target_files`` larger ones
+        (Iceberg: ``CALL system.rewrite_data_files``). ``sort_by`` clusters
+        rows within the rewritten files (the z-order/sort strategy, P:306:
+        better compression + min/max pruning on the sort keys). New
+        snapshot; old files stay referenced by old snapshots until expiry."""
         df = self.read()
+        if sort_by:
+            df = df.repartition(target_files).sortWithinPartitions(*sort_by)
+            return self._commit(self._write_files(df, None), "compact")
         return self._commit(self._write_files(df, target_files), "compact")
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

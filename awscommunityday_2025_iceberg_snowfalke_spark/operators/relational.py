@@ -274,6 +274,70 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A15: percentiles of value per type (exact; approx variant below) -------
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+# --- X4: INTERVAL arithmetic + scalar subquery, via the SQL entry point -----
+def events_last_week_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PC:130-style interval arithmetic, anchored to MAX(ts) (deterministic
+    twin of CURRENT_TIMESTAMP - INTERVAL). Exercises the spark.sql() entry
+    point (SURVEY §3.2) — same Catalyst plan as the DataFrame API."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS events,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM events_v
+        WHERE ts >= (SELECT MAX(ts) - INTERVAL 7 DAY FROM events_v)
+        GROUP BY event_type
+        """
+    )
+
+
+# --- X10 (map view): typed map decode of the props JSON ---------------------
+def props_map_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference declares properties as map<string,string> but stores
+    JSON strings (TF:119-127 vs GEN:142-143). This is the map-typed view:
+    from_json → element access."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        m.getItem("k").cast("int").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+# --- A14 + A3-approx: scale variants (rows-only checks: engine-specific) ----
+def events_object_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG(OBJECT_CONSTRUCT(*)) parity (PC:16): rows→array-of-structs
+    per user, serialized to JSON. No oracle: JSON serialization of structs
+    is engine-specific; the driver records the rows-only check."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", F.struct("event_id", "event_type", "value").alias("obj"))
+        .groupBy("user_id")
+        .agg(F.to_json(F.sort_array(F.collect_list("obj"))).alias("events_json"))
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of A3: HLL-sketch distinct counts (one pass, no
+    count-distinct expand). Sketch values are engine-specific → rows-only."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
 QUERIES = {
     "count_all": count_all,
     "filtered_counts_7d": filtered_counts_7d,
@@ -291,10 +355,35 @@ QUERIES = {
     "hot_cold_union": hot_cold_union,
     "event_types_per_user": event_types_per_user,
     "props_json_stats": props_json_stats,
+    "value_percentiles": value_percentiles,
+    "events_last_week_interval": events_last_week_interval,
+    "props_map_decode": props_map_decode,
+    "events_object_agg": events_object_agg,
+    "approx_distinct_users": approx_distinct_users,
 }
 
 ORACLE = {
     "count_all": "SELECT COUNT(*) AS cnt FROM events",
+    "value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50_value,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90_value,
+               COUNT(*) AS event_count
+        FROM events GROUP BY event_type
+    """,
+    "events_last_week_interval": """
+        SELECT event_type, COUNT(*) AS events,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM events
+        WHERE ts >= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 7 DAY FROM events)
+        GROUP BY event_type
+    """,
+    "props_map_decode": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+               CAST(len(json_keys(props)) AS INT) AS n_keys
+        FROM events
+    """,
     "filtered_counts_7d": f"""
         SELECT COUNT(*) AS total_events,
                COUNT(DISTINCT user_id) AS unique_users,

@@ -1,0 +1,104 @@
+"""Lifecycle semantics (SURVEY §2.10): snapshots, time travel, schema
+evolution, compaction (incl. sort-clustered), snapshot expiry, orphan GC,
+and the MV refresh contract."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from awscommunityday_2025_iceberg_snowfalke_spark.mv import MaterializedView
+from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+    SnapshotTable,
+)
+from awscommunityday_2025_iceberg_snowfalke_spark.operators.relational import (
+    daily_user_stats,
+)
+from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+from conftest import SF_DIR
+
+
+@pytest.fixture
+def events(spark):
+    return load(spark, SF_DIR, "events")
+
+
+def test_append_and_time_travel(spark, events, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    half = events.filter(F.col("event_id") % 2 == 0)
+    v1 = t.append(half, n_files=4)
+    v2 = t.append(events.filter(F.col("event_id") % 2 == 1), n_files=4)
+    assert (v1, v2) == (1, 2)
+    assert t.read(version=1).count() == half.count()
+    assert t.read(version=2).count() == events.count()
+    assert t.read().count() == events.count()  # current == v2
+
+
+def test_time_travel_by_timestamp(spark, events, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events.limit(10))
+    ts_between = t.history()[0]["timestamp"] + 0.0001
+    t.append(events.limit(50))
+    assert t.read(as_of=ts_between).count() == 10
+    with pytest.raises(ValueError):
+        t.read(as_of=ts_between - 1000)
+
+
+def test_schema_evolution_reads_old_files(spark, events, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events.select("event_id", "event_type"))
+    t.append(
+        events.select("event_id", "event_type").withColumn(
+            "user_agent", F.lit("spark-ua")
+        )
+    )
+    cur = t.read()
+    assert "user_agent" in cur.columns  # T3: new column visible
+    n_null = cur.filter(F.col("user_agent").isNull()).count()
+    assert n_null == events.count()  # old files readable, column null
+
+
+def test_compaction_reduces_files_preserves_rows(spark, events, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events, n_files=16)  # the small-file pathology (GEN:83-110)
+    assert len(t.files()) == 16
+    t.compact(target_files=2)
+    assert len(t.files()) == 2
+    assert t.read().count() == events.count()
+    # old snapshot still readable until expiry
+    assert len(t.files(version=1)) == 16
+
+
+def test_sorted_compaction_clusters(spark, events, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events, n_files=8)
+    t.compact(target_files=1, sort_by=["user_id", "ts"])
+    rows = t.read().select("user_id").collect()
+    vals = [r.user_id for r in rows]
+    assert vals == sorted(vals)  # single file, clustered by sort key
+
+
+def test_expire_and_orphan_gc(spark, events, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events, n_files=8)
+    t.compact(target_files=1)
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    removed = t.remove_orphan_files()
+    assert len(removed) == 8  # the 8 pre-compaction files are orphans
+    data_dir = os.path.join(t.path, "data")
+    assert len(os.listdir(data_dir)) == 1
+    assert t.read().count() == events.count()
+
+
+def test_mv_refresh_contract(spark, tmp_path):
+    mv = MaterializedView("daily_user_stats", daily_user_stats, str(tmp_path))
+    assert mv.is_stale(SF_DIR)
+    with pytest.raises(ValueError):
+        mv.read(spark)
+    mv.refresh(spark, SF_DIR)
+    assert not mv.is_stale(SF_DIR)
+    direct = daily_user_stats(spark, SF_DIR)
+    assert mv.read(spark).count() == direct.count()
+    assert mv.read_or_refresh(spark, SF_DIR).count() == direct.count()

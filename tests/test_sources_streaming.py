@@ -1,0 +1,106 @@
+"""Sources/sinks (S1-S3, S7) and streaming ingest (S11) library behavior."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import (
+    CUTOFF_7D,
+    events_with_props,
+    load,
+    register_views,
+)
+from awscommunityday_2025_iceberg_snowfalke_spark.sources.writers import (
+    ctas_hot_tier,
+    read_csv,
+    write_csv,
+    write_partitioned,
+)
+from awscommunityday_2025_iceberg_snowfalke_spark.streaming import (
+    ingest_file_stream,
+    simulate_small_file_landing,
+)
+from awscommunityday_2025_iceberg_snowfalke_spark import governance
+
+from conftest import SF_DIR
+
+
+def test_partitioned_layout(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events")
+    path = str(tmp_path / "part")
+    write_partitioned(ev, path, granularity="day")
+    dirs = os.listdir(path)
+    assert any(d.startswith("year=") for d in dirs)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    # partition pruning: day filter must prune input files
+    pruned = back.filter((F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 5))
+    assert pruned.count() == ev.filter(F.to_date("ts") == "2024-01-05").count()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    prof = load(spark, SF_DIR, "customer").select("c_custkey", "c_name", "c_acctbal")
+    path = str(tmp_path / "csv")
+    write_csv(prof, path)
+    back = read_csv(spark, path)
+    assert back.count() == prof.count()
+    assert dict(back.dtypes)["c_custkey"] in ("int", "bigint")  # inferred
+
+
+def test_ctas_hot_tier(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events")
+    hot = ctas_hot_tier(ev, str(tmp_path / "hot"), CUTOFF_7D)
+    assert hot.count() == ev.filter(F.col("ts") >= CUTOFF_7D).count()
+
+
+def test_register_views_sql_entry(spark):
+    register_views(spark, SF_DIR, "events", "customer")
+    n = spark.sql("SELECT COUNT(*) AS c FROM events").collect()[0].c
+    assert n == load(spark, SF_DIR, "events").count()
+
+
+def test_events_with_props_map(spark):
+    df = events_with_props(spark, SF_DIR)
+    row = df.filter(F.col("props_map").getItem("k").isNotNull()).first()
+    assert row is not None
+    assert row.props_map["k"] == str(
+        __import__("json").loads(row.props)["k"]
+    )
+
+
+def test_streaming_ingest_small_files(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events").limit(500)
+    landing = str(tmp_path / "landing")
+    # reproduce the small-file pathology, then ingest with checkpointing
+    simulate_small_file_landing(ev, landing, n_files=12)
+    target, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    schema = spark.read.parquet(landing).schema
+    ingest_file_stream(spark, landing, target, ckpt, schema)
+    out = spark.read.parquet(target)
+    assert out.count() == 500
+    assert "event_date" in out.columns
+    # idempotent re-run: checkpoint remembers processed files
+    ingest_file_stream(spark, landing, target, ckpt, schema)
+    assert spark.read.parquet(target).count() == 500
+
+
+def test_governance_masking_and_rls(spark):
+    masked = governance.secured_profiles(spark, SF_DIR, role="analyst")
+    rows = masked.limit(5).collect()
+    assert all(r.name == governance.MASK for r in rows)
+    assert {r.region for r in masked.collect()} == {"ASIA"}
+    admin = governance.secured_profiles(spark, SF_DIR, role="ADMIN")
+    assert all(r.name != governance.MASK for r in admin.limit(5).collect())
+
+
+def test_multimodal_stub_raises(spark):
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import multimodal
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+    meta = multimodal.fake_decode_meta(b"x" * 600)
+    assert meta == {"payload_len": 600, "n_frames": 3, "fmt": "txtimg"}
