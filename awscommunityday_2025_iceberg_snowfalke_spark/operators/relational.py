@@ -52,17 +52,30 @@ def filtered_counts_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J1+A2/A3/A7: activity summary view (PC:24-34) --------------------------
 def activity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiles LEFT JOIN events → per-user COUNT / COUNT DISTINCT / MAX.
+
+    Scale rewrite: Spark cannot broadcast the *preserved* side of a left
+    outer join (the hint is ignored and the whole fact table shuffles into
+    a sort-merge join). Instead we aggregate events by user_id first —
+    partial (map-side) aggregation shrinks the shuffle to one row per
+    (user, event_type) — then left-join profiles against the per-user
+    aggregate, which is broadcastable as the build side. Same semantics as
+    PC:24-34 (COUNT over no matches = 0, MAX = NULL) via coalesce.
+    """
     prof = user_profiles(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
-    return (
-        F.broadcast(prof)
-        .join(ev, prof.user_id == ev.user_id, "left")
-        .groupBy(prof.user_id, "name", "region")
-        .agg(
-            F.count("event_type").alias("total_events"),
-            F.countDistinct("event_type").alias("unique_event_types"),
-            F.max("ts").alias("last_activity"),
-        )
+    ev_agg = ev.groupBy("user_id").agg(
+        F.count("event_type").alias("_total_events"),
+        F.countDistinct("event_type").alias("_unique_event_types"),
+        F.max("ts").alias("last_activity"),
+    )
+    return prof.join(F.broadcast(ev_agg), "user_id", "left").select(
+        "user_id",
+        "name",
+        "region",
+        F.coalesce("_total_events", F.lit(0)).alias("total_events"),
+        F.coalesce("_unique_event_types", F.lit(0)).alias("unique_event_types"),
+        "last_activity",
     )
 
 

@@ -201,11 +201,124 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- embedding-cosine near-duplicate pairs (dedup family) --------------------
+NEAR_DUP_THRESHOLD = 0.4  # synthetic embeddings max pairwise cos ≈ 0.51
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold — the embedding-space
+    near-duplicate detector. Exact all-pairs here (broadcast nested-loop on
+    ``vec_id <`` keeps each pair once); at 100 TB the candidate set is
+    blocked first by LSH bucket (``_bucket_expr``) or MinHash band exactly
+    as in :mod:`dedup`, turning O(n²) into per-bucket local products."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("doc_a"), _as_double("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), _as_double("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb")))
+            ).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= NEAR_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("cos_raw", 8).alias("cosine_sim"))
+    )
+
+
+# --- IVF ANN (coarse-quantize → probe → exact re-rank) -----------------------
+N_PROBE = 2
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean embedding (the IVF coarse quantizer). Decimal mean →
+    partition-order independent, bit-equal to the duckdb oracle."""
+    comp = emb.select(
+        "vec_id", "label", F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    return (
+        comp.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count("v")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest label-centroid
+    cell, probe the query's top-``N_PROBE`` cells, exact cosine re-rank
+    inside the probed cells only. The scale shape: centroids broadcast
+    (k × dim doubles), the corpus is scanned once to assign cells and once
+    per probe hit — at 100 TB the corpus would be *stored* partitioned by
+    cell so a probe reads only matching partitions (partition pruning on
+    the cell key)."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("e"))
+    cent = _centroids(emb).select(
+        F.col("label").alias("cell"), F.col("centroid")
+    )
+    scored_cells = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        "e",
+        (
+            _dot(F.col("e"), F.col("centroid"))
+            / (_norm(F.col("e")) * _norm(F.col("centroid")))
+        ).alias("cell_cos"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("cell_rank") == 1).select("vec_id", "cell", "e")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("cell_rank") <= N_PROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("probe_cell"),
+            F.col("e").alias("q"),
+        )
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias(
+                "cos_raw"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 8).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norms": embedding_norms,
     "label_centroid_sim": label_centroid_sim,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_ivf_cosine": ann_ivf_cosine,
 }
 
 
@@ -288,6 +401,61 @@ ORACLE = {
             FROM bucketed q JOIN bucketed c
               ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
             WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT doc_a, doc_b, ROUND(cos_raw, 8) AS cosine_sim FROM (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   {_DUCK_COS.format(a="a.embedding", b="b.embedding")} AS cos_raw
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
+    """,
+    "ann_ivf_cosine": f"""
+        WITH comp AS (
+            SELECT vec_id, label, e[i + 1] AS v, i AS pos
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+                 UNNEST(range(len(e))) AS u(i)
+        ),
+        cent AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+            FROM comp GROUP BY label, pos
+        ),
+        centroids AS (
+            SELECT label AS cell, list(c ORDER BY pos) AS centroid
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT v.vec_id, cc.cell, v.e,
+                   list_cosine_similarity(v.e, cc.centroid) AS cell_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.e, cc.centroid) DESC,
+                                cc.cell ASC
+                   ) AS cell_rank
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings) v
+            CROSS JOIN centroids cc
+        ),
+        assign AS (
+            SELECT vec_id, cell, e FROM scored WHERE cell_rank = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cell AS probe_cell, e AS q
+            FROM scored
+            WHERE vec_id < {N_QUERIES} AND cell_rank <= {N_PROBE}
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 8) AS cosine_sim, rank FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_cosine_similarity(p.q, a.e) AS cos_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.q, a.e) DESC,
+                                a.vec_id ASC
+                   ) AS rank
+            FROM assign a JOIN probes p
+              ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
         ) WHERE rank <= {TOP_K}
     """,
 }
