@@ -75,3 +75,39 @@ class MaterializedView:
             st = os.stat(os.path.join(sf_dir, f))
             parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
         return "|".join(parts)
+
+
+# --- driver-contract query: refresh → read-through (S9) ----------------------
+def mv_daily_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mv_daily_user_stats (performance_comparison.sql:37-46)
+    through the explicit refresh contract: build → store → read back from
+    the materialized table (never from the live source), exactly how the
+    reference queries its MV by name."""
+    import tempfile
+
+    from .operators.relational import daily_user_stats
+
+    mv = MaterializedView(
+        "mv_daily_user_stats", daily_user_stats, tempfile.mkdtemp(prefix="mv_")
+    )
+    return mv.read_or_refresh(spark, sf_dir)
+
+
+QUERIES = {"mv_daily_user_stats": mv_daily_user_stats}
+
+from .sources.registry import PROFILES_SQL  # noqa: E402
+
+ORACLE = {
+    # identical body to the relational daily_user_stats oracle — the MV must
+    # answer exactly what the live query answers (staleness contract aside)
+    "mv_daily_user_stats": f"""
+        SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS event_date,
+               e.user_id, pr.region,
+               COUNT(*) AS event_count,
+               COUNT(DISTINCT e.event_type) AS event_types,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchases
+        FROM events e JOIN {PROFILES_SQL} pr ON e.user_id = pr.user_id
+        GROUP BY 1, 2, 3
+    """,
+}

@@ -15,13 +15,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _modules():
     from . import dedup, lifecycle, multimodal, relational, similarity, textstats, tpch
+    from ..sources import writers
     from ..streaming import jobs as streaming_jobs
-    from .. import governance
+    from .. import governance, mv
 
-    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (
+    return (
         relational,
         tpch,
         dedup,
@@ -31,27 +31,20 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lifecycle,
         governance,
         streaming_jobs,
-    ):
+        writers,
+        mv,
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
         merged.update(getattr(mod, "QUERIES", {}))
     return merged
 
 
 def all_oracle() -> dict[str, str]:
-    from . import dedup, lifecycle, multimodal, relational, similarity, textstats, tpch
-    from ..streaming import jobs as streaming_jobs
-    from .. import governance
-
     merged: dict[str, str] = {}
-    for mod in (
-        relational,
-        tpch,
-        dedup,
-        similarity,
-        textstats,
-        multimodal,
-        lifecycle,
-        governance,
-        streaming_jobs,
-    ):
+    for mod in _modules():
         merged.update(getattr(mod, "ORACLE", {}))
     return merged

@@ -197,7 +197,35 @@ def lifecycle_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"lifecycle_snapshot_counts": lifecycle_snapshot_counts}
+# --- T3: schema evolution — old files readable after ADD COLUMN -------------
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN parity (P:124-128): write cold events with
+    the original schema, hot events with an added ``user_agent`` column,
+    read both generations through one merged-schema scan (Iceberg
+    field-id evolution ≈ Parquet mergeSchema here), aggregate with the
+    evolved column NULL for pre-evolution rows."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="evolve_"))
+    tbl.append(ev.filter(F.col("ts") < cut), n_files=4)
+    evolved = ev.filter(F.col("ts") >= cut).withColumn(
+        "user_agent", F.concat(F.lit("agent_"), (F.col("user_id") % 3).cast("string"))
+    )
+    tbl.append(evolved, n_files=4)
+    return (
+        tbl.read()
+        .groupBy(F.coalesce("user_agent", F.lit("<pre-evolution>")).alias("user_agent"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+QUERIES = {
+    "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
+    "schema_evolution_read": schema_evolution_read,
+}
 
 _TS7 = "TIMESTAMP '2024-01-24 00:00:00'"
 
@@ -210,5 +238,13 @@ ORACLE = {
         SELECT 2, 'append', (SELECT COUNT(*) FROM events), 16
         UNION ALL
         SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
+    """,
+    "schema_evolution_read": f"""
+        SELECT CASE WHEN ts >= {_TS7}
+                    THEN concat('agent_', CAST(user_id % 3 AS VARCHAR))
+                    ELSE '<pre-evolution>' END AS user_agent,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY user_agent
     """,
 }

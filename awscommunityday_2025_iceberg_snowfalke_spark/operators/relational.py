@@ -351,6 +351,42 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sessionization: gap-based sessions (W2 applied; streaming twin in
+# --- streaming/jobs — the batch shape of applyInPandasWithState) ------------
+SESSION_GAP_HOURS = 6
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap since
+    the user's previous event exceeds SESSION_GAP_HOURS. Classic LAG +
+    running-SUM-of-flags; one shuffle on user_id serves both windows (same
+    partition key), then a partial-agg groupBy on the same key — zero
+    extra exchanges (verified via plans.count_exchanges)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > SESSION_GAP_HOURS * 3600), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("total_events"),
+            F.round(
+                F.count(F.lit(1)) / F.max("session_seq"), 4
+            ).alias("events_per_session"),
+        )
+    )
+
+
 QUERIES = {
     "count_all": count_all,
     "filtered_counts_7d": filtered_counts_7d,
@@ -373,10 +409,33 @@ QUERIES = {
     "props_map_decode": props_map_decode,
     "events_object_agg": events_object_agg,
     "approx_distinct_users": approx_distinct_users,
+    "user_sessions": user_sessions,
 }
 
 ORACLE = {
     "count_all": "SELECT COUNT(*) AS cnt FROM events",
+    "user_sessions": f"""
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN prev_s IS NULL
+                             OR s - prev_s > {SESSION_GAP_HOURS * 3600}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (
+                SELECT user_id,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+                       LAG(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev_s
+                FROM events
+            )
+        )
+        SELECT user_id,
+               CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS total_events,
+               ROUND(COUNT(*) / CAST(SUM(new_sess) AS DOUBLE), 4)
+                   AS events_per_session
+        FROM flagged GROUP BY user_id
+    """,
     "value_percentiles": """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 4) AS p50_value,

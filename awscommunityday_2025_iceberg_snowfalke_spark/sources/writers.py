@@ -63,3 +63,65 @@ def ctas_hot_tier(
     hot = events.filter(F.col(ts_col) >= F.lit(cutoff))
     hot.write.mode("overwrite").parquet(path)
     return events.sparkSession.read.parquet(path)
+
+
+# --- driver-contract queries -------------------------------------------------
+def csv_roundtrip_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 parity: profile dim → CSV (header) → re-read with schema
+    inference (the COPY INTO ... SKIP_HEADER=1 path,
+    demo-setup/README.md:107-116) → aggregate. Inference must recover
+    bigint/double types from text for the agg to hash-match the oracle."""
+    import tempfile
+
+    from .registry import user_profiles
+
+    prof = user_profiles(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="csv_profiles_")
+    write_csv(prof, path)
+    back = read_csv(spark, path)
+    return (
+        back.groupBy("region", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum(F.col("acctbal").cast("decimal(28,8)")).cast("double"), 2)
+                .alias("total_acctbal"),
+        )
+    )
+
+
+def hot_tier_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 parity: CTAS the hot tier (last 7 d) to its own table, then
+    aggregate from the materialized copy (demo-setup/README.md:199-200)."""
+    import tempfile
+
+    from .registry import CUTOFF_HOT, load
+
+    ev = load(spark, sf_dir, "events")
+    hot = ctas_hot_tier(ev, tempfile.mkdtemp(prefix="hot_tier_"), CUTOFF_HOT)
+    return hot.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("hot_events"),
+        F.countDistinct("user_id").alias("hot_users"),
+    )
+
+
+QUERIES = {
+    "csv_roundtrip_profiles": csv_roundtrip_profiles,
+    "hot_tier_ctas": hot_tier_ctas,
+}
+
+ORACLE = {
+    "csv_roundtrip_profiles": """
+        SELECT r_name AS region, c_mktsegment AS segment, COUNT(*) AS n_users,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE), 2)
+                   AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, c_mktsegment
+    """,
+    "hot_tier_ctas": """
+        SELECT event_type, COUNT(*) AS hot_events,
+               COUNT(DISTINCT user_id) AS hot_users
+        FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        GROUP BY event_type
+    """,
+}
