@@ -94,6 +94,78 @@ def dynamic_table_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(target)
 
 
+# --- custom stateful operator: streaming sessionization ---------------------
+SESSION_GAP_SECONDS = 6 * 3600  # must match operators.relational.user_sessions
+
+
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a *custom stateful streaming operator*
+    (``applyInPandasWithState``): per-user state carries the observed event
+    epochs across micro-batches; each batch emits the user's cumulative
+    (n_sessions, total_events).
+
+    This is the operator class the reference's engine surface lacks
+    entirely (SURVEY §2.12) — the Spark-native answer to "dynamic table
+    with per-key state". Results are checked against the same SQL oracle
+    as the batch ``user_sessions``. State here buffers raw epochs so late
+    (out-of-order) arrivals re-split sessions correctly; a production
+    variant with a watermark would keep only (last_ts, n_sessions) per
+    key — O(1) state — once late data is bounded.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", (F.col("ts").cast("long")).alias("epoch")
+    )
+
+    def update_sessions(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        epochs = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            epochs.extend(int(e) for e in pdf["epoch"])
+        epochs.sort()
+        state.update((epochs,))
+        n_sessions = sum(
+            1
+            for i, e in enumerate(epochs)
+            if i == 0 or e - epochs[i - 1] > SESSION_GAP_SECONDS
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "total_events": [len(epochs)],
+            }
+        )
+
+    emitted = ev.groupBy("user_id").applyInPandasWithState(
+        update_sessions,
+        outputStructType="user_id long, n_sessions long, total_events long",
+        stateStructType="epochs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    raw = _run_to_memory(emitted, mode="update")
+    # keep each user's latest cumulative emit (update mode appends one row
+    # per key per micro-batch; the max-total_events row is the final state)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_sessions",
+            "total_events",
+            F.round(F.col("total_events") / F.col("n_sessions"), 4).alias(
+                "events_per_session"
+            ),
+        )
+    )
+
+
 # --- S11 library: file-stream ingest + small-file simulator -----------------
 def ingest_file_stream(
     spark: SparkSession,
@@ -131,9 +203,14 @@ QUERIES = {
     "streaming_event_counts": streaming_event_counts,
     "streaming_daily_windows": streaming_daily_windows,
     "dynamic_table_user_engagement": dynamic_table_user_engagement,
+    "streaming_user_sessions": streaming_user_sessions,
 }
 
+from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
+
 ORACLE = {
+    # the stateful streaming operator must equal the batch sessionization
+    "streaming_user_sessions": _REL_ORACLE["user_sessions"],
     # streaming results must equal their batch twins
     "streaming_event_counts": """
         SELECT event_type, COUNT(*) AS event_count FROM events GROUP BY event_type
