@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "formatted_plan",
     "has_pushed_filters",
+    "has_partition_filters",
     "has_broadcast_join",
     "codegen_stage_count",
     "shuffle_count",
@@ -32,6 +33,17 @@ def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
     plan = formatted_plan(df)
     for line in plan.splitlines():
         if "PushedFilters" in line and fragment in line and "[]" not in line:
+            return True
+    return False
+
+
+def has_partition_filters(df: DataFrame, fragment: str) -> bool:
+    """True if the scan prunes Hive partitions on ``fragment`` — the
+    predicate is resolved against directory names at planning time and
+    non-matching files are never listed into the scan."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters" in line and fragment in line and ": []" not in line:
             return True
     return False
 

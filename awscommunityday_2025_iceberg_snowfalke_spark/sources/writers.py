@@ -104,9 +104,39 @@ def hot_tier_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline optimization demo (PC:147-156 "Partition
+    Pruned Query" vs full scan): land events in the Hive year=/month=/day=
+    layout (S2, GEN:106), then aggregate one day through partition-column
+    predicates. The filter never touches data files outside day=15 —
+    Catalyst prunes directories at planning time (PartitionFilters in the
+    scan node, asserted in tests/test_plans.py)."""
+    import tempfile
+
+    from .registry import load
+
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_parted_")
+    write_partitioned(ev, path, granularity="day")
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 15)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("day_events"),
+            F.countDistinct("user_id").alias("day_users"),
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")).cast("double"), 4)
+                .alias("day_value"),
+        )
+    )
+
+
 QUERIES = {
     "csv_roundtrip_profiles": csv_roundtrip_profiles,
     "hot_tier_ctas": hot_tier_ctas,
+    "partition_pruned_scan": partition_pruned_scan,
 }
 
 ORACLE = {
@@ -122,6 +152,16 @@ ORACLE = {
         SELECT event_type, COUNT(*) AS hot_events,
                COUNT(DISTINCT user_id) AS hot_users
         FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        GROUP BY event_type
+    """,
+    "partition_pruned_scan": """
+        SELECT event_type, COUNT(*) AS day_events,
+               COUNT(DISTINCT user_id) AS day_users,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 4)
+                   AS day_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          AND ts < TIMESTAMP '2024-01-16 00:00:00'
         GROUP BY event_type
     """,
 }

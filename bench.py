@@ -34,9 +34,13 @@ HEADLINE = [
     "q1_pricing_summary",   # TPC-H-style wide agg
     "q3_shipping_priority", # 3-way join top-k
     "q5_regional_revenue",  # 6-way join
+    "q8_market_share",      # conditional-ratio 6-way join
+    "q18_large_volume_customers",  # HAVING-subquery semi join
+    "user_sessions",        # sessionization window (window class)
     "dedup_ngram_jaccard",  # similarity self-join
     "minhash_lsh_pairs",    # LSH dedup pipeline
     "knn_bruteforce_cosine",# ANN brute force
+    "ann_ivf_cosine",       # IVF ANN (centroid probe)
     "text_quality",         # text analysis scan
 ]
 

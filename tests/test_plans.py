@@ -6,9 +6,11 @@ from awscommunityday_2025_iceberg_snowfalke_spark.operators import relational, t
 from awscommunityday_2025_iceberg_snowfalke_spark.plans import (
     codegen_stage_count,
     has_broadcast_join,
+    has_partition_filters,
     has_pushed_filters,
     shuffle_count,
 )
+from awscommunityday_2025_iceberg_snowfalke_spark.sources import writers
 
 from conftest import SF_DIR
 
@@ -48,3 +50,30 @@ def test_q5_broadcasts_all_dims(spark):
 def test_activity_summary_broadcasts(spark):
     df = relational.activity_summary(spark, SF_DIR)
     assert has_broadcast_join(df)
+    # the left-outer dim join must build on the broadcast *aggregate* side:
+    # no sort-merge join of the raw fact against profiles
+    assert "SortMergeJoin" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruned_scan_prunes(spark):
+    df = writers.partition_pruned_scan(spark, SF_DIR)
+    assert has_partition_filters(df, "day"), "day predicate must prune partitions"
+
+
+def test_user_sessions_single_shuffle(spark):
+    # lag window, running-sum window, and groupBy all share the user_id
+    # partitioning → exactly one exchange end-to-end
+    df = relational.user_sessions(spark, SF_DIR)
+    assert shuffle_count(df) <= 1, "windows+agg must reuse the user_id exchange"
+
+
+def test_q18_semi_join_broadcasts(spark):
+    df = tpch.q18_large_volume_customers(spark, SF_DIR)
+    plan = str(df._jdf.queryExecution().optimizedPlan())
+    assert "LeftSemi" in plan, "HAVING subquery must plan as a semi join"
+    assert has_broadcast_join(df)
+
+
+def test_q22_anti_join(spark):
+    df = tpch.q22_inactive_customers(spark, SF_DIR)
+    assert "LeftAnti" in str(df._jdf.queryExecution().optimizedPlan())
