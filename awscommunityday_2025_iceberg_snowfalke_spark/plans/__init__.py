@@ -66,6 +66,59 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
+def execution_metrics(df: DataFrame) -> dict:
+    """Per-query engine metrics (H2 — RPT:83-123 parity): after executing
+    ``df``, walk the finalized physical plan and total the scan and
+    exchange SQLMetrics. The Spark-side equivalent of Snowflake's
+    ``query_history`` columns (bytes scanned, rows produced, shuffle
+    traffic)."""
+    df.collect()
+    out = {
+        "scan_output_rows": 0,
+        "scan_files_read": 0,
+        "scan_bytes_read": 0,
+        "shuffle_bytes_written": 0,
+    }
+
+    def walk(node):
+        name = node.nodeName()
+        vals = {}
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+        except Exception:
+            pass
+        if "Scan" in name:
+            out["scan_output_rows"] += vals.get("numOutputRows", 0)
+            out["scan_files_read"] += vals.get("numFiles", 0)
+            out["scan_bytes_read"] += vals.get("filesSize", 0)
+        out["shuffle_bytes_written"] += vals.get(
+            "shuffleBytesWritten", vals.get("shuffle bytes written", 0)
+        )
+        # AQE wrappers hide the materialized subtree: AdaptiveSparkPlanExec
+        # behind executedPlan(), QueryStageExec nodes behind plan() — and
+        # their children() is empty, so descend through the wrapper attrs
+        for attr in ("executedPlan", "plan"):
+            try:
+                sub = getattr(node, attr)()
+                sub.nodeName()  # prove it's a plan node
+            except Exception:
+                continue
+            walk(sub)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    try:
+        walk(df._jdf.queryExecution().executedPlan())
+    except Exception:
+        pass  # metrics are advisory; never fail the caller
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     currency. Matches detail headers only ('(n) Exchange'), so broadcast

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from awscommunityday_2025_iceberg_snowfalke_spark.operators import all_queries
+from awscommunityday_2025_iceberg_snowfalke_spark.plans import execution_metrics
 from awscommunityday_2025_iceberg_snowfalke_spark.session import get_spark
 
 # one per baseline class, then the extension workloads
@@ -54,12 +55,22 @@ def main() -> None:
     queries["count_all"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    report: dict[str, dict] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
+        df = queries[name](spark, sf_dir)
+        metrics = execution_metrics(df)  # executes the query
         timings[name] = round(time.perf_counter() - t0, 3)
+        report[name] = {"seconds": timings[name], **metrics}
 
     total = round(sum(timings.values()), 3)
+    # full per-query engine-metrics report (RPT:286-329 parity artifact)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_report.json"),
+        "w",
+    ) as fh:
+        json.dump({"sf": sf_dir, "total_sec": total, "queries": report}, fh, indent=2)
+
     print(
         json.dumps(
             {

@@ -77,3 +77,13 @@ def test_q18_semi_join_broadcasts(spark):
 def test_q22_anti_join(spark):
     df = tpch.q22_inactive_customers(spark, SF_DIR)
     assert "LeftAnti" in str(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_execution_metrics_populated(spark):
+    from awscommunityday_2025_iceberg_snowfalke_spark.plans import execution_metrics
+
+    m = execution_metrics(relational.activity_summary(spark, SF_DIR))
+    assert m["scan_output_rows"] > 0
+    assert m["scan_files_read"] > 0
+    assert m["scan_bytes_read"] > 0
+    assert m["shuffle_bytes_written"] > 0  # the ev_agg exchange
