@@ -110,9 +110,90 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- resize (payload transform, byte-bounded) --------------------------------
+RESIZE_MAX_BYTES = 512
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize shape: a payload→payload transform inside mapInPandas
+    (real image resize would swap the truncation for PIL.thumbnail — same
+    batch plumbing, same schema contract). Output carries the resized
+    payload's metadata so the transform is oracle-checkable."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            resized = [bytes(p[:RESIZE_MAX_BYTES]) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "orig_len": _pd.Series(
+                        [len(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                    "resized_len": _pd.Series(
+                        [len(r) for r in resized], dtype="int64"
+                    ),
+                    "was_resized": [len(p) > RESIZE_MAX_BYTES for p in pdf["payload"]],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(
+        resize_batches,
+        schema="doc_id long, orig_len long, resized_len long, was_resized boolean",
+    )
+
+
+# --- feature extraction (vectorized pandas UDF → array column) ---------------
+N_BUCKETS = 8
+
+
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-extract shape: payload → fixed-width feature vector via
+    an Arrow-batched pandas UDF (numpy per batch, no per-row Python). A
+    real extractor (CLIP embedding, mel spectrogram) replaces the
+    histogram; the array<double> schema, batching, and downstream array
+    math stay identical. No SQL oracle (per-byte histograms aren't
+    reasonably SQL-expressible) → driver records the rows-only check;
+    exact values are unit-tested in tests/test_corpus.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def byte_hist(payload: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for p in payload:
+            arr = np.frombuffer(p, dtype=np.uint8)
+            if arr.size == 0:
+                out.append([0.0] * N_BUCKETS)
+                continue
+            hist, _ = np.histogram(arr, bins=N_BUCKETS, range=(0, 256))
+            out.append((hist / arr.size).tolist())
+        return pd.Series(out)
+
+    docs = load(spark, sf_dir, "documents")
+    feats = with_payload(docs).select(
+        "doc_id", byte_hist("payload").alias("features")
+    )
+    return feats.select(
+        "doc_id",
+        "features",
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0).cast("double"), lambda a, x: a + x
+            ),
+            6,
+        ).alias("feature_sum"),  # ≈1.0: mass-conservation sanity inline
+    )
+
+
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_byte_histogram": multimodal_byte_histogram,
 }
 
 ORACLE = {
@@ -136,4 +217,13 @@ ORACLE = {
                CAST(i * {FRAME_BYTES} AS BIGINT) AS frame_offset
         FROM nf, UNNEST(range(0, n_frames, 4)) AS u(i)
     """,
+    "multimodal_resize": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+               CAST(least(octet_length(encode(text)), {RESIZE_MAX_BYTES}) AS BIGINT)
+                   AS resized_len,
+               octet_length(encode(text)) > {RESIZE_MAX_BYTES} AS was_resized
+        FROM documents
+    """,
+    # multimodal_byte_histogram: intentionally no oracle (rows-only check)
 }

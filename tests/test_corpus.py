@@ -22,3 +22,31 @@ def test_query_matches_oracle(spark, oracle, name):
 
 def test_oracle_keys_subset_of_queries():
     assert set(_ORACLE) <= set(_QUERIES), set(_ORACLE) - set(_QUERIES)
+
+
+def test_multimodal_byte_histogram_values(spark):
+    """Exact-value check for the rows-only feature extractor: Spark's
+    pandas-UDF histogram must equal a local numpy histogram of the same
+    payload."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.multimodal import (
+        N_BUCKETS,
+        multimodal_byte_histogram,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    row = tbl.iloc[0]
+    payload = row["text"].encode("utf-8")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    expect, _ = np.histogram(arr, bins=N_BUCKETS, range=(0, 256))
+    expect = (expect / arr.size).tolist()
+
+    got = (
+        multimodal_byte_histogram(spark, SF_DIR)
+        .filter(f"doc_id = {int(row['doc_id'])}")
+        .collect()[0]
+    )
+    assert got["features"] == pytest.approx(expect)
+    assert got["feature_sum"] == pytest.approx(1.0, abs=1e-6)
