@@ -342,11 +342,14 @@ def events_object_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of A3: HLL-sketch distinct counts (one pass, no
-    count-distinct expand). Sketch values are engine-specific → rows-only."""
+    """The 100 TB variants of A3/A15: HLL-sketch distinct counts and
+    t-digest approximate percentiles (one pass each, no count-distinct
+    expand, bounded memory). Sketch values are engine-specific →
+    rows-only."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5), 4).alias("approx_p50_value"),
         F.count(F.lit(1)).alias("event_count"),
     )
 

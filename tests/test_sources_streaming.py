@@ -104,3 +104,37 @@ def test_multimodal_stub_raises(spark):
         multimodal.decode_audio(b"RIFF")
     meta = multimodal.fake_decode_meta(b"x" * 600)
     assert meta == {"payload_len": 600, "n_frames": 3, "fmt": "txtimg"}
+
+
+def test_generator_events_schema_and_domains(spark):
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.generator import (
+        EVENT_TYPES,
+        REGIONS,
+        generate_user_events,
+        generate_user_profiles,
+    )
+
+    ev = generate_user_events(spark, 2000, partitions=8)
+    assert ev.columns == ["user_id", "event_type", "timestamp", "properties", "region"]
+    assert ev.count() == 2000
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert types <= set(EVENT_TYPES) and len(types) >= 8
+    regions = {r[0] for r in ev.select("region").distinct().collect()}
+    assert regions <= set(REGIONS)
+    # properties duality: JSON string on disk, map-decodable (X10)
+    from pyspark.sql import functions as F
+
+    decoded = ev.select(F.from_json("properties", "map<string,string>").alias("m"))
+    assert decoded.filter(F.col("m").getItem("session_id").isNull()).count() == 0
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.get_json_object("properties", "$.amount").alias("amount")
+    )
+    assert purchases.filter(F.col("amount").isNull()).count() == 0
+
+    # deterministic: same args → identical dataset at any parallelism
+    again = generate_user_events(spark, 2000, partitions=3)
+    assert ev.exceptAll(again).count() == 0
+
+    prof = generate_user_profiles(spark, 500)
+    assert prof.count() == 500
+    assert prof.columns == ["user_id", "name", "email", "region", "created_at"]
