@@ -1,0 +1,47 @@
+"""Snowflake-dialect SQL shim (SURVEY §7 risk register: dialect deltas).
+
+The reference's query corpus is Snowflake SQL. Spark SQL accepts most of it
+verbatim (``DATE(ts)``, ``CURRENT_DATE - 7``, ``INTERVAL '1 DAY'`` all
+parse), with one structural gap: the ``QUALIFY`` clause
+(performance_comparison.sql:172, run_performance_tests.py:208). OSS Spark
+has no QUALIFY, so :func:`translate` rewrites it into the standard
+wrap-and-filter form::
+
+    SELECT ..., ROW_NUMBER() OVER (...) AS r FROM t QUALIFY r <= 5 ORDER BY x
+    →
+    SELECT * FROM ( SELECT ..., ROW_NUMBER() OVER (...) AS r FROM t ) WHERE r <= 5 ORDER BY x
+
+which Catalyst plans identically to the hand-written rank-then-filter
+(one Window exchange, then a Filter) — verified by the oracle-checked
+``top5_per_user_sql`` twin of the DataFrame version.
+
+The rewrite is a clause-splitter, not a SQL parser: it handles QUALIFY at
+the top level of a (sub)query followed by optional ORDER BY / LIMIT —
+exactly the shapes in the reference corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUALIFY_RE = re.compile(
+    r"^(?P<body>.*?)\bQUALIFY\b(?P<pred>.*?)"
+    r"(?P<tail>\bORDER\s+BY\b.*|\bLIMIT\b.*|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def translate(sql: str) -> str:
+    """Rewrite Snowflake-isms into Spark SQL. Currently: QUALIFY."""
+    m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
+    if not m or "QUALIFY" not in sql.upper():
+        return sql
+    body, pred, tail = m.group("body"), m.group("pred"), m.group("tail")
+    return f"SELECT * FROM ( {body.strip()} ) WHERE {pred.strip()} {tail.strip()}"
+
+
+def run_snowflake_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute reference-corpus SQL through the dialect shim."""
+    return spark.sql(translate(sql))

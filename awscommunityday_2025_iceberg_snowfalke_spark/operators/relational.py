@@ -181,6 +181,27 @@ def top5_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F7 at the SQL level: the reference's QUALIFY text, shimmed -------------
+def top5_per_user_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's QUALIFY query (PC:163-172) as near-verbatim SQL text
+    run through the Snowflake-dialect shim (dialect.translate rewrites
+    QUALIFY → wrapped WHERE). Must hash-equal the DataFrame twin
+    ``top5_per_user`` — same oracle."""
+    from ..dialect import run_snowflake_sql
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("user_events_v")
+    return run_snowflake_sql(
+        spark,
+        """
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS event_rank
+        FROM user_events_v
+        QUALIFY event_rank <= 5
+        """,
+    )
+
+
 # --- W2: previous event per user via LAG (PC:169; RPT:205) ------------------
 def prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -401,6 +422,7 @@ QUERIES = {
     "daily_counts": daily_counts,
     "event_minmax": event_minmax,
     "top5_per_user": top5_per_user,
+    "top5_per_user_sql": top5_per_user_sql,
     "prev_event": prev_event,
     "purchase_funnel": purchase_funnel,
     "compaction_analysis": compaction_analysis,
@@ -614,3 +636,6 @@ ORACLE = {
     k: v.replace("{AVG_VALUE}", _AVG_VALUE).replace("{AVG_K}", _AVG_K)
     for k, v in ORACLE.items()
 }
+
+# the SQL-shim twin must produce byte-identical results
+ORACLE["top5_per_user_sql"] = ORACLE["top5_per_user"]

@@ -199,11 +199,58 @@ def simulate_small_file_landing(
     df.repartition(n_files).write.mode("overwrite").parquet(landing_dir)
 
 
+# --- the demo's core narrative, end-to-end (GEN:83-110 → P:561-568) ---------
+def small_file_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproduce and cure the small-file pathology: land 7 days of events
+    as 48 tiny files (the Firehose-style landing zone), ingest them through
+    a checkpointed file stream into a date-partitioned table (many small
+    files per partition — the P:130-147 degradation), then compact to one
+    file per day (the rewrite_data_files cure). Reports rows + whether the
+    table exhibits the small-file problem at each stage; row counts are
+    oracle-checked, so the whole pipeline is proven lossless."""
+    import glob
+    import os
+
+    from ..sources.registry import CUTOFF_7D
+
+    ev7 = load(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.to_timestamp(F.lit(CUTOFF_7D))
+    )
+    landing = tempfile.mkdtemp(prefix="sfl_landing_")
+    target = tempfile.mkdtemp(prefix="sfl_target_")
+    ckpt = tempfile.mkdtemp(prefix="sfl_ckpt_")
+    compacted = tempfile.mkdtemp(prefix="sfl_compacted_")
+    simulate_small_file_landing(ev7, landing, n_files=48)
+    schema = spark.read.parquet(landing).schema
+    ingest_file_stream(spark, landing, target, ckpt, schema)
+
+    def count_files(root: str) -> int:
+        return len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+
+    ingested = spark.read.parquet(target)
+    n_days = ingested.select("event_date").distinct().count()
+    rows_before, files_before = ingested.count(), count_files(target)
+    # the cure: cluster by partition key → exactly one file per day
+    ingested.repartition(F.col("event_date")).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(compacted)
+    comp = spark.read.parquet(compacted)
+    rows_after, files_after = comp.count(), count_files(compacted)
+    return spark.createDataFrame(
+        [
+            ("ingested", rows_before, files_before > n_days),
+            ("compacted", rows_after, files_after > n_days),
+        ],
+        "stage string, n_rows long, small_file_problem boolean",
+    )
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
     "streaming_daily_windows": streaming_daily_windows,
     "dynamic_table_user_engagement": dynamic_table_user_engagement,
     "streaming_user_sessions": streaming_user_sessions,
+    "small_file_lifecycle_report": small_file_lifecycle_report,
 }
 
 from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
@@ -211,6 +258,17 @@ from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
 ORACLE = {
     # the stateful streaming operator must equal the batch sessionization
     "streaming_user_sessions": _REL_ORACLE["user_sessions"],
+    "small_file_lifecycle_report": """
+        SELECT 'ingested' AS stage,
+               (SELECT COUNT(*) FROM events
+                WHERE ts >= TIMESTAMP '2024-01-24 00:00:00') AS n_rows,
+               TRUE AS small_file_problem
+        UNION ALL
+        SELECT 'compacted',
+               (SELECT COUNT(*) FROM events
+                WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'),
+               FALSE
+    """,
     # streaming results must equal their batch twins
     "streaming_event_counts": """
         SELECT event_type, COUNT(*) AS event_count FROM events GROUP BY event_type

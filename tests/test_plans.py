@@ -87,3 +87,26 @@ def test_execution_metrics_populated(spark):
     assert m["scan_files_read"] > 0
     assert m["scan_bytes_read"] > 0
     assert m["shuffle_bytes_written"] > 0  # the ev_agg exchange
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.scale import salted_join
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    ev = load(spark, SF_DIR, "events")
+    # manufacture skew: collapse most keys onto one hot user
+    skewed = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 3 != 0, 7).otherwise(F.col("user_id"))
+    )
+    dim = (
+        load(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name")
+    )
+    plain = skewed.join(dim, "user_id", "left").select("event_id", "user_id", "c_name")
+    salted = salted_join(skewed, dim, "user_id", n_salts=8, how="left").select(
+        "event_id", "user_id", "c_name"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
