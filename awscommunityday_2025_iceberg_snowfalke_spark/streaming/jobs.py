@@ -199,6 +199,29 @@ def simulate_small_file_landing(
     df.repartition(n_files).write.mode("overwrite").parquet(landing_dir)
 
 
+# --- native session windows (third sessionization implementation) -----------
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` (event-time
+    gap windows merged by the streaming state store) — the JVM-native
+    engine path, vs. the batch LAG formulation (``user_sessions``) and the
+    custom ``applyInPandasWithState`` operator. All three hash-equal the
+    same SQL oracle: one semantic, three execution strategies."""
+    # complete mode (no watermark): append mode would hold back any session
+    # still inside its gap at end-of-stream; complete emits open windows too
+    ev = _events_stream(spark, sf_dir)
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "6 hours").alias("w")
+    ).agg(F.count(F.lit(1)).alias("session_events"))
+    sessions = _run_to_memory(per_session, mode="complete")
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("session_events").alias("total_events"),
+        F.round(
+            F.sum("session_events") / F.count(F.lit(1)), 4
+        ).alias("events_per_session"),
+    )
+
+
 # --- the demo's core narrative, end-to-end (GEN:83-110 → P:561-568) ---------
 def small_file_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproduce and cure the small-file pathology: land 7 days of events
@@ -251,6 +274,7 @@ QUERIES = {
     "dynamic_table_user_engagement": dynamic_table_user_engagement,
     "streaming_user_sessions": streaming_user_sessions,
     "small_file_lifecycle_report": small_file_lifecycle_report,
+    "streaming_session_windows": streaming_session_windows,
 }
 
 from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
@@ -258,6 +282,7 @@ from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
 ORACLE = {
     # the stateful streaming operator must equal the batch sessionization
     "streaming_user_sessions": _REL_ORACLE["user_sessions"],
+    "streaming_session_windows": _REL_ORACLE["user_sessions"],
     "small_file_lifecycle_report": """
         SELECT 'ingested' AS stage,
                (SELECT COUNT(*) FROM events
