@@ -49,19 +49,24 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
+            # array_distinct BEFORE explode: per-doc set semantics computed
+            # locally inside the row — no cross-partition DISTINCT shuffle
+            # of the exploded shingle strings (at 100 TB that shuffle is the
+            # whole corpus re-keyed by shingle text; this is free)
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i),
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                    ),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("toks"), i),
+                            F.element_at(F.col("toks"), i + 1),
+                            F.element_at(F.col("toks"), i + 2),
+                        ),
+                    )
                 )
             ).alias("shingle"),
         )
-        .distinct()
         # eager local checkpoint: the shingle set feeds 3+ consumers
         # (sizes, both join sides); a lazy .cache() lets concurrent
         # broadcast jobs race to materialize it 2-3x. On a cluster this is
@@ -135,14 +140,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH banding --------------------------------------------------
+# Universal-hash family over one base hash: h_i(x) = (a_i·md5_60(x) + b_i)
+# mod p. One md5 per shingle instead of N_HASHES md5s — at 100 TB the
+# hashing pass drops from 16 digest computations per shingle to 1 digest +
+# 16 multiply-adds, all in codegen. p = 2^31-1 (Mersenne); a_i·base < 2^62
+# so the arithmetic never overflows int64 in either engine.
+_MH_P = (1 << 31) - 1
+
+
+def _mh_params() -> list[tuple[int, int]]:
+    import hashlib
+
+    params = []
+    for i in range(N_HASHES):
+        a = int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:7], 16) % (_MH_P - 1) + 1
+        b = int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:7], 16) % _MH_P
+        params.append((a, b))
+    return params
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """16 portable min-hashes per doc, computed as 16 column expressions over
-    the shingle rows (no seed-explosion: one pass, map-side partial MIN)."""
+    """16 portable min-hashes per doc: one 60-bit md5 base hash per shingle
+    row, 16 universal-hash columns, one map-side-combinable MIN pass."""
+    base = sh.withColumn(
+        "hb", F.expr(_SPARK_H.format(expr="shingle")) % F.lit(_MH_P)
+    )
     hash_cols = [
-        F.expr(_SPARK_H.format(expr=f"concat('{s}_', shingle)")).alias(f"h{s}")
-        for s in range(N_HASHES)
+        ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(_MH_P)).alias(f"h{s}")
+        for s, (a, b) in enumerate(_mh_params())
     ]
-    per_shingle = sh.select("doc_id", *hash_cols)
+    per_shingle = base.select("doc_id", *hash_cols)
     return per_shingle.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"m{s}") for s in range(N_HASHES)]
     )
@@ -265,8 +292,8 @@ QUERIES = {
 
 def _duck_minhash_sql() -> str:
     mins = ",\n               ".join(
-        "MIN(%s) AS m%d" % (_DUCK_H.format(expr="concat('%d_', shingle)" % s), s)
-        for s in range(N_HASHES)
+        f"MIN(({a} * hb + {b}) % {_MH_P}) AS m{s}"
+        for s, (a, b) in enumerate(_mh_params())
     )
     rows_per_band = N_HASHES // N_BANDS
     bands = ",\n               ".join(
@@ -281,10 +308,14 @@ def _duck_minhash_sql() -> str:
     )
     return f"""
         WITH {_DUCK_SHINGLES},
+        shb AS (
+            SELECT doc_id, {_DUCK_H.format(expr="shingle")} % {_MH_P} AS hb
+            FROM sh
+        ),
         sig AS (
             SELECT doc_id,
                {mins}
-            FROM sh GROUP BY doc_id
+            FROM shb GROUP BY doc_id
         ),
         banded AS (
             SELECT doc_id,
