@@ -454,6 +454,157 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q2-style min-cost supplier (min-per-group join-back; no partsupp table
+# in the driver schema, so "offers" derive from lineitem unit prices) --------
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+        .alias("offers")
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("offers.l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .drop("b_partkey", "best_price")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("unit_price").cast("decimal(28,8)"), 4)
+            .cast("double")
+            .alias("unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11-style important parts (agg HAVING vs global-scalar threshold) ------
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    value = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("_val"))
+    )
+    total = pv.agg(F.sum("_val").alias("_tot"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("double") > F.col("_tot").cast("double") * 0.001
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("_val").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --- Q13-style customer order-count distribution (left join w/ ON-filter +
+# two-level aggregation) ------------------------------------------------------
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- Q20-style heavy shippers of a part family (nested semi-join chain) -----
+def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,8)")).alias("qty"))
+        .filter(F.col("qty").cast("double") > 30.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --- Q21-style last shipper in multi-supplier orders (EXISTS + NOT EXISTS
+# self-joins with a non-equi residual condition) ------------------------------
+def q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    waiting = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -472,6 +623,11 @@ QUERIES = {
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "q15_top_supplier": q15_top_supplier,
     "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q20_heavy_part_shippers": q20_heavy_part_shippers,
+    "q21_last_shippers": q21_last_shippers,
 }
 
 ORACLE = {
@@ -699,5 +855,87 @@ ORACLE = {
           AND p_type NOT LIKE 'PROMO%'
           AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_price
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), best AS (
+            SELECT l_partkey, MIN(unit_price) AS best_price
+            FROM offers GROUP BY l_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               CAST(ROUND(CAST(unit_price AS DECIMAL(28,8)), 4) AS DOUBLE)
+                   AS unit_price
+        FROM offers
+        JOIN best ON offers.l_partkey = best.l_partkey
+                 AND offers.unit_price = best.best_price
+        JOIN part ON offers.l_partkey = p_partkey
+        JOIN supplier ON offers.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q11_important_parts": """
+        WITH pv AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,8))) AS _val
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier JOIN nation
+                    ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_3', 'NATION_7')
+            )
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, ROUND(CAST(_val AS DOUBLE), 2) AS part_value
+        FROM pv
+        WHERE CAST(_val AS DOUBLE) >
+              CAST((SELECT SUM(_val) FROM pv) AS DOUBLE) * 0.001
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q20_heavy_part_shippers": """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+            )
+            GROUP BY l_suppkey, l_partkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) > 30.0
+        )
+    """,
+    "q21_last_shippers": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_orderkey IN (
+                  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+          AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
     """,
 }
