@@ -16,7 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import dedup, lifecycle, multimodal, relational, similarity, textstats, tpch
+    from . import (
+        analytics,
+        dedup,
+        lifecycle,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+        tpch,
+    )
     from ..sources import writers
     from ..streaming import jobs as streaming_jobs
     from .. import governance, mv
@@ -24,6 +33,7 @@ def _modules():
     return (
         relational,
         tpch,
+        analytics,
         dedup,
         similarity,
         textstats,

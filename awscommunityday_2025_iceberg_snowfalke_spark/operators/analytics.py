@@ -1,0 +1,244 @@
+"""Analytic extensions beyond the reference corpus (SURVEY §2.5 note).
+
+The reference's window surface stops at ROW_NUMBER/LAG with default frames
+(performance_comparison.sql:164-172; run_performance_tests.py:199-243). A
+user of a real warehouse expects the full rank family, explicit frames,
+multi-dimensional aggregates (ROLLUP/CUBE) and pivots — all built-in Spark,
+all oracle-checkable, so they live here as first-class `queries()` entries.
+
+Scale notes:
+- Every window here partitions by `user_id`: one hash exchange, in-partition
+  sort, no global ordering. Frames are ROWS-bounded → O(frame) per row with
+  Spark's sliding aggregation, no per-row rescan.
+- ROLLUP/CUBE expand grouping sets map-side (Spark's Expand node) before one
+  exchange — no repeated scans of the fact table.
+- The pivot uses an explicit value list: no extra collect-distinct job, and
+  the output schema is stable for the driver's comparison.
+- Float aggregates go through DECIMAL (see functions.det_sum rationale) so
+  results are partition-order independent — required for the oracle compare
+  and the right money semantics at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load
+
+_DEC = "decimal(28,8)"
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- rank family under ties (RANK / DENSE_RANK are tie-stable) ---------------
+def event_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value").cast(_DEC), 4).cast("double").alias("value"),
+            F.rank().over(w).alias("value_rank"),
+            F.dense_rank().over(w).alias("value_dense_rank"),
+        )
+        .filter(F.col("value_rank") <= 10)
+    )
+
+
+# --- LEAD + NTILE over a total per-user ordering -----------------------------
+def event_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lead("event_type").over(w).alias("next_event"),
+        F.ntile(4).over(w).alias("session_quartile"),
+    )
+
+
+# --- sliding-frame moving aggregate (ROWS BETWEEN 6 PRECEDING) ---------------
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win_sum = F.sum(F.col("value").cast(_DEC)).over(w)
+    win_cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round((win_sum / win_cnt).cast("double"), 4).alias("moving_avg_7"),
+    )
+
+
+# --- running (cumulative) total per user -------------------------------------
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 4).alias(
+            "running_value"
+        ),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("event_seq"),
+    )
+
+
+# --- ROLLUP over (region-less) event dimensions ------------------------------
+def rollup_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("event_date", F.lit("ALL")).alias("event_date"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- CUBE over (event_type, value-band) --------------------------------------
+def cube_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_band",
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high"),
+    )
+    return (
+        ev.cube("event_type", "value_band")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("value_band", F.lit("ALL")).alias("value_band"),
+            "n_events",
+        )
+    )
+
+
+# --- PIVOT event_type → columns (explicit domain, no discovery job) ----------
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 2))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0.0)).alias(f"{t}_value") for t in EVENT_TYPES
+    ]
+    return piv.select(*cols)
+
+
+QUERIES = {
+    "event_rank_dense": event_rank_dense,
+    "event_lead_ntile": event_lead_ntile,
+    "moving_avg_value": moving_avg_value,
+    "running_total_per_user": running_total_per_user,
+    "rollup_type_daily": rollup_type_daily,
+    "cube_type_band": cube_type_band,
+    "pivot_user_event_values": pivot_user_event_values,
+}
+
+_ROUND_VAL = "ROUND(CAST(CAST(value AS DECIMAL(28,8)) AS DOUBLE), 4)"
+
+ORACLE = {
+    "event_rank_dense": f"""
+        SELECT user_id, event_id, {_ROUND_VAL} AS value,
+               RANK() OVER (PARTITION BY user_id ORDER BY value DESC)
+                   AS value_rank,
+               DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC)
+                   AS value_dense_rank
+        FROM events
+        QUALIFY value_rank <= 10
+    """,
+    "event_lead_ntile": """
+        SELECT user_id, event_id,
+               LEAD(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+               NTILE(4) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_quartile
+        FROM events
+    """,
+    "moving_avg_value": """
+        SELECT user_id, event_id,
+               ROUND(CAST(
+                   SUM(CAST(value AS DECIMAL(28,8))) OVER w
+                   / COUNT(*) OVER w AS DOUBLE), 4) AS moving_avg_7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "running_total_per_user": """
+        SELECT user_id, event_id,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE),
+                     4) AS running_value,
+               ROW_NUMBER() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "rollup_type_daily": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(event_date, 'ALL') AS event_date,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 2)
+                   AS total_value
+        FROM (SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS event_date, value
+              FROM events)
+        GROUP BY ROLLUP(event_type, event_date)
+    """,
+    "cube_type_band": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(value_band, 'ALL') AS value_band,
+               COUNT(*) AS n_events
+        FROM (SELECT event_type,
+                     CASE WHEN value < 10 THEN 'low'
+                          WHEN value < 100 THEN 'mid'
+                          ELSE 'high' END AS value_band
+              FROM events)
+        GROUP BY CUBE(event_type, value_band)
+    """,
+    "pivot_user_event_values": """
+        SELECT user_id,
+               COALESCE(ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE), 2), 0.0)
+                   AS click_value,
+               COALESCE(ROUND(CAST(SUM(CASE WHEN event_type = 'error'
+                   THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE), 2), 0.0)
+                   AS error_value,
+               COALESCE(ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE), 2), 0.0)
+                   AS purchase_value,
+               COALESCE(ROUND(CAST(SUM(CASE WHEN event_type = 'signup'
+                   THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE), 2), 0.0)
+                   AS signup_value,
+               COALESCE(ROUND(CAST(SUM(CASE WHEN event_type = 'view'
+                   THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE), 2), 0.0)
+                   AS view_value
+        FROM events
+        GROUP BY user_id
+    """,
+}
