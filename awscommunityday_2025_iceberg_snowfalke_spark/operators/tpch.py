@@ -13,7 +13,7 @@ comparisons → pushed to the Parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import det_avg, det_avg_sql, det_sum, det_sum_sql
@@ -428,9 +428,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         ))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    # Global max via an unpartitioned window over the per-supplier aggregate:
+    # ONE scan+agg of the fact (a second `revenue.agg(max)` branch would
+    # re-scan lineitem — Spark does not reuse the exchange across branches).
+    # The window's single partition holds only |suppliers| rows.
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
+        revenue.withColumn(
+            "_max", F.max("total_revenue").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("_max"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -466,20 +471,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
-        .alias("offers")
     )
-    best = (
-        offers.groupBy("l_partkey")
-        .agg(F.min("unit_price").alias("best_price"))
-        .withColumnRenamed("l_partkey", "b_partkey")
-    )
+    # Min-per-part via a window over the per-(part,supplier) aggregate: one
+    # fact scan, and the window repartitions only the small offers relation
+    # by l_partkey (a groupBy+join-back would re-aggregate the fact — no
+    # cross-branch exchange reuse in Spark).
     return (
-        offers.join(
-            best,
-            (F.col("offers.l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_price") == F.col("best_price")),
+        offers.withColumn(
+            "best_price",
+            F.min("unit_price").over(Window.partitionBy("l_partkey")),
         )
-        .drop("b_partkey", "best_price")
+        .filter(F.col("unit_price") == F.col("best_price"))
+        .drop("best_price")
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -515,9 +518,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(value).alias("_val"))
     )
-    total = pv.agg(F.sum("_val").alias("_tot"))
+    # Global total via an unpartitioned window over the per-part aggregate
+    # (one fact scan; the single window partition holds only |parts| rows).
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.withColumn("_tot", F.sum("_val").over(Window.partitionBy()))
         .filter(
             F.col("_val").cast("double") > F.col("_tot").cast("double") * 0.001
         )

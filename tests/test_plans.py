@@ -79,6 +79,42 @@ def test_q22_anti_join(spark):
     assert "LeftAnti" in str(df._jdf.queryExecution().optimizedPlan())
 
 
+def _final_plan(df) -> str:
+    """Executed plan with AQE's '== Initial Plan ==' echo stripped."""
+    df.collect()
+    return (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_single_fact_scan_window_rewrites(spark):
+    # q2/q11/q15 reference their own aggregate twice (best-per-group, global
+    # total, global max). The window formulation must keep exactly ONE
+    # lineitem scan — a join-back against a re-aggregation would scan twice.
+    import re
+
+    for q in ["q2_min_cost_supplier", "q11_important_parts", "q15_top_supplier"]:
+        plan = _final_plan(tpch.QUERIES[q](spark, SF_DIR))
+        n = len(re.findall(r"parquet[^\n]*lineitem", plan))
+        assert n == 1, f"{q}: {n} lineitem scans (want 1)"
+
+
+def test_q21_self_join_types(spark):
+    df = tpch.q21_last_shippers(spark, SF_DIR)
+    plan = str(df._jdf.queryExecution().optimizedPlan())
+    assert plan.count("LeftSemi") == 2, "orders filter + EXISTS must be semi joins"
+    assert plan.count("LeftAnti") == 1, "NOT EXISTS must be an anti join"
+
+
+def test_q13_left_join_on_filter_keeps_outer(spark):
+    # the ON-clause predicate must NOT convert the left join to inner —
+    # customers with zero qualifying orders still appear with c_count = 0
+    df = tpch.q13_customer_distribution(spark, SF_DIR)
+    plan = str(df._jdf.queryExecution().optimizedPlan())
+    assert "LeftOuter" in plan
+
+
 def test_execution_metrics_populated(spark):
     from awscommunityday_2025_iceberg_snowfalke_spark.plans import execution_metrics
 
