@@ -21,6 +21,7 @@ def _modules():
         dedup,
         lifecycle,
         multimodal,
+        pipeline,
         relational,
         similarity,
         textstats,
@@ -34,6 +35,7 @@ def _modules():
         relational,
         tpch,
         analytics,
+        pipeline,
         dedup,
         similarity,
         textstats,

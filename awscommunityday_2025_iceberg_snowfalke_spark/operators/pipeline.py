@@ -1,0 +1,276 @@
+"""Training-data pipeline operators (north-star extension; no counterpart
+in the reference, which stops at SQL analytics —
+demo-setup/performance-tests/run_performance_tests.py:125-284).
+
+Ops a 100 TB curation pipeline needs beyond dedup/similarity/textstats:
+
+- deterministic sampling — reproducible corpus subsets without a stored
+  random state: hash(doc_id) mod K. Same rows on every engine, every run,
+  any partitioning; samples compose (a 1/10 sample of a 1/10 sample is a
+  1/100 sample).
+- CDC compaction — latest record per key (the upsert/merge read-path):
+  one window rank over the change stream, no join against the base table.
+- corpus statistics — document-frequency top-k terms and per-doc term
+  salience (tf/df ratio — log-free so the score is IEEE-exact and
+  cross-engine deterministic; rank order matches tf-idf for fixed corpus
+  size).
+- set algebra between user cohorts — INTERSECT / EXCEPT.
+- time-series densification — zero-filled hourly rollup via sequence()
+  explode + outer join (the gap-fill every dashboard needs; Spark has no
+  native gap-fill operator).
+
+Scale notes: sampling and CDC are single-exchange; word stats explode
+tokens but aggregate map-side before shuffling (distinct-per-doc applied
+locally via array_distinct); gap-fill generates the calendar spine from a
+literal range — |spine| = hours × types, never scanned from the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load
+
+SAMPLE_MOD = 5  # keep doc_id hash buckets ≡ 0 (deterministic ~20%)
+TOPK_WORDS = 50
+TOPK_TERMS = 3
+
+# Portable 60-bit hash (same trick as operators.dedup): md5 hex prefix →
+# int64, bit-identical in Spark and duckdb.
+_SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+_DUCK_H = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# --- deterministic hash sampling ---------------------------------------------
+def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% reproducible sample: md5-hash the key, keep bucket 0. No RNG,
+    no seed state, no sort — a pure map-side filter that pushes nothing to
+    the shuffle and yields the same subset on any cluster."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(expr="cast(doc_id as string)")) % SAMPLE_MOD
+    return docs.filter(bucket == 0).select("doc_id", "lang", "source", "n_chars")
+
+
+# --- CDC latest-per-key compaction -------------------------------------------
+def cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat events as a change stream keyed by user_id: latest state per
+    key (ts desc, event_id desc tiebreak). The merge-on-read half of an
+    upsert — one hash exchange on the key, row_number, rank-1 filter."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"))
+    )
+
+
+# --- corpus document-frequency top-k -----------------------------------------
+def word_doc_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 words by document frequency. Per-doc distinct applied inside
+    the row (array_distinct) so the exploded shuffle carries each (doc,
+    word) once; final ORDER BY+LIMIT plans as TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "word")
+        .limit(TOPK_WORDS)
+    )
+
+
+# --- per-doc term salience (tf/df — log-free tf-idf ordering) ----------------
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document, scored tf/df. The ratio of two
+    integers is one IEEE division — bit-identical across engines, unlike
+    log-based idf (libm vs JVM log differ in ulps and flip rank ties)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf").cast("double") / F.col("df")), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TOPK_TERMS)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "term_rank",
+            F.round((F.col("tf").cast("double") / F.col("df")), 6).alias("salience"),
+        )
+    )
+
+
+# --- cohort set algebra ------------------------------------------------------
+def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: users who purchased but never hit an error."""
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.exceptAll(erring)
+
+
+def purchasers_with_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users who both purchased and signed up."""
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    signed = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return buyers.intersect(signed)
+
+
+# --- gap-filled hourly rollup ------------------------------------------------
+_SPINE_START = "2024-01-01 00:00:00"
+_SPINE_END = "2024-01-07 23:00:00"
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled (event_type × hour) counts for the first week: calendar
+    spine from sequence() — generated, not scanned — cross-joined with the
+    explicit type domain, left-joined against the hourly aggregate. The
+    fact table aggregates BEFORE the join, so the outer join touches
+    |spine| rows, not |events|."""
+    ev = load(spark, sf_dir, "events")
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(_SPINE_START)),
+                F.to_timestamp(F.lit(_SPINE_END)),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    types = spark.createDataFrame([(t,) for t in EVENT_TYPES], ["event_type"])
+    spine = hours.crossJoin(types)
+    counts = (
+        ev.filter(
+            (F.col("ts") >= F.to_timestamp(F.lit(_SPINE_START)))
+            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-08 00:00:00")))
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(counts, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+QUERIES = {
+    "sample_docs_deterministic": sample_docs_deterministic,
+    "cdc_latest_events": cdc_latest_events,
+    "word_doc_frequency_topk": word_doc_frequency_topk,
+    "doc_top_terms": doc_top_terms,
+    "purchasers_without_errors": purchasers_without_errors,
+    "purchasers_with_signup": purchasers_with_signup,
+    "hourly_gapfill": hourly_gapfill,
+}
+
+ORACLE = {
+    "sample_docs_deterministic": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} = 0
+    """,
+    "cdc_latest_events": """
+        SELECT user_id, event_id, event_type,
+               STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events
+        QUALIFY ROW_NUMBER() OVER
+            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "word_doc_frequency_topk": rf"""
+        SELECT word, COUNT(*) AS doc_freq
+        FROM (
+            SELECT DISTINCT doc_id,
+                   UNNEST(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY doc_freq DESC, word
+        LIMIT {TOPK_WORDS}
+    """,
+    "doc_top_terms": rf"""
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(text), '\s+')) AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id, term, tf, df, term_rank,
+               ROUND(CAST(tf AS DOUBLE) / df, 6) AS salience
+        FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+                   ) AS term_rank
+            FROM tf JOIN df ON tf.term = df.term
+        )
+        WHERE term_rank <= {TOPK_TERMS}
+    """,
+    "purchasers_without_errors": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+    "purchasers_with_signup": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+    "hourly_gapfill": f"""
+        WITH spine AS (
+            SELECT h.hour, t.event_type
+            FROM (SELECT UNNEST(generate_series(
+                      TIMESTAMP '{_SPINE_START}',
+                      TIMESTAMP '{_SPINE_END}',
+                      INTERVAL 1 HOUR)) AS hour) h
+            CROSS JOIN (SELECT UNNEST(
+                ['click', 'error', 'purchase', 'signup', 'view'])
+                AS event_type) t
+        ),
+        counts AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+            FROM events
+            WHERE ts >= TIMESTAMP '{_SPINE_START}'
+              AND ts < TIMESTAMP '2024-01-08 00:00:00'
+            GROUP BY 1, 2
+        )
+        SELECT STRFTIME(spine.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               spine.event_type,
+               COALESCE(counts.n, 0) AS n_events
+        FROM spine LEFT JOIN counts
+          ON spine.hour = counts.hour AND spine.event_type = counts.event_type
+    """,
+}
