@@ -99,12 +99,14 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df via COUNT over a term-partitioned window on tf (tf rows are unique
+    # per (doc, term), so the partition size IS the document frequency) —
+    # ONE corpus scan; a groupBy+join-back would tokenize the corpus twice.
     w = Window.partitionBy("doc_id").orderBy(
         F.desc(F.col("tf").cast("double") / F.col("df")), F.asc("term")
     )
     return (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= TOPK_TERMS)
         .select(

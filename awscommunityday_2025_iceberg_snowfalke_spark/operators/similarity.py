@@ -276,7 +276,17 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cell_cos"),
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_cell))
+    # checkpoint the rank-pruned assignment once: it feeds BOTH the cell
+    # assignment and the probe list, and without materialization each branch
+    # re-scans + re-scores the whole corpus (lineage recompute, no
+    # cross-branch reuse). Kept rows = |corpus| × N_PROBE of (id, cell,
+    # vec) — executor-local; at 100 TB the corpus would instead be *stored*
+    # partitioned by cell and this pass disappears.
+    ranked = (
+        scored_cells.withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= max(1, N_PROBE))
+        .localCheckpoint(eager=True)
+    )
     assign = ranked.filter(F.col("cell_rank") == 1).select("vec_id", "cell", "e")
     probes = (
         ranked.filter(

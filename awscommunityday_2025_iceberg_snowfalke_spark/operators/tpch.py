@@ -271,14 +271,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     li = load(spark, sf_dir, "lineitem")
     brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    per_part_avg = brand_li.groupBy("l_partkey").agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double")
-            / F.count("l_quantity")
-        ).alias("avg_qty")
+    # per-part average via a window on the brand-filtered rows: ONE lineitem
+    # scan (the agg+join-back decorrelation scans it twice — no cross-branch
+    # exchange reuse), and the window shuffles only the brand's small subset
+    wp = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(28,8)")).over(wp).cast("double")
+        / F.count("l_quantity").over(wp)
     )
     return (
-        brand_li.join(F.broadcast(per_part_avg), "l_partkey")
+        brand_li.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             det_sum("l_extendedprice", 2).alias("total_extprice"),
@@ -292,15 +294,18 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    big_orders = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_qty"))
-        .filter(F.col("_qty") > 300)
-        .select("l_orderkey")
-    )
+    # HAVING-subquery (SUM(qty) > 300 per order) via a window over
+    # l_orderkey: ONE lineitem scan instead of the agg→semi-join-back
+    # decorrelation's two, and the orderkey exchange is the same one the
+    # orders join needs next — the partitioning is reused, not repeated
+    big = li.withColumn(
+        "_qty",
+        F.sum(F.col("l_quantity").cast("decimal(28,8)"))
+        .over(Window.partitionBy("l_orderkey"))
+        .cast("double"),
+    ).filter(F.col("_qty") > 300)
     return (
-        li.join(F.broadcast(big_orders), "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_name",
@@ -782,7 +787,8 @@ ORACLE = {
         JOIN customer ON o_custkey = c_custkey
         WHERE l_orderkey IN (
             SELECT l_orderkey FROM lineitem
-            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+            GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) > 300
         )
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey ASC

@@ -67,11 +67,25 @@ def test_user_sessions_single_shuffle(spark):
     assert shuffle_count(df) <= 1, "windows+agg must reuse the user_id exchange"
 
 
-def test_q18_semi_join_broadcasts(spark):
+def test_q18_single_scan_window_having(spark):
+    # the HAVING subquery is expressed as a window over l_orderkey: one
+    # lineitem scan (semi-join decorrelation would scan twice)
+    import re
+
     df = tpch.q18_large_volume_customers(spark, SF_DIR)
-    plan = str(df._jdf.queryExecution().optimizedPlan())
-    assert "LeftSemi" in plan, "HAVING subquery must plan as a semi join"
+    plan = _final_plan(df)
+    n = len(re.findall(r"parquet[^\n]*lineitem", plan))
+    assert n == 1, f"q18: {n} lineitem scans (want 1)"
     assert has_broadcast_join(df)
+
+
+def test_q17_single_scan_window_avg(spark):
+    import re
+
+    df = tpch.q17_small_quantity_revenue(spark, SF_DIR)
+    plan = _final_plan(df)
+    n = len(re.findall(r"parquet[^\n]*lineitem", plan))
+    assert n == 1, f"q17: {n} lineitem scans (want 1)"
 
 
 def test_q22_anti_join(spark):
