@@ -38,10 +38,16 @@ HEADLINE = [
     "q8_market_share",      # conditional-ratio 6-way join
     "q18_large_volume_customers",  # HAVING-subquery semi join
     "user_sessions",        # sessionization window (window class)
+    "q9_nation_year_revenue",  # 5-way join + year rollup
+    "q21_last_shippers",    # EXISTS/NOT-EXISTS self-joins
+    "rollup_type_daily",    # multi-dim ROLLUP (Expand)
+    "cdc_latest_events",    # merge-on-read compaction
+    "hourly_gapfill",       # calendar-spine densification
     "dedup_ngram_jaccard",  # similarity self-join
     "minhash_lsh_pairs",    # LSH dedup pipeline
     "knn_bruteforce_cosine",# ANN brute force
     "ann_ivf_cosine",       # IVF ANN (centroid probe)
+    "doc_top_terms",        # tf/df salience (token explode + 2 windows)
     "text_quality",         # text analysis scan
 ]
 
