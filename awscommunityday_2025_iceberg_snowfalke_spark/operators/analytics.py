@@ -136,6 +136,26 @@ def cube_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- GROUPING SETS (disjoint rollups in one Expand pass) ---------------------
+def grouping_sets_type_or_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts by event_type and, separately, by day — one scan, one Expand,
+    one exchange (vs two scans for two GROUP BYs + union). Distinct shape
+    from ROLLUP/CUBE: the sets are disjoint, no grand-total row implied."""
+    ev = load(spark, sf_dir, "events")
+    ev.withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    ).createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(event_date, 'ALL') AS event_date,
+               COUNT(*) AS n_events
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (event_date))
+        """
+    )
+
+
 # --- PIVOT event_type → columns (explicit domain, no discovery job) ----------
 def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -157,6 +177,7 @@ QUERIES = {
     "running_total_per_user": running_total_per_user,
     "rollup_type_daily": rollup_type_daily,
     "cube_type_band": cube_type_band,
+    "grouping_sets_type_or_day": grouping_sets_type_or_day,
     "pivot_user_event_values": pivot_user_event_values,
 }
 
@@ -220,6 +241,14 @@ ORACLE = {
                           ELSE 'high' END AS value_band
               FROM events)
         GROUP BY CUBE(event_type, value_band)
+    """,
+    "grouping_sets_type_or_day": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(event_date, 'ALL') AS event_date,
+               COUNT(*) AS n_events
+        FROM (SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS event_date
+              FROM events)
+        GROUP BY GROUPING SETS ((event_type), (event_date))
     """,
     "pivot_user_event_values": """
         SELECT user_id,

@@ -74,3 +74,98 @@ def test_translate_qualify_structure(rank_alias, k, tail):
 def test_translate_leaves_plain_sql_alone():
     sql = "SELECT a FROM t WHERE b > 1 ORDER BY a"
     assert translate(sql) == sql
+
+
+# --- pipeline-op invariants --------------------------------------------------
+
+
+def test_deterministic_sample_is_stable_and_composes(spark):
+    """Hash sampling must be partition-independent (same subset under any
+    repartitioning) and composable (sampling the sample with the same
+    hash+mod is idempotent — bucket 0 stays bucket 0)."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.pipeline import (
+        sample_docs_deterministic,
+    )
+    from conftest import SF_DIR
+
+    s1 = sample_docs_deterministic(spark, SF_DIR)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in s1.repartition(13).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+    # idempotent re-filter
+    refiltered = s1.filter(
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 5 = 0"
+        )
+    )
+    assert refiltered.count() == len(ids1)
+
+
+def test_q18_window_rewrite_equals_join_formulation(spark):
+    """The single-scan window-HAVING must produce exactly the rows of the
+    textbook agg→semi-join decorrelation."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.tpch import (
+        q18_large_volume_customers,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+    from conftest import SF_DIR
+
+    got = q18_large_volume_customers(spark, SF_DIR)
+
+    li = load(spark, SF_DIR, "lineitem")
+    orders = load(spark, SF_DIR, "orders")
+    cust = load(spark, SF_DIR, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.functions import det_sum
+
+    ref = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(det_sum("l_quantity", 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_hourly_gapfill_spine_complete(spark):
+    """Gap-fill output must be a full dense grid: |hours| × |types| rows,
+    and the nonzero counts must sum to the filtered fact count."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.pipeline import (
+        EVENT_TYPES,
+        hourly_gapfill,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+    from conftest import SF_DIR
+
+    out = hourly_gapfill(spark, SF_DIR)
+    n_hours = 7 * 24
+    assert out.count() == n_hours * len(EVENT_TYPES)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    ev = load(spark, SF_DIR, "events")
+    expect = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-01"))
+        & (F.col("ts") < F.lit("2024-01-08"))
+    ).count()
+    assert total == expect
