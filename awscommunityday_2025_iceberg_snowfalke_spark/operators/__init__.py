@@ -29,7 +29,7 @@ def _modules():
     )
     from ..sources import writers
     from ..streaming import jobs as streaming_jobs
-    from .. import governance, mv
+    from .. import governance, mv, scale
 
     return (
         relational,
@@ -45,6 +45,7 @@ def _modules():
         streaming_jobs,
         writers,
         mv,
+        scale,
     )
 
 

@@ -139,6 +139,26 @@ def test_execution_metrics_populated(spark):
     assert m["shuffle_bytes_written"] > 0  # the ev_agg exchange
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    # both sides bucketed+sorted by user_id → the join must be a bucket-local
+    # SortMergeJoin: zero Exchange, zero Sort before the join
+    from awscommunityday_2025_iceberg_snowfalke_spark import scale
+
+    scale.bucketed_user_join(spark, SF_DIR)  # ensures tables exist
+    tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(f"b_events_{tag}").join(
+            spark.table(f"b_profiles_{tag}"), "user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+
+
 def test_salted_join_equals_plain_join(spark):
     from pyspark.sql import functions as F
 
