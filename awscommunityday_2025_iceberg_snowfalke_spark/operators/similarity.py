@@ -322,8 +322,55 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 symmetric quantization (4× embedding storage cut) -----------------
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale). The storage story for 100 TB of embeddings —
+    float32→int8 is 4× less scan and shuffle for the ANN candidate stage;
+    exact re-rank (if wanted) fetches the float rows for finalists only.
+    Entirely built-in array exprs (transform/aggregate) — codegen, no UDF.
+    Reports per-vector max reconstruction error as the quality control."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    scale = (
+        F.aggregate(
+            F.transform(e, lambda x: F.abs(x)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / F.lit(127.0)
+    )
+    with_scale = emb.select("vec_id", e.alias("e"), scale.alias("scale"))
+    q = F.transform(
+        F.col("e"), lambda x: F.round(x / F.col("scale")).cast("int")
+    )
+    max_err = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("q8"), lambda x, qi: F.abs(x - qi * F.col("scale"))
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    # scale/max_abs_err stay RAW doubles: the fold is identical on both
+    # engines (bit-exact), while a round-through-decimal differs at half-ulp
+    # boundaries (engines disagree on double→decimal conversion).
+    return (
+        with_scale.withColumn("q8", q)
+        .select(
+            "vec_id",
+            "scale",
+            # serialized for the cross-engine comparator (duckdb hands
+            # numeric lists to pandas as ndarrays); consumers inside Spark
+            # would keep the array<int> column instead
+            F.concat_ws(",", F.col("q8")).alias("q8"),
+            max_err.alias("max_abs_err"),
+        )
+    )
+
+
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_norms": embedding_norms,
     "label_centroid_sim": label_centroid_sim,
     "ann_lsh_cosine": ann_lsh_cosine,
@@ -360,6 +407,27 @@ def _duck_bucket_cte() -> str:
 
 
 ORACLE = {
+    "embedding_quantize_int8": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> abs(x)), 'max') / 127.0 AS scale
+            FROM embeddings
+        ),
+        quant AS (
+            SELECT vec_id, e, scale,
+                   list_transform(e, x -> CAST(round(x / scale) AS INTEGER))
+                       AS q8
+            FROM base
+        )
+        SELECT vec_id,
+               scale,
+               array_to_string(q8, ',') AS q8,
+               list_aggregate(
+                   list_transform(list_zip(e, q8),
+                       p -> abs(p[1] - p[2] * scale)), 'max') AS max_abs_err
+        FROM quant
+    """,
     "knn_bruteforce_cosine": f"""
         SELECT query_id, neighbor_id, ROUND(cos_raw, 8) AS cosine_sim, rank FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

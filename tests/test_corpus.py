@@ -24,6 +24,34 @@ def test_oracle_keys_subset_of_queries():
     assert set(_ORACLE) <= set(_QUERIES), set(_ORACLE) - set(_QUERIES)
 
 
+def test_embedding_quantize_int8_values(spark):
+    """Quantization math vs numpy ground truth on one vector: symmetric
+    int8, scale = max|x|/127, q = round-half-up(x/scale), |q| ≤ 127."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    row = tbl.iloc[0]
+    x = np.asarray(row["embedding"], dtype=np.float32).astype(np.float64)
+    scale = np.abs(x).max() / 127.0
+    q = np.floor(x / scale + 0.5).astype(int)  # round-half-up like Spark/duckdb
+
+    got = (
+        embedding_quantize_int8(spark, SF_DIR)
+        .filter(f"vec_id = {int(row['vec_id'])}")
+        .collect()[0]
+    )
+    got_q = [int(v) for v in got["q8"].split(",")]
+    assert got["scale"] == pytest.approx(scale, rel=1e-12)
+    assert got_q == q.tolist()
+    assert max(abs(v) for v in got_q) <= 127
+    assert got["max_abs_err"] <= scale / 2 + 1e-12
+
+
 def test_multimodal_byte_histogram_values(spark):
     """Exact-value check for the rows-only feature extractor: Spark's
     pandas-UDF histogram must equal a local numpy histogram of the same
