@@ -268,8 +268,27 @@ def small_file_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming exact dedup (state = seen keys) -------------------------------
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: first-seen (user_id, event_type) pairs
+    survive, later arrivals are dropped by keyed state, then a per-user
+    count. Oracle = batch DISTINCT — identical results through the
+    micro-batch path. Unbounded streams would add a watermark
+    (`dropDuplicatesWithinWatermark`) to bound the state store; availableNow
+    over a finite table needs none."""
+    s = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("distinct_event_types"))
+    )
+    return _run_to_memory(s)
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
+    "streaming_dedup_events": streaming_dedup_events,
     "streaming_daily_windows": streaming_daily_windows,
     "dynamic_table_user_engagement": dynamic_table_user_engagement,
     "streaming_user_sessions": streaming_user_sessions,
@@ -297,6 +316,11 @@ ORACLE = {
     # streaming results must equal their batch twins
     "streaming_event_counts": """
         SELECT event_type, COUNT(*) AS event_count FROM events GROUP BY event_type
+    """,
+    "streaming_dedup_events": """
+        SELECT user_id, COUNT(*) AS distinct_event_types
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY user_id
     """,
     "dynamic_table_user_engagement": """
         SELECT user_id, COUNT(*) AS total_events,
