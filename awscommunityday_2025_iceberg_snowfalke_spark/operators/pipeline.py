@@ -182,8 +182,44 @@ def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end curation pipeline (the composition flagship) -----------------
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize → quality-filter → exact-dedup (keep lowest doc_id) →
+    deterministic sample, as ONE declarative plan: Catalyst fuses the three
+    map-side stages (normalize, filter, hash) into a single codegen'd pass
+    over the scan; the only shuffle is the dedup groupBy on the 64-char
+    digest; the sample filter is pushed after dedup (cheapest order: dedup
+    shrinks first, hashing for the sample runs on survivors only)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    cleaned = (
+        docs.select("doc_id", "lang", norm.alias("text_norm"))
+        .filter((F.length("text_norm") >= 20) & (F.length("text_norm") <= 10000))
+    )
+    deduped = (
+        cleaned.select(F.sha2("text_norm", 256).alias("h"), "doc_id", "lang")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+        )
+    )
+    bucket = F.expr(_SPARK_H.format(expr="cast(doc_id as string)")) % SAMPLE_MOD
+    return (
+        deduped.filter(bucket == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs_kept"))
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "sample_docs_deterministic": sample_docs_deterministic,
+    "curation_pipeline": curation_pipeline,
     "cdc_latest_events": cdc_latest_events,
     "word_doc_frequency_topk": word_doc_frequency_topk,
     "doc_top_terms": doc_top_terms,
@@ -193,6 +229,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "curation_pipeline": f"""
+        WITH cleaned AS (
+            SELECT doc_id, lang,
+                   TRIM(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+            FROM documents
+        ),
+        filtered AS (
+            SELECT * FROM cleaned
+            WHERE LENGTH(text_norm) BETWEEN 20 AND 10000
+        ),
+        deduped AS (
+            SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+            FROM (SELECT sha256(text_norm) AS h, doc_id, lang FROM filtered)
+            GROUP BY h
+        )
+        SELECT lang, COUNT(*) AS docs_kept
+        FROM deduped
+        WHERE {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} = 0
+        GROUP BY lang
+    """,
     "sample_docs_deterministic": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents

@@ -125,14 +125,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- canonical text normalization (pre-dedup cleanup pass) -------------------
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization every dedup pipeline runs before hashing: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace runs, trim.
+    Built-in regexp_replace (RE2-compatible patterns only, so Spark's Java
+    regex and duckdb's RE2 agree). Emits old/new lengths so shrinkage is
+    auditable."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length("text").alias("len_raw"),
+        F.length(norm).alias("len_norm"),
+    )
+
+
 QUERIES = {
     "text_quality": text_quality,
+    "text_normalize": text_normalize,
     "lang_id": lang_id,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
 }
 
 ORACLE = {
+    "text_normalize": """
+        SELECT doc_id,
+               TRIM(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm,
+               LENGTH(text) AS len_raw,
+               LENGTH(TRIM(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS len_norm
+        FROM documents
+    """,
     "text_quality": rf"""
         SELECT doc_id, n_chars, n_tokens,
                ROUND(n_nonspace / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
