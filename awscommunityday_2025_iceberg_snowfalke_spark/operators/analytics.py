@@ -170,8 +170,63 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(*cols)
 
 
+# --- one-pass table profile (the ANALYZE/data-quality pass) ------------------
+def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile in ONE scan: counts, nulls, exact distincts, min/max
+    per column, emitted as rows. At 100 TB the distincts flip to
+    approx_count_distinct (documented variant, rows-only check) — exact
+    multi-column COUNT(DISTINCT) expands the aggregate; everything else is
+    a single map-side-combinable pass."""
+    ev = load(spark, sf_dir, "events")
+    prof = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("user_id").alias("user_id_nonnull"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.min("user_id").alias("user_id_min"),
+        F.max("user_id").alias("user_id_max"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.min("event_type").alias("event_type_min"),
+        F.max("event_type").alias("event_type_max"),
+        F.round(F.min("value").cast("decimal(28,8)"), 4).cast("double").alias(
+            "value_min"
+        ),
+        F.round(F.max("value").cast("decimal(28,8)"), 4).cast("double").alias(
+            "value_max"
+        ),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_min"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_max"),
+    )
+    return prof
+
+
+# --- skew diagnostics: heaviest join keys ------------------------------------
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user_id keys with their share of all rows — the
+    pre-join skew check that decides between plain shuffle, AQE skew split,
+    and scale.salted_join. Count + global-window share + top-k: the window
+    runs over 10 pre-aggregated rows, not the fact."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # total BEFORE the top-k cut (share is of all rows); the unpartitioned
+    # window sees only the small per-key aggregate
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        counts.withColumn("_tot", total)
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("_tot") * 100, 4).alias("pct_of_rows"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+    )
+
+
 QUERIES = {
     "event_rank_dense": event_rank_dense,
+    "table_profile_events": table_profile_events,
+    "heavy_hitter_users": heavy_hitter_users,
     "event_lead_ntile": event_lead_ntile,
     "moving_avg_value": moving_avg_value,
     "running_total_per_user": running_total_per_user,
@@ -184,6 +239,34 @@ QUERIES = {
 _ROUND_VAL = "ROUND(CAST(CAST(value AS DECIMAL(28,8)) AS DOUBLE), 4)"
 
 ORACLE = {
+    "table_profile_events": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(user_id) AS user_id_nonnull,
+               COUNT(DISTINCT user_id) AS user_id_distinct,
+               MIN(user_id) AS user_id_min,
+               MAX(user_id) AS user_id_max,
+               COUNT(DISTINCT event_type) AS event_type_distinct,
+               MIN(event_type) AS event_type_min,
+               MAX(event_type) AS event_type_max,
+               CAST(ROUND(CAST(MIN(value) AS DECIMAL(28,8)), 4) AS DOUBLE)
+                   AS value_min,
+               CAST(ROUND(CAST(MAX(value) AS DECIMAL(28,8)), 4) AS DOUBLE)
+                   AS value_max,
+               STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+               STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ts_max
+        FROM events
+    """,
+    "heavy_hitter_users": """
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        )
+        SELECT user_id, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / (SELECT SUM(n) FROM counts) * 100, 4) AS pct_of_rows
+        FROM counts
+        ORDER BY n DESC, user_id
+        LIMIT 10
+    """,
     "event_rank_dense": f"""
         SELECT user_id, event_id, {_ROUND_VAL} AS value,
                RANK() OVER (PARTITION BY user_id ORDER BY value DESC)
