@@ -24,6 +24,7 @@ def _modules():
         pipeline,
         relational,
         similarity,
+        temporal,
         textstats,
         tpch,
     )
@@ -36,6 +37,7 @@ def _modules():
         tpch,
         analytics,
         pipeline,
+        temporal,
         dedup,
         similarity,
         textstats,

@@ -139,6 +139,17 @@ def test_execution_metrics_populated(spark):
     assert m["shuffle_bytes_written"] > 0  # the ev_agg exchange
 
 
+def test_asof_join_single_exchange(spark):
+    # the union+window as-of join must shuffle exactly once (user_id hash
+    # exchange for the window) — no join of the two sides at all
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import temporal
+
+    df = temporal.asof_purchase_signup(spark, SF_DIR)
+    assert shuffle_count(df) <= 1, "as-of join must be union+window, one exchange"
+    plan = str(df._jdf.queryExecution().optimizedPlan())
+    assert "Join" not in plan, "as-of must not use a join operator"
+
+
 def test_bucketed_join_has_no_exchange(spark):
     # both sides bucketed+sorted by user_id → the join must be a bucket-local
     # SortMergeJoin: zero Exchange, zero Sort before the join
