@@ -147,6 +147,51 @@ def test_q18_window_rewrite_equals_join_formulation(spark):
     assert ref.exceptAll(got).count() == 0
 
 
+def test_asof_equals_naive_join(spark):
+    """The single-exchange union+window as-of join must equal the naive
+    O(pairs) formulation: join all signups ≤ purchase ts, keep the latest
+    (max ts, then max event_id)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.temporal import (
+        asof_purchase_signup,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+    from conftest import SF_DIR
+
+    got = asof_purchase_signup(spark, SF_DIR)
+
+    ev = load(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_event_id"),
+    )
+    w = Window.partitionBy("purchase_event_id").orderBy(
+        F.desc_nulls_last("s_ts"), F.desc_nulls_last("s_event_id")
+    )
+    naive = (
+        p.join(s, (p.user_id == s.s_user) & (F.col("s_ts") <= F.col("p_ts")), "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_event_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("s_event_id").alias("signup_event_id"),
+            F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        )
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
 def test_hourly_gapfill_spine_complete(spark):
     """Gap-fill output must be a full dense grid: |hours| × |types| rows,
     and the nonzero counts must sum to the filtered fact count."""
