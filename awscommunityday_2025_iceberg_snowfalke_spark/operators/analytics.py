@@ -170,6 +170,47 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(*cols)
 
 
+# --- deterministic distribution statistics -----------------------------------
+def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stddev and corr(value, hour-of-day) assembled from exact
+    DECIMAL component sums (n, Σx, Σx², Σy, Σy², Σxy). Native stddev/corr
+    fold doubles in partition order — nondeterministic on a cluster; the
+    decimal moments are associative, so any partitioning gives the same
+    bits, and the final formula is identical IEEE arithmetic on both
+    engines. One map-side-combinable pass."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.hour("ts").cast("double")
+    dec = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    comp = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(x)).alias("sx"),
+            F.sum(dec(x * x)).alias("sxx"),
+            F.sum(dec(y)).alias("sy"),
+            F.sum(dec(y * y)).alias("syy"),
+            F.sum(dec(x * y)).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * n)
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return comp.select(
+        "event_type",
+        "n",
+        F.sqrt(var_x).alias("stddev_value"),
+        corr.alias("corr_value_hour"),
+    ).orderBy("event_type")
+
+
 # --- one-pass table profile (the ANALYZE/data-quality pass) ------------------
 def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile in ONE scan: counts, nulls, exact distincts, min/max
@@ -227,6 +268,7 @@ QUERIES = {
     "event_rank_dense": event_rank_dense,
     "table_profile_events": table_profile_events,
     "heavy_hitter_users": heavy_hitter_users,
+    "value_stats_by_type": value_stats_by_type,
     "event_lead_ntile": event_lead_ntile,
     "moving_avg_value": moving_avg_value,
     "running_total_per_user": running_total_per_user,
@@ -239,6 +281,35 @@ QUERIES = {
 _ROUND_VAL = "ROUND(CAST(CAST(value AS DECIMAL(28,8)) AS DOUBLE), 4)"
 
 ORACLE = {
+    "value_stats_by_type": """
+        WITH comp AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(38,8))) AS sx,
+                   SUM(CAST(value * value AS DECIMAL(38,8))) AS sxx,
+                   SUM(CAST(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)
+                       AS DECIMAL(38,8))) AS sy,
+                   SUM(CAST(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)
+                       * CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)
+                       AS DECIMAL(38,8))) AS syy,
+                   SUM(CAST(value * CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)
+                       AS DECIMAL(38,8))) AS sxy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   AS stddev_value,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS corr_value_hour
+        FROM comp
+    """,
     "table_profile_events": """
         SELECT COUNT(*) AS n_rows,
                COUNT(user_id) AS user_id_nonnull,

@@ -49,6 +49,8 @@ HEADLINE = [
     "ann_ivf_cosine",       # IVF ANN (centroid probe)
     "doc_top_terms",        # tf/df salience (token explode + 2 windows)
     "text_quality",         # text analysis scan
+    "asof_purchase_signup", # as-of join (union+window, 1 exchange)
+    "curation_pipeline",    # normalize→filter→dedup→sample fused pass
 ]
 
 
