@@ -189,14 +189,66 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- audio chunking (fixed windows + overlap, the ASR pre-pass) --------------
+CHUNK_BYTES = 1024
+CHUNK_OVERLAP = 256
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunk boundaries per payload — the shape every
+    ASR/audio-embedding pipeline runs before the model (chunk = N samples,
+    overlap so no utterance is cut at a boundary). Pure JVM exprs
+    (sequence+explode); a real pipeline feeds each (start, end) range to a
+    decoder UDF — the boundary math and row explosion stay identical."""
+    stride = CHUNK_BYTES - CHUNK_OVERLAP
+    docs = load(spark, sf_dir, "documents")
+    olen = F.octet_length(F.encode("text", "UTF-8"))
+    return (
+        docs.select("doc_id", olen.alias("payload_len"))
+        .select(
+            "doc_id",
+            "payload_len",
+            F.explode(
+                F.sequence(F.lit(0), F.col("payload_len") - 1, F.lit(stride))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / stride).cast("bigint").alias("chunk_idx"),
+            "chunk_start",
+            F.least(
+                F.col("chunk_start") + CHUNK_BYTES, F.col("payload_len")
+            ).alias("chunk_end"),
+            (F.col("chunk_start") + CHUNK_BYTES >= F.col("payload_len")).alias(
+                "is_last"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_byte_histogram": multimodal_byte_histogram,
 }
 
 ORACLE = {
+    "multimodal_audio_chunks": f"""
+        SELECT doc_id,
+               CAST(chunk_start // {CHUNK_BYTES - CHUNK_OVERLAP} AS BIGINT)
+                   AS chunk_idx,
+               chunk_start,
+               LEAST(chunk_start + {CHUNK_BYTES}, payload_len) AS chunk_end,
+               chunk_start + {CHUNK_BYTES} >= payload_len AS is_last
+        FROM (
+            SELECT doc_id, octet_length(encode(text)) AS payload_len,
+                   UNNEST(range(0, octet_length(encode(text)),
+                                {CHUNK_BYTES - CHUNK_OVERLAP})) AS chunk_start
+            FROM documents
+        )
+    """,
     # documents.text is ASCII in the testdata, but use octet semantics anyway
     "multimodal_ingest": f"""
         SELECT doc_id,
