@@ -212,16 +212,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked first by LSH bucket (``_bucket_expr``) or MinHash band exactly
     as in :mod:`dedup`, turning O(n²) into per-bucket local products."""
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("doc_a"), _as_double("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("doc_b"), _as_double("embedding").alias("eb"))
+    # norms precomputed per VECTOR, not per pair — the naive form recomputes
+    # both norms inside every pair (O(n²·d) extra flops). Values are
+    # bit-identical to per-pair computation, so the oracle is unaffected.
+    # The streaming side is repartitioned across all cores: a single-file
+    # corpus otherwise gives the nested-loop join one partition.
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"), _as_double("embedding").alias("ea")
+    ).withColumn("na", _norm(F.col("ea"))).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"), _as_double("embedding").alias("eb")
+    ).withColumn("nb", _norm(F.col("eb")))
     return (
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             (
-                _dot(F.col("ea"), F.col("eb"))
-                / (_norm(F.col("ea")) * _norm(F.col("eb")))
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
             ).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= NEAR_DUP_THRESHOLD)
