@@ -66,19 +66,21 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
 # --- exact brute-force cosine top-k -----------------------------------------
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # norms precomputed per vector (not per pair) on both sides —
+    # bit-identical values, O(n·d) instead of O(n·q·d) norm flops
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q")
-    )
+    ).withColumn("nq", _norm(F.col("q")))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("e")
-    )
+    ).withColumn("ne", _norm(F.col("e")))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias(
+            (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
                 "cos_raw"
             ),
         )
@@ -170,11 +172,12 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_bucket = emb.select(
         "vec_id", _as_double("embedding").alias("e"),
         _bucket_expr(_as_double("embedding")).alias("bucket"),
-    )
+    ).withColumn("ne", _norm(F.col("e")))  # per-vector norm, not per-pair
     queries = with_bucket.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("q"),
         F.col("bucket").alias("qbucket"),
+        F.col("ne").alias("nq"),
     )
     cand = with_bucket.join(
         F.broadcast(queries),
@@ -185,7 +188,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias(
+            (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
                 "cos_raw"
             ),
             F.col("vec_id"),
@@ -272,7 +275,10 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell so a probe reads only matching partitions (partition pruning on
     the cell key)."""
     emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _as_double("embedding").alias("e"))
+    # per-vector norm once, carried through assignment and re-rank
+    vecs = emb.select("vec_id", _as_double("embedding").alias("e")).withColumn(
+        "ne", _norm(F.col("e"))
+    )
     cent = _centroids(emb).select(
         F.col("label").alias("cell"), F.col("centroid")
     )
@@ -280,9 +286,10 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cell",
         "e",
+        "ne",
         (
             _dot(F.col("e"), F.col("centroid"))
-            / (_norm(F.col("e")) * _norm(F.col("centroid")))
+            / (F.col("ne") * _norm(F.col("centroid")))
         ).alias("cell_cos"),
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
@@ -297,7 +304,9 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cell_rank") <= max(1, N_PROBE))
         .localCheckpoint(eager=True)
     )
-    assign = ranked.filter(F.col("cell_rank") == 1).select("vec_id", "cell", "e")
+    assign = ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "cell", "e", "ne"
+    )
     probes = (
         ranked.filter(
             (F.col("vec_id") < N_QUERIES) & (F.col("cell_rank") <= N_PROBE)
@@ -306,6 +315,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("cell").alias("probe_cell"),
             F.col("e").alias("q"),
+            F.col("ne").alias("nq"),
         )
     )
     cand = assign.join(
@@ -317,7 +327,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e")))).alias(
+            (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
                 "cos_raw"
             ),
         )
