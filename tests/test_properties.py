@@ -147,6 +147,28 @@ def test_q18_window_rewrite_equals_join_formulation(spark):
     assert ref.exceptAll(got).count() == 0
 
 
+def test_minhash_lsh_recall_floor(spark):
+    """Every genuinely-similar pair (exact Jaccard ≥ 0.3) must be recalled
+    by the MinHash/LSH banding. Deterministic given the fixed hash family
+    and fixed testdata — on this corpus recall at 0.3 is exactly 100%, and
+    a regression in banding/signature logic would break it."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+    from conftest import SF_DIR
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.3}
+    assert high, "testdata must contain similar pairs"
+    missed = high - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
 def test_asof_equals_naive_join(spark):
     """The single-exchange union+window as-of join must equal the naive
     O(pairs) formulation: join all signups ≤ purchase ts, keep the latest
