@@ -136,6 +136,35 @@ def cube_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FULL OUTER reconciliation (completes the join-type matrix) --------------
+def daily_purchase_signup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchases vs signups, FULL OUTER joined on day — the
+    reconciliation shape (neither side may drop days the other has). Both
+    sides pre-aggregate to |days| rows before the join, so the full-outer
+    SMJ touches tiny inputs regardless of fact size."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("signups"))
+    )
+    return (
+        p.join(s, "event_date", "full_outer")
+        .select(
+            "event_date",
+            F.coalesce("purchases", F.lit(0)).alias("purchases"),
+            F.coalesce("signups", F.lit(0)).alias("signups"),
+        )
+        .orderBy("event_date")
+    )
+
+
 # --- GROUPING SETS (disjoint rollups in one Expand pass) ---------------------
 def grouping_sets_type_or_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts by event_type and, separately, by day — one scan, one Expand,
@@ -275,6 +304,7 @@ QUERIES = {
     "rollup_type_daily": rollup_type_daily,
     "cube_type_band": cube_type_band,
     "grouping_sets_type_or_day": grouping_sets_type_or_day,
+    "daily_purchase_signup_reconciliation": daily_purchase_signup_reconciliation,
     "pivot_user_event_values": pivot_user_event_values,
 }
 
@@ -395,6 +425,19 @@ ORACLE = {
                           ELSE 'high' END AS value_band
               FROM events)
         GROUP BY CUBE(event_type, value_band)
+    """,
+    "daily_purchase_signup_reconciliation": """
+        SELECT COALESCE(p.event_date, s.event_date) AS event_date,
+               COALESCE(p.purchases, 0) AS purchases,
+               COALESCE(s.signups, 0) AS signups
+        FROM (SELECT STRFTIME(ts, '%Y-%m-%d') AS event_date,
+                     COUNT(*) AS purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+        FULL OUTER JOIN
+             (SELECT STRFTIME(ts, '%Y-%m-%d') AS event_date,
+                     COUNT(*) AS signups
+              FROM events WHERE event_type = 'signup' GROUP BY 1) s
+          ON p.event_date = s.event_date
     """,
     "grouping_sets_type_or_day": """
         SELECT COALESCE(event_type, 'ALL') AS event_type,
