@@ -45,6 +45,11 @@ class SnapshotTable:
         self.path = path
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        # Spark's default INT96 timestamps carry NO footer min/max stats —
+        # write micros (what Iceberg mandates) so file skipping can work
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
 
     # -- metadata ------------------------------------------------------------
     def _snapshot_files(self) -> list[str]:
@@ -78,6 +83,60 @@ class SnapshotTable:
             p = os.path.join(self.path, "data", rel)
             out.append({"file": rel, "bytes": os.path.getsize(p)})
         return out
+
+    def file_stats(self, column: str) -> list[dict]:
+        """Per-file min/max/null-count for ``column`` from the Parquet
+        footers — the manifest column-stats layer Iceberg keeps per data
+        file (aws-community-builders-presentation.md:180-188). Metadata-only
+        I/O: one footer read per file, no data pages."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in self.files():
+            p = os.path.join(self.path, "data", f["file"])
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index(column)
+            mins, maxs, nulls = [], [], 0
+            missing = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    missing = True
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += st.null_count
+            out.append(
+                {
+                    "file": f["file"],
+                    # stat-less files (e.g. INT96 legacy data) must be read
+                    "min": None if missing else min(mins),
+                    "max": None if missing else max(maxs),
+                    "null_count": None if missing else nulls,
+                }
+            )
+        return out
+
+    def plan_scan(self, column: str, lo, hi) -> dict:
+        """Iceberg-style scan planning (aws-community-builders-
+        presentation.md:247-258): walk file stats, keep files whose
+        [min,max] overlaps [lo,hi], skip the rest — before any data read."""
+        stats = self.file_stats(column)
+        read = [
+            s["file"]
+            for s in stats
+            if s["min"] is None or (s["max"] >= lo and s["min"] <= hi)
+        ]
+        return {
+            "files_total": len(stats),
+            "files_read": read,
+            "files_skipped": len(stats) - len(read),
+        }
+
+    def read_files(self, spark_files: list[str]) -> DataFrame:
+        """Read an explicit subset of data files (the pruned scan)."""
+        paths = [os.path.join(self.path, "data", f) for f in spark_files]
+        return self.spark.read.parquet(*paths)
 
     # -- commits -------------------------------------------------------------
     def _commit(self, files: list[str], operation: str) -> int:
@@ -222,9 +281,49 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- manifest-style file skipping (the Iceberg pruning narrative) ------------
+_SKIP_LO = "2024-01-10 00:00:00"
+_SKIP_HI = "2024-01-15 00:00:00"
+
+
+def file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scan-planning walk (aws-community-builders-
+    presentation.md:247-258): write events as 4 ts-ordered files, plan a
+    ts-range scan from footer min/max stats alone, then read ONLY the
+    selected files. Reports file decisions + the pruned-read row count —
+    the oracle recomputes both from NTILE(4) chunk bounds, so a pruning
+    bug that skips a needed file shows up as a row-count mismatch."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    chunk = F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    chunked = ev.withColumn("_c", chunk)
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="skiptbl_"))
+    for c in (1, 2, 3, 4):
+        tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
+
+    import datetime as _dt
+
+    # footer stats come back UTC-aware (Spark writes isAdjustedToUTC micros;
+    # session TZ is pinned UTC so the literals align)
+    lo = _dt.datetime.fromisoformat(_SKIP_LO).replace(tzinfo=_dt.timezone.utc)
+    hi = _dt.datetime.fromisoformat(_SKIP_HI).replace(tzinfo=_dt.timezone.utc)
+    plan = tbl.plan_scan("ts", lo, hi)
+    pruned_rows = (
+        tbl.read_files(plan["files_read"])
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(plan["files_total"], len(plan["files_read"]), plan["files_skipped"], pruned_rows)],
+        "files_total int, files_read int, files_skipped int, rows_selected long",
+    )
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "schema_evolution_read": schema_evolution_read,
+    "file_skipping_report": file_skipping_report,
 }
 
 _TS7 = "TIMESTAMP '2024-01-24 00:00:00'"
@@ -238,6 +337,23 @@ ORACLE = {
         SELECT 2, 'append', (SELECT COUNT(*) FROM events), 16
         UNION ALL
         SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
+    """,
+    "file_skipping_report": f"""
+        WITH chunked AS (
+            SELECT ts, NTILE(4) OVER (ORDER BY ts, event_id) AS c FROM events
+        ),
+        bounds AS (SELECT c, MIN(ts) AS mn, MAX(ts) AS mx FROM chunked GROUP BY c)
+        SELECT 4 AS files_total,
+               CAST((SELECT COUNT(*) FROM bounds
+                     WHERE mx >= TIMESTAMP '{_SKIP_LO}'
+                       AND mn <= TIMESTAMP '{_SKIP_HI}') AS INT) AS files_read,
+               CAST(4 - (SELECT COUNT(*) FROM bounds
+                         WHERE mx >= TIMESTAMP '{_SKIP_LO}'
+                           AND mn <= TIMESTAMP '{_SKIP_HI}') AS INT)
+                   AS files_skipped,
+               (SELECT COUNT(*) FROM events
+                WHERE ts >= TIMESTAMP '{_SKIP_LO}'
+                  AND ts <= TIMESTAMP '{_SKIP_HI}') AS rows_selected
     """,
     "schema_evolution_read": f"""
         SELECT CASE WHEN ts >= {_TS7}
