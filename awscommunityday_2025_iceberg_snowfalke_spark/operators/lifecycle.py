@@ -208,7 +208,14 @@ class SnapshotTable:
         snapshot; old files stay referenced by old snapshots until expiry."""
         df = self.read()
         if sort_by:
-            df = df.repartition(target_files).sortWithinPartitions(*sort_by)
+            # range partitioning (not hash) on the sort keys: each rewritten
+            # file owns a DISJOINT key range, so footer min/max stats can
+            # actually skip files on those keys — sortWithinPartitions alone
+            # clusters inside files (compression) but leaves every file
+            # spanning the whole key space (zero cross-file pruning)
+            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
             return self._commit(self._write_files(df, None), "compact")
         return self._commit(self._write_files(df, target_files), "compact")
 
@@ -320,10 +327,55 @@ def file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- clustering payoff: skipping before vs after sorted compaction (T8) -----
+def clustering_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events time-ordered (v1), then sort-compact by user_id (v2);
+    plan the same user_id-range scan against both layouts. Time-ordered
+    files all span the full user space (0 skipped); range-clustered files
+    own disjoint user ranges (most skipped) — the z-order/T8 payoff
+    (P:306), quantified from footer stats alone. Row counts from both
+    pruned reads must equal the full filter — the oracle's check."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    layouts = {
+        "time_ordered": F.ntile(4).over(Window.orderBy("ts", "event_id")),
+        # explicit deterministic user clustering (the compact(sort_by=...)
+        # production path uses repartitionByRange, whose sampled boundaries
+        # aren't SQL-reproducible — same layout shape, exact chunk bounds)
+        "user_clustered": F.ntile(4).over(Window.orderBy("user_id", "event_id")),
+    }
+    lo, hi = 2, 4  # user_id range predicate
+    rows = []
+    for label, chunk in layouts.items():
+        tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix=f"clus_{label}_"))
+        chunked = ev.withColumn("_c", chunk)
+        for c in (1, 2, 3, 4):
+            tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
+        stats = tbl.file_stats("user_id")
+        read = [
+            s["file"]
+            for s in stats
+            if s["min"] is None or (s["max"] >= lo and s["min"] <= hi)
+        ]
+        n_rows = (
+            tbl.read_files(read)
+            .filter(F.col("user_id").between(lo, hi))
+            .count()
+        )
+        rows.append((label, len(stats), len(read), len(stats) - len(read), n_rows))
+    return spark.createDataFrame(
+        rows,
+        "layout string, files_total int, files_read int, files_skipped int,"
+        " rows_selected long",
+    )
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "schema_evolution_read": schema_evolution_read,
     "file_skipping_report": file_skipping_report,
+    "clustering_skipping_report": clustering_skipping_report,
 }
 
 _TS7 = "TIMESTAMP '2024-01-24 00:00:00'"
@@ -337,6 +389,36 @@ ORACLE = {
         SELECT 2, 'append', (SELECT COUNT(*) FROM events), 16
         UNION ALL
         SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
+    """,
+    "clustering_skipping_report": """
+        WITH layouts(layout, ord) AS (VALUES ('time_ordered', 0),
+                                             ('user_clustered', 1)),
+        tchunk AS (
+            SELECT user_id, NTILE(4) OVER (ORDER BY ts, event_id) AS c
+            FROM events
+        ),
+        uchunk AS (
+            SELECT user_id, NTILE(4) OVER (ORDER BY user_id, event_id) AS c
+            FROM events
+        ),
+        tb AS (SELECT c, MIN(user_id) mn, MAX(user_id) mx FROM tchunk GROUP BY c),
+        ub AS (SELECT c, MIN(user_id) mn, MAX(user_id) mx FROM uchunk GROUP BY c),
+        reads AS (
+            SELECT 'time_ordered' AS layout,
+                   CAST(COUNT(*) AS INT) AS files_read
+            FROM tb WHERE mx >= 2 AND mn <= 4
+            UNION ALL
+            SELECT 'user_clustered',
+                   CAST(COUNT(*) AS INT)
+            FROM ub WHERE mx >= 2 AND mn <= 4
+        )
+        SELECT r.layout,
+               4 AS files_total,
+               r.files_read,
+               4 - r.files_read AS files_skipped,
+               (SELECT COUNT(*) FROM events
+                WHERE user_id BETWEEN 2 AND 4) AS rows_selected
+        FROM reads r
     """,
     "file_skipping_report": f"""
         WITH chunked AS (
