@@ -30,7 +30,7 @@ def _modules():
     )
     from ..sources import writers
     from ..streaming import jobs as streaming_jobs
-    from .. import governance, mv, scale
+    from .. import governance, mv, plans, scale
 
     return (
         relational,
@@ -48,6 +48,7 @@ def _modules():
         writers,
         mv,
         scale,
+        plans,
     )
 
 

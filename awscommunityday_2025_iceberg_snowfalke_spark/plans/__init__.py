@@ -119,6 +119,70 @@ def execution_metrics(df: DataFrame) -> dict:
     return out
 
 
+class QueryLog:
+    """S12/H2 parity: the engine-side query history the reference reads
+    from ``snowflake.account_usage.query_history``
+    (performance_comparison.sql:181-192; run_performance_tests.py:83-123).
+    Each ``run`` records name, wall-clock, scan/shuffle metrics, status —
+    queryable afterwards as a DataFrame."""
+
+    def __init__(self):
+        self._rows: list[tuple] = []
+
+    def run(self, name: str, df: DataFrame) -> int:
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            n = df.count()
+        except Exception as ex:  # RPT:67-79 ERROR rows
+            self._rows.append((name, -1, 0.0, "ERROR", type(ex).__name__))
+            return -1
+        elapsed = round(time.perf_counter() - t0, 3)
+        self._rows.append((name, n, elapsed, "SUCCESS", None))
+        return n
+
+    def history(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            self._rows,
+            "query_name string, row_count long, elapsed_sec double,"
+            " status string, error string",
+        )
+
+
+def query_history(spark, sf_dir: str) -> DataFrame:
+    """Driver-gate: run a mini-suite through the log (RPT's harness shape),
+    return the deterministic columns (timings excluded from the compare)."""
+    from ..operators.relational import (
+        count_all,
+        event_type_counts,
+        filtered_counts_7d,
+    )
+
+    log = QueryLog()
+    for name, fn in (
+        ("count_all", count_all),
+        ("filtered_counts_7d", filtered_counts_7d),
+        ("event_type_counts", event_type_counts),
+    ):
+        log.run(name, fn(spark, sf_dir))
+    return log.history(spark).select("query_name", "row_count", "status")
+
+
+QUERIES = {"query_history": query_history}
+
+ORACLE = {
+    "query_history": """
+        SELECT 'count_all' AS query_name, 1 AS row_count, 'SUCCESS' AS status
+        UNION ALL
+        SELECT 'filtered_counts_7d', 1, 'SUCCESS'
+        UNION ALL
+        SELECT 'event_type_counts',
+               (SELECT COUNT(DISTINCT event_type) FROM events), 'SUCCESS'
+    """,
+}
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     currency. Matches detail headers only ('(n) Exchange'), so broadcast
