@@ -114,6 +114,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles is the documented mitigation."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # (Measured non-win locally: pre-pruning single-doc shingles via a
+    # count-over-shingle window is exact but the window's sort cost exceeds
+    # the join savings at this scale — 5s → 12s at sf0.1. At 100 TB with a
+    # long unique-shingle tail the pruning flips to a win; keep the plain
+    # hash join here and revisit with real corpus statistics.)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
