@@ -62,9 +62,17 @@ def main() -> None:
     # warm the JVM/codegen path once with the cheapest query
     queries["count_all"](spark, sf_dir).collect()
 
+    # SPARK_GRAFT_BENCH_ALL=1 times the ENTIRE registered corpus instead of
+    # the headline classes (slower; for full-coverage profiling)
+    names = (
+        sorted(queries)
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL")
+        else HEADLINE
+    )
+
     timings: dict[str, float] = {}
     report: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         metrics = execution_metrics(df)  # executes the query
