@@ -622,8 +622,8 @@ ORACLE = {
     "props_json_stats": """
         SELECT event_type,
                {AVG_K} AS avg_k,
-               SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
-                        THEN 1 ELSE 0 END) AS high_k_events,
+               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_k_events,
                COUNT(*) AS event_count
         FROM events GROUP BY event_type
     """,
