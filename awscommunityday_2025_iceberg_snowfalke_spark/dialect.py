@@ -26,15 +26,32 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Determinism anchor for CURRENT_DATE-relative reference SQL (SURVEY §5):
+# the driver's events table spans 2024-01-01..2024-01-30, so "today" is
+# pinned to the day after the window — CURRENT_DATE - 7 lands on the same
+# 2024-01-24 cutoff the DataFrame corpus uses (sources.registry.CUTOFF_7D).
+ANCHOR_DATE = "2024-01-31"
+
 _QUALIFY_RE = re.compile(
     r"^(?P<body>.*?)\bQUALIFY\b(?P<pred>.*?)"
     r"(?P<tail>\bORDER\s+BY\b.*|\bLIMIT\b.*|$)",
     re.IGNORECASE | re.DOTALL,
 )
 
+# CURRENT_DATE / CURRENT_DATE() — word-bounded so column names survive
+_CURRENT_DATE_RE = re.compile(r"\bCURRENT_DATE\b(?:\s*\(\s*\))?", re.IGNORECASE)
 
-def translate(sql: str) -> str:
-    """Rewrite Snowflake-isms into Spark SQL. Currently: QUALIFY."""
+
+def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
+    """Rewrite Snowflake-isms into Spark SQL.
+
+    - ``QUALIFY pred`` → wrap-and-filter subquery (no QUALIFY in OSS Spark).
+    - ``CURRENT_DATE`` → ``DATE '<anchor_date>'`` (pass ``anchor_date=None``
+      to keep wall-clock semantics). ``DATE(x)``, ``INTERVAL '...'`` and
+      date±int arithmetic parse natively in Spark SQL — no rewrite needed.
+    """
+    if anchor_date:
+        sql = _CURRENT_DATE_RE.sub(f"DATE '{anchor_date}'", sql)
     m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
     if not m or "QUALIFY" not in sql.upper():
         return sql
@@ -42,6 +59,8 @@ def translate(sql: str) -> str:
     return f"SELECT * FROM ( {body.strip()} ) WHERE {pred.strip()} {tail.strip()}"
 
 
-def run_snowflake_sql(spark: SparkSession, sql: str) -> DataFrame:
+def run_snowflake_sql(
+    spark: SparkSession, sql: str, anchor_date: str | None = ANCHOR_DATE
+) -> DataFrame:
     """Execute reference-corpus SQL through the dialect shim."""
-    return spark.sql(translate(sql))
+    return spark.sql(translate(sql, anchor_date))

@@ -24,6 +24,7 @@ def _modules():
         pipeline,
         relational,
         similarity,
+        snowsql,
         temporal,
         textstats,
         tpch,
@@ -34,6 +35,7 @@ def _modules():
 
     return (
         relational,
+        snowsql,
         tpch,
         analytics,
         pipeline,

@@ -293,6 +293,44 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable HLL sketches (the incremental-rollup pattern at 100 TB) -------
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users via Apache DataSketches HLL, then the monthly
+    total by UNIONING the stored daily sketches — no second scan of the
+    facts. This is the mergeable-sketch contract a 100 TB rollup needs:
+    COUNT(DISTINCT) cannot re-aggregate (union of per-day exacts
+    overcounts), but sketches compose associatively, so a materialized
+    daily layer answers any date-range distinct query by merging ~30
+    sketch blobs instead of rescanning the month. Estimates are
+    engine-specific → rows-only gate; tests assert ≤5% relative error vs
+    exact.
+
+    Output: one row per day (sketch estimate + exact for reference) plus
+    an 'ALL' row whose estimate comes purely from the sketch union."""
+    ev = load(spark, sf_dir, "events")
+    daily_sk = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        # the materialized daily layer (sketch blobs); reused by both the
+        # per-day report and the merge — computed once
+        .localCheckpoint(eager=True)
+    )
+    per_day = daily_sk.select(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    total = daily_sk.agg(
+        F.lit("ALL").alias("event_date"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return per_day.unionByName(total)
+
+
 QUERIES = {
     "event_rank_dense": event_rank_dense,
     "table_profile_events": table_profile_events,
@@ -306,6 +344,7 @@ QUERIES = {
     "grouping_sets_type_or_day": grouping_sets_type_or_day,
     "daily_purchase_signup_reconciliation": daily_purchase_signup_reconciliation,
     "pivot_user_event_values": pivot_user_event_values,
+    "hll_user_rollup": hll_user_rollup,
 }
 
 _ROUND_VAL = "ROUND(CAST(CAST(value AS DECIMAL(28,8)) AS DOUBLE), 4)"

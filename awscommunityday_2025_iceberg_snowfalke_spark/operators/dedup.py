@@ -302,6 +302,78 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicate clustering (connected components over the near-dup graph) ----
+_CC_MAX_ITERS = 25
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the verified
+    MinHash/LSH near-dup pair graph, the final step of a real dedup
+    pipeline (pairs alone don't dedup — A~B and B~C must collapse into one
+    cluster {A,B,C} with one canonical survivor).
+
+    Algorithm: iterative min-label propagation. Every doc starts labeled
+    with its own id; each round every node takes the min of its own label
+    and its neighbors' labels, until a fixpoint. Rounds are pure
+    DataFrame join+groupBy (shuffle keyed on doc_id), checkpointed per
+    round to cut lineage; convergence is detected from the strictly
+    decreasing global label sum (one cheap agg per round, no join-back).
+    Iterations needed = graph diameter — near-dup clusters are shallow
+    (dozens of docs), so this converges in a handful of rounds; a
+    pathological chain would call for the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce"), same join
+    shape. Output: one row per document (singletons included),
+    cluster id = min doc_id of the component, cluster size, and the
+    canonical-survivor flag."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # min-label is monotonically non-increasing → the global sum strictly
+        # decreases until the fixpoint; equal sums ⇒ converged
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    )
+
+
 # --- SimHash (32-bit) -------------------------------------------------------
 def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash over distinct tokens: portable token hash →
@@ -341,8 +413,35 @@ QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_clusters": dedup_clusters,
     "simhash32": simhash32,
 }
+
+
+def _duck_clusters_sql() -> str:
+    """Recursive-CTE twin of :func:`dedup_clusters`: transitive closure over
+    the same verified LSH pair graph, cluster id = MIN(reachable doc_id).
+    Exact for the oracle's small graphs; the Spark side scales instead via
+    iterative label propagation (closure tables are |C|² per component)."""
+    return f"""
+        WITH RECURSIVE
+        mh AS ({_duck_minhash_sql()}),
+        bi AS (
+            SELECT doc_a AS a, doc_b AS b FROM mh
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM mh
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a
+        ),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM lab
+    """
 
 
 def _duck_minhash_sql() -> str:
@@ -449,5 +548,6 @@ ORACLE = {
         ) WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     "minhash_lsh_pairs": _duck_minhash_sql(),
+    "dedup_clusters": _duck_clusters_sql(),
     "simhash32": _duck_simhash_sql(),
 }

@@ -78,3 +78,24 @@ def test_multimodal_byte_histogram_values(spark):
     )
     assert got["features"] == pytest.approx(expect)
     assert got["feature_sum"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hll_user_rollup_accuracy(spark, oracle):
+    """Rows-only gate backed by a real accuracy check: every per-day HLL
+    estimate within 5% of exact, and the ALL row (computed purely by
+    merging the stored daily sketches) within 5% of the true month-wide
+    distinct count from duckdb."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.analytics import (
+        hll_user_rollup,
+    )
+
+    rows = {r["event_date"]: r for r in hll_user_rollup(spark, SF_DIR).collect()}
+    assert "ALL" in rows
+    for d, r in rows.items():
+        if d == "ALL":
+            continue
+        assert r["est_users"] == pytest.approx(r["exact_users"], rel=0.05), d
+    true_total = oracle.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert rows["ALL"]["est_users"] == pytest.approx(true_total, rel=0.05)
