@@ -31,6 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import det_sum, det_sum_sql
 from ..sources.registry import CUTOFF_7D, load
 
 
@@ -179,6 +180,24 @@ class SnapshotTable:
         """Full-table replace (Iceberg: ``writeTo(t).overwritePartitions()``)."""
         return self._commit(self._write_files(df, n_files), "overwrite")
 
+    def merge(self, source: DataFrame, keys: list[str], n_files: int | None = None) -> int:
+        """MERGE INTO upsert (Iceberg ``MERGE INTO t USING s ON ... WHEN
+        MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``, copy-on-write
+        mode): target rows matching a source key are replaced by the source
+        row, unmatched source rows are inserted, all in ONE atomic commit.
+
+        Implementation is the copy-on-write plan Iceberg itself runs: keep =
+        target LEFT ANTI source on the key, then keep ∪ source rewritten.
+        At 100 TB the anti join is the cost center — Iceberg scopes the
+        rewrite to files whose key ranges overlap the source (runtime group
+        filtering); our parquet-native layer rewrites the full table, which
+        is exact but O(|table|) per merge. The merge-on-read alternative
+        (append + latest-wins read view) is ``cdc_latest_events``."""
+        target = self.read()
+        kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(source)
+        return self._commit(self._write_files(merged, n_files), "merge")
+
     # -- reads ---------------------------------------------------------------
     def read(
         self, version: int | None = None, as_of: float | None = None
@@ -260,6 +279,36 @@ def lifecycle_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((v, ops[v], tbl.read(version=v).count(), len(tbl.files(v))))
     return spark.createDataFrame(
         rows, "version int, operation string, row_count long, n_files int"
+    )
+
+
+# --- MERGE INTO upsert roundtrip (copy-on-write) -----------------------------
+_MERGE_CUT = "2024-01-20 00:00:00"
+
+
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert semantics end-to-end: v1 = cold events (< 7d cutoff); then one
+    MERGE whose source doubles ``value`` for every event from 2024-01-20 on
+    — rows before the cutoff are updates (matched), rows after it are
+    inserts (not matched). Verifies the final state per event_type and that
+    exactly one extra snapshot exists."""
+    ev = load(spark, sf_dir, "events")
+    cold_cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    src_cut = F.to_timestamp(F.lit(_MERGE_CUT))
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="mergetbl_"))
+    tbl.append(ev.filter(F.col("ts") < cold_cut), n_files=8)
+    source = ev.filter(F.col("ts") >= src_cut).withColumn(
+        "value", F.col("value") * 2
+    )
+    tbl.merge(source, keys=["event_id"], n_files=8)
+    assert [m["operation"] for m in tbl.history()] == ["append", "merge"]
+    return (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_sum("value", 2).alias("sum_value"),
+        )
     )
 
 
@@ -373,6 +422,7 @@ def clustering_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
+    "merge_upsert_events": merge_upsert_events,
     "schema_evolution_read": schema_evolution_read,
     "file_skipping_report": file_skipping_report,
     "clustering_skipping_report": clustering_skipping_report,
@@ -381,6 +431,22 @@ QUERIES = {
 _TS7 = "TIMESTAMP '2024-01-24 00:00:00'"
 
 ORACLE = {
+    "merge_upsert_events": f"""
+        WITH src AS (
+            SELECT event_id, event_type, value * 2 AS value
+            FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUT}'
+        ),
+        kept AS (
+            SELECT event_id, event_type, value
+            FROM events
+            WHERE ts < {_TS7}
+              AND event_id NOT IN (SELECT event_id FROM src)
+        ),
+        merged AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+        SELECT event_type, COUNT(*) AS n_events,
+               {det_sum_sql("value", 2)} AS sum_value
+        FROM merged GROUP BY event_type
+    """,
     "lifecycle_snapshot_counts": f"""
         SELECT 1 AS version, 'append' AS operation,
                (SELECT COUNT(*) FROM events WHERE ts < {_TS7}) AS row_count,

@@ -51,6 +51,7 @@ HEADLINE = [
     "text_quality",         # text analysis scan
     "asof_purchase_signup", # as-of join (union+window, 1 exchange)
     "curation_pipeline",    # normalize→filter→dedup→sample fused pass
+    "hll_user_rollup",      # mergeable-sketch daily layer + union total
 ]
 
 

@@ -148,3 +148,23 @@ def test_mv_incremental_refresh(spark, tmp_path):
         .collect()
     )
     assert got == full
+
+
+def test_merge_upsert(spark, tmp_path):
+    """MERGE semantics: matched keys updated, unmatched inserted, one
+    atomic snapshot, target rows without a source match untouched."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, k string, v double"
+    )
+    t.append(base)
+    src = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "id long, k string, v double"
+    )
+    v = t.merge(src, keys=["id"])
+    assert v == 2
+    got = {r["id"]: (r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # time travel still sees the pre-merge state
+    assert {r["id"] for r in t.read(version=1).collect()} == {1, 2, 3}
+    assert [m["operation"] for m in t.history()] == ["append", "merge"]
