@@ -191,3 +191,52 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_snowsql_qualify_plans_like_dataframe_twin(spark):
+    """The dialect-shim QUALIFY rewrite must produce the same plan shape as
+    the hand-written rank-then-filter: one window exchange, no extra."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import snowsql
+
+    df_sql = snowsql.QUERIES["snowsql_qualify_top5"](spark, SF_DIR)
+    df_api = relational.top5_per_user(spark, SF_DIR)
+    assert shuffle_count(df_sql) == shuffle_count(df_api)
+
+
+def test_dedup_pair_join_is_hash_not_nested_loop(spark):
+    """The shingle inverted-index join must stay an equi hash join — a
+    nested-loop/cartesian here is the O(n^2) failure mode at scale."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    plan = (
+        dedup.dedup_ngram_jaccard(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shingle_expression_stays_behind_checkpoint(spark):
+    """Regression guard for the InferFiltersFromGenerate pushdown hazard
+    (SCALE.md): the consumer plan must read the materialized shingle index
+    (RDD scan), never re-derive shingles from the documents parquet scan."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    plan = (
+        dedup.dedup_ngram_jaccard(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan, "shingles must come from the checkpoint"
+
+
+def test_hll_rollup_single_agg_exchange(spark):
+    """Daily sketch layer: one partial->final agg exchange over the facts;
+    the merge stage operates on ~30 materialized sketch rows."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import analytics
+
+    df = analytics.hll_user_rollup(spark, SF_DIR)
+    assert shuffle_count(df) <= 2  # per-day agg + the ALL-row global reduce
