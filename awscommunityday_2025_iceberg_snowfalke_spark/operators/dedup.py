@@ -306,29 +306,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 25
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: connected components over the verified
-    MinHash/LSH near-dup pair graph, the final step of a real dedup
-    pipeline (pairs alone don't dedup — A~B and B~C must collapse into one
-    cluster {A,B,C} with one canonical survivor).
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Distributed connected components by iterative min-label propagation.
 
-    Algorithm: iterative min-label propagation. Every doc starts labeled
-    with its own id; each round every node takes the min of its own label
-    and its neighbors' labels, until a fixpoint. Rounds are pure
-    DataFrame join+groupBy (shuffle keyed on doc_id), checkpointed per
-    round to cut lineage; convergence is detected from the strictly
-    decreasing global label sum (one cheap agg per round, no join-back).
-    Iterations needed = graph diameter — near-dup clusters are shallow
-    (dozens of docs), so this converges in a handful of rounds; a
-    pathological chain would call for the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce"), same join
-    shape. Output: one row per document (singletons included),
-    cluster id = min doc_id of the component, cluster size, and the
-    canonical-survivor flag."""
-    from pyspark.sql import Window
-
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ``nodes``: one ``id`` column; ``pairs``: undirected edges as
+    (``doc_a``, ``doc_b``). Every node starts labeled with its own id; each
+    round every node takes the min of its own label and its neighbors'
+    labels, until a fixpoint. Rounds are pure DataFrame join+groupBy
+    (shuffle keyed on id), checkpointed per round to cut lineage;
+    convergence is detected from the strictly decreasing global label sum
+    (one cheap agg per round, no join-back). Iterations needed = graph
+    diameter; a pathological chain would call for the large-star/
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce"), same join shape. Returns (``id``, ``label``) with
+    label = min id of the component."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -336,20 +327,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # reused every round
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
         eager=True
     )
     prev_sum = None
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
-                "doc_id",
+                "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -362,12 +353,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the verified
+    MinHash/LSH near-dup pair graph, the final step of a real dedup
+    pipeline (pairs alone don't dedup — A~B and B~C must collapse into one
+    cluster {A,B,C} with one canonical survivor). Output: one row per
+    document (singletons included), cluster id = min doc_id of the
+    component, cluster size, and the canonical-survivor flag."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs, pairs)
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(
-            "doc_id",
+            F.col("id").alias("doc_id"),
             F.col("label").alias("cluster_id"),
-            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
         )
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .select("doc_id", "cluster_id", "cluster_size", "is_canonical")

@@ -236,3 +236,60 @@ def test_hourly_gapfill_spine_complete(spark):
         & (F.col("ts") < F.lit("2024-01-08"))
     ).count()
     assert total == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        max_size=30,
+    ),
+    n_nodes=st.integers(min_value=1, max_value=25),
+)
+def test_connected_components_equals_union_find(spark, edges, n_nodes):
+    """Min-label propagation must match a sequential union-find on random
+    graphs — including chains near the iteration bound, self-loops, and
+    edges referencing only a subset of nodes."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for v in range(n_nodes):
+        expect[v] = find(v)
+    # canonicalize: representative = min member of each component
+    comp_min = {}
+    for v, r in expect.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expect = {v: comp_min[r] for v, r in expect.items()}
+
+    nodes_df = spark.createDataFrame([(v,) for v in range(n_nodes)], "id long")
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(nodes_df, pairs_df).collect()
+    }
+    assert got == expect
