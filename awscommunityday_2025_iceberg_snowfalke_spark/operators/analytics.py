@@ -269,6 +269,58 @@ def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof
 
 
+# --- declarative data-quality expectations (one-pass audit) ------------------
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-gate data quality: a rule set (not-null, uniqueness, domain
+    membership, range, freshness window) evaluated in ONE scan — each rule
+    is a conditional aggregate, so the audit costs one map-side-combinable
+    pass regardless of rule count (uniqueness adds the countDistinct
+    expand). Output: one row per rule with violation count and verdict —
+    the shape a curation pipeline gates on before publishing a snapshot."""
+    ev = load(spark, sf_dir, "events")
+    viol = ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).alias(
+            "v_event_id_not_null"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v_event_id_unique"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin("click", "error", "purchase", "signup", "view"),
+                1,
+            ).otherwise(0)
+        ).alias("v_event_type_domain"),
+        F.sum(F.when(~(F.col("value") > 0), 1).otherwise(0)).alias(
+            "v_value_positive"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("ts").between(
+                    F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+                    F.to_timestamp(F.lit("2024-01-31 00:00:00")),
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("v_ts_in_window"),
+    )
+    rules = [
+        ("event_id_not_null", "v_event_id_not_null"),
+        ("event_id_unique", "v_event_id_unique"),
+        ("event_type_in_domain", "v_event_type_domain"),
+        ("value_positive", "v_value_positive"),
+        ("ts_in_window", "v_ts_in_window"),
+    ]
+    stack = ", ".join(f"'{name}', {col}" for name, col in rules)
+    return viol.selectExpr(
+        "total", f"stack({len(rules)}, {stack}) AS (rule, violations)"
+    ).selectExpr(
+        "rule",
+        "CAST(violations AS BIGINT) AS violations",
+        "total AS total_rows",
+        "violations = 0 AS passed",
+    )
+
+
 # --- skew diagnostics: heaviest join keys ------------------------------------
 def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 heaviest user_id keys with their share of all rows — the
@@ -345,11 +397,37 @@ QUERIES = {
     "daily_purchase_signup_reconciliation": daily_purchase_signup_reconciliation,
     "pivot_user_event_values": pivot_user_event_values,
     "hll_user_rollup": hll_user_rollup,
+    "dq_expectations": dq_expectations,
 }
 
 _ROUND_VAL = "ROUND(CAST(CAST(value AS DECIMAL(28,8)) AS DOUBLE), 4)"
 
 ORACLE = {
+    "dq_expectations": """
+        WITH viol AS (
+            SELECT COUNT(*) AS total,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_event_id_not_null,
+                   COUNT(*) - COUNT(DISTINCT event_id) AS v_event_id_unique,
+                   CAST(SUM(CASE WHEN event_type NOT IN
+                            ('click','error','purchase','signup','view')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_event_type_domain,
+                   CAST(SUM(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_value_positive,
+                   CAST(SUM(CASE WHEN ts NOT BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+                            AND TIMESTAMP '2024-01-31 00:00:00'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_in_window
+            FROM events
+        )
+        SELECT rule, violations, total AS total_rows, violations = 0 AS passed
+        FROM (
+            SELECT total, 'event_id_not_null' AS rule, v_event_id_not_null AS violations FROM viol
+            UNION ALL SELECT total, 'event_id_unique', v_event_id_unique FROM viol
+            UNION ALL SELECT total, 'event_type_in_domain', v_event_type_domain FROM viol
+            UNION ALL SELECT total, 'value_positive', v_value_positive FROM viol
+            UNION ALL SELECT total, 'ts_in_window', v_ts_in_window FROM viol
+        )
+    """,
     "value_stats_by_type": """
         WITH comp AS (
             SELECT event_type,
