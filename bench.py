@@ -45,7 +45,8 @@ HEADLINE = [
     "hourly_gapfill",       # calendar-spine densification
     "dedup_ngram_jaccard",  # similarity self-join
     "minhash_lsh_pairs",    # LSH dedup pipeline
-    "knn_bruteforce_cosine",# ANN brute force
+    "knn_bruteforce_cosine",# ANN brute force (codegen expr fold)
+    "knn_pandas_cosine",    # same semantics on the Arrow/BLAS batch path
     "ann_ivf_cosine",       # IVF ANN (centroid probe)
     "doc_top_terms",        # tf/df salience (token explode + 2 windows)
     "text_quality",         # text analysis scan
