@@ -52,6 +52,73 @@ def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket == 0).select("doc_id", "lang", "source", "n_chars")
 
 
+# --- stratified deterministic sampling ---------------------------------------
+# per-language keep rates ×100 (en downsampled, low-resource langs kept):
+# the rebalancing move every multilingual training-data pipeline makes
+STRATA_PCT = {"en": 20, "de": 100, "es": 100, "fr": 100, "zh": 50}
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: each language keeps a different
+    fraction, selected by hash bucket (md5 % 100 < rate) — no RNG, no
+    seed state, same subset on any cluster/partitioning. A pure map-side
+    filter: the rate table rides in the plan as a literal CASE, so at
+    100 TB this costs one scan, zero shuffles, and composes with any
+    downstream op. Output summarizes kept counts per stratum (the
+    rebalanced corpus profile)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(expr="cast(doc_id as string)")) % 100
+    rate = F.lit(None).cast("int")
+    expr = None
+    for lang, pct in STRATA_PCT.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(pct))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(pct))
+        )
+    rate = expr.otherwise(F.lit(0))
+    kept = docs.filter(bucket < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+# --- sequence packing (token-budget bin assignment) ---------------------------
+PACK_BUDGET = 4096  # tokens per packed sequence
+
+
+def pack_docs_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, the LLM-pretraining batching step: documents are
+    concatenated in a deterministic order (doc_id) and split into
+    fixed-token-budget bins — bin id = floor(exclusive-running-token-sum /
+    budget), the streaming pack used when docs straddle bin boundaries.
+    One global-window cumulative sum here; at 100 TB packing runs
+    per-shard (hash docs → shards, pack inside each shard, bin id =
+    (shard, local bin)) so no global sort exists — the documented
+    hierarchical variant with the same in-shard plan. Output: per-bin fill
+    statistics (the packing-efficiency report)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = docs.select("doc_id", n_tok.alias("n_tokens"))
+    # floor-division, NOT cast: duckdb CAST(double AS BIGINT) rounds while
+    # Spark's cast truncates — floor() agrees in both engines
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 # --- CDC latest-per-key compaction -------------------------------------------
 def cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat events as a change stream keyed by user_id: latest state per
@@ -219,6 +286,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sample_docs_deterministic": sample_docs_deterministic,
+    "stratified_sample_docs": stratified_sample_docs,
+    "pack_docs_sequences": pack_docs_sequences,
     "curation_pipeline": curation_pipeline,
     "cdc_latest_events": cdc_latest_events,
     "word_doc_frequency_topk": word_doc_frequency_topk,
@@ -254,6 +323,34 @@ ORACLE = {
         SELECT doc_id, lang, source, n_chars
         FROM documents
         WHERE {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} = 0
+    """,
+    "stratified_sample_docs": f"""
+        SELECT lang, COUNT(*) AS kept_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM documents
+        WHERE {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")} % 100 <
+              CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items())}
+                   ELSE 0 END
+        GROUP BY lang
+    """,
+    "pack_docs_sequences": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(string_split_regex(lower(text), '\s+')) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT bin_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM binned GROUP BY bin_id
     """,
     "cdc_latest_events": """
         SELECT user_id, event_id, event_type,
