@@ -420,9 +420,108 @@ def clustering_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
+_Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
+_Z_FILES = 8
+_Z_TLO = "2024-01-08 00:00:00"
+_Z_THI = "2024-01-15 00:00:00"  # exclusive
+
+
+def _zkey_sql(ub: str, db: str, div: str) -> str:
+    """Bit-interleave two `_Z_NBITS`-bit bucket ids into a z-curve key,
+    in pure integer arithmetic (same text modulo the int-division token:
+    Spark ``DIV``, duckdb ``//``)."""
+    terms = []
+    for i in range(_Z_NBITS):
+        terms.append(f"((({ub}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({db}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 for real: files clustered on a bit-interleaved z-curve over
+    (user bucket × day bucket) vs 1-D user clustering, footer-stat skipping
+    measured for three predicate shapes. The z-order claim this quantifies:
+    a 1-D layout skips perfectly on its own dimension and not at all on the
+    other; ONE z-ordered layout skips usefully on both (P:306 — better
+    pruning), because each file owns a bounded box of the 2-D key space.
+    Pruning uses per-file min/max of the RAW columns (user_id, ts) exactly
+    as Iceberg manifests would; every pruned read must still return the
+    full predicate's row count — the oracle recomputes all of it from
+    NTILE chunk bounds."""
+    import datetime as _dt
+
+    ev = load(spark, sf_dir, "events")
+    lo_hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    umin, umax = int(lo_hi[0]), int(lo_hi[1])
+    span = umax - umin + 1
+    ulo, uhi = umin + span // 4, umin + span // 2 - 1  # user band: 2nd quartile
+
+    ub = f"((user_id - {umin}) * 16) DIV {span}"
+    db = "(datediff(CAST(ts AS DATE), DATE '2024-01-01') * 16) DIV 30"
+    base = ev.select(
+        "event_id", "user_id", "ts",
+        F.expr(_zkey_sql(ub, db, "DIV")).alias("zkey"),
+    )
+    tlo = _dt.datetime.fromisoformat(_Z_TLO).replace(tzinfo=_dt.timezone.utc)
+    thi = _dt.datetime.fromisoformat(_Z_THI).replace(tzinfo=_dt.timezone.utc)
+    preds = {
+        "user_band": (True, False),
+        "time_band": (False, True),
+        "user_and_time": (True, True),
+    }
+    layouts = {
+        "user_clustered": ["user_id", "event_id"],
+        "zordered": ["zkey", "event_id"],
+    }
+    from pyspark.sql import Window
+
+    rows = []
+    for layout, order_cols in layouts.items():
+        tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix=f"zord_{layout}_"))
+        chunked = base.withColumn(
+            "_c", F.ntile(_Z_FILES).over(Window.orderBy(*order_cols))
+        )
+        for c in range(1, _Z_FILES + 1):
+            tbl.append(
+                chunked.filter(F.col("_c") == c).select("event_id", "user_id", "ts"),
+                n_files=1,
+            )
+        ustats = {s["file"]: s for s in tbl.file_stats("user_id")}
+        tstats = {s["file"]: s for s in tbl.file_stats("ts")}
+        for pred, (use_u, use_t) in preds.items():
+            read = []
+            for f in ustats:
+                ok = True
+                if use_u:
+                    s = ustats[f]
+                    ok = ok and s["max"] >= ulo and s["min"] <= uhi
+                if use_t:
+                    s = tstats[f]
+                    ok = ok and s["max"] >= tlo and s["min"] < thi
+                if ok:
+                    read.append(f)
+            sel = tbl.read_files(read) if read else None
+            cond = F.lit(True)
+            if use_u:
+                cond = cond & F.col("user_id").between(ulo, uhi)
+            if use_t:
+                cond = cond & (F.col("ts") >= F.lit(tlo)) & (F.col("ts") < F.lit(thi))
+            n = sel.filter(cond).count() if sel is not None else 0
+            rows.append(
+                (layout, pred, _Z_FILES, len(read), _Z_FILES - len(read), n)
+            )
+    return spark.createDataFrame(
+        rows,
+        "layout string, predicate string, files_total int, files_read int,"
+        " files_skipped int, rows_selected long",
+    )
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "merge_upsert_events": merge_upsert_events,
+    "zorder_clustering_report": zorder_clustering_report,
     "schema_evolution_read": schema_evolution_read,
     "file_skipping_report": file_skipping_report,
     "clustering_skipping_report": clustering_skipping_report,
@@ -430,7 +529,86 @@ QUERIES = {
 
 _TS7 = "TIMESTAMP '2024-01-24 00:00:00'"
 
+def _zorder_oracle_sql() -> str:
+    zkey = _zkey_sql(
+        "((user_id - umin) * 16) // span",
+        "(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 16) // 30",
+        "//",
+    )
+    tpred = f"ts >= TIMESTAMP '{_Z_TLO}' AND ts < TIMESTAMP '{_Z_THI}'"
+    tfile = f"tmx >= TIMESTAMP '{_Z_TLO}' AND tmn < TIMESTAMP '{_Z_THI}'"
+    return f"""
+        WITH bounds AS (
+            SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+                   MAX(user_id) - MIN(user_id) + 1 AS span
+            FROM events
+        ),
+        upred AS (
+            SELECT umin + span // 4 AS ulo, umin + span // 2 - 1 AS uhi
+            FROM bounds
+        ),
+        zsrc AS (
+            SELECT e.event_id, e.user_id, e.ts, {zkey} AS zkey
+            FROM events e CROSS JOIN bounds
+        ),
+        uchunk AS (
+            SELECT *, NTILE({_Z_FILES}) OVER (ORDER BY user_id, event_id) AS c
+            FROM zsrc
+        ),
+        zchunk AS (
+            SELECT *, NTILE({_Z_FILES}) OVER (ORDER BY zkey, event_id) AS c
+            FROM zsrc
+        ),
+        ustat AS (SELECT c, MIN(user_id) umn, MAX(user_id) umx,
+                         MIN(ts) tmn, MAX(ts) tmx FROM uchunk GROUP BY c),
+        zstat AS (SELECT c, MIN(user_id) umn, MAX(user_id) umx,
+                         MIN(ts) tmn, MAX(ts) tmx FROM zchunk GROUP BY c),
+        counts AS (
+            SELECT 'user_band' AS predicate,
+                   (SELECT COUNT(*) FROM events, upred
+                    WHERE user_id BETWEEN ulo AND uhi) AS rows_selected
+            UNION ALL
+            SELECT 'time_band',
+                   (SELECT COUNT(*) FROM events WHERE {tpred})
+            UNION ALL
+            SELECT 'user_and_time',
+                   (SELECT COUNT(*) FROM events, upred
+                    WHERE user_id BETWEEN ulo AND uhi AND {tpred})
+        ),
+        reads AS (
+            SELECT 'user_clustered' AS layout, 'user_band' AS predicate,
+                   (SELECT COUNT(*) FROM ustat, upred
+                    WHERE umx >= ulo AND umn <= uhi) AS files_read
+            UNION ALL
+            SELECT 'user_clustered', 'time_band',
+                   (SELECT COUNT(*) FROM ustat WHERE {tfile})
+            UNION ALL
+            SELECT 'user_clustered', 'user_and_time',
+                   (SELECT COUNT(*) FROM ustat, upred
+                    WHERE umx >= ulo AND umn <= uhi AND {tfile})
+            UNION ALL
+            SELECT 'zordered', 'user_band',
+                   (SELECT COUNT(*) FROM zstat, upred
+                    WHERE umx >= ulo AND umn <= uhi)
+            UNION ALL
+            SELECT 'zordered', 'time_band',
+                   (SELECT COUNT(*) FROM zstat WHERE {tfile})
+            UNION ALL
+            SELECT 'zordered', 'user_and_time',
+                   (SELECT COUNT(*) FROM zstat, upred
+                    WHERE umx >= ulo AND umn <= uhi AND {tfile})
+        )
+        SELECT r.layout, r.predicate,
+               {_Z_FILES} AS files_total,
+               CAST(r.files_read AS INT) AS files_read,
+               {_Z_FILES} - CAST(r.files_read AS INT) AS files_skipped,
+               c.rows_selected
+        FROM reads r JOIN counts c ON r.predicate = c.predicate
+    """
+
+
 ORACLE = {
+    "zorder_clustering_report": _zorder_oracle_sql(),
     "merge_upsert_events": f"""
         WITH src AS (
             SELECT event_id, event_type, value * 2 AS value
