@@ -308,6 +308,31 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X10 robustness: malformed-JSON rescue (PERMISSIVE ingest) ---------------
+def props_malformed_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest robustness for the JSON properties column: 10% of rows are
+    deterministically corrupted (closing brace dropped — hash-selected, so
+    both engines corrupt the same rows), then parsed with ``from_json``,
+    whose PERMISSIVE null-on-malformed is the rescue contract (Iceberg/
+    Spark pipelines quarantine these rows rather than failing the job).
+    Reports per-type parse failure counts and stats over the surviving
+    rows — the shape of a quarantine-and-continue ingest audit."""
+    ev = load(spark, sf_dir, "events")
+    corrupt = F.expr("cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)") % 10 == 0
+    payload = F.when(
+        corrupt, F.expr("substring(props, 1, length(props) - 1)")
+    ).otherwise(F.col("props"))
+    m = F.from_json(payload, "map<string,string>")
+    k = m.getItem("k").cast("int")
+    return ev.select("event_type", m.alias("m"), k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("parse_failures"),
+        det_avg(F.col("k"), 4).alias("avg_k_rescued"),
+    )
+
+
 # --- A15: percentiles of value per type (exact; approx variant below) -------
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -429,6 +454,7 @@ QUERIES = {
     "hot_cold_union": hot_cold_union,
     "event_types_per_user": event_types_per_user,
     "props_json_stats": props_json_stats,
+    "props_malformed_rescue": props_malformed_rescue,
     "value_percentiles": value_percentiles,
     "events_last_week_interval": events_last_week_interval,
     "props_map_decode": props_map_decode,
@@ -618,6 +644,30 @@ ORACLE = {
                    AS event_types_csv,
                COUNT(DISTINCT event_type) AS n_event_types
         FROM events GROUP BY user_id
+    """,
+    "props_malformed_rescue": """
+        WITH corrupted AS (
+            SELECT event_type,
+                   CASE WHEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+                        THEN substring(props, 1, length(props) - 1)
+                        ELSE props END AS payload
+            FROM events
+        ),
+        parsed AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(payload) THEN payload END AS ok,
+                   CASE WHEN json_valid(payload)
+                        THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+                   END AS k
+            FROM corrupted
+        )
+        SELECT event_type,
+               COUNT(*) AS total_rows,
+               CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS parse_failures,
+               ROUND(CAST(SUM(CAST(k AS DECIMAL(28,8))) AS DOUBLE) / COUNT(k), 4)
+                   AS avg_k_rescued
+        FROM parsed GROUP BY event_type
     """,
     "props_json_stats": """
         SELECT event_type,
