@@ -148,7 +148,67 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 retrieval scoring ---------------------------------------------------
+BM25_QUERY = ["data", "join", "stream"]  # topic-filter query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the corpus for a fixed term query — the retrieval /
+    topic-filter scoring a curation pipeline runs to select in-domain
+    documents. Shapes: per-doc tf for the query terms only (map-side
+    explode+filter — the inverted-index posting scan), corpus stats (N,
+    avg len, per-term df) as one tiny broadcastable aggregate, score =
+    Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·len/avglen)). At 100 TB the per-term
+    df/idf table is a dictionary-sized broadcast and scoring stays
+    map-side; only the final top-k sorts (TakeOrderedAndProject)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(_toks()).alias("dl"), F.explode(_toks()).alias("t")
+    )
+    n_avg = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.size(_toks()).cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    hits = toks.filter(F.col("t").isin(*BM25_QUERY))
+    tf = hits.groupBy("doc_id", "dl", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = hits.select("t", "doc_id").distinct().groupBy("t").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(n_avg))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        # ≤|query| addends per doc, but decimal accumulation anyway: the sum
+        # stays partition-order independent (functions.det_sum rationale)
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,16)")).cast("double"), 6
+            ).alias("bm25")
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
 QUERIES = {
+    "doc_bm25_search": doc_bm25_search,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -157,6 +217,43 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_bm25_search": rf"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS t FROM base
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(len(toks) AS DECIMAL(28,8))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+            FROM base
+        ),
+        hits AS (
+            SELECT * FROM toks
+            WHERE t IN ({', '.join(f"'{w}'" for w in BM25_QUERY)})
+        ),
+        tf AS (
+            SELECT doc_id, dl, t, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3
+        ),
+        dft AS (
+            SELECT t, COUNT(*) AS df
+            FROM (SELECT DISTINCT t, doc_id FROM hits) GROUP BY t
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1))
+                   / (tf.tf + {BM25_K1}
+                      * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)) AS sc
+            FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(sc AS DECIMAL(28,16))) AS DOUBLE), 6) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+    """,
     "text_normalize": """
         SELECT doc_id,
                TRIM(regexp_replace(regexp_replace(lower(text),
