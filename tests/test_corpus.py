@@ -99,3 +99,24 @@ def test_hll_user_rollup_accuracy(spark, oracle):
         "SELECT COUNT(DISTINCT user_id) FROM events"
     ).fetchone()[0]
     assert rows["ALL"]["est_users"] == pytest.approx(true_total, rel=0.05)
+
+
+def test_approx_distinct_users_accuracy(spark, oracle):
+    """Rows-only gate backed by accuracy: HLL distinct estimate and
+    t-digest median within 5% of exact, per event_type."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.relational import (
+        approx_distinct_users,
+    )
+
+    got = {r["event_type"]: r for r in approx_distinct_users(spark, SF_DIR).collect()}
+    exact = {
+        t: (u, m)
+        for t, u, m in oracle.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id),"
+            " quantile_cont(value, 0.5) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for t, (users, median) in exact.items():
+        assert got[t]["approx_users"] == pytest.approx(users, rel=0.05), t
+        assert got[t]["approx_p50_value"] == pytest.approx(median, rel=0.05), t
