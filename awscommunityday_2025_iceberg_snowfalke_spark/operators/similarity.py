@@ -342,6 +342,92 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Lloyd's k-means (IVF coarse-quantizer training) -------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised IVF training: Lloyd's k-means over the embeddings, the
+    iterative-algorithm companion to ``connected_components``. Each round:
+    centroids (k×dim — collected to the driver, re-broadcast as literals)
+    → map-side argmin-L2 assignment (no join, no shuffle) → new means via
+    one groupBy(cell, pos) shuffle of (cell, pos, value) triples with
+    decimal accumulation (partition-order independent, so every round is
+    bit-deterministic). Init = the k lowest vec_ids (deterministic seed).
+    At 100 TB: assignment stays map-side per round because k×dim always
+    fits the plan; the mean shuffle carries dim·|corpus| scalars — the
+    same budget as one column-stats pass. Output: per-cell size and mean
+    within-cluster squared L2 (the training diagnostic). Rows-only gate;
+    the unit test replays the identical arithmetic in Python."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("e")).localCheckpoint(
+        eager=True
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in vecs.orderBy("vec_id").limit(KMEANS_K).collect()
+    ]
+    centroids = [c for _, c in cents]
+
+    def assign_df():
+        dist_cols = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ).alias(f"d{i}")
+            for i, c in enumerate(centroids)
+        ]
+        with_d = vecs.select("vec_id", "e", *dist_cols)
+        # argmin over k literal distance columns: least() + CASE chain —
+        # stays in codegen, no per-row array materialization
+        least = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
+        cell = F.lit(None).cast("int")
+        expr = None
+        for i in range(len(centroids)):
+            cond = F.col(f"d{i}") == least
+            expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+        return with_d.select(
+            "vec_id", "e", expr.alias("cell"), least.alias("d2")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign_df()
+        new_cents = (
+            assigned.select("cell", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                    / F.count("v")
+                ).alias("c")
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+            .orderBy("cell")
+            .collect()
+        )
+        by_cell = {int(r["cell"]): list(r["centroid"]) for r in new_cents}
+        # a cell can empty out: keep its previous centroid (standard Lloyd's)
+        centroids = [by_cell.get(i, centroids[i]) for i in range(KMEANS_K)]
+
+    final = assign_df()
+    return final.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sq_dist"),
+    )
+
+
 # --- int8 symmetric quantization (4× embedding storage cut) -----------------
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|x|/127,
@@ -460,6 +546,7 @@ QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_ivf_cosine": ann_ivf_cosine,
+    "kmeans_ivf_train": kmeans_ivf_train,
 }
 
 

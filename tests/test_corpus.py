@@ -120,3 +120,67 @@ def test_approx_distinct_users_accuracy(spark, oracle):
     for t, (users, median) in exact.items():
         assert got[t]["approx_users"] == pytest.approx(users, rel=0.05), t
         assert got[t]["approx_p50_value"] == pytest.approx(median, rel=0.05), t
+
+
+def test_kmeans_ivf_train_matches_python_replay(spark):
+    """Replay the identical Lloyd's iterations in plain Python (same init,
+    same left-fold distance arithmetic, same decimal means) and compare
+    cell sizes exactly + mean squared distances tightly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_ivf_train,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    tbl = tbl.sort_values("vec_id")
+    vecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for _, r in tbl.iterrows()
+    ]
+    cents = [v for _, v in vecs[:KMEANS_K]]
+
+    def d2(e, c):
+        acc = 0.0
+        for x, y in zip(e, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def assign():
+        out = []
+        for vid, e in vecs:
+            ds = [d2(e, c) for c in cents]
+            m = min(ds)
+            out.append((vid, e, ds.index(m), m))
+        return out
+
+    q = Decimal(1).scaleb(-12)
+    for _ in range(KMEANS_ITERS):
+        assigned = assign()
+        sums: dict = {}
+        for _, e, cell, _m in assigned:
+            s = sums.setdefault(cell, [Decimal(0)] * len(e) + [0])
+            for i, x in enumerate(e):
+                s[i] += Decimal(repr(x)).quantize(q, ROUND_HALF_UP)
+            s[-1] += 1
+        for cell, s in sums.items():
+            n = s[-1]
+            cents[cell] = [float(v) / n for v in s[:-1]]
+
+    final = assign()
+    expect: dict = {}
+    for _, _e, cell, m in final:
+        n, sd = expect.get(cell, (0, Decimal(0)))
+        expect[cell] = (n + 1, sd + Decimal(repr(m)).quantize(q, ROUND_HALF_UP))
+
+    got = {r["cell"]: r for r in kmeans_ivf_train(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for cell, (n, sd) in expect.items():
+        assert got[cell]["n_vectors"] == n, cell
+        assert got[cell]["mean_sq_dist"] == pytest.approx(
+            float(sd) / n, abs=1e-5
+        ), cell
