@@ -380,6 +380,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end dedup impact (the corpus-reduction report) -------------------
+def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup story composed end-to-end: shingle → MinHash/LSH →
+    verified pairs → connected components → keep one canonical doc per
+    cluster — reported as per-language corpus reduction (docs and chars
+    kept vs removed), i.e. the number a training-data pipeline actually
+    publishes after a dedup pass."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    return (
+        docs.join(clusters, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("kept_docs"),
+            F.sum(F.when(F.col("is_canonical"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+            F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias(
+                "removed_docs"
+            ),
+        )
+    )
+
+
 # --- SimHash (32-bit) -------------------------------------------------------
 def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash over distinct tokens: portable token hash →
@@ -420,6 +445,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_corpus_summary": dedup_corpus_summary,
     "simhash32": simhash32,
 }
 
@@ -555,5 +581,18 @@ ORACLE = {
     """,
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "dedup_clusters": _duck_clusters_sql(),
+    "dedup_corpus_summary": f"""
+        SELECT d.lang,
+               COUNT(*) AS total_docs,
+               CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS kept_docs,
+               CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN d.n_chars ELSE 0 END)
+                   AS BIGINT) AS kept_chars,
+               CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 0 ELSE 1 END)
+                   AS BIGINT) AS removed_docs
+        FROM ({_duck_clusters_sql()}) c
+        JOIN documents d ON c.doc_id = d.doc_id
+        GROUP BY d.lang
+    """,
     "simhash32": _duck_simhash_sql(),
 }
