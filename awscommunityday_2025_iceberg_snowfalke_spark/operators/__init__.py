@@ -29,7 +29,7 @@ def _modules():
         textstats,
         tpch,
     )
-    from ..sources import writers
+    from ..sources import pyds, writers
     from ..streaming import jobs as streaming_jobs
     from .. import governance, mv, plans, scale
 
@@ -48,6 +48,7 @@ def _modules():
         governance,
         streaming_jobs,
         writers,
+        pyds,
         mv,
         scale,
         plans,

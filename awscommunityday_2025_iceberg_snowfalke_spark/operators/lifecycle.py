@@ -41,16 +41,20 @@ class SnapshotTable:
     atomic commit point (os.rename), mirroring Iceberg's pointer swap
     (P:205-224)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession | None, path: str):
+        """``spark`` may be None for metadata-only use (manifest/footer
+        walks) — e.g. from the Python DataSource planner, which runs
+        without a session handle."""
         self.spark = spark
         self.path = path
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         # Spark's default INT96 timestamps carry NO footer min/max stats —
         # write micros (what Iceberg mandates) so file skipping can work
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
+        if spark is not None:
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
 
     # -- metadata ------------------------------------------------------------
     def _snapshot_files(self) -> list[str]:

@@ -58,6 +58,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # driver testdata writes TIMESTAMP(NANOS); see sources.registry.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (sources.pyds file pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

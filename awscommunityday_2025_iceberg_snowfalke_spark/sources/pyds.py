@@ -1,0 +1,263 @@
+"""Python DataSource (Spark 4 DataSource API): the snapshot table as a
+first-class ``spark.read.format("snapshot")`` source.
+
+This is the DataSource-V2 face of ``operators.lifecycle.SnapshotTable`` —
+the reference reads its Iceberg tables through an engine-integrated table
+format (SURVEY §2.1 S5); this source gives our snapshot layer the same
+integration, through Spark's public Python DataSource API:
+
+- **schema** inferred from the current snapshot's Parquet footer (the
+  ``INFER_SCHEMA`` external-table behavior, performance_comparison.sql:14-21);
+- **split planning** = one ``InputPartition`` per manifest data file —
+  the scan parallelizes across files exactly as Iceberg plans splits;
+- **filter pushdown** (``pushFilters``): comparison predicates prune whole
+  files against footer min/max stats before any data read — Iceberg's
+  manifest-stats planning walk (aws-community-builders-presentation.md:
+  247-258) running *inside* the source. All filters are also returned as
+  unhandled so Spark re-applies them row-level (pruning is an
+  optimization, never a semantics change);
+- **time travel** via ``option("version", N)`` / ``option("asOf", ts)``
+  (T4 — ``VERSION AS OF`` / ``TIMESTAMP AS OF``);
+- **reads** stream Arrow record batches (the vectorized path, no
+  row-by-row Python).
+
+Register once per session with :func:`register`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+FORMAT_NAME = "snapshot"
+
+
+def register(spark) -> None:
+    """Register the ``snapshot`` format on this session (idempotent).
+
+    - Enables Python-datasource filter pushdown (runtime SQL conf,
+      default-off in Spark 4.1) — without it Spark refuses a reader that
+      implements ``pushFilters``.
+    - Registers THIS module for cloudpickle by-value serialization: the
+      DataSource class is unpickled in Spark's plan-time Python runner and
+      in executor workers, which do not inherit the driver's sys.path —
+      by-value shipping makes the source work from any session (the
+      external driver's vanilla session included) with no PYTHONPATH
+      arrangement. Everything the shipped code touches is stdlib/
+      pyarrow/pyspark, importable everywhere.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+
+
+def _resolve_files(path: str, options) -> list[str]:
+    """Manifest walk (inline — the serialized planner code must not import
+    this package): pick the snapshot version from ``version``/``asof``
+    options, return its data-file paths. Mirrors
+    ``operators.lifecycle.SnapshotTable`` exactly."""
+    import json
+
+    snap_dir = os.path.join(path, "snapshots")
+    snaps = sorted(
+        (f for f in os.listdir(snap_dir) if f.endswith(".json")),
+        key=lambda f: int(f[1:-5]),
+    )
+    if not snaps:
+        raise ValueError(f"no snapshots under {path}")
+
+    def manifest(v: int) -> dict:
+        with open(os.path.join(snap_dir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    version = None
+    if options.get("version") is not None:
+        version = int(options["version"])
+    elif options.get("asof") is not None:
+        as_of = float(options["asof"])
+        versions = [
+            m["version"]
+            for m in (manifest(int(f[1:-5])) for f in snaps)
+            if m["timestamp"] <= as_of
+        ]
+        if not versions:
+            raise ValueError(f"no snapshot at or before {as_of}")
+        version = max(versions)
+    version = version or int(snaps[-1][1:-5])
+    return [os.path.join(path, "data", f) for f in manifest(version)["files"]]
+
+
+@dataclass
+class _FileSplit(InputPartition):
+    path: str
+
+
+def _footer_min_max(path: str, column: str):
+    """(min, max) for ``column`` from the file footer, or None if any row
+    group lacks stats (stat-less files must never be pruned)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if column not in md.schema.names:
+        return None
+    idx = md.schema.names.index(column)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+    return min(mins), max(maxs)
+
+
+def _file_survives(path: str, flt: Filter) -> bool:
+    """Footer-stats pruning decision for one comparison filter. Returns
+    True (keep the file) whenever the filter shape, the column, or the
+    value types are not safely comparable — pruning must be sound."""
+    if isinstance(flt, IsNotNull):
+        return True  # null-count pruning would need per-file row counts
+    if not isinstance(
+        flt, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+    ):
+        return True
+    if len(flt.attribute) != 1:  # nested column
+        return True
+    bounds = _footer_min_max(path, flt.attribute[0])
+    if bounds is None:
+        return True
+    lo, hi = bounds
+    v = flt.value
+    try:
+        if isinstance(flt, EqualTo):
+            return lo <= v <= hi
+        if isinstance(flt, GreaterThan):
+            return hi > v
+        if isinstance(flt, GreaterThanOrEqual):
+            return hi >= v
+        if isinstance(flt, LessThan):
+            return lo < v
+        return lo <= v
+    except TypeError:  # incomparable types (e.g. tz-aware vs naive)
+        return True
+
+
+class SnapshotReader(DataSourceReader):
+    def __init__(self, options):
+        self._files = _resolve_files(options["path"], options)
+
+    def pushFilters(self, filters):
+        kept = []
+        for path in self._files:
+            if all(_file_survives(path, f) for f in filters):
+                kept.append(path)
+        self._files = kept
+        # every filter is re-applied by Spark row-level: file pruning is
+        # a planning optimization, not filter ownership
+        return filters
+
+    def partitions(self):
+        return [_FileSplit(p) for p in self._files]
+
+    def read(self, partition: _FileSplit):
+        import pyarrow.parquet as pq
+
+        with pq.ParquetFile(partition.path) as f:
+            yield from f.iter_batches()
+
+
+class SnapshotDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = _resolve_files(self.options["path"], self.options)
+        if not files:
+            raise ValueError("empty snapshot table")
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def reader(self, schema) -> SnapshotReader:
+        return SnapshotReader(self.options)
+
+
+# --- driver-contract gate -----------------------------------------------------
+def pyds_snapshot_scan(spark, sf_dir: str):
+    """End-to-end through the registered format: build a 4-file snapshot
+    table clustered by user_id, read it back via
+    ``spark.read.format("snapshot")`` with a user_id range predicate —
+    Spark pushes the comparisons into ``pushFilters``, the source prunes
+    files on footer stats, Spark re-applies the filter row-level — then
+    aggregate per event_type. The oracle recomputes from the raw events,
+    so an unsound pruning decision surfaces as missing rows."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.lifecycle import SnapshotTable
+    from .registry import load
+
+    ev = load(spark, sf_dir, "events")
+    lo_hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    umin, umax = int(lo_hi[0]), int(lo_hi[1])
+    span = umax - umin + 1
+    ulo, uhi = umin + span // 4, umin + span // 2 - 1
+
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="pyds_"))
+    chunked = ev.withColumn(
+        "_c", F.ntile(4).over(Window.orderBy("user_id", "event_id"))
+    )
+    for c in (1, 2, 3, 4):
+        tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
+
+    register(spark)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", tbl.path)
+        .load()
+        .filter(F.col("user_id").between(ulo, uhi))
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+QUERIES = {"pyds_snapshot_scan": pyds_snapshot_scan}
+
+ORACLE = {
+    "pyds_snapshot_scan": """
+        WITH bounds AS (
+            SELECT MIN(user_id) AS umin,
+                   MAX(user_id) - MIN(user_id) + 1 AS span
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events, bounds
+        WHERE user_id BETWEEN umin + span // 4 AND umin + span // 2 - 1
+        GROUP BY event_type
+    """,
+}

@@ -138,3 +138,77 @@ def test_generator_events_schema_and_domains(spark):
     prof = generate_user_profiles(spark, 500)
     assert prof.count() == 500
     assert prof.columns == ["user_id", "name", "email", "region", "created_at"]
+
+
+def test_pyds_snapshot_source_roundtrip_and_time_travel(spark, tmp_path):
+    """format("snapshot") must read exactly what SnapshotTable holds, and
+    option("version") must time-travel."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        SnapshotTable,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources import pyds
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(ev.filter(F.col("event_id") % 2 == 0), n_files=2)
+    t.append(ev.filter(F.col("event_id") % 2 == 1), n_files=2)
+
+    pyds.register(spark)
+    cur = spark.read.format("snapshot").option("path", t.path).load()
+    assert cur.count() == ev.count()
+    assert set(cur.columns) == {"event_id", "user_id", "value"}
+    v1 = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("version", 1)
+        .load()
+    )
+    assert v1.count() == ev.filter(F.col("event_id") % 2 == 0).count()
+
+
+def test_pyds_pushdown_prunes_files(spark, tmp_path):
+    """pushFilters must drop files whose footer [min,max] cannot match,
+    and never drop files for unsupported filter shapes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+        StringContains,
+    )
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        SnapshotTable,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.pyds import (
+        SnapshotReader,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    chunked = ev.withColumn(
+        "_c", F.ntile(4).over(Window.orderBy("user_id", "event_id"))
+    )
+    for c in (1, 2, 3, 4):
+        t.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
+
+    lo_hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    umin, umax = int(lo_hi[0]), int(lo_hi[1])
+    mid = (umin + umax) // 2
+
+    r = SnapshotReader({"path": t.path})
+    assert len(r.partitions()) == 4
+    unhandled = r.pushFilters(
+        [GreaterThanOrEqual(("user_id",), mid), LessThanOrEqual(("user_id",), mid)]
+    )
+    assert len(list(unhandled)) == 2  # source never claims filter ownership
+    assert 1 <= len(r.partitions()) <= 2  # point-ish lookup hits 1-2 of 4 files
+
+    # unsupported shapes must not prune
+    r2 = SnapshotReader({"path": t.path})
+    r2.pushFilters([StringContains(("event_type",), "click")])
+    assert len(r2.partitions()) == 4
