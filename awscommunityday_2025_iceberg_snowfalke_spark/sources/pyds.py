@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -183,6 +184,68 @@ class SnapshotReader(DataSourceReader):
             yield from f.iter_batches()
 
 
+def _all_commits(path: str) -> list[dict]:
+    """Every commit manifest, oldest first."""
+    import json
+
+    snap_dir = os.path.join(path, "snapshots")
+    out = []
+    for f in sorted(
+        (f for f in os.listdir(snap_dir) if f.endswith(".json")),
+        key=lambda f: int(f[1:-5]),
+    ):
+        with open(os.path.join(snap_dir, f)) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Micro-batch stream of snapshot COMMITS (offset = snapshot version):
+    each batch reads exactly the data files added by append commits in
+    (start, end] — the Iceberg incremental append scan, so a downstream
+    streaming query processes every ingested row exactly once across
+    restarts (offsets live in the sink's checkpoint)."""
+
+    def __init__(self, options):
+        self._path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        commits = _all_commits(self._path)
+        return {"version": commits[-1]["version"] if commits else 0}
+
+    def partitions(self, start: dict, end: dict):
+        # `prev` accumulates across ALL commits (a compaction's rewritten
+        # file must not look "added" by the next append — its rows already
+        # streamed from the original files); only append commits in
+        # (start, end] contribute splits. Iceberg's incremental append
+        # scan makes the same replace-vs-append distinction.
+        prev: set = set()
+        splits = []
+        for m in _all_commits(self._path):
+            added = [f for f in m["files"] if f not in prev]
+            prev.update(m["files"])
+            if (
+                m["operation"] == "append"
+                and start["version"] < m["version"] <= end["version"]
+            ):
+                splits.extend(
+                    _FileSplit(os.path.join(self._path, "data", f)) for f in added
+                )
+        return splits
+
+    def read(self, partition: _FileSplit):
+        import pyarrow.parquet as pq
+
+        with pq.ParquetFile(partition.path) as f:
+            yield from f.iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are tracked by the engine's checkpoint
+
+
 class SnapshotDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -200,6 +263,9 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema) -> SnapshotReader:
         return SnapshotReader(self.options)
+
+    def streamReader(self, schema) -> SnapshotStreamReader:
+        return SnapshotStreamReader(self.options)
 
 
 # --- driver-contract gate -----------------------------------------------------

@@ -212,3 +212,48 @@ def test_pyds_pushdown_prunes_files(spark, tmp_path):
     r2 = SnapshotReader({"path": t.path})
     r2.pushFilters([StringContains(("event_type",), "click")])
     assert len(r2.partitions()) == 4
+
+
+def test_pyds_stream_reads_commits_incrementally(spark, tmp_path):
+    """readStream over format("snapshot"): first availableNow run drains
+    all append commits; after one more append, a restarted run with the
+    same checkpoint processes ONLY the new commit (exactly-once). File
+    sink + shared checkpoint (the memory sink cannot recover)."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        SnapshotTable,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources import pyds
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(ev.filter(F.col("event_id") % 3 == 0), n_files=2)
+    t.append(ev.filter(F.col("event_id") % 3 == 1), n_files=2)
+
+    pyds.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    n1 = ev.filter(F.col("event_id") % 3 != 2).count()
+    assert drain().count() == n1
+
+    t.compact(target_files=1)  # non-append commit: must NOT replay rows
+    t.append(ev.filter(F.col("event_id") % 3 == 2), n_files=1)
+    # second run appends ONLY the new commit's rows to the sink
+    assert drain().count() == ev.count()
