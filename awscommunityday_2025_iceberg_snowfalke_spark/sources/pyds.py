@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -41,6 +42,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "snapshot"
@@ -246,6 +248,71 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets are tracked by the engine's checkpoint
 
 
+@dataclass
+class _FilesWritten(WriterCommitMessage):
+    files: list
+
+
+class SnapshotArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot")`` — each task streams its Arrow
+    batches into one data file (named with a uuid, invisible until
+    commit); the driver-side ``commit()`` writes the manifest in one
+    atomic rename. Exactly the two-phase Iceberg commit protocol
+    (P:205-224): data files first, metadata pointer swap last, so a
+    failed job leaves only unreferenced files for orphan GC. ``abort()``
+    deletes the task outputs eagerly."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self._path = path
+        self._overwrite = overwrite
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _FilesWritten(files=[])
+        name = f"{uuid.uuid4().hex[:12]}.parquet"
+        tbl = pa.Table.from_batches(batches)
+        pq.write_table(tbl, os.path.join(self._path, "data", name))
+        return _FilesWritten(files=[name])
+
+    def commit(self, messages):
+        import json
+        import time as _time
+
+        added = [f for m in messages if m is not None for f in m.files]
+        commits = _all_commits(self._path)
+        version = (commits[-1]["version"] + 1) if commits else 1
+        prev = [] if (self._overwrite or not commits) else commits[-1]["files"]
+        manifest = {
+            "version": version,
+            "operation": "overwrite" if self._overwrite else "append",
+            "timestamp": _time.time(),
+            "files": prev + added,
+        }
+        snap_dir = os.path.join(self._path, "snapshots")
+        tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))  # atomic
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(os.path.join(self._path, "data", f))
+                except OSError:
+                    pass
+
+
 class SnapshotDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -266,6 +333,9 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema) -> SnapshotStreamReader:
         return SnapshotStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> SnapshotArrowWriter:
+        return SnapshotArrowWriter(self.options["path"], overwrite)
 
 
 # --- driver-contract gate -----------------------------------------------------

@@ -257,3 +257,43 @@ def test_pyds_stream_reads_commits_incrementally(spark, tmp_path):
     t.append(ev.filter(F.col("event_id") % 3 == 2), n_files=1)
     # second run appends ONLY the new commit's rows to the sink
     assert drain().count() == ev.count()
+
+
+def test_pyds_write_append_roundtrip(spark, tmp_path):
+    """df.write.format("snapshot"): two appends commit as two snapshot
+    versions readable by both the format reader and SnapshotTable, with
+    time travel intact."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        SnapshotTable,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources import pyds
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    pyds.register(spark)
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "t")
+
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    half.write.format("snapshot").option("path", path).mode("append").save()
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    rest.write.format("snapshot").option("path", path).mode("append").save()
+
+    back = spark.read.format("snapshot").option("path", path).load()
+    assert back.count() == ev.count()
+    v1 = (
+        spark.read.format("snapshot").option("path", path).option("version", 1).load()
+    )
+    assert v1.count() == half.count()
+
+    t = SnapshotTable(spark, path)
+    assert [m["operation"] for m in t.history()] == ["append", "append"]
+    assert t.read().count() == ev.count()
+
+    # overwrite drops previous files from the new snapshot
+    half.write.format("snapshot").option("path", path).mode("overwrite").save()
+    assert (
+        spark.read.format("snapshot").option("path", path).load().count()
+        == half.count()
+    )
