@@ -76,6 +76,30 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RANGE-interval frame: trailing-hour event rate per user ------------------
+def rolling_1h_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (the value-based window family, vs the
+    row-count frames above): for every event, how many events the same
+    user produced in the trailing hour. Spark's rangeBetween needs a
+    numeric ordering column, so the frame runs over epoch seconds —
+    identical semantics to duckdb's ``RANGE INTERVAL 1 HOUR PRECEDING``
+    (micros truncate to whole seconds identically on both sides). Same
+    user_id exchange as every other per-user window — shares partitioning
+    at scale."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.expr("unix_seconds(ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", sec.alias("sec"))
+        .withColumn("events_last_hour", F.count(F.lit(1)).over(w))
+        .select("user_id", "event_id", "events_last_hour")
+    )
+
+
 # --- running (cumulative) total per user -------------------------------------
 def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -398,11 +422,21 @@ QUERIES = {
     "pivot_user_event_values": pivot_user_event_values,
     "hll_user_rollup": hll_user_rollup,
     "dq_expectations": dq_expectations,
+    "rolling_1h_event_count": rolling_1h_event_count,
 }
 
 _ROUND_VAL = "ROUND(CAST(CAST(value AS DECIMAL(28,8)) AS DOUBLE), 4)"
 
 ORACLE = {
+    "rolling_1h_event_count": """
+        SELECT user_id, event_id,
+               COUNT(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS events_last_hour
+        FROM events
+    """,
     "dq_expectations": """
         WITH viol AS (
             SELECT COUNT(*) AS total,
