@@ -94,6 +94,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         metrics = execution_metrics(df, executed=True)
         report[name] = {"seconds": timings[name], **metrics}
+        # (measured non-win: per-query gc.collect() to release dropped
+        # localCheckpoint blocks changed nothing — BENCH_ALL's late-query
+        # jitter is run-to-run system noise, not block accumulation)
 
     total = round(sum(timings.values()), 3)
     # full per-query engine-metrics report (RPT:286-329 parity artifact)
