@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
+from ..stage import stage
 
 _DEC = "decimal(28,8)"
 
@@ -390,10 +391,11 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id").alias("sk"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        # the materialized daily layer (sketch blobs); reused by both the
-        # per-day report and the merge — computed once
-        .localCheckpoint(eager=True)
     )
+    # the materialized daily layer (sketch blobs, binary parquet column);
+    # reused by both the per-day report and the merge — computed once,
+    # disk-staged (see stage.py) exactly like a real stored rollup layer
+    daily_sk = stage(daily_sk)
     per_day = daily_sk.select(
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
         F.hll_sketch_estimate("sk").alias("est_users"),

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
+from ..stage import discard, stage
 
 JACCARD_THRESHOLD = 0.10
 N_HASHES = 16
@@ -88,18 +89,20 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shset"),
         )
-        # eager checkpoint of the per-doc ARRAY form, before any explode.
-        # Ordering is load-bearing: exploding a column triggers Catalyst's
-        # InferFiltersFromGenerate, whose inferred `size(shset)>0` filter
-        # substitutes the whole shingle expression and gets pushed below
-        # the repartition exchange — i.e. the heavy compute lands on the
-        # narrow scan stage and runs 3x (filter, size, generator). Measured
-        # 8-10x regression at sf0.1. The RDD barrier here stops that push;
-        # size/explode below operate on materialized arrays (trivial). The
-        # checkpoint also feeds 3+ consumers (both join sides, minhash);
-        # a lazy .cache() would let concurrent jobs race to materialize it.
-        .localCheckpoint(eager=True)
     )
+    # eager disk staging of the per-doc ARRAY form, before any explode.
+    # Ordering is load-bearing: exploding a column triggers Catalyst's
+    # InferFiltersFromGenerate, whose inferred `size(shset)>0` filter
+    # substitutes the whole shingle expression and gets pushed below
+    # the repartition exchange — i.e. the heavy compute lands on the
+    # narrow scan stage and runs 3x (filter, size, generator). Measured
+    # 8-10x regression at sf0.1. A fresh parquet scan is a hard barrier
+    # that stops the push; size/explode below operate on materialized
+    # arrays (trivial). Staging also feeds 3+ consumers (both join sides,
+    # minhash) without racing, holds no executor memory for the session,
+    # and keeps fault tolerance (splits re-readable) — unlike the
+    # localCheckpoint it replaces (see stage.py).
+    sets = stage(sets)
     sh = (
         # `n` rides along with every shingle row, so Jaccard needs no
         # separate sizes aggregation and no join-back later (two joins +
@@ -264,8 +267,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)  # consumed twice: pruning + final join
     )
+    cand = stage(cand)  # consumed twice: pruning + final join
     # verify candidates with exact Jaccard — the shingle join runs only over
     # docs that appear in some candidate pair (semi-join pruning): at scale
     # the verify cost tracks |candidates|, not |corpus|²
@@ -313,31 +316,33 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     (``doc_a``, ``doc_b``). Every node starts labeled with its own id; each
     round every node takes the min of its own label and its neighbors'
     labels, until a fixpoint. Rounds are pure DataFrame join+groupBy
-    (shuffle keyed on id), checkpointed per round to cut lineage;
-    convergence is detected from the strictly decreasing global label sum
-    (one cheap agg per round, no join-back). Iterations needed = graph
-    diameter; a pathological chain would call for the large-star/
-    small-star variant (Kiveris et al., "Connected Components in
-    MapReduce"), same join shape. Returns (``id``, ``label``) with
-    label = min id of the component."""
-    edges = (
+    (shuffle keyed on id), disk-staged per round to cut lineage (bounded
+    at two rounds of files on disk — each round's staging is discarded
+    once the next is materialized); convergence is detected from the
+    strictly decreasing global label sum (one cheap agg per round, no
+    join-back). Iterations needed = graph diameter; a pathological chain
+    would call for the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce"), same join shape. Raises if the
+    fixpoint is not reached within ``_CC_MAX_ITERS`` rounds — exhausting
+    the budget without converging would silently split components whose
+    diameter exceeds it, corrupting every downstream dedup cluster.
+    Returns (``id``, ``label``) with label = min id of the component."""
+    edges = stage(  # reused every round
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)  # reused every round
     )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
-    )
+    labels = stage(nodes.select("id", F.col("id").alias("label")))
     prev_sum = None
+    converged = False
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        new_labels = stage(
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
@@ -345,14 +350,24 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        discard(labels)  # round N-1 staging; nothing references it anymore
+        labels = new_labels
         # min-label is monotonically non-increasing → the global sum strictly
         # decreases until the fixpoint; equal sums ⇒ converged
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {_CC_MAX_ITERS} "
+            "rounds (graph diameter exceeds the budget); labels would be "
+            "silently split. Raise _CC_MAX_ITERS or use the "
+            "large-star/small-star formulation for this graph."
+        )
+    discard(edges)
     return labels
 
 

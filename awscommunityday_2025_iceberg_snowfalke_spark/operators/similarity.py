@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
+from ..stage import stage
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -293,16 +294,16 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cell_cos"),
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    # checkpoint the rank-pruned assignment once: it feeds BOTH the cell
+    # disk-stage the rank-pruned assignment once: it feeds BOTH the cell
     # assignment and the probe list, and without materialization each branch
     # re-scans + re-scores the whole corpus (lineage recompute, no
     # cross-branch reuse). Kept rows = |corpus| × N_PROBE of (id, cell,
-    # vec) — executor-local; at 100 TB the corpus would instead be *stored*
-    # partitioned by cell and this pass disappears.
-    ranked = (
+    # vec) — on disk, not executor memory (see stage.py); at 100 TB the
+    # corpus would instead be *stored* partitioned by cell and this pass
+    # disappears.
+    ranked = stage(
         scored_cells.withColumn("cell_rank", F.row_number().over(w_cell))
         .filter(F.col("cell_rank") <= max(1, N_PROBE))
-        .localCheckpoint(eager=True)
     )
     assign = ranked.filter(F.col("cell_rank") == 1).select(
         "vec_id", "cell", "e", "ne"
@@ -361,9 +362,10 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster squared L2 (the training diagnostic). Rows-only gate;
     the unit test replays the identical arithmetic in Python."""
     emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _as_double("embedding").alias("e")).localCheckpoint(
-        eager=True
-    )
+    # disk-staged (not checkpointed): consumed by the driver collect for
+    # init plus one scan per Lloyd round — see stage.py for the residency
+    # and fault-tolerance rationale.
+    vecs = stage(emb.select("vec_id", _as_double("embedding").alias("e")))
     cents = [
         (int(r["vec_id"]), list(r["e"]))
         for r in vecs.orderBy("vec_id").limit(KMEANS_K).collect()
