@@ -33,25 +33,34 @@ def _modules():
     from ..streaming import jobs as streaming_jobs
     from .. import governance, mv, plans, scale
 
+    # Registration order is rotated per round: the driver's correctness gate
+    # samples the FIRST 50 entries of all_queries() in this order, so the
+    # front of the tuple decides which operators get driver-verified rows.
+    # r1-r4 front-loaded relational/snowsql/tpch (all driver-green by r04);
+    # r5 front-loads the LLM-pipeline extension surface — dedup(7),
+    # similarity(9), textstats(6), pipeline(10), temporal(2), multimodal(5),
+    # lifecycle(6), governance(2), writers(3) = exactly 50 — which had only
+    # local DuckDB-gate coverage until now. The local gate (tests/test_corpus)
+    # still checks ALL entries every round regardless of order.
     return (
-        relational,
-        snowsql,
-        tpch,
-        analytics,
-        pipeline,
-        temporal,
         dedup,
         similarity,
         textstats,
+        pipeline,
+        temporal,
         multimodal,
         lifecycle,
         governance,
-        streaming_jobs,
         writers,
+        streaming_jobs,
         pyds,
         mv,
         scale,
         plans,
+        analytics,
+        relational,
+        snowsql,
+        tpch,
     )
 
 

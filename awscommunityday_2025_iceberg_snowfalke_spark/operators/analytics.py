@@ -88,7 +88,7 @@ def rolling_1h_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id exchange as every other per-user window — shares partitioning
     at scale."""
     ev = load(spark, sf_dir, "events")
-    sec = F.expr("unix_seconds(ts)")
+    sec = F.expr("unix_seconds(CAST(ts AS TIMESTAMP))")  # NTZ-safe
     w = (
         Window.partitionBy("user_id")
         .orderBy("sec")

@@ -35,6 +35,21 @@ from ..functions import det_sum, det_sum_sql
 from ..sources.registry import CUTOFF_7D, load
 
 
+def _aware_utc(v):
+    """Normalize footer-stat timestamps to tz-aware UTC for comparisons.
+
+    Parquet written from LTZ data yields aware stats; NTZ-sourced data (the
+    driver's regenerated testdata before sources.registry normalization)
+    yields naive stats. Session TZ is pinned UTC, so naive == UTC — relabel
+    rather than convert. Non-datetime stats pass through untouched.
+    """
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return v.replace(tzinfo=_dt.timezone.utc)
+    return v
+
+
 class SnapshotTable:
     """Versioned Parquet table: ``<path>/data/*.parquet`` immutable files +
     ``<path>/snapshots/v<N>.json`` manifests. The manifest write is the
@@ -115,8 +130,8 @@ class SnapshotTable:
                 {
                     "file": f["file"],
                     # stat-less files (e.g. INT96 legacy data) must be read
-                    "min": None if missing else min(mins),
-                    "max": None if missing else max(maxs),
+                    "min": None if missing else _aware_utc(min(mins)),
+                    "max": None if missing else _aware_utc(max(maxs)),
                     "null_count": None if missing else nulls,
                 }
             )

@@ -154,9 +154,9 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     an Arrow-batched pandas UDF (numpy per batch, no per-row Python). A
     real extractor (CLIP embedding, mel spectrogram) replaces the
     histogram; the array<double> schema, batching, and downstream array
-    math stay identical. No SQL oracle (per-byte histograms aren't
-    reasonably SQL-expressible) → driver records the rows-only check;
-    exact values are unit-tested in tests/test_corpus.py."""
+    math stay identical. Full-value SQL oracle: DuckDB re-derives the
+    byte histogram from hex(payload) slices (see ORACLE); exact values
+    are additionally unit-tested vs numpy in tests/test_corpus.py."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
@@ -277,5 +277,43 @@ ORACLE = {
                octet_length(encode(text)) > {RESIZE_MAX_BYTES} AS was_resized
         FROM documents
     """,
-    # multimodal_byte_histogram: intentionally no oracle (rows-only check)
+    # Full-value oracle for the feature extractor: DuckDB re-derives the
+    # per-byte histogram from hex(blob) slices (no blob substring in this
+    # DuckDB build, so the whole payload is hexed once and sliced as
+    # varchar). count/n division is the identical IEEE op on both sides →
+    # bitwise-equal doubles (verified over the whole sf0.001 corpus vs
+    # numpy before landing).
+    "multimodal_byte_histogram": f"""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, n, unnest(range(1, n + 1)) AS i, h FROM b
+        ), vals AS (
+          SELECT doc_id, n,
+                 (strpos('0123456789ABCDEF',
+                         substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                         substr(h, CAST(2*i AS INT), 1)) - 1) AS v
+          FROM ex
+        ), counts AS (
+          SELECT doc_id, n, v // {256 // N_BUCKETS} AS bucket, COUNT(*) AS c
+          FROM vals GROUP BY 1, 2, 3
+        ), spine AS (
+          SELECT doc_id, n, unnest(range({N_BUCKETS})) AS bucket FROM b
+        ), filled AS (
+          SELECT s.doc_id, s.n, s.bucket, COALESCE(c.c, 0) AS c
+          FROM spine s
+          LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+        )
+        SELECT doc_id,
+               list(CASE WHEN n = 0 THEN 0.0
+                         ELSE CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END
+                    ORDER BY bucket) AS features,
+               ROUND(CAST(SUM(CASE WHEN n = 0 THEN 0.0
+                                   ELSE CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                              END) AS DOUBLE), 6) AS feature_sum
+        FROM filled GROUP BY doc_id, n
+    """,
 }

@@ -413,7 +413,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra exchanges (verified via plans.count_exchanges)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # cast→timestamp first: NTZ-safe (identity when ts is already LTZ)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(
         gap.isNull() | (gap > SESSION_GAP_HOURS * 3600), 1
     ).otherwise(0)

@@ -23,7 +23,7 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -87,7 +87,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     else:
         df = spark.read.parquet(path)
+    df = _normalize_ntz(df)
     per_session[key] = df
+    return df
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Coerce any TIMESTAMP_NTZ column to session-TZ TIMESTAMP (LTZ).
+
+    The driver's testdata has been regenerated with parquet ``timestamp[us]``
+    *without* the UTC-adjusted flag, which PySpark ≥3.4 infers as
+    TIMESTAMP_NTZ. NTZ breaks epoch casts, ``unix_seconds``, watermarks and
+    naive/aware footer-stat comparisons downstream. The session TZ is pinned
+    to UTC (session.py), so NTZ→LTZ is a value-identity relabel — DuckDB
+    oracles (which read the same parquet as naive timestamps) are unaffected.
+    Normalizing here, at the single load choke point, covers every queries()
+    entry regardless of which SparkSession (ours or the driver's) runs it.
+    """
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -19,8 +19,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file source wants a directory/glob, not a bare file path
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # same NTZ→LTZ relabel as sources.registry.load (session TZ = UTC,
+        # value identity); watermarks/epoch casts require TIMESTAMP proper
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -115,7 +120,9 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = _events_stream(spark, sf_dir).select(
-        "user_id", (F.col("ts").cast("long")).alias("epoch")
+        # double cast is NTZ-safe: NTZ→TIMESTAMP is session-TZ relabel
+        # (identity under pinned UTC), TIMESTAMP→BIGINT is epoch seconds
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("epoch")
     )
 
     def update_sessions(key, pdf_iter, state: GroupState):

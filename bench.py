@@ -83,14 +83,22 @@ def main() -> None:
             pass  # warm-up is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     report: dict[str, dict] = {}
     for name in names:
         # RPT:32-50 methodology: the timed window brackets plan + execute +
         # fetch; engine metrics are pulled AFTER timing via a separate call
         # (Snowflake: a second query_history lookup by query_id).
+        # Fault-isolated per query: one broken query must never zero out the
+        # whole round's bench data (the r04 failure mode).
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.collect()
+        try:
+            df = queries[name](spark, sf_dir)
+            df.collect()
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            report[name] = {"err": errors[name]}
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         metrics = execution_metrics(df, executed=True)
         report[name] = {"seconds": timings[name], **metrics}
@@ -106,17 +114,16 @@ def main() -> None:
     ) as fh:
         json.dump({"sf": sf_dir, "total_sec": total, "queries": report}, fh, indent=2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
-            }
-        )
-    )
+    line = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
+    }
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
