@@ -15,8 +15,15 @@ from pyspark.sql import functions as F
 
 __all__ = ["det_avg", "det_sum", "det_avg_sql", "det_sum_sql", "mask_unless"]
 
-_DEC = "decimal(28,8)"
-_DEC_SQL = "DECIMAL(28,8)"
+# 18 digits keeps Spark's Decimal on its long-backed fast path (beyond 18
+# the per-row cast allocates JVM BigDecimals — measured ~1.4x slower on
+# q1's 7-aggregate pass at sf0.1). Scale 8 + 10 integral digits covers
+# every money/value column in the schema (|x| < 1e10); the SUM buffer
+# auto-widens (Spark → decimal(28,8), duckdb → DECIMAL(38,8)) so no
+# overflow at any corpus size. Both engines cast per-row at (18,8) →
+# values stay bit-identical.
+_DEC = "decimal(18,8)"
+_DEC_SQL = "DECIMAL(18,8)"
 
 
 def det_avg(col: str | Column, scale: int = 4) -> Column:

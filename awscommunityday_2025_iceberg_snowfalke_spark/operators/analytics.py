@@ -379,11 +379,12 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcounts), but sketches compose associatively, so a materialized
     daily layer answers any date-range distinct query by merging ~30
     sketch blobs instead of rescanning the month. Estimates are
-    engine-specific → rows-only gate; tests assert ≤5% relative error vs
-    exact.
-
-    Output: one row per day (sketch estimate + exact for reference) plus
-    an 'ALL' row whose estimate comes purely from the sketch union."""
+    engine-specific, so the gate row carries exact counts (oracle-checkable)
+    plus an in-engine ``est_ok`` boolean asserting the sketch estimate is
+    within 5% of exact — including for the 'ALL' row, whose estimate comes
+    purely from merging the stored daily sketches. The exact month-wide
+    distinct (one extra scan) exists for the gate only; production answers
+    range queries from the sketch layer alone."""
     ev = load(spark, sf_dir, "events")
     daily_sk = (
         ev.groupBy(F.to_date("ts").alias("event_date"))
@@ -398,13 +399,24 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_sk = stage(daily_sk)
     per_day = daily_sk.select(
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_ok"),
     )
-    total = daily_sk.agg(
-        F.lit("ALL").alias("event_date"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-        F.lit(None).cast("long").alias("exact_users"),
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = (
+        daily_sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(exact_total))  # two 1-row sides
+        .select(
+            F.lit("ALL").alias("event_date"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_ok"),
+        )
     )
     return per_day.unionByName(total)
 
@@ -619,5 +631,16 @@ ORACLE = {
                    AS view_value
         FROM events
         GROUP BY user_id
+    """,
+    # sketch estimates are engine-specific; the gate checks the exact
+    # distincts plus the in-engine ≤5% accuracy boolean (TRUE expected)
+    "hll_user_rollup": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS est_ok
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+        FROM events
     """,
 }

@@ -50,6 +50,22 @@ def _aware_utc(v):
     return v
 
 
+def make_table(spark: SparkSession, prefix: str):
+    """Backend factory for the lifecycle fixture tables: a real Iceberg
+    catalog table when the flag-gated runtime is present
+    (sources/iceberg.py, ``SPARK_GRAFT_ICEBERG_JAR``), else the
+    parquet-native snapshot layer. Both expose the same append/read/
+    time-travel/history/files/file_stats/plan_scan surface, so every
+    lifecycle query name runs unchanged against either backend."""
+    from ..sources import iceberg as _ice
+
+    if _ice.enabled(spark):
+        return _ice.IcebergTable(
+            spark, f"{prefix.rstrip('_')}_{uuid.uuid4().hex[:8]}"
+        )
+    return SnapshotTable(spark, tempfile.mkdtemp(prefix=prefix))
+
+
 class SnapshotTable:
     """Versioned Parquet table: ``<path>/data/*.parquet`` immutable files +
     ``<path>/snapshots/v<N>.json`` manifests. The manifest write is the
@@ -159,8 +175,13 @@ class SnapshotTable:
         return self.spark.read.parquet(*paths)
 
     # -- commits -------------------------------------------------------------
-    def _commit(self, files: list[str], operation: str) -> int:
-        version = self.current_version + 1
+    def _try_commit(self, version: int, files: list[str], operation: str) -> bool:
+        """Compare-and-swap commit attempt: exclusively create
+        ``v<version>.json``. ``os.link`` (unlike ``os.rename``) fails with
+        FileExistsError when the target exists, so of two writers racing to
+        commit the same version exactly one wins — the filesystem is the
+        arbiter, same role as Iceberg's atomic catalog pointer swap
+        (P:205-224). The loser re-bases and retries (see ``append``)."""
         manifest = {
             "version": version,
             "operation": operation,
@@ -168,11 +189,27 @@ class SnapshotTable:
             "files": files,
         }
         snap_dir = os.path.join(self.path, "snapshots")
-        tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
+        tmp = os.path.join(snap_dir, f".commit-{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))  # atomic
-        return version
+        try:
+            os.link(tmp, os.path.join(snap_dir, f"v{version}.json"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit(self, files: list[str], operation: str) -> int:
+        """Commit a complete file list (overwrite/merge/compact paths whose
+        result does not depend on the base file list): retry on version
+        collision with the next version number — last writer wins, which is
+        the correct semantic for a full replace. Read-modify-write appends
+        go through ``append``'s re-base loop instead."""
+        while True:
+            version = self.current_version + 1
+            if self._try_commit(version, files, operation):
+                return version
 
     def _write_files(self, df: DataFrame, n_files: int | None) -> list[str]:
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
@@ -191,9 +228,19 @@ class SnapshotTable:
         return added
 
     def append(self, df: DataFrame, n_files: int | None = None) -> int:
-        """T1: atomic append (Iceberg: ``writeTo(t).append()``)."""
-        prev = self._manifest(self.current_version)["files"] if self.current_version else []
-        return self._commit(prev + self._write_files(df, n_files), "append")
+        """T1: atomic concurrent-safe append (Iceberg: ``writeTo(t)
+        .append()``). Data files are written once; the manifest commit is a
+        CAS loop: read the current version, propose base+1 with (base files
+        + our files), and if another writer took that version first, re-read
+        the new base and retry with its file list — no committed file is
+        ever dropped (the lost-update hazard of a plain read-modify-write).
+        Exercised by the two-writer test in tests/test_lifecycle.py."""
+        added = self._write_files(df, n_files)
+        while True:
+            base = self.current_version
+            prev = self._manifest(base)["files"] if base else []
+            if self._try_commit(base + 1, prev + added, "append"):
+                return base + 1
 
     def overwrite(self, df: DataFrame, n_files: int | None = None) -> int:
         """Full-table replace (Iceberg: ``writeTo(t).overwritePartitions()``)."""
@@ -288,7 +335,7 @@ def lifecycle_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACID append + time travel + compaction in one deterministic check."""
     ev = load(spark, sf_dir, "events")
     cut = F.to_timestamp(F.lit(CUTOFF_7D))
-    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="snaptbl_"))
+    tbl = make_table(spark, "snaptbl_")
     tbl.append(ev.filter(F.col("ts") < cut), n_files=8)
     tbl.append(ev.filter(F.col("ts") >= cut), n_files=8)
     tbl.compact(target_files=1)
@@ -314,7 +361,7 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     cold_cut = F.to_timestamp(F.lit(CUTOFF_7D))
     src_cut = F.to_timestamp(F.lit(_MERGE_CUT))
-    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="mergetbl_"))
+    tbl = make_table(spark, "mergetbl_")
     tbl.append(ev.filter(F.col("ts") < cold_cut), n_files=8)
     source = ev.filter(F.col("ts") >= src_cut).withColumn(
         "value", F.col("value") * 2
@@ -340,7 +387,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     evolved column NULL for pre-evolution rows."""
     ev = load(spark, sf_dir, "events")
     cut = F.to_timestamp(F.lit(CUTOFF_7D))
-    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="evolve_"))
+    tbl = make_table(spark, "evolve_")
     tbl.append(ev.filter(F.col("ts") < cut), n_files=4)
     evolved = ev.filter(F.col("ts") >= cut).withColumn(
         "user_agent", F.concat(F.lit("agent_"), (F.col("user_id") % 3).cast("string"))
@@ -363,18 +410,28 @@ _SKIP_HI = "2024-01-15 00:00:00"
 
 def file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's scan-planning walk (aws-community-builders-
-    presentation.md:247-258): write events as 4 ts-ordered files, plan a
+    presentation.md:247-258): write events as 4 time-range files, plan a
     ts-range scan from footer min/max stats alone, then read ONLY the
     selected files. Reports file decisions + the pruned-read row count —
-    the oracle recomputes both from NTILE(4) chunk bounds, so a pruning
-    bug that skips a needed file shows up as a row-count mismatch."""
-    from pyspark.sql import Window
+    the oracle recomputes both from the same day-bucket bounds, so a
+    pruning bug that skips a needed file shows up as a row-count mismatch.
 
+    Chunking is a map-side day-range bucket (quarters of the data's fixed
+    30-day window) — a pure projection expression, unlike the previous
+    NTILE over an unpartitioned global Window, which forced a
+    single-partition sort of the corpus (fine at sf0.1, a scale-killer at
+    100x). Real compaction chunks the same way: by value range, not by
+    global row position."""
     ev = load(spark, sf_dir, "events")
-    chunk = F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    chunk = F.expr(
+        "(datediff(CAST(ts AS DATE), DATE '2024-01-01') * 4) DIV 30"
+    )
     chunked = ev.withColumn("_c", chunk)
-    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="skiptbl_"))
-    for c in (1, 2, 3, 4):
+    tbl = make_table(spark, "skiptbl_")
+    present = sorted(
+        r[0] for r in chunked.select("_c").distinct().collect()
+    )
+    for c in present:
         tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
 
     import datetime as _dt
@@ -397,28 +454,38 @@ def file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- clustering payoff: skipping before vs after sorted compaction (T8) -----
 def clustering_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write events time-ordered (v1), then sort-compact by user_id (v2);
-    plan the same user_id-range scan against both layouts. Time-ordered
+    """Write events time-clustered (v1), then user-range-clustered (v2);
+    plan the same user_id-range scan against both layouts. Time-clustered
     files all span the full user space (0 skipped); range-clustered files
     own disjoint user ranges (most skipped) — the z-order/T8 payoff
     (P:306), quantified from footer stats alone. Row counts from both
-    pruned reads must equal the full filter — the oracle's check."""
-    from pyspark.sql import Window
+    pruned reads must equal the full filter — the oracle's check.
 
+    Both layouts chunk by map-side value-range buckets (day quarter /
+    user-id quarter) — pure projection expressions with exact SQL twins,
+    replacing the NTILE-over-global-Window chunking whose single-partition
+    sort cannot survive 100x. (``compact(sort_by=...)``'s production path
+    is ``repartitionByRange``, whose sampled boundaries aren't
+    SQL-reproducible — same layout shape, exact chunk bounds here.)"""
     ev = load(spark, sf_dir, "events")
+    lo_hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    umin, umax = int(lo_hi[0]), int(lo_hi[1])
+    span = umax - umin + 1
     layouts = {
-        "time_ordered": F.ntile(4).over(Window.orderBy("ts", "event_id")),
-        # explicit deterministic user clustering (the compact(sort_by=...)
-        # production path uses repartitionByRange, whose sampled boundaries
-        # aren't SQL-reproducible — same layout shape, exact chunk bounds)
-        "user_clustered": F.ntile(4).over(Window.orderBy("user_id", "event_id")),
+        "time_ordered": F.expr(
+            "(datediff(CAST(ts AS DATE), DATE '2024-01-01') * 4) DIV 30"
+        ),
+        "user_clustered": F.expr(f"((user_id - {umin}) * 4) DIV {span}"),
     }
     lo, hi = 2, 4  # user_id range predicate
     rows = []
     for label, chunk in layouts.items():
-        tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix=f"clus_{label}_"))
+        tbl = make_table(spark, f"clus_{label}_")
         chunked = ev.withColumn("_c", chunk)
-        for c in (1, 2, 3, 4):
+        present = sorted(
+            r[0] for r in chunked.select("_c").distinct().collect()
+        )
+        for c in present:
             tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
         stats = tbl.file_stats("user_id")
         read = [
@@ -466,8 +533,10 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning), because each file owns a bounded box of the 2-D key space.
     Pruning uses per-file min/max of the RAW columns (user_id, ts) exactly
     as Iceberg manifests would; every pruned read must still return the
-    full predicate's row count — the oracle recomputes all of it from
-    NTILE chunk bounds."""
+    full predicate's row count — the oracle recomputes all of it from the
+    same key-range chunk bounds. Chunking is a map-side range bucket of
+    the layout key (user-id sixteenths paired into 8 files / z-key
+    eighths) — no NTILE-over-global-Window single-partition sort."""
     import datetime as _dt
 
     ev = load(spark, sf_dir, "events")
@@ -490,18 +559,21 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_and_time": (True, True),
     }
     layouts = {
-        "user_clustered": ["user_id", "event_id"],
-        "zordered": ["zkey", "event_id"],
+        # user-id sixteenths (the ub bucket) paired into _Z_FILES files;
+        # z-key value range split into _Z_FILES equal eighths — both pure
+        # map-side projections of the layout key
+        "user_clustered": F.expr(f"({ub}) DIV {16 // _Z_FILES}"),
+        "zordered": F.expr(f"zkey DIV {256 // _Z_FILES}"),
     }
-    from pyspark.sql import Window
 
     rows = []
-    for layout, order_cols in layouts.items():
-        tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix=f"zord_{layout}_"))
-        chunked = base.withColumn(
-            "_c", F.ntile(_Z_FILES).over(Window.orderBy(*order_cols))
+    for layout, chunk in layouts.items():
+        tbl = make_table(spark, f"zord_{layout}_")
+        chunked = base.withColumn("_c", chunk)
+        present = sorted(
+            r[0] for r in chunked.select("_c").distinct().collect()
         )
-        for c in range(1, _Z_FILES + 1):
+        for c in present:
             tbl.append(
                 chunked.filter(F.col("_c") == c).select("event_id", "user_id", "ts"),
                 n_files=1,
@@ -528,7 +600,7 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cond = cond & (F.col("ts") >= F.lit(tlo)) & (F.col("ts") < F.lit(thi))
             n = sel.filter(cond).count() if sel is not None else 0
             rows.append(
-                (layout, pred, _Z_FILES, len(read), _Z_FILES - len(read), n)
+                (layout, pred, len(ustats), len(read), len(ustats) - len(read), n)
             )
     return spark.createDataFrame(
         rows,
@@ -571,11 +643,12 @@ def _zorder_oracle_sql() -> str:
             FROM events e CROSS JOIN bounds
         ),
         uchunk AS (
-            SELECT *, NTILE({_Z_FILES}) OVER (ORDER BY user_id, event_id) AS c
-            FROM zsrc
+            SELECT z.*, (((z.user_id - b.umin) * 16) // b.span)
+                            // {16 // _Z_FILES} AS c
+            FROM zsrc z CROSS JOIN bounds b
         ),
         zchunk AS (
-            SELECT *, NTILE({_Z_FILES}) OVER (ORDER BY zkey, event_id) AS c
+            SELECT *, zkey // {256 // _Z_FILES} AS c
             FROM zsrc
         ),
         ustat AS (SELECT c, MIN(user_id) umn, MAX(user_id) umx,
@@ -618,9 +691,15 @@ def _zorder_oracle_sql() -> str:
                     WHERE umx >= ulo AND umn <= uhi AND {tfile})
         )
         SELECT r.layout, r.predicate,
-               {_Z_FILES} AS files_total,
+               CAST(CASE WHEN r.layout = 'user_clustered'
+                         THEN (SELECT COUNT(*) FROM ustat)
+                         ELSE (SELECT COUNT(*) FROM zstat) END AS INT)
+                   AS files_total,
                CAST(r.files_read AS INT) AS files_read,
-               {_Z_FILES} - CAST(r.files_read AS INT) AS files_skipped,
+               CAST(CASE WHEN r.layout = 'user_clustered'
+                         THEN (SELECT COUNT(*) FROM ustat)
+                         ELSE (SELECT COUNT(*) FROM zstat) END AS INT)
+                   - CAST(r.files_read AS INT) AS files_skipped,
                c.rows_selected
         FROM reads r JOIN counts c ON r.predicate = c.predicate
     """
@@ -654,47 +733,58 @@ ORACLE = {
         SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
     """,
     "clustering_skipping_report": """
-        WITH layouts(layout, ord) AS (VALUES ('time_ordered', 0),
-                                             ('user_clustered', 1)),
+        WITH bounds AS (
+            SELECT MIN(user_id) AS umin,
+                   MAX(user_id) - MIN(user_id) + 1 AS span
+            FROM events
+        ),
         tchunk AS (
-            SELECT user_id, NTILE(4) OVER (ORDER BY ts, event_id) AS c
+            SELECT user_id,
+                   (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 4)
+                       // 30 AS c
             FROM events
         ),
         uchunk AS (
-            SELECT user_id, NTILE(4) OVER (ORDER BY user_id, event_id) AS c
-            FROM events
+            SELECT user_id, ((user_id - umin) * 4) // span AS c
+            FROM events CROSS JOIN bounds
         ),
         tb AS (SELECT c, MIN(user_id) mn, MAX(user_id) mx FROM tchunk GROUP BY c),
         ub AS (SELECT c, MIN(user_id) mn, MAX(user_id) mx FROM uchunk GROUP BY c),
         reads AS (
             SELECT 'time_ordered' AS layout,
+                   CAST((SELECT COUNT(*) FROM tb) AS INT) AS files_total,
                    CAST(COUNT(*) AS INT) AS files_read
             FROM tb WHERE mx >= 2 AND mn <= 4
             UNION ALL
             SELECT 'user_clustered',
+                   CAST((SELECT COUNT(*) FROM ub) AS INT),
                    CAST(COUNT(*) AS INT)
             FROM ub WHERE mx >= 2 AND mn <= 4
         )
         SELECT r.layout,
-               4 AS files_total,
+               r.files_total,
                r.files_read,
-               4 - r.files_read AS files_skipped,
+               r.files_total - r.files_read AS files_skipped,
                (SELECT COUNT(*) FROM events
                 WHERE user_id BETWEEN 2 AND 4) AS rows_selected
         FROM reads r
     """,
     "file_skipping_report": f"""
         WITH chunked AS (
-            SELECT ts, NTILE(4) OVER (ORDER BY ts, event_id) AS c FROM events
+            SELECT ts,
+                   (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 4)
+                       // 30 AS c
+            FROM events
         ),
         bounds AS (SELECT c, MIN(ts) AS mn, MAX(ts) AS mx FROM chunked GROUP BY c)
-        SELECT 4 AS files_total,
+        SELECT CAST((SELECT COUNT(*) FROM bounds) AS INT) AS files_total,
                CAST((SELECT COUNT(*) FROM bounds
                      WHERE mx >= TIMESTAMP '{_SKIP_LO}'
                        AND mn <= TIMESTAMP '{_SKIP_HI}') AS INT) AS files_read,
-               CAST(4 - (SELECT COUNT(*) FROM bounds
-                         WHERE mx >= TIMESTAMP '{_SKIP_LO}'
-                           AND mn <= TIMESTAMP '{_SKIP_HI}') AS INT)
+               CAST((SELECT COUNT(*) FROM bounds)
+                    - (SELECT COUNT(*) FROM bounds
+                       WHERE mx >= TIMESTAMP '{_SKIP_LO}'
+                         AND mn <= TIMESTAMP '{_SKIP_HI}') AS INT)
                    AS files_skipped,
                (SELECT COUNT(*) FROM events
                 WHERE ts >= TIMESTAMP '{_SKIP_LO}'

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
+from ..stage import stage
 
 SAMPLE_MOD = 5  # keep doc_id hash buckets ≡ 0 (deterministic ~20%)
 TOPK_WORDS = 50
@@ -89,6 +90,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sequence packing (token-budget bin assignment) ---------------------------
 PACK_BUDGET = 4096  # tokens per packed sequence
+PACK_SHARDS = 32  # parallel packing shards (≈ cluster parallelism)
 
 
 def pack_docs_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,21 +98,52 @@ def pack_docs_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenated in a deterministic order (doc_id) and split into
     fixed-token-budget bins — bin id = floor(exclusive-running-token-sum /
     budget), the streaming pack used when docs straddle bin boundaries.
-    One global-window cumulative sum here; at 100 TB packing runs
-    per-shard (hash docs → shards, pack inside each shard, bin id =
-    (shard, local bin)) so no global sort exists — the documented
-    hierarchical variant with the same in-shard plan. Output: per-bin fill
-    statistics (the packing-efficiency report)."""
+
+    Two-level (hierarchical) cumulative sum, so NO global single-partition
+    sort exists anywhere in the plan: docs are range-sharded on doc_id
+    (order-preserving), each shard computes its local exclusive running
+    sum in parallel (one hash exchange on the shard key), shard token
+    totals — PACK_SHARDS scalars — collect to the driver where the
+    exclusive shard-offset cumsum is computed, and the offsets re-enter
+    the plan as a literal map. global_running = local_running +
+    offset[shard], identical bin ids to the single-window formulation
+    (the duckdb oracle runs exactly that single-window SQL as the twin).
+    Here shard bounds come from min/max over dense doc_ids; a production
+    run on sparse keys would use approxQuantile bounds instead. Output:
+    per-bin fill statistics (the packing-efficiency report)."""
     docs = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    toks = docs.select("doc_id", n_tok.alias("n_tokens"))
+    # tokenized projection is consumed twice (shard totals + the in-shard
+    # window); stage it to disk so the scan+tokenize runs once (stage.py)
+    toks = stage(docs.select("doc_id", n_tok.alias("n_tokens")))
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(hi) - int(lo) + 1
+    n_shards = min(PACK_SHARDS, span)
+    sharded = toks.withColumn(
+        "shard",
+        F.expr(f"CAST(((doc_id - {int(lo)}) * {n_shards}) DIV {span} AS INT)"),
+    )
+    totals = sharded.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(totals, key=lambda r: r["shard"]):
+        offsets[int(r["shard"])] = run
+        run += int(r["t"])
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    global_excl = (
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        + F.element_at(off_map, F.col("shard"))
+    )
     # floor-division, NOT cast: duckdb CAST(double AS BIGINT) rounds while
     # Spark's cast truncates — floor() agrees in both engines
-    binned = toks.withColumn(
-        "bin_id",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET),
-    )
+    binned = sharded.withColumn("bin_id", F.floor(global_excl / PACK_BUDGET))
     return binned.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),

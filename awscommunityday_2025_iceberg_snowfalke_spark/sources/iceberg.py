@@ -1,0 +1,241 @@
+"""Flag-gated real-Iceberg backend (reference: terraform/snowflake.tf
+external Iceberg tables; aws-community-builders-presentation.md:180-258).
+
+The repo's default table layer is the parquet-native ``SnapshotTable``
+(operators/lifecycle.py) — manifests + footer stats + CAS commits, no
+external dependency. When a real ``iceberg-spark-runtime`` jar is
+available, the SAME lifecycle query names can run against a genuine
+Iceberg catalog through :class:`IcebergTable`, which mirrors the
+``SnapshotTable`` surface (append / overwrite / read / time-travel /
+history / files / compact / expire).
+
+Gating (no network in this environment, so the jar cannot be fetched):
+
+- ``SPARK_GRAFT_ICEBERG_JAR`` — path to a local
+  ``iceberg-spark-runtime-*.jar``. When set AND loadable, ``enabled()``
+  is True and ``operators.lifecycle.make_table`` returns IcebergTable.
+- otherwise everything falls back to the parquet-native layer; the
+  adapter code is still importable and unit-testable for its SQL strings.
+
+A session must be built with :func:`configure_builder` for the catalog
+to exist (Iceberg extensions cannot be injected into a running session).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+CATALOG = "graft"
+JAR_ENV = "SPARK_GRAFT_ICEBERG_JAR"
+
+
+def jar_path() -> str | None:
+    p = os.environ.get(JAR_ENV)
+    return p if p and os.path.exists(p) else None
+
+
+def runtime_loaded(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime classes are actually on the session's
+    JVM classpath (the only check that matters — a configured-but-absent
+    jar must fall back)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — JVM probe
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def enabled(spark: SparkSession | None = None) -> bool:
+    if jar_path() is None:
+        return False
+    return runtime_loaded(spark) if spark is not None else True
+
+
+def configure_builder(builder, warehouse: str | None = None):
+    """Add the Iceberg extension + a Hadoop-catalog to a SessionBuilder.
+    No-op when the jar is not provided, so callers can apply it
+    unconditionally."""
+    jar = jar_path()
+    if jar is None:
+        return builder
+    warehouse = warehouse or tempfile.mkdtemp(prefix="iceberg_wh_")
+    return (
+        builder.config("spark.jars", jar)
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config(
+            f"spark.sql.catalog.{CATALOG}",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        .config(f"spark.sql.catalog.{CATALOG}.type", "hadoop")
+        .config(f"spark.sql.catalog.{CATALOG}.warehouse", warehouse)
+    )
+
+
+class IcebergTable:
+    """``SnapshotTable``-shaped adapter over a real Iceberg table.
+
+    Matches the subset of the SnapshotTable surface the lifecycle
+    operators use, so ``make_table`` can swap backends under the same
+    query names. Snapshot identity differs (Iceberg snapshot ids are
+    random longs, not dense versions), so ``history()`` maps them to
+    1-based dense versions in commit order — same shape as the native
+    layer.
+    """
+
+    def __init__(self, spark: SparkSession, name: str):
+        if not runtime_loaded(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the session classpath; "
+                f"set {JAR_ENV} and build the session via configure_builder"
+            )
+        self.spark = spark
+        self.name = name  # bare table name inside the gated catalog
+        self.ident = f"{CATALOG}.db.{name}"
+
+    # -- commits -------------------------------------------------------------
+    def append(self, df: DataFrame, n_files: int | None = None) -> int:
+        if n_files:
+            df = df.repartition(n_files)
+        if self._exists():
+            df.writeTo(self.ident).append()
+        else:
+            df.writeTo(self.ident).create()
+        return self.current_version
+
+    def overwrite(self, df: DataFrame, n_files: int | None = None) -> int:
+        if n_files:
+            df = df.repartition(n_files)
+        df.writeTo(self.ident).createOrReplace()
+        return self.current_version
+
+    def merge(self, source: DataFrame, keys: list[str], n_files: int | None = None) -> int:
+        """MERGE INTO upsert — here it's Iceberg's own MERGE, not the
+        hand-rolled copy-on-write plan of the native layer."""
+        view = f"_merge_src_{self.name}"
+        source.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.spark.sql(
+            f"MERGE INTO {self.ident} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.current_version
+
+    def _exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.ident)
+
+    # -- reads ---------------------------------------------------------------
+    def read(
+        self, version: int | None = None, as_of: float | None = None
+    ) -> DataFrame:
+        if as_of is not None:
+            return self.spark.sql(
+                f"SELECT * FROM {self.ident} TIMESTAMP AS OF "
+                f"CAST({as_of} AS TIMESTAMP)"
+            )
+        if version is not None:
+            sid = self._snapshot_ids()[version - 1]
+            return self.spark.sql(
+                f"SELECT * FROM {self.ident} VERSION AS OF {sid}"
+            )
+        return self.spark.table(self.ident)
+
+    # -- metadata ------------------------------------------------------------
+    def _snapshot_ids(self) -> list[int]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.ident}.history "
+            "ORDER BY made_current_at"
+        ).collect()
+        return [int(r[0]) for r in rows]
+
+    @property
+    def current_version(self) -> int:
+        return len(self._snapshot_ids()) if self._exists() else 0
+
+    def history(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT h.snapshot_id, h.made_current_at, s.operation "
+            f"FROM {self.ident}.history h "
+            f"JOIN {self.ident}.snapshots s USING (snapshot_id) "
+            "ORDER BY h.made_current_at"
+        ).collect()
+        return [
+            {
+                "version": i + 1,
+                "operation": r["operation"],
+                "timestamp": r["made_current_at"].timestamp(),
+            }
+            for i, r in enumerate(rows)
+        ]
+
+    def files(self, version: int | None = None) -> list[dict]:
+        return [
+            {"file": r["file_path"], "bytes": int(r["file_size_in_bytes"])}
+            for r in self.spark.sql(
+                f"SELECT file_path, file_size_in_bytes FROM {self.ident}.files"
+            ).collect()
+        ]
+
+    def file_stats(self, column: str) -> list[dict]:
+        """Per-file min/max/nulls for ``column`` from Iceberg's own
+        manifest metrics (``.files.readable_metrics``) — the real version
+        of the footer walk the native layer does by hand."""
+        rows = self.spark.sql(
+            f"SELECT file_path, "
+            f"readable_metrics.`{column}`.lower_bound AS mn, "
+            f"readable_metrics.`{column}`.upper_bound AS mx, "
+            f"readable_metrics.`{column}`.null_value_count AS nulls "
+            f"FROM {self.ident}.files"
+        ).collect()
+        return [
+            {
+                "file": r["file_path"],
+                "min": r["mn"],
+                "max": r["mx"],
+                "null_count": None if r["nulls"] is None else int(r["nulls"]),
+            }
+            for r in rows
+        ]
+
+    def plan_scan(self, column: str, lo, hi) -> dict:
+        stats = self.file_stats(column)
+        read = [
+            s["file"]
+            for s in stats
+            if s["min"] is None or (s["max"] >= lo and s["min"] <= hi)
+        ]
+        return {
+            "files_total": len(stats),
+            "files_read": read,
+            "files_skipped": len(stats) - len(read),
+        }
+
+    def read_files(self, files: list[str]) -> DataFrame:
+        return self.spark.read.parquet(*files)
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, n_files: int = 1, sort_by: list[str] | None = None) -> int:
+        opts = f", strategy => 'sort', sort_order => '{','.join(sort_by)}'" \
+            if sort_by else ""
+        self.spark.sql(
+            f"CALL {CATALOG}.system.rewrite_data_files("
+            f"table => 'db.{self.name}'{opts})"
+        )
+        return self.current_version
+
+    def expire_snapshots(self, keep_last: int = 1) -> None:
+        ids = self._snapshot_ids()
+        if len(ids) <= keep_last:
+            return
+        self.spark.sql(
+            f"CALL {CATALOG}.system.expire_snapshots("
+            f"table => 'db.{self.name}', retain_last => {keep_last})"
+        )

@@ -349,7 +349,6 @@ def pyds_snapshot_scan(spark, sf_dir: str):
     so an unsound pruning decision surfaces as missing rows."""
     import tempfile
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..operators.lifecycle import SnapshotTable
@@ -362,10 +361,12 @@ def pyds_snapshot_scan(spark, sf_dir: str):
     ulo, uhi = umin + span // 4, umin + span // 2 - 1
 
     tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="pyds_"))
+    # map-side user-range bucketing (no NTILE-over-global-Window sort);
+    # the oracle filters raw events, so chunk bounds are free to differ
     chunked = ev.withColumn(
-        "_c", F.ntile(4).over(Window.orderBy("user_id", "event_id"))
+        "_c", F.expr(f"((user_id - {umin}) * 4) DIV {span}")
     )
-    for c in (1, 2, 3, 4):
+    for c in sorted(r[0] for r in chunked.select("_c").distinct().collect()):
         tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
 
     register(spark)

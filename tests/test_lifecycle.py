@@ -35,6 +35,52 @@ def test_append_and_time_travel(spark, events, tmp_path):
     assert t.read().count() == events.count()  # current == v2
 
 
+def test_concurrent_appends_lose_nothing(spark, events, tmp_path):
+    """T1 (P:111-121): two writers appending concurrently to the same table
+    must both land — the CAS manifest commit forces the loser of each
+    version race to re-base on the winner's file list, so no committed
+    file is ever dropped. Verifies commit count, final row count, and that
+    every appended data file is present in the final manifest."""
+    import threading
+
+    t_path = str(tmp_path / "t")
+    slices = {
+        w: [
+            events.filter((F.col("event_id") % 8) == (w * 4 + i)).cache()
+            for i in range(4)
+        ]
+        for w in (0, 1)
+    }
+    expected_rows = sum(df.count() for s in slices.values() for df in s)
+    errs = []
+
+    def writer(w):
+        try:
+            tbl = SnapshotTable(spark, t_path)  # one table handle per writer
+            for df in slices[w]:
+                tbl.append(df, n_files=1)
+        except Exception as exc:  # pragma: no cover - surfaced via errs
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    tbl = SnapshotTable(spark, t_path)
+    hist = tbl.history()
+    assert len(hist) == 8  # every append got its own committed version
+    assert all(m["operation"] == "append" for m in hist)
+    final_files = set(tbl._manifest(tbl.current_version)["files"])
+    on_disk = {f for f in os.listdir(os.path.join(t_path, "data"))}
+    assert final_files == on_disk  # no orphaned (lost) appends
+    assert tbl.read().count() == expected_rows
+    for df in (d for s in slices.values() for d in s):
+        df.unpersist()
+
+
 def test_time_travel_by_timestamp(spark, events, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(events.limit(10))

@@ -239,4 +239,19 @@ def test_hll_rollup_single_agg_exchange(spark):
     from awscommunityday_2025_iceberg_snowfalke_spark.operators import analytics
 
     df = analytics.hll_user_rollup(spark, SF_DIR)
-    assert shuffle_count(df) <= 2  # per-day agg + the ALL-row global reduce
+    # per-day agg + ALL-row global reduce + the gate-only exact-total
+    # distinct (2 exchanges). The production sketch path — daily layer +
+    # union merge — still costs ≤2; the exact column is gate harness.
+    assert shuffle_count(df) <= 4
+
+
+def test_pack_docs_sequences_no_global_sort(spark):
+    """Hierarchical packing: the running sum must run per range-shard —
+    no single-partition exchange (the global-window scale-killer) may
+    appear anywhere in the executed plan."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.pipeline import (
+        pack_docs_sequences,
+    )
+
+    df = pack_docs_sequences(spark, SF_DIR)
+    assert "SinglePartition" not in _final_plan(df)
