@@ -121,12 +121,27 @@ def execution_metrics(df: DataFrame, executed: bool = False) -> dict:
     return out
 
 
+# Cost proxy for the reference's per-query credit accounting
+# (run_performance_tests.py:104-119 reads credits_used_cloud_services +
+# bytes_scanned from query_history). Spark has no billing meter, so cost =
+# compute-seconds: occupied cores × wall-clock. The credit conversion pins
+# an XS warehouse (1 credit/hr, 8 cores) as the unit — the same yardstick
+# BASELINE.md's numbers were bought with — so local runs and a 1000-core
+# cluster report comparable spend.
+CREDITS_PER_CORE_HOUR = 1.0 / 8.0
+
+
+def estimate_credits(elapsed_sec: float, n_cores: int) -> float:
+    return round(elapsed_sec / 3600.0 * n_cores * CREDITS_PER_CORE_HOUR, 9)
+
+
 class QueryLog:
     """S12/H2 parity: the engine-side query history the reference reads
     from ``snowflake.account_usage.query_history``
     (performance_comparison.sql:181-192; run_performance_tests.py:83-123).
-    Each ``run`` records name, wall-clock, scan/shuffle metrics, status —
-    queryable afterwards as a DataFrame."""
+    Each ``run`` records name, wall-clock, rows, bytes scanned, shuffle
+    traffic, the credit-proxy cost, and status — queryable afterwards as
+    a DataFrame, exactly the columns the reference's harness selects."""
 
     def __init__(self):
         self._rows: list[tuple] = []
@@ -136,18 +151,34 @@ class QueryLog:
 
         t0 = time.perf_counter()
         try:
-            n = df.count()
+            n = len(df.collect())
         except Exception as ex:  # RPT:67-79 ERROR rows
-            self._rows.append((name, -1, 0.0, "ERROR", type(ex).__name__))
+            self._rows.append(
+                (name, -1, 0.0, 0, 0, 0.0, "ERROR", type(ex).__name__)
+            )
             return -1
         elapsed = round(time.perf_counter() - t0, 3)
-        self._rows.append((name, n, elapsed, "SUCCESS", None))
+        m = execution_metrics(df, executed=True)
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        self._rows.append(
+            (
+                name,
+                n,
+                elapsed,
+                int(m["scan_bytes_read"]),
+                int(m["shuffle_bytes_written"]),
+                estimate_credits(elapsed, cores),
+                "SUCCESS",
+                None,
+            )
+        )
         return n
 
     def history(self, spark) -> DataFrame:
         return spark.createDataFrame(
             self._rows,
             "query_name string, row_count long, elapsed_sec double,"
+            " bytes_scanned long, shuffle_bytes long, est_credits double,"
             " status string, error string",
         )
 

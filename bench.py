@@ -20,7 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from awscommunityday_2025_iceberg_snowfalke_spark.operators import all_queries
-from awscommunityday_2025_iceberg_snowfalke_spark.plans import execution_metrics
+from awscommunityday_2025_iceberg_snowfalke_spark.plans import (
+    estimate_credits,
+    execution_metrics,
+)
 from awscommunityday_2025_iceberg_snowfalke_spark.session import get_spark
 
 # one per baseline class, then the extension workloads
@@ -101,7 +104,14 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         metrics = execution_metrics(df, executed=True)
-        report[name] = {"seconds": timings[name], **metrics}
+        cores = spark.sparkContext.defaultParallelism
+        report[name] = {
+            "seconds": timings[name],
+            # credit-proxy spend (plans.CREDITS_PER_CORE_HOUR): the
+            # reference's per-query cost column (RPT:104-119)
+            "est_credits": estimate_credits(timings[name], cores),
+            **metrics,
+        }
         # (measured non-win: per-query gc.collect() to release dropped
         # localCheckpoint blocks changed nothing — BENCH_ALL's late-query
         # jitter is run-to-run system noise, not block accumulation)

@@ -255,3 +255,19 @@ def test_pack_docs_sequences_no_global_sort(spark):
 
     df = pack_docs_sequences(spark, SF_DIR)
     assert "SinglePartition" not in _final_plan(df)
+
+
+def test_query_log_records_cost_columns(spark):
+    """H2/S12: the query log must carry the reference's cost accounting —
+    bytes scanned, shuffle traffic, and the credit-proxy spend
+    (cores x elapsed at the XS-warehouse rate)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.plans import QueryLog
+
+    log = QueryLog()
+    log.run("activity_summary", relational.activity_summary(spark, SF_DIR))
+    row = log.history(spark).collect()[0]
+    assert row["status"] == "SUCCESS"
+    assert row["bytes_scanned"] > 0
+    assert row["shuffle_bytes"] > 0
+    assert row["est_credits"] > 0
+    assert row["elapsed_sec"] > 0
