@@ -207,6 +207,140 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
 
 
+
+# --- Gopher-style repetition stats (quality filtering signal) ----------------
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratios per document — the Gopher/MassiveText-family
+    quality filters (fraction of duplicate token 3-grams; fraction of all
+    2-grams taken by the single most frequent one). Highly repetitive docs
+    (boilerplate, scraped menus, generation loops) score high on both and
+    get culled before training. Shape: one n-gram explode keyed on doc_id
+    feeding two partial-aggregated groupBys on the same key — the shuffle
+    carries (doc_id, ngram) rows, the same budget as the shingle/word
+    pipelines, and partial aggregation collapses it map-side."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("ts")).filter(F.size("ts") >= 3)
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', "
+                "element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    tstats = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.countDistinct("g").alias("d_trigrams"),
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', "
+                "element_at(ts, i), element_at(ts, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    btop = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams"))
+    )
+    return tstats.join(btop, "doc_id").select(
+        "doc_id",
+        "n_trigrams",
+        F.round(
+            1 - F.col("d_trigrams").cast("double") / F.col("n_trigrams"), 6
+        ).alias("dup_trigram_frac"),
+        F.round(
+            F.col("top_bigram").cast("double") / F.col("n_bigrams"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+# --- benchmark decontamination (n-gram overlap) ------------------------------
+CONTAM_N = 8  # token n-gram width (the common 8-13 gram decontam range)
+CONTAM_MOD = 11  # doc_id % CONTAM_MOD == 0 -> the held-out 'benchmark' split
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: find corpus documents sharing any
+    token 8-gram with the held-out benchmark split (here a deterministic
+    doc_id slice stands in for the eval set). The shape that survives
+    100 TB: the benchmark n-gram set is bounded by the *eval* corpus (always
+    broadcast-sized), so contamination detection is a map-side broadcast
+    semi-join over the corpus n-gram stream — no corpus-vs-corpus join.
+    Output: contaminated doc -> number of distinct shared 8-grams."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("ts")).filter(
+        F.size("ts") >= CONTAM_N
+    )
+    parts = ", ".join(f"element_at(ts, i + {j})" for j in range(CONTAM_N))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {CONTAM_N - 1}), "
+                f"i -> concat_ws(' ', {parts}))"
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_ngrams"))
+    )
+
+
+# --- PII redaction (scrub pass) ----------------------------------------------
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_LONGNUM = r"[0-9]{7,}"
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub pass every training pipeline runs before the tokenizer:
+    regex-redact emails and long digit runs, report per-doc match counts
+    and the redacted length. The synthetic corpus contains no PII, so a
+    deterministic injection step (doc_id-derived emails/phones on a slice
+    of docs) feeds the scrubber real positives — the regexes, replacement
+    order (emails first, then digit runs on the email-scrubbed text) and
+    the count/length accounting are the production path, verified
+    cross-engine. Entirely map-side: scan -> project, zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" call 55500012345")),
+    ).otherwise(F.col("text"))
+    with_pii = docs.select("doc_id", injected.alias("t0"))
+    no_email = F.regexp_replace("t0", _PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(no_email, _PII_LONGNUM, "<NUM>")
+    return with_pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t0", F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(no_email, F.lit(_PII_LONGNUM), 0)
+        ).alias("n_longnums"),
+        F.length("t0").alias("len_raw"),
+        F.length(clean).alias("len_redacted"),
+    )
+
+
 QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "text_quality": text_quality,
@@ -214,6 +348,9 @@ QUERIES = {
     "lang_id": lang_id,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
+    "doc_repetition_stats": doc_repetition_stats,
+    "benchmark_contamination": benchmark_contamination,
+    "text_redact_pii": text_redact_pii,
 }
 
 ORACLE = {
@@ -320,3 +457,64 @@ ORACLE = {
         FROM documents
     """,
 }
+
+
+_DUCK_TRI = ("list_transform(range(1, len(ts) - 1), "
+             "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")
+_DUCK_BI = ("list_transform(range(1, len(ts)), "
+            "i -> concat_ws(' ', ts[i], ts[i+1]))")
+_DUCK_8G = ("list_transform(range(1, len(ts) - 6), i -> concat_ws(' ', "
+            + ", ".join(f"ts[i+{j}]" for j in range(8)) + "))")
+
+ORACLE["doc_repetition_stats"] = rf"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    f AS (SELECT * FROM base WHERE len(ts) >= 3),
+    tri AS (SELECT doc_id, unnest({_DUCK_TRI}) AS g FROM f),
+    tstats AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+                      COUNT(DISTINCT g) AS d FROM tri GROUP BY 1),
+    bi AS (SELECT doc_id, unnest({_DUCK_BI}) AS g FROM f),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    btop AS (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+             FROM bc GROUP BY 1)
+    SELECT t.doc_id, t.n_trigrams,
+           ROUND(1 - CAST(t.d AS DOUBLE) / t.n_trigrams, 6)
+               AS dup_trigram_frac,
+           ROUND(CAST(b.top_bigram AS DOUBLE) / b.n_bigrams, 6)
+               AS top_bigram_frac
+    FROM tstats t JOIN btop b USING (doc_id)
+"""
+
+ORACLE["benchmark_contamination"] = rf"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    f AS (SELECT * FROM base WHERE len(ts) >= {CONTAM_N}),
+    grams AS (SELECT doc_id, unnest({_DUCK_8G}) AS g FROM f),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {CONTAM_MOD} = 0)
+    SELECT doc_id, COUNT(DISTINCT g) AS n_shared_ngrams
+    FROM grams JOIN bench USING (g)
+    WHERE doc_id % {CONTAM_MOD} <> 0
+    GROUP BY doc_id
+"""
+
+_DUCK_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+ORACLE["text_redact_pii"] = rf"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user',
+                        CAST(doc_id AS VARCHAR), '@example.com now')
+                    WHEN doc_id % 11 = 0 THEN concat(text, ' call 55500012345')
+                    ELSE text END AS t0
+        FROM documents
+    ),
+    ne AS (SELECT doc_id, t0,
+                  regexp_replace(t0, '{_DUCK_EMAIL}', '<EMAIL>', 'g') AS t1
+           FROM w)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, '{_DUCK_EMAIL}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t1, '[0-9]{{7,}}')) AS INT)
+               AS n_longnums,
+           CAST(length(t0) AS INT) AS len_raw,
+           CAST(length(regexp_replace(t1, '[0-9]{{7,}}', '<NUM>', 'g')) AS INT)
+               AS len_redacted
+    FROM ne
+"""
