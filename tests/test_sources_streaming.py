@@ -297,3 +297,45 @@ def test_pyds_write_append_roundtrip(spark, tmp_path):
         spark.read.format("snapshot").option("path", path).load().count()
         == half.count()
     )
+
+
+def test_load_normalizes_events_ts_repr(spark, tmp_path):
+    """The driver has regenerated events.parquet with three different ts
+    physical types across rounds (TIMESTAMP(NANOS) -> long shim;
+    timestamp[us] UTC-adjusted -> LTZ; timestamp[us] naive -> NTZ). The
+    load choke point must hand every downstream operator a plain
+    TIMESTAMP (LTZ) column with identical UTC instants regardless of
+    which representation the parquet carries."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources import registry
+
+    base = dt.datetime(2024, 1, 5, 12, 30, 0)
+    rows = [base + dt.timedelta(hours=i) for i in range(4)]
+    variants = {
+        "ntz": pa.timestamp("us"),
+        "ltz": pa.timestamp("us", tz="UTC"),
+        "nanos": pa.timestamp("ns"),
+    }
+    got = {}
+    for name, ts_type in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(rows, pa.timestamp("us")).cast(ts_type),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["a", "b", "a", "b"]),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "props": pa.array(["{}"] * 4),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = registry.load(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got[name] = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got["ntz"] == got["ltz"] == got["nanos"]
