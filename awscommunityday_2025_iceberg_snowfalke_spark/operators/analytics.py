@@ -386,12 +386,19 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (one extra scan) exists for the gate only; production answers
     range queries from the sketch layer alone."""
     ev = load(spark, sf_dir, "events")
-    daily_sk = (
-        ev.groupBy(F.to_date("ts").alias("event_date"))
-        .agg(
-            F.hll_sketch_agg("user_id").alias("sk"),
-            F.countDistinct("user_id").alias("exact_users"),
-        )
+    # sketch agg and COUNT(DISTINCT) deliberately in SEPARATE aggregations:
+    # a distinct aggregate triggers the expand rewrite, and a
+    # TypedImperative sketch buffer (hll_sketch_agg, percentile_approx)
+    # inside the expanded stream drops to SortAggregate with per-row
+    # buffer ser/de — measured ~1.5-10x slower across this corpus. The
+    # exact column is gate-only instrumentation anyway; production runs
+    # the sketch pass alone (one scan).
+    day = F.to_date("ts").alias("event_date")
+    daily_sk = ev.groupBy(day).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).join(
+        ev.groupBy(day).agg(F.countDistinct("user_id").alias("exact_users")),
+        "event_date",
     )
     # the materialized daily layer (sketch blobs, binary parquet column);
     # reused by both the per-day report and the merge — computed once,
