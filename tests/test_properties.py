@@ -293,3 +293,67 @@ def test_connected_components_equals_union_find(spark, edges, n_nodes):
         for r in connected_components(nodes_df, pairs_df).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=60),
+    budget=st.integers(min_value=32, max_value=512),
+    n_shards=st.integers(min_value=1, max_value=9),
+)
+def test_hierarchical_packing_equals_global_window(spark, n_toks, budget, n_shards):
+    """The two-level sequence-packing cumsum (range shards + driver-side
+    shard offsets) must produce the SAME global bin assignment as the
+    single-global-window formulation on any token distribution, any
+    budget, any shard count — including empty docs and shard counts that
+    exceed the doc count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i + 1, t) for i, t in enumerate(n_toks)]
+    toks = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    expect = {
+        r["doc_id"]: r["bin_id"]
+        for r in toks.withColumn(
+            "bin_id",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget),
+        ).collect()
+    }
+
+    lo, hi = 1, len(n_toks)
+    span = hi - lo + 1
+    k = min(n_shards, span)
+    sharded = toks.withColumn(
+        "shard", F.expr(f"CAST(((doc_id - {lo}) * {k}) DIV {span} AS INT)")
+    )
+    totals = sharded.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    offsets, run = {}, 0
+    for r in sorted(totals, key=lambda r: r["shard"]):
+        offsets[int(r["shard"])] = run
+        run += int(r["t"])
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w2 = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in sharded.withColumn(
+            "bin_id",
+            F.floor(
+                (
+                    F.coalesce(F.sum("n_tokens").over(w2), F.lit(0))
+                    + F.element_at(off_map, F.col("shard"))
+                )
+                / budget
+            ),
+        ).collect()
+    }
+    assert got == expect
