@@ -227,6 +227,22 @@ class SnapshotTable:
         shutil.rmtree(staging)
         return added
 
+    def ingest_files(self, local_paths: list[str], operation: str = "append") -> int:
+        """Adopt pre-written parquet files into the table in ONE commit
+        (Iceberg: ``add_files`` / import procedure). Same CAS loop as
+        ``append``; the files must already be finished parquet on local
+        disk — they are moved, not copied."""
+        added = []
+        for p in local_paths:
+            new = f"{uuid.uuid4().hex[:12]}.parquet"
+            shutil.move(p, os.path.join(self.path, "data", new))
+            added.append(new)
+        while True:
+            base = self.current_version
+            prev = self._manifest(base)["files"] if base else []
+            if self._try_commit(base + 1, prev + added, operation):
+                return base + 1
+
     def append(self, df: DataFrame, n_files: int | None = None) -> int:
         """T1: atomic concurrent-safe append (Iceberg: ``writeTo(t)
         .append()``). Data files are written once; the manifest commit is a
@@ -403,6 +419,41 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_chunked(tbl, df: DataFrame, chunk_col: str = "_c") -> list:
+    """Materialize ``df`` as exactly one data file per distinct value of
+    ``chunk_col`` (the chunk-layout fixture every skipping report builds).
+
+    One Spark job: hash-repartitioning on the chunk key routes ALL rows of
+    a chunk to a single task, and ``partitionBy`` then emits exactly one
+    file per chunk directory; the files enter the table through a single
+    ``ingest_files`` commit. Replaces the per-chunk filter+append loop
+    (N full source scans, N write jobs, N commits → 1/1/1). Backends
+    without ``ingest_files`` (the real-Iceberg adapter) keep the loop."""
+    chunks = sorted(r[0] for r in df.select(chunk_col).distinct().collect())
+    if not hasattr(tbl, "ingest_files"):
+        for c in chunks:
+            tbl.append(
+                df.filter(F.col(chunk_col) == c).drop(chunk_col), n_files=1
+            )
+        return chunks
+    staging = tempfile.mkdtemp(prefix="chunked_")
+    (
+        df.repartition(len(chunks), chunk_col)
+        .write.mode("overwrite")
+        .partitionBy(chunk_col)
+        .parquet(staging)
+    )
+    paths = []
+    for c in chunks:
+        d = os.path.join(staging, f"{chunk_col}={c}")
+        fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(fs) == 1, (c, fs)  # one task owns each chunk value
+        paths.append(os.path.join(d, fs[0]))
+    tbl.ingest_files(paths)
+    shutil.rmtree(staging, ignore_errors=True)
+    return chunks
+
+
 # --- manifest-style file skipping (the Iceberg pruning narrative) ------------
 _SKIP_LO = "2024-01-10 00:00:00"
 _SKIP_HI = "2024-01-15 00:00:00"
@@ -428,11 +479,7 @@ def file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunked = ev.withColumn("_c", chunk)
     tbl = make_table(spark, "skiptbl_")
-    present = sorted(
-        r[0] for r in chunked.select("_c").distinct().collect()
-    )
-    for c in present:
-        tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
+    _write_chunked(tbl, chunked)
 
     import datetime as _dt
 
@@ -481,12 +528,7 @@ def clustering_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for label, chunk in layouts.items():
         tbl = make_table(spark, f"clus_{label}_")
-        chunked = ev.withColumn("_c", chunk)
-        present = sorted(
-            r[0] for r in chunked.select("_c").distinct().collect()
-        )
-        for c in present:
-            tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
+        _write_chunked(tbl, ev.withColumn("_c", chunk))
         stats = tbl.file_stats("user_id")
         read = [
             s["file"]
@@ -569,15 +611,10 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for layout, chunk in layouts.items():
         tbl = make_table(spark, f"zord_{layout}_")
-        chunked = base.withColumn("_c", chunk)
-        present = sorted(
-            r[0] for r in chunked.select("_c").distinct().collect()
+        _write_chunked(
+            tbl,
+            base.withColumn("_c", chunk).select("event_id", "user_id", "ts", "_c"),
         )
-        for c in present:
-            tbl.append(
-                chunked.filter(F.col("_c") == c).select("event_id", "user_id", "ts"),
-                n_files=1,
-            )
         ustats = {s["file"]: s for s in tbl.file_stats("user_id")}
         tstats = {s["file"]: s for s in tbl.file_stats("ts")}
         for pred, (use_u, use_t) in preds.items():

@@ -351,7 +351,7 @@ def pyds_snapshot_scan(spark, sf_dir: str):
 
     from pyspark.sql import functions as F
 
-    from ..operators.lifecycle import SnapshotTable
+    from ..operators.lifecycle import SnapshotTable, _write_chunked
     from .registry import load
 
     ev = load(spark, sf_dir, "events")
@@ -363,11 +363,9 @@ def pyds_snapshot_scan(spark, sf_dir: str):
     tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="pyds_"))
     # map-side user-range bucketing (no NTILE-over-global-Window sort);
     # the oracle filters raw events, so chunk bounds are free to differ
-    chunked = ev.withColumn(
-        "_c", F.expr(f"((user_id - {umin}) * 4) DIV {span}")
+    _write_chunked(
+        tbl, ev.withColumn("_c", F.expr(f"((user_id - {umin}) * 4) DIV {span}"))
     )
-    for c in sorted(r[0] for r in chunked.select("_c").distinct().collect()):
-        tbl.append(chunked.filter(F.col("_c") == c).drop("_c"), n_files=1)
 
     register(spark)
     df = (
