@@ -357,3 +357,31 @@ def test_hierarchical_packing_equals_global_window(spark, n_toks, budget, n_shar
         ).collect()
     }
     assert got == expect
+
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF probe-pruned ANN must recall a healthy fraction of the exact
+    brute-force top-k (deterministic on the fixed testdata and fixed
+    centroid init). Guards the coarse-quantizer/probe logic: an assignment
+    or probe-selection bug collapses recall toward zero long before it
+    breaks the oracle's self-consistent recomputation."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+    from conftest import SF_DIR
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce_cosine(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_cosine(spark, SF_DIR).collect()
+    }
+    assert exact, "brute force must return neighbors"
+    recall = len(exact & ivf) / len(exact)
+    # The synthetic embeddings are unclustered (labels ⊥ geometry), the
+    # worst case for IVF: probing 2 of 8 near-origin cells yields exactly
+    # 0.28 recall on this fixed corpus — deterministic, so the floor below
+    # is a stable tripwire (an assignment/probe bug drives it toward the
+    # ~0.1 random-candidate baseline). On clustered real data recall
+    # tracks the probed-mass fraction instead.
+    assert recall >= 0.25, f"IVF recall {recall:.2f} below floor"
