@@ -317,6 +317,59 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-of-pipeline export manifest -----------------------------------------
+def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a training run consumes: one row per surviving document
+    after normalize → token-bound quality filter → exact near-dup drop
+    (keep lowest doc_id per normalized digest) → embedding attachment
+    (LEFT join against the vector table; docs without a vector export with
+    has_embedding = false and go to the embedding backfill queue).
+
+    Plan shape at 100 TB: normalize/tokenize/filter fuse into the scan
+    (one codegen pass), the dedup groupBy shuffles 32-byte digests, and
+    the doc⋈vector join is an id-keyed fact⋈fact — stored bucketed on the
+    id in a real deployment so it becomes a zero-exchange SMJ
+    (scale.bucketed_user_join is the demonstrated pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    cleaned = docs.select(
+        "doc_id", "lang", norm.alias("tn"), n_tok.alias("n_tokens")
+    ).filter(F.col("n_tokens").between(5, 5000))
+    kept = (
+        cleaned.groupBy(F.sha2("tn", 256).alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        .drop("h")
+    )
+    e = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    vecs = emb.select("vec_id", F.round(l2, 6).alias("emb_norm"))
+    return kept.join(vecs, kept.doc_id == vecs.vec_id, "left").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.col("vec_id").isNotNull().alias("has_embedding"),
+        "emb_norm",
+    )
+
+
 QUERIES = {
     "sample_docs_deterministic": sample_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
@@ -328,6 +381,7 @@ QUERIES = {
     "purchasers_without_errors": purchasers_without_errors,
     "purchasers_with_signup": purchasers_with_signup,
     "hourly_gapfill": hourly_gapfill,
+    "training_export_manifest": training_export_manifest,
 }
 
 ORACLE = {
@@ -461,5 +515,28 @@ ORACLE = {
                COALESCE(counts.n, 0) AS n_events
         FROM spine LEFT JOIN counts
           ON spine.hour = counts.hour AND spine.event_type = counts.event_type
+    """,
+    "training_export_manifest": r"""
+        WITH cleaned AS (
+            SELECT doc_id, lang,
+                   TRIM(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS tn,
+                   len(list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '')) AS n_tokens
+            FROM documents
+        ),
+        f AS (SELECT * FROM cleaned WHERE n_tokens BETWEEN 5 AND 5000),
+        kept AS (
+            SELECT MIN(doc_id) AS doc_id,
+                   arg_min(lang, doc_id) AS lang,
+                   CAST(arg_min(n_tokens, doc_id) AS INT) AS n_tokens
+            FROM f GROUP BY sha256(tn)
+        )
+        SELECT k.doc_id, k.lang, k.n_tokens,
+               e.vec_id IS NOT NULL AS has_embedding,
+               ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))), 6)
+                   AS emb_norm
+        FROM kept k LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     """,
 }
