@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
+from ..stage import stage
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "den")
@@ -341,6 +342,48 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unigram LM quality scoring (perplexity proxy) ---------------------------
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal: score every document by the mean
+    negative log-probability of its tokens under a Laplace-smoothed
+    unigram LM trained on the corpus itself. High scores = rare/surprising
+    vocabulary (OCR noise, boilerplate IDs, wrong-language fragments); the
+    classic cheap filter before an actual LM scores the survivors.
+
+    Scale shape (same as BM25): the vocabulary table is corpus-bounded and
+    broadcast-sized, so scoring is one token explode + broadcast join +
+    per-doc aggregation — the token shuffle carries (doc_id, -ln p)
+    pairs keyed on doc_id, map-side combined. ln() and the decimal score
+    sum follow doc_bm25_search's proven cross-engine determinism recipe
+    (fixed fold via DECIMAL, round 6)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("t"))
+    toks = stage(toks)  # consumed twice: vocab build + scoring join
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.countDistinct("t").alias("v_size"),
+    ).collect()[0]
+    n_corpus, v = int(totals["n_corpus"]), int(totals["v_size"])
+    neg_lp = -F.log(
+        (F.col("c") + 1).cast("double") / F.lit(float(n_corpus + v))
+    )
+    scored = toks.join(F.broadcast(vocab), "t").select(
+        "doc_id", neg_lp.alias("nlp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nlp").cast("decimal(28,16)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "text_quality": text_quality,
@@ -351,6 +394,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "benchmark_contamination": benchmark_contamination,
     "text_redact_pii": text_redact_pii,
+    "unigram_logprob_score": unigram_logprob_score,
 }
 
 ORACLE = {
@@ -517,4 +561,21 @@ ORACLE["text_redact_pii"] = rf"""
            CAST(length(regexp_replace(t1, '[0-9]{{7,}}', '<NUM>', 'g')) AS INT)
                AS len_redacted
     FROM ne
+"""
+
+ORACLE["unigram_logprob_score"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v FROM toks),
+    scored AS (
+        SELECT k.doc_id,
+               -ln(CAST(vocab.c + 1 AS DOUBLE) / (tot.n + tot.v)) AS nlp
+        FROM toks k JOIN vocab USING (t) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
 """
