@@ -38,11 +38,12 @@ def _modules():
     # front of the tuple decides which operators get driver-verified rows.
     # r1-r4 front-loaded relational/snowsql/tpch (all driver-green by r04);
     # r5 front-loads the LLM-pipeline extension surface — dedup(7),
-    # similarity(9), textstats(9), pipeline(10), temporal(2), multimodal(5),
-    # lifecycle(6), governance(2) = exactly 50 — which had only local
-    # DuckDB-gate coverage until now (writers spills to 51-53 this round).
-    # The local gate (tests/test_corpus) still checks ALL entries every
-    # round regardless of order.
+    # similarity(9), textstats(10), pipeline(11), temporal(2),
+    # multimodal(5), lifecycle(6) = exactly 50, every one oracle-backed —
+    # which had only local DuckDB-gate coverage until now (governance/
+    # writers/streaming rotate in next round). The local gate
+    # (tests/test_corpus) still checks ALL entries every round regardless
+    # of order.
     return (
         dedup,
         similarity,
