@@ -25,8 +25,10 @@ def test_queries_and_oracle_align(spark):
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
     assert qs, "queries() must not be empty"
-    # every oracle key must have a query; queries may exceed oracles
-    assert set(osql) <= set(qs), set(osql) - set(qs)
+    # as of round 5 EVERY registry entry is oracle-backed (zero rows-only);
+    # keep it that way — a new operator ships with its DuckDB twin, or this
+    # assertion is consciously relaxed with a justification
+    assert set(osql) == set(qs), set(osql) ^ set(qs)
 
 
 def test_all_queries_return_dataframes(spark):
