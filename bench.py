@@ -26,6 +26,49 @@ from awscommunityday_2025_iceberg_snowfalke_spark.plans import (
 )
 from awscommunityday_2025_iceberg_snowfalke_spark.session import get_spark
 
+# Named suites (RPT:344-374 parity: --test-suite basic|advanced|maintenance
+# selected the reference's query lists; here $SPARK_GRAFT_SUITE picks one).
+# "headline" (default) = one per BASELINE.md wall-clock class + extensions.
+SUITES: dict[str, list[str]] = {
+    # RPT:125-177 — the basic analytics suite
+    "basic": [
+        "count_all",
+        "filtered_counts_7d",
+        "activity_summary",
+        "region_join_agg",
+        "daily_user_stats",
+    ],
+    # RPT:179-248 — advanced analytics incl. the funnel
+    "advanced": [
+        "event_minmax",
+        "purchase_funnel",
+        "top5_per_user",
+        "prev_event",
+        "user_sessions",
+    ],
+    # RPT:250-284 — maintenance / table-lifecycle narrative
+    "maintenance": [
+        "lifecycle_snapshot_counts",
+        "compaction_analysis",
+        "small_file_lifecycle_report",
+        "file_skipping_report",
+        "zorder_clustering_report",
+    ],
+    # the LLM-pipeline extension workloads (no reference counterpart)
+    "extensions": [
+        "dedup_ngram_jaccard",
+        "minhash_lsh_pairs",
+        "knn_pandas_cosine",
+        "ann_ivf_cosine",
+        "doc_bm25_search",
+        "doc_repetition_stats",
+        "benchmark_contamination",
+        "unigram_logprob_score",
+        "curation_pipeline",
+        "training_export_manifest",
+    ],
+}
+
 # one per baseline class, then the extension workloads
 HEADLINE = [
     "count_all",            # simple COUNT          (baseline 2.4 s budget)
@@ -65,12 +108,20 @@ def main() -> None:
     queries = all_queries()
 
     # SPARK_GRAFT_BENCH_ALL=1 times the ENTIRE registered corpus instead of
-    # the headline classes (slower; for full-coverage profiling)
-    names = (
-        sorted(queries)
-        if os.environ.get("SPARK_GRAFT_BENCH_ALL")
-        else HEADLINE
-    )
+    # the headline classes (slower; for full-coverage profiling);
+    # SPARK_GRAFT_SUITE=basic|advanced|maintenance|extensions runs one
+    # named suite (RPT --test-suite parity)
+    suite = os.environ.get("SPARK_GRAFT_SUITE", "")
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names = sorted(queries)
+    elif suite:
+        if suite not in SUITES and suite != "headline":
+            raise SystemExit(
+                f"unknown suite {suite!r}; known: headline, {', '.join(SUITES)}"
+            )
+        names = SUITES.get(suite, HEADLINE)
+    else:
+        names = HEADLINE
 
     # Steady-state methodology: one warm-up pass at a tiny SF JIT/codegen-
     # compiles every query shape (generated classes are cached by expression
