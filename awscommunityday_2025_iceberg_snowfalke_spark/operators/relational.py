@@ -282,14 +282,17 @@ def hot_cold_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A13: distinct event types per user (P:753-766 core agg) ----------------
 def event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_event_types = size of the collected set — NOT a separate
+    # countDistinct, which would add the expand rewrite on top of the
+    # object-agg buffer (one aggregation buffer instead of two paths)
     return (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(
-            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
-                "event_types_csv"
-            ),
-            F.countDistinct("event_type").alias("n_event_types"),
+        .agg(F.sort_array(F.collect_set("event_type")).alias("arr"))
+        .select(
+            "user_id",
+            F.array_join("arr", ",").alias("event_types_csv"),
+            F.size("arr").alias("n_event_types"),
         )
     )
 
