@@ -44,12 +44,16 @@ def test_concurrent_appends_lose_nothing(spark, events, tmp_path):
     import threading
 
     t_path = str(tmp_path / "t")
+    n_writers, per_writer = 3, 4
+    n_slices = n_writers * per_writer
     slices = {
         w: [
-            events.filter((F.col("event_id") % 8) == (w * 4 + i)).cache()
-            for i in range(4)
+            events.filter(
+                (F.col("event_id") % n_slices) == (w * per_writer + i)
+            ).cache()
+            for i in range(per_writer)
         ]
-        for w in (0, 1)
+        for w in range(n_writers)
     }
     expected_rows = sum(df.count() for s in slices.values() for df in s)
     errs = []
@@ -62,7 +66,9 @@ def test_concurrent_appends_lose_nothing(spark, events, tmp_path):
         except Exception as exc:  # pragma: no cover - surfaced via errs
             errs.append(exc)
 
-    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
     for th in threads:
         th.start()
     for th in threads:
@@ -71,7 +77,7 @@ def test_concurrent_appends_lose_nothing(spark, events, tmp_path):
 
     tbl = SnapshotTable(spark, t_path)
     hist = tbl.history()
-    assert len(hist) == 8  # every append got its own committed version
+    assert len(hist) == n_slices  # every append got its own committed version
     assert all(m["operation"] == "append" for m in hist)
     final_files = set(tbl._manifest(tbl.current_version)["files"])
     on_disk = {f for f in os.listdir(os.path.join(t_path, "data"))}
