@@ -225,6 +225,61 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# --- batch "model inference" (embedding stub with real pipeline) -------------
+EMBED_DIM = 8
+
+
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-inference shape of a multimodal pipeline: payloads stream
+    through ``mapInPandas`` in Arrow batches and a "model" emits one
+    fixed-width embedding per payload. The model here is an honest stub —
+    md5-derived floats, deterministic and oracle-reproducible — because no
+    inference runtime exists in this container; a real encoder (CLIP,
+    audio encoder) replaces the per-batch scoring body with one batched
+    forward pass and the schema, batching, partitioning, and downstream
+    array math stay identical. Entirely map-side: no shuffle before any
+    downstream consumer keyed on doc_id."""
+    from pyspark.sql.functions import pandas_udf  # noqa: F401 (doc parity)
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = with_payload(docs)
+
+    def embed(batches):
+        import hashlib
+
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                hx = bytes(p).hex().upper()
+                vecs.append(
+                    [
+                        (
+                            int(
+                                hashlib.md5(
+                                    f"{hx}_{i}".encode()
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            % 100000
+                        )
+                        / 100000.0
+                        for i in range(EMBED_DIM)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    emb = payloads.mapInPandas(embed, "doc_id long, embedding array<double>")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.select(
+        "doc_id", "embedding", F.round(l2, 6).alias("emb_norm")
+    )
+
 
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
@@ -232,6 +287,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_byte_histogram": multimodal_byte_histogram,
+    "multimodal_embed": multimodal_embed,
 }
 
 ORACLE = {
@@ -317,3 +373,22 @@ ORACLE = {
         FROM filled GROUP BY doc_id, n
     """,
 }
+
+
+# stub-model embedding: md5-derived floats are exactly reproducible in SQL
+# (same hex(payload) string, same md5-prefix→int trick as the hash family)
+_EMB_ELEM = (
+    "(CAST(concat('0x', substr(md5(concat(hex(encode(text)), '_', i)), 1, 15))"
+    " AS BIGINT) % 100000) / 100000.0"
+)
+ORACLE["multimodal_embed"] = f"""
+    WITH emb AS (
+        SELECT doc_id,
+               list_transform(range(0, {EMBED_DIM}), i -> {_EMB_ELEM})
+                   AS embedding
+        FROM documents
+    )
+    SELECT doc_id, embedding,
+           ROUND(sqrt(list_dot_product(embedding, embedding)), 6) AS emb_norm
+    FROM emb
+"""

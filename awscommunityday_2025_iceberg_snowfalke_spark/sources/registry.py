@@ -61,11 +61,20 @@ _LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one registry table as a DataFrame (columnar Parquet scan).
 
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
-    TimestampType column — the same floor-truncation duckdb applies when
-    casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact.
+    The driver has shipped ``events.ts`` under three physical types across
+    rounds, all normalized here to plain TIMESTAMP (LTZ):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright; we
+      read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
+      rebuild microseconds — the same floor-truncation duckdb applies
+      casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact.
+    - timestamp[us] without the UTC flag → TIMESTAMP_NTZ on PySpark ≥3.4:
+      relabelled to LTZ by :func:`_normalize_ntz` (value identity under
+      the pinned-UTC session).
+    - UTC-adjusted micros: read as-is.
+
+    ``tests/test_sources_streaming.py::test_load_normalizes_events_ts_repr``
+    pins all three paths to identical instants.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
