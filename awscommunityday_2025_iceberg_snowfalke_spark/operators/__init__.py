@@ -39,11 +39,11 @@ def _modules():
     # r1-r4 front-loaded relational/snowsql/tpch (all driver-green by r04);
     # r5 front-loads the LLM-pipeline extension surface — dedup(7),
     # similarity(9), textstats(10), pipeline(11), temporal(2),
-    # multimodal(5), lifecycle(6) = exactly 50, every one oracle-backed —
-    # which had only local DuckDB-gate coverage until now (governance/
-    # writers/streaming rotate in next round). The local gate
-    # (tests/test_corpus) still checks ALL entries every round regardless
-    # of order.
+    # multimodal(6), lifecycle(6) = 51, so the first 50 covers everything
+    # except clustering_skipping_report (same family as the sampled
+    # file_skipping_report), every one oracle-backed. Governance/writers/
+    # streaming rotate in next round. The local gate (tests/test_corpus)
+    # still checks ALL entries every round regardless of order.
     return (
         dedup,
         similarity,
