@@ -201,15 +201,32 @@ class SnapshotTable:
             os.unlink(tmp)
 
     def _commit(self, files: list[str], operation: str) -> int:
-        """Commit a complete file list (overwrite/merge/compact paths whose
-        result does not depend on the base file list): retry on version
-        collision with the next version number — last writer wins, which is
-        the correct semantic for a full replace. Read-modify-write appends
-        go through ``append``'s re-base loop instead."""
+        """Commit a complete file list (the overwrite path, whose result
+        genuinely replaces the table): retry on version collision with the
+        next version number — last writer wins, the correct semantic for a
+        full replace (real Iceberg's overwrite would conflict-fail
+        instead). Appends use ``append``'s re-base loop; rewrites of an
+        existing snapshot (compact/merge) use ``_commit_rewrite``."""
         while True:
             version = self.current_version + 1
             if self._try_commit(version, files, operation):
                 return version
+
+    def _commit_rewrite(self, base: int, files: list[str], operation: str) -> int:
+        """Commit a rewrite of snapshot ``base`` (compact / merge): any
+        files APPENDED concurrently since ``base`` are carried forward
+        un-rewritten, so append-vs-rewrite is lost-update-free — the
+        common production race (ingest keeps appending while maintenance
+        compacts). Rewrite-vs-rewrite remains last-writer-wins, where real
+        Iceberg would fail the second commit's validation; single
+        maintenance writer is the documented deployment assumption."""
+        base_files = set(self._manifest(base)["files"]) if base else set()
+        while True:
+            cur = self.current_version
+            cur_files = self._manifest(cur)["files"] if cur else []
+            delta = [f for f in cur_files if f not in base_files]
+            if self._try_commit(cur + 1, files + delta, operation):
+                return cur + 1
 
     def _write_files(self, df: DataFrame, n_files: int | None) -> list[str]:
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
@@ -275,10 +292,13 @@ class SnapshotTable:
         filtering); our parquet-native layer rewrites the full table, which
         is exact but O(|table|) per merge. The merge-on-read alternative
         (append + latest-wins read view) is ``cdc_latest_events``."""
-        target = self.read()
+        base = self.current_version
+        target = self.read(version=base) if base else self.read()
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source)
-        return self._commit(self._write_files(merged, n_files), "merge")
+        return self._commit_rewrite(
+            base, self._write_files(merged, n_files), "merge"
+        )
 
     # -- reads ---------------------------------------------------------------
     def read(
@@ -307,7 +327,8 @@ class SnapshotTable:
         rows within the rewritten files (the z-order/sort strategy, P:306:
         better compression + min/max pruning on the sort keys). New
         snapshot; old files stay referenced by old snapshots until expiry."""
-        df = self.read()
+        base = self.current_version
+        df = self.read(version=base) if base else self.read()
         if sort_by:
             # range partitioning (not hash) on the sort keys: each rewritten
             # file owns a DISJOINT key range, so footer min/max stats can
@@ -317,8 +338,12 @@ class SnapshotTable:
             df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
                 *sort_by
             )
-            return self._commit(self._write_files(df, None), "compact")
-        return self._commit(self._write_files(df, target_files), "compact")
+            return self._commit_rewrite(
+                base, self._write_files(df, None), "compact"
+            )
+        return self._commit_rewrite(
+            base, self._write_files(df, target_files), "compact"
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """T6 (Iceberg: ``CALL system.expire_snapshots``)."""

@@ -220,3 +220,26 @@ def test_merge_upsert(spark, tmp_path):
     # time travel still sees the pre-merge state
     assert {r["id"] for r in t.read(version=1).collect()} == {1, 2, 3}
     assert [m["operation"] for m in t.history()] == ["append", "merge"]
+
+
+def test_compact_carries_concurrent_append(spark, events, tmp_path):
+    """Append-vs-rewrite race: a compaction computed from snapshot N must
+    NOT drop files appended by a concurrent writer before the compaction
+    commits. Exercises the exact race window deterministically: compute
+    the rewrite from v1, land a concurrent append (v2), then commit the
+    rewrite — the commit must carry the appended files forward."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    t.append(a, n_files=4)  # v1
+
+    base = t.current_version
+    compacted = t._write_files(t.read(version=base), 1)  # rewrite computed...
+    other = SnapshotTable(spark, str(tmp_path / "t"))
+    other.append(b, n_files=2)  # ...while a concurrent append lands (v2)
+    v = t._commit_rewrite(base, compacted, "compact")  # rewrite commits last
+
+    assert v == 3
+    assert t.read().count() == a.count() + b.count()  # nothing lost
+    files = t._manifest(v)["files"]
+    assert len(files) == 3  # 1 compacted + 2 concurrently appended
