@@ -50,6 +50,11 @@ def _aware_utc(v):
     return v
 
 
+class CommitConflict(RuntimeError):
+    """A rewrite commit was invalidated by a concurrent rewrite (Iceberg:
+    ValidationException from rewrite_data_files / MERGE conflict)."""
+
+
 def make_table(spark: SparkSession, prefix: str):
     """Backend factory for the lifecycle fixture tables: a real Iceberg
     catalog table when the flag-gated runtime is present
@@ -213,17 +218,28 @@ class SnapshotTable:
                 return version
 
     def _commit_rewrite(self, base: int, files: list[str], operation: str) -> int:
-        """Commit a rewrite of snapshot ``base`` (compact / merge): any
-        files APPENDED concurrently since ``base`` are carried forward
-        un-rewritten, so append-vs-rewrite is lost-update-free — the
-        common production race (ingest keeps appending while maintenance
-        compacts). Rewrite-vs-rewrite remains last-writer-wins, where real
-        Iceberg would fail the second commit's validation; single
-        maintenance writer is the documented deployment assumption."""
+        """Commit a rewrite of snapshot ``base`` (compact / merge):
+
+        - files APPENDED concurrently since ``base`` are carried forward
+          un-rewritten, so append-vs-rewrite is lost-update-free — the
+          common production race (ingest keeps appending while maintenance
+          compacts);
+        - a concurrent REWRITE (any of ``base``'s files no longer present
+          in the current snapshot) raises :class:`CommitConflict`, exactly
+          Iceberg's rewrite validation failure — the caller re-reads and
+          re-runs its rewrite rather than silently clobbering the other
+          writer's result.
+        """
         base_files = set(self._manifest(base)["files"]) if base else set()
         while True:
             cur = self.current_version
             cur_files = self._manifest(cur)["files"] if cur else []
+            if base and not base_files <= set(cur_files):
+                raise CommitConflict(
+                    f"{operation} based on v{base} conflicts with a "
+                    f"concurrent rewrite (current v{cur} no longer contains "
+                    "all base files); re-read and retry"
+                )
             delta = [f for f in cur_files if f not in base_files]
             if self._try_commit(cur + 1, files + delta, operation):
                 return cur + 1

@@ -243,3 +243,23 @@ def test_compact_carries_concurrent_append(spark, events, tmp_path):
     assert t.read().count() == a.count() + b.count()  # nothing lost
     files = t._manifest(v)["files"]
     assert len(files) == 3  # 1 compacted + 2 concurrently appended
+
+
+def test_rewrite_vs_rewrite_conflict_raises(spark, events, tmp_path):
+    """Two concurrent rewrites of the same base snapshot: the second
+    commit must fail with CommitConflict (Iceberg's rewrite validation),
+    never silently clobber the first rewrite's result."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        CommitConflict,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events, n_files=4)  # v1
+
+    base = t.current_version
+    loser = t._write_files(t.read(version=base), 1)  # rewrite A computed...
+    SnapshotTable(spark, str(tmp_path / "t")).compact(target_files=2)  # B wins
+    with pytest.raises(CommitConflict):
+        t._commit_rewrite(base, loser, "compact")
+    assert t.read().count() == events.count()
+    assert len(t.files()) == 2  # winner's layout intact
