@@ -50,6 +50,13 @@ def _aware_utc(v):
     return v
 
 
+# CAS loops retry until they win a version; bound them so a pathological
+# filesystem (e.g. link() failing spuriously) surfaces as an error instead
+# of a hang. Far above any plausible contention (writers make progress:
+# every retry means someone else committed).
+_MAX_COMMIT_RETRIES = 1000
+
+
 class CommitConflict(RuntimeError):
     """A rewrite commit was invalidated by a concurrent rewrite (Iceberg:
     ValidationException from rewrite_data_files / MERGE conflict)."""
@@ -212,10 +219,11 @@ class SnapshotTable:
         full replace (real Iceberg's overwrite would conflict-fail
         instead). Appends use ``append``'s re-base loop; rewrites of an
         existing snapshot (compact/merge) use ``_commit_rewrite``."""
-        while True:
+        for _ in range(_MAX_COMMIT_RETRIES):
             version = self.current_version + 1
             if self._try_commit(version, files, operation):
                 return version
+        raise RuntimeError(f"{operation}: commit retries exhausted")
 
     def _commit_rewrite(self, base: int, files: list[str], operation: str) -> int:
         """Commit a rewrite of snapshot ``base`` (compact / merge):
@@ -231,7 +239,7 @@ class SnapshotTable:
           writer's result.
         """
         base_files = set(self._manifest(base)["files"]) if base else set()
-        while True:
+        for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version
             cur_files = self._manifest(cur)["files"] if cur else []
             if base and not base_files <= set(cur_files):
@@ -243,6 +251,7 @@ class SnapshotTable:
             delta = [f for f in cur_files if f not in base_files]
             if self._try_commit(cur + 1, files + delta, operation):
                 return cur + 1
+        raise RuntimeError(f"{operation}: commit retries exhausted")
 
     def _write_files(self, df: DataFrame, n_files: int | None) -> list[str]:
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
@@ -285,11 +294,12 @@ class SnapshotTable:
         ever dropped (the lost-update hazard of a plain read-modify-write).
         Exercised by the two-writer test in tests/test_lifecycle.py."""
         added = self._write_files(df, n_files)
-        while True:
+        for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version
             prev = self._manifest(base)["files"] if base else []
             if self._try_commit(base + 1, prev + added, "append"):
                 return base + 1
+        raise RuntimeError("append: commit retries exhausted")
 
     def overwrite(self, df: DataFrame, n_files: int | None = None) -> int:
         """Full-table replace (Iceberg: ``writeTo(t).overwritePartitions()``)."""
