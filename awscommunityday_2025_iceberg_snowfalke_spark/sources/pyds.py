@@ -283,24 +283,44 @@ class SnapshotArrowWriter(DataSourceArrowWriter):
         return _FilesWritten(files=[name])
 
     def commit(self, messages):
+        # CAS commit loop, same protocol as SnapshotTable._try_commit
+        # (implemented inline: this module is cloudpickle-shipped by value
+        # and must stay free of package imports). os.link fails with
+        # FileExistsError when the version was taken — re-read, re-base
+        # the file list, retry; no concurrent append is ever dropped.
         import json
         import time as _time
+        import uuid as _uuid
 
         added = [f for m in messages if m is not None for f in m.files]
-        commits = _all_commits(self._path)
-        version = (commits[-1]["version"] + 1) if commits else 1
-        prev = [] if (self._overwrite or not commits) else commits[-1]["files"]
-        manifest = {
-            "version": version,
-            "operation": "overwrite" if self._overwrite else "append",
-            "timestamp": _time.time(),
-            "files": prev + added,
-        }
         snap_dir = os.path.join(self._path, "snapshots")
-        tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(snap_dir, f"v{version}.json"))  # atomic
+        for _ in range(1000):
+            commits = _all_commits(self._path)
+            version = (commits[-1]["version"] + 1) if commits else 1
+            prev = (
+                []
+                if (self._overwrite or not commits)
+                else commits[-1]["files"]
+            )
+            manifest = {
+                "version": version,
+                "operation": "overwrite" if self._overwrite else "append",
+                "timestamp": _time.time(),
+                "files": prev + added,
+            }
+            tmp = os.path.join(
+                snap_dir, f".commit-{_uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                os.link(tmp, os.path.join(snap_dir, f"v{version}.json"))
+                return
+            except FileExistsError:
+                continue  # lost the race: re-base on the winner
+            finally:
+                os.unlink(tmp)
+        raise RuntimeError("snapshot write: commit retries exhausted")
 
     def abort(self, messages):
         for m in messages:
