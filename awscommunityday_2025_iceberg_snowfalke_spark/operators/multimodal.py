@@ -149,14 +149,22 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
-def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_byte_histogram_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """The feature-extract shape: payload → fixed-width feature vector via
     an Arrow-batched pandas UDF (numpy per batch, no per-row Python). A
     real extractor (CLIP embedding, mel spectrogram) replaces the
     histogram; the array<double> schema, batching, and downstream array
     math stay identical. Full-value SQL oracle: DuckDB re-derives the
     byte histogram from hex(payload) slices (see ORACLE); exact values
-    are additionally unit-tested vs numpy in tests/test_corpus.py."""
+    are additionally unit-tested vs numpy in tests/test_corpus.py.
+
+    This is the in-engine form (raw ``array<double>`` column) for
+    downstream consumers; the registry/gated entry is
+    :func:`multimodal_byte_histogram`, which serializes the vector to
+    canonical decimal text because cross-engine comparators cannot
+    sort/hash list cells."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
@@ -186,6 +194,33 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("feature_sum"),  # ≈1.0: mass-conservation sanity inline
+    )
+
+
+def _vec_text(col_name: str):
+    """Canonical cross-engine text form of an array<double>: each element
+    rounded to 6 decimals and rendered as DECIMAL(18,6) text, ','-joined.
+    Decimal text is engine-agnostic (fixed scale, padded zeros) where raw
+    double→string is not, and the pre-round makes the double→decimal cast
+    exact on both engines — the events_object_agg / embedding_quantize_int8
+    convention (relational.py, similarity.py)."""
+    return F.array_join(
+        F.transform(
+            F.col(col_name),
+            lambda x: F.round(x, 6).cast("decimal(18,6)").cast("string"),
+        ),
+        ",",
+    )
+
+
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated/registry form of :func:`multimodal_byte_histogram_vectors`:
+    identical plan, with the feature vector serialized to canonical decimal
+    text so the driver's canonicalizer (pandas sort/hash over cells) never
+    sees an unhashable list."""
+    feats = multimodal_byte_histogram_vectors(spark, sf_dir)
+    return feats.select(
+        "doc_id", _vec_text("features").alias("features"), "feature_sum"
     )
 
 
@@ -229,7 +264,7 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DIM = 8
 
 
-def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch-inference shape of a multimodal pipeline: payloads stream
     through ``mapInPandas`` in Arrow batches and a "model" emits one
     fixed-width embedding per payload. The model here is an honest stub —
@@ -238,7 +273,11 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio encoder) replaces the per-batch scoring body with one batched
     forward pass and the schema, batching, partitioning, and downstream
     array math stay identical. Entirely map-side: no shuffle before any
-    downstream consumer keyed on doc_id."""
+    downstream consumer keyed on doc_id.
+
+    In-engine form (raw ``array<double>``); the registry/gated entry is
+    :func:`multimodal_embed`, which serializes the vector for the
+    cross-engine comparator."""
     from pyspark.sql.functions import pandas_udf  # noqa: F401 (doc parity)
 
     docs = load(spark, sf_dir, "documents")
@@ -278,6 +317,16 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "doc_id", "embedding", F.round(l2, 6).alias("emb_norm")
+    )
+
+
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated/registry form of :func:`multimodal_embed_vectors`: identical
+    plan, embedding serialized to canonical decimal text (driver
+    canonicalizer cannot hash list cells)."""
+    emb = multimodal_embed_vectors(spark, sf_dir)
+    return emb.select(
+        "doc_id", _vec_text("embedding").alias("embedding"), "emb_norm"
     )
 
 
@@ -364,9 +413,13 @@ ORACLE = {
           LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
         )
         SELECT doc_id,
-               list(CASE WHEN n = 0 THEN 0.0
-                         ELSE CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END
-                    ORDER BY bucket) AS features,
+               array_to_string(
+                   list(CAST(CAST(ROUND(
+                            CASE WHEN n = 0 THEN 0.0
+                                 ELSE CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                            END, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                        ORDER BY bucket),
+                   ',') AS features,
                ROUND(CAST(SUM(CASE WHEN n = 0 THEN 0.0
                                    ELSE CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
                               END) AS DOUBLE), 6) AS feature_sum
@@ -388,7 +441,12 @@ ORACLE["multimodal_embed"] = f"""
                    AS embedding
         FROM documents
     )
-    SELECT doc_id, embedding,
+    SELECT doc_id,
+           array_to_string(
+               list_transform(
+                   embedding,
+                   x -> CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+               ',') AS embedding,
            ROUND(sqrt(list_dot_product(embedding, embedding)), 6) AS emb_norm
     FROM emb
 """

@@ -62,6 +62,7 @@ def test_multimodal_byte_histogram_values(spark):
     from awscommunityday_2025_iceberg_snowfalke_spark.operators.multimodal import (
         N_BUCKETS,
         multimodal_byte_histogram,
+        multimodal_byte_histogram_vectors,
     )
 
     tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
@@ -72,12 +73,21 @@ def test_multimodal_byte_histogram_values(spark):
     expect = (expect / arr.size).tolist()
 
     got = (
-        multimodal_byte_histogram(spark, SF_DIR)
+        multimodal_byte_histogram_vectors(spark, SF_DIR)
         .filter(f"doc_id = {int(row['doc_id'])}")
         .collect()[0]
     )
     assert got["features"] == pytest.approx(expect)
     assert got["feature_sum"] == pytest.approx(1.0, abs=1e-6)
+
+    # gated form: same values, serialized to decimal(18,6) text
+    gated = (
+        multimodal_byte_histogram(spark, SF_DIR)
+        .filter(f"doc_id = {int(row['doc_id'])}")
+        .collect()[0]
+    )
+    parsed = [float(v) for v in gated["features"].split(",")]
+    assert parsed == pytest.approx(expect, abs=5e-7)
 
 
 def test_hll_user_rollup_accuracy(spark, oracle):

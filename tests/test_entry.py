@@ -36,3 +36,21 @@ def test_all_queries_return_dataframes(spark):
     for name, fn in qs.items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.columns, f"{name} returned no columns"
+
+
+def test_all_queries_emit_canonicalizable_schemas(spark):
+    """Driver-harness contract: the gate canonicalizes results with pandas
+    (sort_values + hash over cells), which dies on list/dict cells — the
+    r5 multimodal ERROR class. Every registry entry must therefore emit
+    only atomic column types; vector/map/struct outputs are serialized to
+    canonical text (see multimodal._vec_text, events_object_agg) and the
+    raw form lives in a non-registry ``*_vectors`` variant."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, field.name, str(field.dataType)))
+    assert not offenders, offenders
