@@ -33,6 +33,22 @@ JACCARD_THRESHOLD = 0.10
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
+# Hot-shingle document-frequency cap (CCNet-style skew mitigation): shingles
+# present in more than this many documents are dropped from the inverted
+# index before the Jaccard self-join. The candidate join is quadratic in
+# each shingle's document frequency (measured at sf0.1: sum(df²) = 2.79 M
+# pair-rows for 27 k shingles; the df>10 head is 37% of shingles but 63% of
+# join work — and a real Zipfian corpus has stopword shingles with df ~ 10⁶,
+# i.e. 10¹² pairs from ONE shingle). Dropping a df>cap shingle removes at
+# most that shingle from each pair's `shared` count, so reported jaccard is
+# a conservative lower bound for pairs that share capped shingles — the
+# standard CCNet/SlimPajama trade. The default (1000) exceeds every local
+# corpus's max df (25 at sf0.1), so results are exactly equal to the
+# uncapped join at test scale (pinned by the oracle gate and an explicit
+# equivalence test); at 100 TB it bounds any single shingle's join
+# contribution to cap² pairs. None disables the cap.
+HOT_SHINGLE_DF_CAP: int | None = 1000
+
 # Portable 60-bit hash: md5 hex prefix → int64. Same value in Spark and
 # duckdb (verified), so LSH pipelines are exactly reproducible cross-engine.
 _SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
@@ -162,14 +178,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs share ≥1 shingle (inverted-index equi-join on the
     shingle — a hash shuffle keyed on shingle, never O(n²)); Jaccard
     computed from shared/set sizes. Hot shingles (stopword runs) are the
-    skew hazard at scale → AQE skew-join handles it; a frequency cap on
-    shingles is the documented mitigation."""
+    skew hazard at scale: mitigated by the HOT_SHINGLE_DF_CAP
+    document-frequency cap (see constant above) with AQE skew-join as the
+    second line of defense for the sub-cap distribution."""
     sh = _shingles(spark, sf_dir)
     # (Measured non-win locally: pre-pruning single-doc shingles via a
     # count-over-shingle window is exact but the window's sort cost exceeds
     # the join savings at this scale — 5s → 12s at sf0.1. At 100 TB with a
     # long unique-shingle tail the pruning flips to a win; keep the plain
     # hash join here and revisit with real corpus statistics.)
+    if HOT_SHINGLE_DF_CAP is not None:
+        # The hot set is tiny by construction (≤ total_shingle_rows / cap
+        # distinct keys, and in a Zipfian corpus it's the stopword head —
+        # hundreds of entries), so it broadcasts; the anti-join stays
+        # map-side on the big index. Per-doc set size `n` keeps the FULL
+        # (uncapped) set semantics — only candidate generation and the
+        # `shared` numerator see the filtered index. Staged to disk because
+        # the self-join aliases duplicate this subtree — unstaged, the
+        # DF-count shuffle over the whole shingle index would run twice.
+        df_counts = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        hot = stage(df_counts.filter(F.col("df") > HOT_SHINGLE_DF_CAP).select("sh_h"))
+        sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     # set sizes ride along as grouping keys (constant per doc), so jaccard

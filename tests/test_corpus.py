@@ -193,3 +193,58 @@ def test_kmeans_ivf_train_matches_python_replay(spark):
         assert got[cell]["mean_sq_dist"] == pytest.approx(
             float(sd) / n, abs=1e-5
         ), cell
+
+
+def test_hot_shingle_cap_noop_below_threshold(spark, oracle):
+    """Equivalence below the cap: the default HOT_SHINGLE_DF_CAP exceeds
+    every local corpus's max shingle document frequency (25 at sf0.1), so
+    the capped join must return exactly the uncapped result."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    capped = dedup.dedup_ngram_jaccard(spark, SF_DIR).toPandas()
+    orig = dedup.HOT_SHINGLE_DF_CAP
+    try:
+        dedup.HOT_SHINGLE_DF_CAP = None
+        uncapped = dedup.dedup_ngram_jaccard(spark, SF_DIR).toPandas()
+    finally:
+        dedup.HOT_SHINGLE_DF_CAP = orig
+    key = ["doc_a", "doc_b"]
+    capped = capped.sort_values(key).reset_index(drop=True)
+    uncapped = uncapped.sort_values(key).reset_index(drop=True)
+    assert capped.equals(uncapped)
+
+
+def test_hot_shingle_cap_active_matches_capped_oracle(spark, oracle):
+    """Mechanism check with the cap engaged: force a cap below the local
+    max df and compare against a DuckDB twin applying the identical
+    document-frequency filter to the inverted index (per-doc set sizes
+    keep uncapped semantics on both sides)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    cap = 5  # sf0.001 max df is 9 — this drops real shingles
+    sql = rf"""
+        WITH {dedup._DUCK_SHINGLES},
+        shc AS (
+            SELECT * FROM sh WHERE sh_h IN (
+                SELECT sh_h FROM sh GROUP BY sh_h HAVING COUNT(*) <= {cap}
+            )
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS na, b.n AS nb, COUNT(*) AS shared
+            FROM shc a JOIN shc b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+            FROM pairs
+        ) WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+    """
+    orig = dedup.HOT_SHINGLE_DF_CAP
+    try:
+        dedup.HOT_SHINGLE_DF_CAP = cap
+        df = dedup.dedup_ngram_jaccard(spark, SF_DIR)
+        assert_matches_oracle(df, oracle, sql, "jaccard_capped")
+    finally:
+        dedup.HOT_SHINGLE_DF_CAP = orig
