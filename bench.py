@@ -136,6 +136,13 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real errors
 
+    # Min-of-n per query: a single attempt's number cannot distinguish a
+    # real plan regression from local[32] run-to-run noise (the r5 verdict's
+    # region_join_agg 0.74→1.04 s question). Attempt 1 still pays any
+    # per-sf_dir shared-index build (caches are keyed per sf_dir); the min
+    # is the steady-state number the baseline comparison wants.
+    attempts_n = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     report: dict[str, dict] = {}
@@ -145,19 +152,27 @@ def main() -> None:
         # (Snowflake: a second query_history lookup by query_id).
         # Fault-isolated per query: one broken query must never zero out the
         # whole round's bench data (the r04 failure mode).
-        t0 = time.perf_counter()
-        try:
-            df = queries[name](spark, sf_dir)
-            df.collect()
-        except Exception as exc:  # noqa: BLE001 — record and keep benching
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            report[name] = {"err": errors[name]}
+        attempts: list[float] = []
+        df = None
+        for _ in range(attempts_n):
+            t0 = time.perf_counter()
+            try:
+                df = queries[name](spark, sf_dir)
+                df.collect()
+            except Exception as exc:  # noqa: BLE001 — record and keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                report[name] = {"err": errors[name]}
+                df = None
+                break
+            attempts.append(round(time.perf_counter() - t0, 3))
+        if df is None:
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = min(attempts)
         metrics = execution_metrics(df, executed=True)
         cores = spark.sparkContext.defaultParallelism
         report[name] = {
             "seconds": timings[name],
+            "attempts": attempts,
             # credit-proxy spend (plans.CREDITS_PER_CORE_HOUR): the
             # reference's per-query cost column (RPT:104-119)
             "est_credits": estimate_credits(timings[name], cores),
