@@ -279,11 +279,12 @@ class SnapshotTable:
             new = f"{uuid.uuid4().hex[:12]}.parquet"
             shutil.move(p, os.path.join(self.path, "data", new))
             added.append(new)
-        while True:
+        for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version
             prev = self._manifest(base)["files"] if base else []
             if self._try_commit(base + 1, prev + added, operation):
                 return base + 1
+        raise RuntimeError(f"{operation}: commit retries exhausted")
 
     def append(self, df: DataFrame, n_files: int | None = None) -> int:
         """T1: atomic concurrent-safe append (Iceberg: ``writeTo(t)
@@ -525,6 +526,12 @@ def file_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     100x). Real compaction chunks the same way: by value range, not by
     global row position."""
     ev = load(spark, sf_dir, "events")
+    # Day-bucket semantics across engines: Spark's DIV truncates toward
+    # zero, and DuckDB's INTEGER `//` does too (floored division applies
+    # only to DuckDB's float path) — verified for pre-epoch dates:
+    # ts 2023-12-25 buckets to (-3, 0) for the *16/*4 exprs on BOTH
+    # engines. Negative buckets are therefore consistent, not a desync;
+    # the corpus additionally pins min(ts) >= 2024-01-01.
     chunk = F.expr(
         "(datediff(CAST(ts AS DATE), DATE '2024-01-01') * 4) DIV 30"
     )

@@ -150,9 +150,12 @@ class IcebergTable:
 
     # -- metadata ------------------------------------------------------------
     def _snapshot_ids(self) -> list[int]:
+        # snapshot_id tiebreaker: made_current_at has millisecond
+        # resolution, so rapid successive commits can tie and make the
+        # dense-version mapping unstable without it
         rows = self.spark.sql(
             f"SELECT snapshot_id FROM {self.ident}.history "
-            "ORDER BY made_current_at"
+            "ORDER BY made_current_at, snapshot_id"
         ).collect()
         return [int(r[0]) for r in rows]
 
@@ -165,7 +168,7 @@ class IcebergTable:
             f"SELECT h.snapshot_id, h.made_current_at, s.operation "
             f"FROM {self.ident}.history h "
             f"JOIN {self.ident}.snapshots s USING (snapshot_id) "
-            "ORDER BY h.made_current_at"
+            "ORDER BY h.made_current_at, h.snapshot_id"
         ).collect()
         return [
             {
@@ -177,10 +180,18 @@ class IcebergTable:
         ]
 
     def files(self, version: int | None = None) -> list[dict]:
+        # metadata-table time travel (Iceberg supports VERSION AS OF on
+        # .files): resolve the dense version to its snapshot id so the
+        # listing matches SnapshotTable.files(version) semantics instead of
+        # silently returning the current file set
+        src = f"{self.ident}.files"
+        if version is not None:
+            sid = self._snapshot_ids()[version - 1]
+            src = f"{src} VERSION AS OF {sid}"
         return [
             {"file": r["file_path"], "bytes": int(r["file_size_in_bytes"])}
             for r in self.spark.sql(
-                f"SELECT file_path, file_size_in_bytes FROM {self.ident}.files"
+                f"SELECT file_path, file_size_in_bytes FROM {src}"
             ).collect()
         ]
 
@@ -235,7 +246,13 @@ class IcebergTable:
         ids = self._snapshot_ids()
         if len(ids) <= keep_last:
             return
+        # older_than defaults to now-5d in Iceberg, so without it snapshots
+        # created seconds ago are never expired and retain_last is a no-op
+        # on fresh fixture tables; passing current_timestamp makes
+        # retain_last actually govern retention (SnapshotTable parity)
         self.spark.sql(
             f"CALL {CATALOG}.system.expire_snapshots("
-            f"table => 'db.{self.name}', retain_last => {keep_last})"
+            f"table => 'db.{self.name}', "
+            f"older_than => TIMESTAMP '9999-12-31 00:00:00', "
+            f"retain_last => {keep_last})"
         )
