@@ -1,17 +1,28 @@
 #!/usr/bin/env python
-"""Scale-smoke: run the events-based headline queries at 1x / 10x / 100x
-the bench corpus and report wall-clock scaling.
+"""Scale-smoke: run the headline queries at 1x / 10x / 100x the bench
+corpus and report wall-clock scaling.
 
-The driver's largest testdata is sf0.1 (100 K events). This tool
-synthesizes driver-schema events tables at arbitrary row counts with the
-same shape (user cardinality, event-type domain, 30-day window, JSON
-props) using deterministic spark.range expressions — no RNG state — then
-times the per-family headline queries on each size. Near-linear (or
-better) growth is the evidence that the plans are scan/shuffle-bound with
-no hidden superlinear step; a query that grows faster than rows is a red
-flag long before a real cluster run.
+The driver's largest testdata is sf0.1 (100 K events, 5 K documents,
+2 K embeddings). This tool synthesizes driver-schema tables at arbitrary
+row counts with the same shape using deterministic spark.range
+expressions — no RNG state — then times the per-family headline queries
+on each size. Near-linear (or better) growth is the evidence that the
+plans are scan/shuffle-bound with no hidden superlinear step; a query
+that grows faster than rows is a red flag long before a real cluster run.
 
-Usage:  python tools/scale_smoke.py [--sizes 100000,1000000,10000000]
+Two families:
+- ``--family events`` (default): the relational/window/streaming-shape
+  headliners over a synthesized ``events`` table.
+- ``--family docs``: the LLM-curation headliners (exact/fuzzy dedup,
+  MinHash-LSH, SimHash, BM25, IVF/kNN ANN) over synthesized
+  ``documents`` + ``embeddings`` tables. Documents carry the testdata's
+  duplicate structure (2 exact dups + 1 near-dup per 50-doc block) so
+  the LSH band joins and Jaccard verify stage have real candidate load;
+  embeddings carry a 10-cell label signal so IVF cells are non-trivial.
+  ``--sizes`` counts documents; embeddings scale at the testdata's
+  2:5 ratio.
+
+Usage:  python tools/scale_smoke.py [--family docs] [--sizes 5000,50000,500000]
 Writes parquet under .scale_smoke/ (gitignored) and prints one JSON line.
 """
 
@@ -45,6 +56,21 @@ QUERIES = [
     "rolling_1h_event_count",  # RANGE-interval frame
     "cdc_latest_events",    # latest-per-key window
     "hll_user_rollup",      # sketch rollup + exact gate column
+]
+
+# documents/embeddings-family headliners — the 100 TB curation workloads
+# (VERDICT r5 ask #6). One per plan family: digest shuffle, capped
+# inverted-index Jaccard, banded LSH, hamming clustering, broadcast-idf
+# retrieval, map-only Arrow IVF probe, brute-force matmul baseline.
+DOC_QUERIES = [
+    "dedup_exact_hash",      # hash-then-group: shuffles 32-B digests
+    "dedup_ngram_jaccard",   # shingle inverted index + DF-capped self-join
+    "minhash_lsh_pairs",     # banded LSH equi-join + semi-join verify
+    "simhash32",             # per-doc fingerprint, map-side
+    "doc_bm25_search",       # tf agg + broadcast idf, top-k
+    "token_stats",           # pure map-side text scan
+    "ann_ivf_cosine",        # centroid train + ONE map-only Arrow pass
+    "knn_bruteforce_cosine", # exact baseline: fixed queries x corpus
 ]
 
 
@@ -83,12 +109,126 @@ def synth_events(spark, n: int, out_dir: str) -> None:
     df.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
+def _hash_idx(salt, seed_col, mod: int):
+    """Deterministic index in [0, mod) from md5(salt || seed) — the same
+    no-RNG-state device as ``u()`` above."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), seed_col.cast("string"))), 1, 8),
+        16,
+        10,
+    )
+    return (h.cast("long") % mod).cast("int")
+
+
+_REAL_VOCAB = (
+    "data join stream query spark table row column value hash scan agg "
+    "window batch order line part customer small fast slow key filter "
+    "group sort merge read write cache disk shuffle plan cost stats "
+    "index bucket range skew salt broadcast limit union distinct count"
+).split()
+
+# synthetic-word space: word-3-shingle collisions across unrelated docs are
+# ~nil at every tested size (space ≈ 10¹⁸ triples), so shingle document
+# frequency is driven by the *dup structure*, not the generator — the same
+# scale-invariant df profile a growing real corpus has. (A first cut drew
+# all words from the 48-word vocab; that made every trigram a hot key with
+# df ∝ corpus size — quadratic join work the real testdata doesn't have.
+# Zipf-head hot shingles are covered separately by HOT_SHINGLE_DF_CAP and
+# its equivalence test.)
+_WORD_SPACE = 1_000_000
+
+
+def synth_documents(spark, n: int, out_dir: str) -> None:
+    """Driver-schema documents: (doc_id, text, lang, source, n_chars).
+
+    Texts are 64 words keyed on a *seed*: within each 50-doc block, docs
+    0 and 1 share the block seed (exact duplicates, 2%), doc 2 shares it
+    except the final 8 words (~86% Jaccard near-dup — a real LSH/verify
+    candidate), the rest seed on their own doc_id. Every 8th word comes
+    from the testdata's real vocabulary (BM25's data/join/stream terms
+    get true hits); the rest are draws from ``_WORD_SPACE`` synthetic
+    words so shingles are unique except through duplication."""
+    vocab_arr = F.array(*[F.lit(w) for w in _REAL_VOCAB])
+    i = F.col("id")
+    pos_in_block = i % 50
+    seed = F.when(pos_in_block < 3, i - pos_in_block).otherwise(i)
+    parts = []
+    for k in range(64):
+        # near-dup: doc 2 of each block perturbs only the last 8 words
+        salt = F.when(
+            (pos_in_block == 2) & (F.lit(k >= 56)), F.lit(f"w{k}x")
+        ).otherwise(F.lit(f"w{k}"))
+        h = F.xxhash64(salt, seed)
+        if k % 8 == 0:
+            parts.append(
+                F.element_at(vocab_arr, F.pmod(h, len(_REAL_VOCAB)).cast("int") + 1)
+            )
+        else:
+            parts.append(
+                F.concat(F.lit("w"), F.pmod(h, _WORD_SPACE).cast("string"))
+            )
+    text = F.concat_ws(" ", *parts)
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "nl")])
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism).select(
+        i.alias("doc_id"),
+        text.alias("text"),
+        F.element_at(langs, _hash_idx("lang_", i, 5) + 1).alias("lang"),
+        F.concat(F.lit("src"), _hash_idx("src_", i, 20).cast("string")).alias(
+            "source"
+        ),
+        F.length(text).alias("n_chars"),
+    )
+    df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def synth_embeddings(spark, n: int, out_dir: str, dim: int = 64) -> None:
+    """Driver-schema embeddings: (vec_id, embedding array<float>, label).
+
+    Each vector = per-dim deterministic noise + a label-keyed offset
+    (literal 10 x dim table built driver-side) so the 10 IVF cells are
+    separable and centroid training/probing does real work."""
+    import hashlib
+
+    i = F.col("id")
+    label = _hash_idx("lab_", i, 10)
+    # label-offset table: offsets[d] is a 10-element literal array
+    def offs(d: int) -> list:
+        return [
+            (hashlib.md5(f"c{lab}_{d}".encode()).digest()[0] / 255.0 - 0.5) * 0.5
+            for lab in range(10)
+        ]
+
+    dims = []
+    for d in range(dim):
+        noise = (u_col(f"e{d}_", i) - 0.5) * 0.6
+        off = F.element_at(F.array(*[F.lit(v) for v in offs(d)]), label + 1)
+        dims.append((noise + off).cast("float"))
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism).select(
+        i.alias("vec_id"),
+        F.array(*dims).alias("embedding"),
+        label.cast("int").alias("label"),
+    )
+    df.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def u_col(salt: str, i):
+    """Uniform [0,1) from md5 — module-level twin of synth_events' u()."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), i.cast("string"))), 1, 8), 16, 10)
+    return h.cast("double") / float(0xFFFFFFFF)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="100000,1000000,10000000")
+    ap.add_argument("--family", default="events", choices=["events", "docs"])
+    ap.add_argument("--sizes", default=None,
+                    help="comma row counts (events; for docs = document rows, "
+                         "embeddings follow at 2:5)")
     ap.add_argument("--keep", action="store_true", help="keep generated parquet")
     args = ap.parse_args()
-    sizes = [int(s) for s in args.sizes.split(",")]
+    default_sizes = ("100000,1000000,10000000" if args.family == "events"
+                     else "5000,50000,500000")
+    sizes = [int(s) for s in (args.sizes or default_sizes).split(",")]
+    queries = QUERIES if args.family == "events" else DOC_QUERIES
 
     spark = get_spark(app_name="scale_smoke")
     qs = all_queries()
@@ -96,8 +236,12 @@ def main() -> None:
                         ".scale_smoke")
     report: dict[str, dict] = {}
     for n in sizes:
-        d = os.path.join(root, f"n{n}")
-        synth_events(spark, n, d)
+        d = os.path.join(root, f"{args.family}_n{n}")
+        if args.family == "events":
+            synth_events(spark, n, d)
+        else:
+            synth_documents(spark, n, d)
+            synth_embeddings(spark, max(100, n * 2 // 5), d)
         # The noop sink executes the FULL query on the executors without
         # collecting results to the Python driver — .collect() of a
         # 10M-row result measures driver serialization, not the plan
@@ -105,13 +249,16 @@ def main() -> None:
         def execute(q):
             qs[q](spark, d).write.mode("overwrite").format("noop").save()
 
-        # warm-up pass compiles every query shape at this size's schema
-        for q in QUERIES:
-            try:
-                execute(q)
-            except Exception:
-                pass
-        for q in QUERIES:
+        # warm-up pass compiles every query shape (smallest size only:
+        # codegen/Arrow init amortizes to noise at the larger sizes, and a
+        # duplicate 100x pass would double the sweep's wall-clock)
+        if n == sizes[0]:
+            for q in queries:
+                try:
+                    execute(q)
+                except Exception:
+                    pass
+        for q in queries:
             t0 = time.perf_counter()
             try:
                 execute(q)
@@ -122,7 +269,7 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
     # scaling factor per decade: t(10x)/t(x) — ≈10 is linear, <10 sublinear
-    out = {"sizes": sizes, "seconds": report, "scaling": {}}
+    out = {"family": args.family, "sizes": sizes, "seconds": report, "scaling": {}}
     for q, times in report.items():
         ratios = []
         for a, b in zip(sizes, sizes[1:]):
