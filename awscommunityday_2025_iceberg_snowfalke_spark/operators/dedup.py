@@ -400,6 +400,100 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     return labels
 
 
+_STAR_MAX_ROUNDS = 20
+
+
+def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the escalation :func:`connected_components` documents for
+    pathological graphs: label propagation needs diameter-many rounds (a
+    100 M-node chain would need 100 M), while star contraction converges
+    in O(log n) rounds on ANY graph shape, each round the same
+    groupBy-min + keyed-join shuffle budget.
+
+    - large-star: every node links its LARGER neighbors to the minimum of
+      its neighborhood (incl. itself) — long tails fold toward minima.
+    - small-star: every node links its smaller neighbors and itself to
+      that minimum — stars flatten so each component becomes one star
+      centered at its minimum id.
+
+    The fixpoint is an edge set {(v, min-of-component)}; convergence is an
+    exact set-equality check (count match + one-sided exceptAll — an extra
+    exchange per round, but rounds are logarithmic, and a fingerprint
+    check could false-positive). Per-round staging is disk-backed and
+    bounded to two rounds of files, like label propagation. Returns
+    (``id``, ``label``), label = min id of the component — bit-identical
+    to :func:`connected_components` (equivalence is pinned by a property
+    test and by ``dedup_clusters_star`` sharing the recursive-CTE
+    oracle)."""
+    edges = stage(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    n_edges = edges.count()
+    converged = n_edges == 0
+    for _ in range(_STAR_MAX_ROUNDS):
+        if converged:
+            break
+        # large-star over the undirected view: attach v > u to
+        # m = min(neighborhood(u) ∪ {u})
+        bi = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        large = stage(large)
+        # small-star: edges are (u, v<u); attach u and its smaller
+        # neighbors to m = min(smaller-neighbors)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        new_edges = stage(small)
+        discard(large)
+        new_count = new_edges.count()
+        if new_count == n_edges and new_edges.exceptAll(edges).isEmpty():
+            converged = True
+        discard(edges)
+        edges, n_edges = new_edges, new_count
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within "
+            f"{_STAR_MAX_ROUNDS} rounds — O(log n) convergence means this "
+            "graph is far larger than the round budget anticipates."
+        )
+    # NOTE: the returned plan still scans the final staged edge set, so it
+    # is NOT discarded here (label propagation stages labels separately and
+    # can drop its edges; doing that here served FILE_NOT_EXIST to the
+    # caller's collect). Session temp-dir cleanup reclaims it at exit.
+    return nodes.join(
+        edges.groupBy("u").agg(F.min("v").alias("nbr")),
+        nodes.id == F.col("u"),
+        "left",
+    ).select(
+        "id", F.coalesce(F.col("nbr"), F.col("id")).alias("label")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the verified
     MinHash/LSH near-dup pair graph, the final step of a real dedup
@@ -407,11 +501,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster {A,B,C} with one canonical survivor). Output: one row per
     document (singletons included), cluster id = min doc_id of the
     component, cluster size, and the canonical-survivor flag."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(docs, pairs)
+    return _cluster_report(connected_components(docs, pairs))
+
+
+def _cluster_report(labels: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(
@@ -422,6 +519,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
     )
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_clusters` computed by the O(log n)-round
+    large-star/small-star contraction instead of diameter-bounded label
+    propagation — the variant a 100 TB corpus with long duplicate chains
+    (mirror farms, boilerplate families) actually needs. Same verified
+    LSH pair graph, same output, same recursive-CTE oracle: the driver
+    gate itself certifies the two algorithms agree."""
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _cluster_report(connected_components_star(docs, pairs))
 
 
 # --- end-to-end dedup impact (the corpus-reduction report) -------------------
@@ -489,6 +598,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_corpus_summary": dedup_corpus_summary,
     "simhash32": simhash32,
 }
@@ -625,6 +735,9 @@ ORACLE = {
     """,
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "dedup_clusters": _duck_clusters_sql(),
+    # the star variant must agree with label propagation bit-for-bit, so it
+    # shares the recursive-CTE transitive-closure oracle verbatim
+    "dedup_clusters_star": _duck_clusters_sql(),
     "dedup_corpus_summary": f"""
         SELECT d.lang,
                COUNT(*) AS total_docs,

@@ -384,6 +384,61 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR importance weighting (hashed n-gram log-ratio) --------------------
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log importance ratio ln p_target(x) − ln p_raw(x) under hashed
+    bag-of-words models — target = the ``DSIR_TARGET_LANG`` slice, raw =
+    the whole corpus. High scores read target-like and survive importance
+    resampling; the cheap statistical filter that runs before any neural
+    quality model touches the corpus.
+
+    Scale shape (the whole point of DSIR): both "models" are fixed-size
+    hashed count vectors (``DSIR_BUCKETS`` Laplace-smoothed buckets),
+    built in ONE map-side-combinable aggregation over the token stream
+    (raw count + conditional target count per bucket — never two corpus
+    passes); the resulting ≤1024-row weight dictionary broadcasts at any
+    corpus size, and scoring is token explode → broadcast hash-join →
+    per-doc decimal sum, the proven BM25/unigram-LM budget. The only
+    scalar collect is the two corpus totals. Token-bucket hashing is the
+    portable md5-prefix hash, and ln/decimal accumulation follows the
+    cross-engine determinism recipe, so the duckdb twin is bit-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_toks()).alias("t")
+    ).withColumn("bkt", F.expr(_SPARK_TH) % DSIR_BUCKETS)
+    toks = stage(toks)  # consumed twice: model build + scoring join
+    is_tgt = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    counts = toks.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("raw_c"), F.sum(is_tgt).alias("tgt_c")
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n_raw"), F.sum(is_tgt).alias("n_tgt")
+    ).collect()[0]
+    n_raw, n_tgt = int(tot["n_raw"]), int(tot["n_tgt"])
+    w = F.log(
+        (F.col("tgt_c") + 1).cast("double") / F.lit(float(n_tgt + DSIR_BUCKETS))
+    ) - F.log(
+        (F.col("raw_c") + 1).cast("double") / F.lit(float(n_raw + DSIR_BUCKETS))
+    )
+    weights = counts.select("bkt", w.alias("w"))
+    return (
+        toks.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(28,16)")).cast("double"), 6
+            ).alias("log_importance"),
+        )
+    )
+
+
 QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "text_quality": text_quality,
@@ -395,6 +450,7 @@ QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "text_redact_pii": text_redact_pii,
     "unigram_logprob_score": unigram_logprob_score,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 ORACLE = {
@@ -578,4 +634,30 @@ ORACLE["unigram_logprob_score"] = rf"""
            ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*), 6)
                AS avg_neg_logprob
     FROM scored GROUP BY doc_id
+"""
+
+ORACLE["dsir_importance_weights"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    b AS (
+        SELECT doc_id, {_DUCK_TH} % {DSIR_BUCKETS} AS bkt,
+               CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS tgt
+        FROM toks
+    ),
+    counts AS (
+        SELECT bkt, COUNT(*) AS raw_c, SUM(tgt) AS tgt_c FROM b GROUP BY bkt
+    ),
+    tot AS (SELECT COUNT(*) AS n_raw, SUM(tgt) AS n_tgt FROM b),
+    w AS (
+        SELECT bkt,
+               ln((tgt_c + 1.0) / (n_tgt + {DSIR_BUCKETS}))
+             - ln((raw_c + 1.0) / (n_raw + {DSIR_BUCKETS})) AS w
+        FROM counts CROSS JOIN tot
+    )
+    SELECT b.doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(w.w AS DECIMAL(28,16))) AS DOUBLE), 6)
+               AS log_importance
+    FROM b JOIN w USING (bkt)
+    GROUP BY b.doc_id
 """

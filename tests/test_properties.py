@@ -296,6 +296,88 @@ def test_connected_components_equals_union_find(spark, edges, n_nodes):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        max_size=30,
+    ),
+    n_nodes=st.integers(min_value=1, max_value=25),
+)
+def test_connected_components_star_equals_union_find(spark, edges, n_nodes):
+    """Large-star/small-star contraction must match a sequential
+    union-find on random graphs — same contract as label propagation,
+    different round complexity (O(log n) vs diameter)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expect = {v: comp_min[find(v)] for v in range(n_nodes)}
+
+    nodes_df = spark.createDataFrame([(v,) for v in range(n_nodes)], "id long")
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_star(nodes_df, pairs_df).collect()
+    }
+    assert got == expect
+
+
+def test_star_handles_chain_beyond_labelprop_budget(spark):
+    """A 60-node chain has diameter 59 > _CC_MAX_ITERS: label propagation
+    must refuse (silently split labels are worse than an error) while the
+    star contraction converges in O(log n) rounds — the documented
+    escalation, now executable."""
+    import pytest
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        _CC_MAX_ITERS,
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 60
+    assert n - 1 > _CC_MAX_ITERS
+    nodes = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(v, v + 1) for v in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_star(nodes, chain).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
+    with pytest.raises(RuntimeError, match="large-star"):
+        connected_components(nodes, chain).collect()
+
+
+@settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
