@@ -243,6 +243,90 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SemDeDup (semantic dedup inside coarse cells) ---------------------------
+SEMDEDUP_THRESHOLD = 0.4  # same scale as NEAR_DUP_THRESHOLD for this corpus
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space coarsely, then call a vector a *semantic duplicate* if some
+    lower-id member of its own cell has cosine ≥ threshold — semantically
+    redundant docs whose text-level shingles never collide (paraphrases,
+    re-renderings) that MinHash can't see. Keep-lowest-id survivors.
+
+    Spark shape: cell assignment reuses the IVF coarse quantizer
+    (:func:`_centroids` — k×dim, broadcast) with a max_by aggregation
+    (map-side combinable; no per-vector window), the staged assignment
+    self-equi-joins ON CELL ONLY — shuffle keyed by cell, AQE-splittable —
+    never a corpus cross-join. Pairwise work is per-cell quadratic by
+    design; SemDeDup's contract at 100 TB is growing k with the corpus so
+    |cell| stays bounded (the paper uses k = O(√n); our k tracks the
+    label/centroid count). Ties and floats follow the proven
+    cross-engine cosine recipe, so the duckdb twin is exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _centroids(emb)
+    v = (
+        emb.select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("ne", _norm(F.col("e")))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    c = cent.select(
+        F.col("label").alias("cell"), F.col("centroid").alias("ce")
+    ).withColumn("nc", _norm(F.col("ce")))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "e",
+        "ne",
+        "cell",
+        (_dot(F.col("e"), F.col("ce")) / (F.col("ne") * F.col("nc"))).alias(
+            "cell_cos"
+        ),
+    )
+    # nearest cell per vector: max_by on (cos, -cell) == the oracle's
+    # ROW_NUMBER() ... ORDER BY cos DESC, cell ASC — as one hash agg
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "e", "ne"),
+                F.struct(
+                    F.col("cell_cos").alias("s"), (-F.col("cell")).alias("t")
+                ),
+            ).alias("a")
+        )
+        .select(
+            "vec_id",
+            F.col("a.cell").alias("cell"),
+            F.col("a.e").alias("e"),
+            F.col("a.ne").alias("ne"),
+        )
+    )
+    assign = stage(assign)  # consumed twice: self-join sides + final flags
+    a = assign.alias("a")
+    b = assign.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.ne") * F.col("b.ne"))
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(
+        dup_ids.withColumn("d", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("d"), F.lit(False)).alias("is_semdup"),
+    )
+
+
 # --- IVF ANN (coarse-quantize → probe → exact re-rank) -----------------------
 N_PROBE = 2
 
@@ -593,6 +677,7 @@ QUERIES = {
     "label_centroid_sim": label_centroid_sim,
     "ann_lsh_cosine": ann_lsh_cosine,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "semantic_dedup": semantic_dedup,
     "ann_ivf_cosine": ann_ivf_cosine,
     "kmeans_ivf_train": kmeans_ivf_train,
 }
@@ -624,6 +709,42 @@ def _duck_bucket_cte() -> str:
         )
     """
 
+
+# shared CTE prefix: per-label decimal-mean centroids + nearest-cell
+# assignment by (cosine DESC, cell ASC) — consumed by the ann_ivf_cosine
+# and semantic_dedup oracles (identical text, so the two entries certify
+# the same assignment semantics)
+_DUCK_ASSIGN_CTES = """
+        comp AS (
+            SELECT vec_id, label, e[i + 1] AS v, i AS pos
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+                 UNNEST(range(len(e))) AS u(i)
+        ),
+        cent AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+            FROM comp GROUP BY label, pos
+        ),
+        centroids AS (
+            SELECT label AS cell, list(c ORDER BY pos) AS centroid
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT v.vec_id, cc.cell, v.e,
+                   list_cosine_similarity(v.e, cc.centroid) AS cell_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.e, cc.centroid) DESC,
+                                cc.cell ASC
+                   ) AS cell_rank
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings) v
+            CROSS JOIN centroids cc
+        ),
+        assign AS (
+            SELECT vec_id, cell, e FROM scored WHERE cell_rank = 1
+        )"""
 
 ORACLE = {
     "embedding_quantize_int8": """
@@ -708,36 +829,7 @@ ORACLE = {
         ) WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
     """,
     "ann_ivf_cosine": f"""
-        WITH comp AS (
-            SELECT vec_id, label, e[i + 1] AS v, i AS pos
-            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-                  FROM embeddings),
-                 UNNEST(range(len(e))) AS u(i)
-        ),
-        cent AS (
-            SELECT label, pos,
-                   CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
-            FROM comp GROUP BY label, pos
-        ),
-        centroids AS (
-            SELECT label AS cell, list(c ORDER BY pos) AS centroid
-            FROM cent GROUP BY label
-        ),
-        scored AS (
-            SELECT v.vec_id, cc.cell, v.e,
-                   list_cosine_similarity(v.e, cc.centroid) AS cell_cos,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY list_cosine_similarity(v.e, cc.centroid) DESC,
-                                cc.cell ASC
-                   ) AS cell_rank
-            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                  FROM embeddings) v
-            CROSS JOIN centroids cc
-        ),
-        assign AS (
-            SELECT vec_id, cell, e FROM scored WHERE cell_rank = 1
-        ),
+        WITH {_DUCK_ASSIGN_CTES},
         probes AS (
             SELECT vec_id AS query_id, cell AS probe_cell, e AS q
             FROM scored
@@ -759,6 +851,18 @@ ORACLE = {
 
 # the Arrow/numpy twin must produce byte-identical top-k after round-8
 ORACLE["knn_pandas_cosine"] = ORACLE["knn_bruteforce_cosine"]
+
+ORACLE["semantic_dedup"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.vec_id, s.cell, d.vec_id IS NOT NULL AS is_semdup
+    FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
+"""
 
 # per-cell k-means outputs aren't SQL-derivable; the gate row checks the
 # conservation invariant (every vector assigned once) + in-engine booleans
