@@ -88,6 +88,43 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-language token-budget quota sampling --------------------------------
+QUOTA_CHARS = 20_000  # per-language character budget for the training mix
+
+
+def quota_sample_tokens_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus construction by BUDGET, not rate: each
+    language contributes documents — in deterministic hash order, so the
+    subset is reproducible on any cluster — until its cumulative character
+    count reaches ``QUOTA_CHARS``; the doc that crosses the boundary is
+    kept (exclusive running sum < budget), matching how training-mix
+    token quotas are actually filled. This is the knob multilingual
+    pipelines turn when "keep 20% of en" (see
+    :func:`stratified_sample_docs`) must become "give every language the
+    same token share".
+
+    Shape: one window keyed by lang (running sum over the hash order) —
+    a per-stratum sort, not a global one. At 100 TB a dominant language
+    makes that stratum's sort the hot partition; the documented
+    escalation samples an approximate hash threshold for the budget
+    (uniform hash ⇒ budget/total_chars quantile), pre-filters map-side,
+    and runs the exact window over the ~budget-sized survivors only."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_H.format(expr="cast(doc_id as string)"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .withColumn("prior_chars", prior)
+        .filter(F.col("prior_chars") < QUOTA_CHARS)
+        .select("doc_id", "lang", "n_chars", "prior_chars")
+    )
+
+
 # --- sequence packing (token-budget bin assignment) ---------------------------
 PACK_BUDGET = 4096  # tokens per packed sequence
 PACK_SHARDS = 32  # parallel packing shards (≈ cluster parallelism)
@@ -373,6 +410,7 @@ def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sample_docs_deterministic": sample_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
+    "quota_sample_tokens_budget": quota_sample_tokens_budget,
     "pack_docs_sequences": pack_docs_sequences,
     "curation_pipeline": curation_pipeline,
     "cdc_latest_events": cdc_latest_events,
@@ -419,6 +457,18 @@ ORACLE = {
               CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items())}
                    ELSE 0 END
         GROUP BY lang
+    """,
+    "quota_sample_tokens_budget": f"""
+        SELECT doc_id, lang, n_chars, prior_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   COALESCE(SUM(n_chars) OVER (
+                        PARTITION BY lang ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prior_chars
+            FROM (SELECT doc_id, lang, n_chars,
+                         {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")} AS h
+                  FROM documents)
+        ) WHERE prior_chars < {QUOTA_CHARS}
     """,
     "pack_docs_sequences": rf"""
         WITH toks AS (

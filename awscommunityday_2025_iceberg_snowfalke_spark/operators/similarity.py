@@ -101,6 +101,96 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hard-negative mining (contrastive-training batch construction) ---------
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k *hard negatives* per query vector: the nearest neighbors whose
+    label DIFFERS from the query's — the batch-construction primitive for
+    contrastive/embedding training (a la DPR/Contriever in-batch negative
+    mining: negatives that are close in embedding space teach the model
+    far more than random ones).
+
+    Same plan as :func:`knn_bruteforce_cosine` — bounded query batch
+    broadcast against the streamed corpus, per-query top-k — with the
+    label-mismatch predicate evaluated map-side before any shuffle, so
+    the only exchange still carries |queries| x k candidate rows. At
+    100 TB the candidate stage swaps to the IVF probe
+    (:func:`ann_ivf_cosine`) with the same mismatch filter."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            _as_double("embedding").alias("q"),
+        )
+        .withColumn("nq", _norm(F.col("q")))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _as_double("embedding").alias("e"),
+    ).withColumn("ne", _norm(F.col("e")))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos_raw", 8).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+# --- per-dimension distribution stats (whitening / drift diagnostics) --------
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / population std / min / max over the corpus —
+    the whitening and embedding-drift diagnostic (feature normalization
+    constants, dead-dimension detection, monitoring between model
+    versions). One posexplode into (pos, v) pairs → one
+    map-side-combinable groupBy(pos): the same narrow-triple shuffle
+    budget as a column-stats pass, never a wide 64-buffer agg (see the
+    ``_centroids`` measurement note). Decimal accumulation keeps mean and
+    variance partition-order independent; std uses the E[x²]−E[x]²
+    population form so the duckdb twin is the same arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode(_as_double("embedding")).alias("pos", "v"))
+    mean = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
+        "v"
+    )
+    mean_sq = F.sum(
+        (F.col("v") * F.col("v")).cast("decimal(28,12)")
+    ).cast("double") / F.count("v")
+    return (
+        comp.groupBy("pos")
+        .agg(
+            F.count("v").alias("n"),
+            F.round(mean, 8).alias("mean"),
+            F.round(F.sqrt(mean_sq - mean * mean), 8).alias("std"),
+            F.round(F.min("v"), 8).alias("min_v"),
+            F.round(F.max("v"), 8).alias("max_v"),
+        )
+    )
+
+
 # --- per-vector norms (sanity/coverage for array math) ----------------------
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -680,6 +770,8 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "ann_ivf_cosine": ann_ivf_cosine,
     "kmeans_ivf_train": kmeans_ivf_train,
+    "knn_hard_negatives": knn_hard_negatives,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 
@@ -851,6 +943,42 @@ ORACLE = {
 
 # the Arrow/numpy twin must produce byte-identical top-k after round-8
 ORACLE["knn_pandas_cosine"] = ORACLE["knn_bruteforce_cosine"]
+
+ORACLE["knn_hard_negatives"] = f"""
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           ROUND(cos_raw, 8) AS cosine_sim, rank FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               {_DUCK_COS.format(a="q.embedding", b="c.embedding")} AS cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_COS.format(a="q.embedding", b="c.embedding")} DESC,
+                            c.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+"""
+
+ORACLE["embedding_dim_stats"] = """
+    WITH comp AS (
+        SELECT e[i + 1] AS v, CAST(i AS INT) AS pos
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             UNNEST(range(len(e))) AS u(i)
+    ),
+    agg AS (
+        SELECT pos, COUNT(v) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS mean,
+               CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v)
+                   AS mean_sq,
+               MIN(v) AS mn, MAX(v) AS mx
+        FROM comp GROUP BY pos
+    )
+    SELECT pos, n, ROUND(mean, 8) AS mean,
+           ROUND(sqrt(mean_sq - mean * mean), 8) AS std,
+           ROUND(mn, 8) AS min_v, ROUND(mx, 8) AS max_v
+    FROM agg
+"""
 
 ORACLE["semantic_dedup"] = f"""
     WITH {_DUCK_ASSIGN_CTES},

@@ -66,6 +66,10 @@ SUITES: dict[str, list[str]] = {
         "unigram_logprob_score",
         "curation_pipeline",
         "training_export_manifest",
+        "dedup_clusters_star",
+        "semantic_dedup",
+        "dsir_importance_weights",
+        "knn_hard_negatives",
     ],
 }
 
@@ -99,6 +103,8 @@ HEADLINE = [
     "asof_purchase_signup", # as-of join (union+window, 1 exchange)
     "curation_pipeline",    # normalize→filter→dedup→sample fused pass
     "hll_user_rollup",      # mergeable-sketch daily layer + union total
+    "semantic_dedup",       # SemDeDup cell-bucketed embedding dedup
+    "dsir_importance_weights",  # hashed-ngram importance reweighting
 ]
 
 
