@@ -233,6 +233,24 @@ def test_shingle_expression_stays_behind_checkpoint(spark):
     assert "documents.parquet" not in plan, "shingles must come from the checkpoint"
 
 
+def test_semantic_dedup_pair_join_is_cell_keyed(spark):
+    """SemDeDup's within-cell pair join must be an equi join on the cell
+    key — a nested-loop over the staged assignment would be the corpus
+    cross-join the cell bucketing exists to avoid. (The one allowed
+    nested-loop is the k-row centroid broadcast during assignment, which
+    lives BEHIND the staging barrier and so never appears in this plan.)"""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+
+    plan = (
+        similarity.semantic_dedup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_hll_rollup_single_agg_exchange(spark):
     """Daily sketch layer: one partial->final agg exchange over the facts;
     the merge stage operates on ~30 materialized sketch rows."""
