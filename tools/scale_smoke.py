@@ -224,6 +224,9 @@ def main() -> None:
                     help="comma row counts (events; for docs = document rows, "
                          "embeddings follow at 2:5)")
     ap.add_argument("--keep", action="store_true", help="keep generated parquet")
+    ap.add_argument("--attempts", type=int, default=2,
+                    help="timed attempts per query; min is reported "
+                         "(single-attempt local[32] numbers are JIT/GC noise)")
     args = ap.parse_args()
     default_sizes = ("100000,1000000,10000000" if args.family == "events"
                      else "5000,50000,500000")
@@ -273,12 +276,19 @@ def main() -> None:
                 except Exception:
                     pass
         for q in queries:
-            t0 = time.perf_counter()
-            try:
-                execute(q)
-                report.setdefault(q, {})[str(n)] = round(time.perf_counter() - t0, 3)
-            except Exception as exc:  # noqa: BLE001
-                report.setdefault(q, {})[str(n)] = f"ERR {type(exc).__name__}"
+            best = None
+            for _ in range(max(1, args.attempts)):
+                t0 = time.perf_counter()
+                try:
+                    execute(q)
+                    el = time.perf_counter() - t0
+                    best = el if best is None or el < best else best
+                except Exception as exc:  # noqa: BLE001
+                    best = f"ERR {type(exc).__name__}"
+                    break
+            report.setdefault(q, {})[str(n)] = (
+                round(best, 3) if isinstance(best, float) else best
+            )
     if not args.keep:
         shutil.rmtree(root, ignore_errors=True)
 
