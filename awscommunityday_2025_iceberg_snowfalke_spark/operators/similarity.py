@@ -417,6 +417,68 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of :func:`semantic_dedup` — the execution shape a
+    real 100 TB SemDeDup pass uses: cell assignment is ONE map-only
+    ``mapInPandas`` pass (centroid matrix in the UDF closure, one numpy
+    matmul per Arrow batch; argmax takes the first/lowest cell on ties,
+    matching the oracle's cos DESC, cell ASC), and the within-cell
+    pairwise check is one dgemm per cell via ``applyInPandas`` — no
+    expression-fold interpretation, no pair-row explosion (the m×m score
+    matrix never leaves the executor). At real scale a huge cell is
+    processed in blocked row-strips against the same cell matrix (bounded
+    memory), and cells shard across executors by the groupBy key.
+
+    numpy matmul reassociates float adds vs the oracle's sequential fold;
+    parity of the thresholded booleans is verified against the same
+    duckdb oracle as the expression twin on the fixed testdata (the
+    ``knn_pandas_cosine`` stance)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = np.linalg.norm(E, axis=1)
+            S = (E @ C.T) / (En[:, None] * Cn[None, :])
+            idx = np.argmax(S, axis=1)  # first max = lowest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cells[idx],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    ).mapInPandas(assign, "vec_id long, cell int, embedding array<double>")
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        if len(pdf) <= 1:
+            dup = np.zeros(len(pdf), dtype=bool)
+        else:
+            En = np.linalg.norm(E, axis=1)
+            S = (E @ E.T) / np.outer(En, En)
+            # dup iff some lower-vec_id cellmate scores >= threshold
+            dup = np.tril(S >= SEMDEDUP_THRESHOLD, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "is_semdup": dup}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        flag, "vec_id long, cell int, is_semdup boolean"
+    )
+
+
 # --- IVF ANN (coarse-quantize → probe → exact re-rank) -----------------------
 N_PROBE = 2
 
@@ -768,6 +830,7 @@ QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_pandas": semantic_dedup_pandas,
     "ann_ivf_cosine": ann_ivf_cosine,
     "kmeans_ivf_train": kmeans_ivf_train,
     "knn_hard_negatives": knn_hard_negatives,
@@ -991,6 +1054,9 @@ ORACLE["semantic_dedup"] = f"""
     SELECT s.vec_id, s.cell, d.vec_id IS NOT NULL AS is_semdup
     FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
 """
+
+# the Arrow/numpy cell-dgemm twin must produce the same thresholded flags
+ORACLE["semantic_dedup_pandas"] = ORACLE["semantic_dedup"]
 
 # per-cell k-means outputs aren't SQL-derivable; the gate row checks the
 # conservation invariant (every vector assigned once) + in-engine booleans
