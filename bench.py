@@ -68,6 +68,7 @@ SUITES: dict[str, list[str]] = {
         "training_export_manifest",
         "dedup_clusters_star",
         "semantic_dedup",
+        "semantic_dedup_pandas",
         "dsir_importance_weights",
         "knn_hard_negatives",
     ],
@@ -104,6 +105,7 @@ HEADLINE = [
     "curation_pipeline",    # normalize→filter→dedup→sample fused pass
     "hll_user_rollup",      # mergeable-sketch daily layer + union total
     "semantic_dedup",       # SemDeDup cell-bucketed embedding dedup
+    "semantic_dedup_pandas", # same semantics, per-cell Arrow dgemm (3.5x)
     "dsir_importance_weights",  # hashed-ngram importance reweighting
 ]
 
