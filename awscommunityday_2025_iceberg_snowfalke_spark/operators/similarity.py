@@ -16,12 +16,14 @@ shows the plan shape: hash → co-partition by bucket → local scan.
 from __future__ import annotations
 
 import hashlib
+import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
-from ..stage import stage
+from ..stage import _session_root, stage
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -417,22 +419,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semantic_dedup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/numpy twin of :func:`semantic_dedup` — the execution shape a
-    real 100 TB SemDeDup pass uses: cell assignment is ONE map-only
-    ``mapInPandas`` pass (centroid matrix in the UDF closure, one numpy
-    matmul per Arrow batch; argmax takes the first/lowest cell on ties,
-    matching the oracle's cos DESC, cell ASC), and the within-cell
-    pairwise check is one dgemm per cell via ``applyInPandas`` — no
-    expression-fold interpretation, no pair-row explosion (the m×m score
-    matrix never leaves the executor). At real scale a huge cell is
-    processed in blocked row-strips against the same cell matrix (bounded
-    memory), and cells shard across executors by the groupBy key.
-
-    numpy matmul reassociates float adds vs the oracle's sequential fold;
-    parity of the thresholded booleans is verified against the same
-    duckdb oracle as the expression twin on the fixed testdata (the
-    ``knn_pandas_cosine`` stance)."""
+def _assigned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, embedding): every corpus vector tagged with its
+    nearest-centroid cell — ONE map-only Arrow pass (centroid matrix in
+    the UDF closure, one numpy matmul per batch; argmax takes the
+    first/lowest cell on ties = the oracle's cos DESC, cell ASC). Shared
+    by the SemDeDup dgemm twin and the cell-partitioned IVF store."""
     import numpy as np
     import pandas as pd
 
@@ -456,9 +448,31 @@ def semantic_dedup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    assigned = emb.select(
+    return emb.select(
         "vec_id", _as_double("embedding").alias("embedding")
     ).mapInPandas(assign, "vec_id long, cell int, embedding array<double>")
+
+
+def semantic_dedup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of :func:`semantic_dedup` — the execution shape a
+    real 100 TB SemDeDup pass uses: cell assignment is ONE map-only
+    ``mapInPandas`` pass (centroid matrix in the UDF closure, one numpy
+    matmul per Arrow batch; argmax takes the first/lowest cell on ties,
+    matching the oracle's cos DESC, cell ASC), and the within-cell
+    pairwise check is one dgemm per cell via ``applyInPandas`` — no
+    expression-fold interpretation, no pair-row explosion (the m×m score
+    matrix never leaves the executor). At real scale a huge cell is
+    processed in blocked row-strips against the same cell matrix (bounded
+    memory), and cells shard across executors by the groupBy key.
+
+    numpy matmul reassociates float adds vs the oracle's sequential fold;
+    parity of the thresholded booleans is verified against the same
+    duckdb oracle as the expression twin on the fixed testdata (the
+    ``knn_pandas_cosine`` stance)."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = _assigned_cells(spark, sf_dir)
 
     def flag(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -476,6 +490,100 @@ def semantic_dedup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cell").applyInPandas(
         flag, "vec_id long, cell int, is_semdup boolean"
+    )
+
+
+# --- cell-partitioned IVF store (probe = partition pruning) ------------------
+# (session, sf_dir) → path of the corpus written PARTITIONED BY CELL.
+_IVF_STORE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus partitioned by its IVF cell (hive layout
+    under the session staging root), once per (session, sf_dir) — the
+    write a real vector store amortizes over every subsequent probe."""
+    try:
+        per_session = _IVF_STORE_CACHE.setdefault(spark, {})
+    except TypeError:
+        per_session = {}
+    path = per_session.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            _session_root(spark), f"ivf_store_{abs(hash(sf_dir))}"
+        )
+        _assigned_cells(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        per_session[sf_dir] = path
+    return path
+
+
+def ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_cosine` semantics against a CELL-PARTITIONED store —
+    the claim "at 100 TB the corpus is stored partitioned by cell, so
+    probes become partition pruning" made executable. The corpus is
+    written once with hive ``cell=`` partitioning (:func:`_ivf_store`);
+    each probe then reads ONLY the matching cell directories
+    (PartitionFilters — plan-tested), joins the bounded probe batch by
+    cell broadcast, and exact-re-ranks with the sequential-fold cosine.
+    Results are identical to the map-only Arrow formulation: both share
+    one oracle. At 100 TB this is the lowest-I/O probe shape — the scan
+    touches |probed cells| / k of the corpus bytes before any compute."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    qc = (Q @ C.T) / (Qn[:, None] * Cn[None, :])
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        for ci in np.lexsort((cells, -qc[qi]))[:N_PROBE]:
+            probe_rows.append(
+                (int(q_ids[qi]), int(cells[ci]), [float(x) for x in Q[qi]])
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, q array<double>"
+    )
+    store = spark.read.parquet(_ivf_store(spark, sf_dir))
+    pruned = store.filter(
+        F.col("cell").isin(sorted({c for _, c, _ in probe_rows}))
+    )
+    scored = (
+        pruned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q"), F.col("embedding"))
+                / (_norm(F.col("q")) * _norm(F.col("embedding")))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 8).alias("cosine_sim"),
+            "rank",
+        )
     )
 
 
@@ -832,6 +940,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_pandas": semantic_dedup_pandas,
     "ann_ivf_cosine": ann_ivf_cosine,
+    "ann_ivf_partitioned_probe": ann_ivf_partitioned_probe,
     "kmeans_ivf_train": kmeans_ivf_train,
     "knn_hard_negatives": knn_hard_negatives,
     "embedding_dim_stats": embedding_dim_stats,
@@ -1057,6 +1166,10 @@ ORACLE["semantic_dedup"] = f"""
 
 # the Arrow/numpy cell-dgemm twin must produce the same thresholded flags
 ORACLE["semantic_dedup_pandas"] = ORACLE["semantic_dedup"]
+
+# the cell-partitioned store probe returns the same top-k as the map-only
+# Arrow formulation — one oracle certifies both storage stories
+ORACLE["ann_ivf_partitioned_probe"] = ORACLE["ann_ivf_cosine"]
 
 # per-cell k-means outputs aren't SQL-derivable; the gate row checks the
 # conservation invariant (every vector assigned once) + in-engine booleans

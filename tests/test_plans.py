@@ -251,6 +251,19 @@ def test_semantic_dedup_pair_join_is_cell_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_partitioned_probe_prunes_cells(spark):
+    """The cell-partitioned IVF probe must resolve its cell predicate
+    against hive directory names (PartitionFilters) — the whole point of
+    the storage layout is that non-probed cells are never even listed."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+    from awscommunityday_2025_iceberg_snowfalke_spark.plans import (
+        has_partition_filters,
+    )
+
+    df = similarity.ann_ivf_partitioned_probe(spark, SF_DIR)
+    assert has_partition_filters(df, "cell")
+
+
 def test_hll_rollup_single_agg_exchange(spark):
     """Daily sketch layer: one partial->final agg exchange over the facts;
     the merge stage operates on ~30 materialized sketch rows."""
