@@ -195,6 +195,30 @@ def test_kmeans_ivf_train_matches_python_replay(spark):
         ), cell
 
 
+def test_simhash_banding_loses_no_pairs(oracle):
+    """Pigeonhole recall proof by enumeration: the 4×8-bit band blocking
+    must return EXACTLY the pairs a brute-force all-pairs Hamming scan
+    finds (≤ SIMHASH_MAX_HAMMING bits differ ⇒ ≥ 1 band matches exactly,
+    so banding can only ever be lossless) — checked against a DuckDB
+    all-pairs twin the Spark/oracle pipeline never uses."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    banded = oracle.sql(dedup.ORACLE["simhash_hamming_pairs"]).df()
+    brute = oracle.sql(
+        f"""
+        WITH sh AS ({dedup._duck_simhash_sql()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash))
+              <= {dedup.SIMHASH_MAX_HAMMING}
+        """
+    ).df()
+    assert set(map(tuple, banded.values.tolist())) == set(
+        map(tuple, brute.values.tolist())
+    )
+
+
 def test_hot_shingle_cap_noop_below_threshold(spark, oracle):
     """Equivalence below the cap: the default HOT_SHINGLE_DF_CAP exceeds
     every local corpus's max shingle document frequency (25 at sf0.1), so
