@@ -251,6 +251,36 @@ def test_semantic_dedup_pair_join_is_cell_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dsir_weights_broadcast_and_bounded_shuffles(spark):
+    """DSIR: bucket-model agg + per-doc scoring agg are the ONLY
+    exchanges; the ≤1024-row weight dictionary must broadcast — a
+    shuffled scoring join would re-key the whole token stream."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.dsir_importance_weights(spark, SF_DIR)
+    assert has_broadcast_join(df), "weight dictionary must broadcast"
+    assert shuffle_count(df) <= 2
+
+
+def test_quota_sample_single_keyed_window(spark):
+    """Token-budget quota fill: one lang-keyed window exchange, never a
+    global sort."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import pipeline
+
+    df = pipeline.quota_sample_tokens_budget(spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_dim_stats_single_triple_agg(spark):
+    """Per-dimension stats: one narrow-triple agg exchange."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+
+    df = similarity.embedding_dim_stats(spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+
+
 def test_ivf_partitioned_probe_prunes_cells(spark):
     """The cell-partitioned IVF probe must resolve its cell predicate
     against hive directory names (PartitionFilters) — the whole point of
