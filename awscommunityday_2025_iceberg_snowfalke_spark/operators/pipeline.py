@@ -109,7 +109,13 @@ def quota_sample_tokens_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     escalation samples an approximate hash threshold for the budget
     (uniform hash ⇒ budget/total_chars quantile), pre-filters map-side,
     and runs the exact window over the ~budget-sized survivors only."""
-    docs = load(spark, sf_dir, "documents")
+    return _quota_fill(load(spark, sf_dir, "documents"), QUOTA_CHARS)
+
+
+def _quota_fill(docs: DataFrame, budget: int) -> DataFrame:
+    """Core of :func:`quota_sample_tokens_budget` on any (doc_id, lang,
+    n_chars) relation — split out so the property test can drive it with
+    arbitrary corpora against a sequential Python reference."""
     h = F.expr(_SPARK_H.format(expr="cast(doc_id as string)"))
     w = (
         Window.partitionBy("lang")
@@ -120,7 +126,7 @@ def quota_sample_tokens_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "lang", "n_chars", h.alias("h"))
         .withColumn("prior_chars", prior)
-        .filter(F.col("prior_chars") < QUOTA_CHARS)
+        .filter(F.col("prior_chars") < budget)
         .select("doc_id", "lang", "n_chars", "prior_chars")
     )
 

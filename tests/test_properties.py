@@ -467,3 +467,62 @@ def test_ann_ivf_recall_floor(spark):
     # ~0.1 random-candidate baseline). On clustered real data recall
     # tracks the probed-mass fraction instead.
     assert recall >= 0.25, f"IVF recall {recall:.2f} below floor"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # doc_id (deduped below)
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(min_value=0, max_value=5000),  # n_chars
+        ),
+        max_size=40,
+    ),
+    budget=st.integers(min_value=1, max_value=12000),
+)
+def test_quota_fill_equals_sequential_reference(spark, rows, budget):
+    """The windowed token-budget quota fill must equal a sequential Python
+    fold on any corpus and any budget: per lang, docs in (md5-hash,
+    doc_id) order accumulate until the exclusive running sum reaches the
+    budget — including zero-length docs, budget boundaries, and the
+    crossing doc (kept)."""
+    import hashlib
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.pipeline import (
+        _quota_fill,
+    )
+
+    docs = {}
+    for doc_id, lang, n_chars in rows:
+        docs[doc_id] = (lang, n_chars)  # doc_id is a key: last write wins
+    if not docs:
+        docs[0] = ("en", 10)
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    by_lang = {}
+    for doc_id, (lang, n_chars) in docs.items():
+        by_lang.setdefault(lang, []).append(doc_id)
+    for lang, ids in by_lang.items():
+        prior = 0
+        for doc_id in sorted(ids, key=lambda d: (h(d), d)):
+            if prior < budget:
+                expect[doc_id] = prior
+            prior += docs[doc_id][1]
+
+    df = spark.createDataFrame(
+        [(d, lang, n) for d, (lang, n) in docs.items()],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["prior_chars"]
+        for r in _quota_fill(df, budget).collect()
+    }
+    assert got == expect
