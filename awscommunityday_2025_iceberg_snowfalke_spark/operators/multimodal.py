@@ -330,8 +330,33 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level asset dedup — the multimodal analogue of
+    ``dedup_exact_hash``: re-uploaded images / mirrored audio collapse on
+    the sha-256 of their *binary payload*. Only 32-byte digests and byte
+    counts cross the shuffle, never payloads — at 100 TB of media this is
+    the difference between shuffling the corpus and shuffling ~tens of
+    GB. Output: one row per distinct asset with the canonical keeper,
+    copy count, and payload size (the storage-reclaim report)."""
+    p = with_payload(load(spark, sf_dir, "documents"))
+    return (
+        p.select(
+            "doc_id",
+            F.sha2(F.col("payload"), 256).alias("content_hash"),
+            F.octet_length("payload").alias("nbytes"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+            F.min("nbytes").cast("long").alias("payload_bytes"),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
+    "multimodal_dedup_bytes": multimodal_dedup_bytes,
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
@@ -449,4 +474,11 @@ ORACLE["multimodal_embed"] = f"""
                ',') AS embedding,
            ROUND(sqrt(list_dot_product(embedding, embedding)), 6) AS emb_norm
     FROM emb
+"""
+
+ORACLE["multimodal_dedup_bytes"] = """
+    SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS copies,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+    FROM documents GROUP BY sha256(text)
 """
