@@ -384,6 +384,49 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- quality-rule funnel (the per-rule removal accounting) -------------------
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule funnel: how many documents per language each
+    quality rule removes, with FIRST-failing-rule attribution so the
+    funnel adds up exactly (total = kept + Σ removed) — the per-rule
+    accounting a curation pipeline publishes alongside a corpus release
+    (rule order matters and is part of the contract: length → stopword
+    density → punctuation soup). Same thresholds as ``text_quality``;
+    one scan, one map-side-combinable aggregation keyed by lang."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, _in_list(STOPWORDS_EN))) / n_tokens.cast(
+        "double"
+    )
+    punct_ratio = F.length(
+        F.regexp_replace("text", r"[^.!?,;:]", "")
+    ) / F.length("text").cast("double")
+    reason = (
+        F.when(n_tokens < 10, "too_short")
+        .when(stop_ratio < 0.05, "low_stopwords")
+        .when(punct_ratio > 0.2, "punct_soup")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("lang", reason.alias("reason"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum((F.col("reason") == "too_short").cast("long")).alias(
+                "removed_too_short"
+            ),
+            F.sum((F.col("reason") == "low_stopwords").cast("long")).alias(
+                "removed_low_stopwords"
+            ),
+            F.sum((F.col("reason") == "punct_soup").cast("long")).alias(
+                "removed_punct_soup"
+            ),
+            F.sum((F.col("reason") == "kept").cast("long")).alias("kept_docs"),
+        )
+    )
+
+
 # --- DSIR importance weighting (hashed n-gram log-ratio) --------------------
 DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
@@ -451,6 +494,7 @@ QUERIES = {
     "text_redact_pii": text_redact_pii,
     "unigram_logprob_score": unigram_logprob_score,
     "dsir_importance_weights": dsir_importance_weights,
+    "quality_filter_funnel": quality_filter_funnel,
 }
 
 ORACLE = {
@@ -660,4 +704,34 @@ ORACLE["dsir_importance_weights"] = rf"""
                AS log_importance
     FROM b JOIN w USING (bkt)
     GROUP BY b.doc_id
+"""
+
+ORACLE["quality_filter_funnel"] = rf"""
+    WITH sig AS (
+        SELECT lang,
+               CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens,
+               CAST(len(list_filter({_DUCK_TOKS},
+                    t -> {_duck_in(STOPWORDS_EN)})) AS INT) AS n_stop,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+               length(text) AS len_text
+        FROM documents
+    ),
+    reasons AS (
+        SELECT lang,
+               CASE
+                 WHEN n_tokens < 10 THEN 'too_short'
+                 WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.05
+                     THEN 'low_stopwords'
+                 WHEN n_punct / CAST(len_text AS DOUBLE) > 0.2
+                     THEN 'punct_soup'
+                 ELSE 'kept'
+               END AS reason
+        FROM sig
+    )
+    SELECT lang, COUNT(*) AS total_docs,
+           SUM(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS removed_too_short,
+           SUM(CASE WHEN reason = 'low_stopwords' THEN 1 ELSE 0 END) AS removed_low_stopwords,
+           SUM(CASE WHEN reason = 'punct_soup' THEN 1 ELSE 0 END) AS removed_punct_soup,
+           SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS kept_docs
+    FROM reasons GROUP BY lang
 """
