@@ -71,6 +71,12 @@ SUITES: dict[str, list[str]] = {
         "semantic_dedup_pandas",
         "dsir_importance_weights",
         "knn_hard_negatives",
+        "quota_sample_tokens_budget",
+        "simhash_hamming_pairs",
+        "ann_ivf_partitioned_probe",
+        "multimodal_dedup_bytes",
+        "quality_filter_funnel",
+        "embedding_dim_stats",
     ],
 }
 
