@@ -63,72 +63,71 @@ def _modules():
 # The driver's correctness gate samples the FIRST 50 entries of
 # all_queries() each round; this list is rotated per round so every entry
 # eventually gets a driver CORRECTNESS row. History: r1-r4 sampled
-# relational/snowsql/tpch (driver-green by r04); r5 sampled
-# dedup/similarity/textstats/pipeline/temporal/multimodal/lifecycle (48/50
-# green; the 2 multimodal ERRORs are fixed and re-queued below). r6
-# front-loads the 27 never-sampled entries (governance, writers, streaming,
-# pyds, mv, scale, plans, the analytics family) + clustering_skipping_report
-# (missed r5's cut at slot 51) + the never-driver-green relational trio
-# (user_sessions post-NTZ-fix, events_object_agg, approx_distinct_users —
-# oracles added in r5, never driver-exercised) + the two re-serialized
-# multimodal entries, then fills to 50 with the longest-unsampled
-# relational entries (last sampled r1-r3).
+# relational/snowsql/tpch; r5 sampled the extension families; r6 sampled
+# the 27 never-sampled entries (governance/writers/streaming/pyds/mv/scale/
+# plans/analytics) + fixes + the r1-r3 relational tail — all 50 green.
+# r7 (this rotation) front-loads (a) the eleven round-6 operators that were
+# added after r6's gate was pinned and so have never been driver-sampled
+# (semantic_dedup is now the Arrow dgemm primary; the former expression-fold
+# primary rides along as semantic_dedup_fold), (b) the four round-7
+# additions (skew-safe quota fill, IVF recall report, 64-bit SimHash pair),
+# and (c) the entire r4-vintage relational/snowsql/tpch tail — the 34
+# longest-unsampled entries. 16 + 34 = 50 exactly.
 _GATE_FRONT = (
-    # never driver-sampled: governance(2), writers(3), streaming(7),
-    # pyds(1), mv(1), scale(1), plans(1), analytics(15)
-    "masked_profiles",
-    "masked_profiles_admin",
-    "csv_roundtrip_profiles",
-    "hot_tier_ctas",
-    "partition_pruned_scan",
-    "streaming_event_counts",
-    "streaming_dedup_events",
-    "streaming_daily_windows",
-    "dynamic_table_user_engagement",
-    "streaming_user_sessions",
-    "small_file_lifecycle_report",
-    "streaming_session_windows",
-    "pyds_snapshot_scan",
-    "mv_daily_user_stats",
-    "bucketed_user_join",
-    "query_history",
-    "event_rank_dense",
-    "table_profile_events",
-    "heavy_hitter_users",
-    "value_stats_by_type",
-    "event_lead_ntile",
-    "moving_avg_value",
-    "running_total_per_user",
-    "rollup_type_daily",
-    "cube_type_band",
-    "grouping_sets_type_or_day",
-    "daily_purchase_signup_reconciliation",
-    "pivot_user_event_values",
-    "hll_user_rollup",
-    "dq_expectations",
-    "rolling_1h_event_count",
-    "clustering_skipping_report",
-    # fixed this round (r5 driver ERROR: array canonicalization)
-    "multimodal_byte_histogram",
-    "multimodal_embed",
-    # oracled in r5 but never driver-exercised / not re-verified post-fix
-    "user_sessions",
-    "events_object_agg",
-    "approx_distinct_users",
-    # longest-unsampled relational (r1-r3 vintage driver rows)
-    "count_all",
-    "filtered_counts_7d",
-    "activity_summary",
-    "region_join_agg",
-    "daily_user_stats",
-    "mv_reagg",
-    "event_type_counts",
-    "daily_counts",
-    "event_minmax",
-    "top5_per_user",
-    "top5_per_user_sql",
-    "prev_event",
-    "purchase_funnel",
+    # round-6 operators, never driver-sampled (added post-rotation-freeze)
+    "semantic_dedup",
+    "semantic_dedup_fold",
+    "dedup_clusters_star",
+    "dsir_importance_weights",
+    "knn_hard_negatives",
+    "embedding_dim_stats",
+    "quota_sample_tokens_budget",
+    "ann_ivf_partitioned_probe",
+    "simhash_hamming_pairs",
+    "multimodal_dedup_bytes",
+    "quality_filter_funnel",
+    # round-7 additions
+    "quota_sample_tokens_budget_skewsafe",
+    "ann_ivf_recall_report",
+    "simhash64",
+    "simhash64_hamming_pairs",
+    "simhash64_hamming_pairs_wide",
+    # r4-vintage tail: props/snowsql/relational odds and ends
+    "compaction_analysis",
+    "event_types_per_user",
+    "events_last_week_interval",
+    "hot_cold_union",
+    "props_json_stats",
+    "props_malformed_rescue",
+    "props_map_decode",
+    "snowsql_daily_date_expr",
+    "snowsql_filtered_counts",
+    "snowsql_interval_region",
+    "snowsql_qualify_top5",
+    "value_percentiles",
+    # r4-vintage tail: the 22 TPC-H-style queries
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_year_revenue",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_heavy_part_shippers",
+    "q21_last_shippers",
+    "q22_inactive_customers",
 )
 
 

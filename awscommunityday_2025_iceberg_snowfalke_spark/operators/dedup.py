@@ -611,11 +611,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the same skew class as hot shingles, handled by AQE skew split.
     Output: (doc_a, doc_b, hamming) for candidate pairs at fingerprint
     granularity. Note the honest limit, measured on this corpus: a
-    narrow shared vocabulary saturates 32 bits (at sf0.01 even
-    hamming=0 pairs 1.2 K distinct docs), so simhash pairs are a
-    RECALL-oriented candidate feed for an exact verifier (the Jaccard
-    stage), and a web-scale deployment widens to 64-bit signatures —
-    same plan, one more band."""
+    narrow shared vocabulary saturates 32 bits (at sf0.01 the hamming=0
+    class alone is 1,192 pairs across 194 distinct-text docs), so
+    32-bit simhash pairs are a RECALL-oriented candidate feed for an
+    exact verifier (the Jaccard stage); the de-saturated production
+    width is :func:`simhash64_hamming_pairs` — same plan, 8 bands,
+    13× fewer candidates on this corpus."""
     sh = stage(simhash32(spark, sf_dir))  # both join sides read one file
     bands = None
     for b in range(_SIMHASH_BANDS):
@@ -624,6 +625,175 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash",
             F.lit(b).alias("band_idx"),
             F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# --- SimHash (64-bit; the de-saturated production variant) -------------------
+# 64-bit token hash from the md5's first 16 hex chars: two independent
+# 32-bit halves (signature bits 0-31 vote on hex chars 1-8, bits 32-63 on
+# chars 9-16) — bit-identical in duckdb, same portability recipe as
+# ``_SPARK_H``.
+_SPARK_H32A = "cast(conv(substr(md5({expr}), 1, 8), 16, 10) as bigint)"
+_SPARK_H32B = "cast(conv(substr(md5({expr}), 9, 8), 16, 10) as bigint)"
+_DUCK_H32A = "CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+_DUCK_H32B = "CAST(concat('0x', substr(md5({expr}), 9, 8)) AS BIGINT)"
+
+_SIMHASH64_BANDS = 8  # 8 bands × 8 bits: pigeonhole recall for hamming ≤ 7
+
+_I64_MIN = -(1 << 63)  # bit 63's contribution in two's complement
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash — the production width (Manku-Jain-Sarma use 64-bit
+    signatures for 8 B pages). Identical plan to :func:`simhash32` (one
+    distinct-token explode, one groupBy(doc_id) with per-bit ±1 vote sums,
+    all map-side-combinable); doubling the width costs 32 more long sum
+    buffers in the same pass, no extra shuffle. The point, measured at
+    sf0.01 (see :func:`simhash64_hamming_pairs`): the narrow shared
+    vocabulary that saturates 32 bits (hamming=0 collisions across >1 K
+    distinct docs) de-saturates at 64. Bit 63 lands in the sign bit
+    (two's complement); xor/popcount downstream is sign-agnostic."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("ha", F.expr(_SPARK_H32A.format(expr="tok")))
+        .withColumn("hb", F.expr(_SPARK_H32B.format(expr="tok")))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"(ha >> {b}) & 1" if b < 32 else f"(hb >> {b - 32}) & 1"
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    acc = None
+    for b in range(63):
+        bit = (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        acc = bit if acc is None else acc + bit
+    acc = acc + (
+        F.when(F.col("v63") > 0, F.lit(_I64_MIN)).otherwise(F.lit(0).cast("long"))
+    )
+    return votes.select("doc_id", acc.cast("bigint").alias("simhash"))
+
+
+def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`simhash_hamming_pairs` at 64-bit width: the same pigeonhole
+    blocking (8 disjoint 8-bit bands — any pair within Hamming ≤ 7
+    matches some band exactly, a superset of the ≤ 3 verify threshold)
+    with the same equi-join + xor/popcount verify plan; only the
+    band count changes (8 shuffle rows per doc instead of 4, still
+    signature-granularity — never content). De-saturation, measured at
+    sf0.01 (500 all-distinct-text docs): 32-bit emits 21,223 pairs at
+    hamming ≤ 3 with a hamming=0 class of 1,192 pairs chaining 194
+    distinct docs — saturation cliques, not duplicates; 64-bit cuts the
+    ≤ 3 output 13× to 1,597 pairs and the hamming=0 class to 451 pairs /
+    78 docs (the residue is the corpus's genuinely templated
+    near-identical token sets, which IS what SimHash should pair). Same
+    numbers recorded in SCALE.md."""
+    sh = stage(simhash64(spark, sf_dir))  # both join sides read one file
+    bands = None
+    for b in range(_SIMHASH64_BANDS):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_idx"),
+            F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def simhash64_hamming_pairs_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`simhash64_hamming_pairs` with 4 × 16-BIT bands — the
+    100 TB-shape variant. Pigeonhole is exact for the verify threshold:
+    a pair within Hamming ≤ 3 damages at most 3 of the 4 disjoint
+    16-bit bands, so at least one matches exactly — identical OUTPUT to
+    the 8-band form (both verify at ≤ 3; one oracle certifies both).
+    What changes is candidate volume: an 8-bit band has only 256
+    values, so a random corpus puts ~n/256 docs in every bucket and the
+    equi-join generates Θ(n²/256) candidates per band — measured at the
+    scale smoke's 10× step (50 K docs: 8-bit bands 124 M candidate
+    rows vs 16-bit's 480 K). 16-bit bands give 65,536 buckets —
+    Manku-Jain-Sarma's wider-key table design — pushing the quadratic
+    wall out 256×; at genuinely web-scale n the next step is the same
+    trick again (fewer, wider bands per extra Hamming bit of slack, or
+    signature-sorted prefix tables). Shuffle rows per doc: 4, same as
+    32-bit banding."""
+    sh = stage(simhash64(spark, sf_dir))
+    bands = None
+    for b in range(4):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_idx"),
+            F.expr(f"shiftright(simhash, {16 * b}) & 65535").alias("band_val"),
         )
         bands = part if bands is None else bands.unionByName(part)
     a, b_ = bands.alias("a"), bands.alias("b")
@@ -662,6 +832,9 @@ QUERIES = {
     "dedup_corpus_summary": dedup_corpus_summary,
     "simhash32": simhash32,
     "simhash_hamming_pairs": simhash_hamming_pairs,
+    "simhash64": simhash64,
+    "simhash64_hamming_pairs": simhash64_hamming_pairs,
+    "simhash64_hamming_pairs_wide": simhash64_hamming_pairs_wide,
 }
 
 
@@ -837,3 +1010,66 @@ ORACLE["simhash_hamming_pairs"] = f"""
         FROM cand
     ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
+
+
+def _duck_simhash64_sql() -> str:
+    ha = _DUCK_H32A.format(expr="tok")
+    hb = _DUCK_H32B.format(expr="tok")
+    votes = ",\n               ".join(
+        (
+            f"SUM(CASE WHEN (ha >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+            if b < 32
+            else f"SUM(CASE WHEN (hb >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS v{b}"
+        )
+        for b in range(64)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)
+    )
+    acc += " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return rf"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        hashed AS (SELECT doc_id, {ha} AS ha, {hb} AS hb FROM toks),
+        votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM votes
+    """
+
+
+ORACLE["simhash64"] = _duck_simhash64_sql()
+
+_SIMHASH64_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx,"
+    f" (simhash >> {8 * b}) & 255 AS band_val FROM sh"
+    for b in range(_SIMHASH64_BANDS)
+)
+
+ORACLE["simhash64_hamming_pairs"] = f"""
+    WITH sh AS ({_duck_simhash64_sql()}),
+    bands AS ({_SIMHASH64_BAND_ROWS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand
+    ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+# 4×16-bit banding finds exactly the same ≤3-Hamming pairs (pigeonhole is
+# exact at the verify threshold) — one oracle certifies both band layouts
+ORACLE["simhash64_hamming_pairs_wide"] = ORACLE["simhash64_hamming_pairs"]

@@ -105,11 +105,25 @@ def quota_sample_tokens_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one window keyed by lang (running sum over the hash order) —
     a per-stratum sort, not a global one. At 100 TB a dominant language
-    makes that stratum's sort the hot partition; the documented
-    escalation samples an approximate hash threshold for the budget
-    (uniform hash ⇒ budget/total_chars quantile), pre-filters map-side,
-    and runs the exact window over the ~budget-sized survivors only."""
+    makes that stratum's sort the hot partition; the IMPLEMENTED
+    escalation (:func:`_quota_fill_skewsafe`, registered as
+    ``quota_sample_tokens_budget_skewsafe``) prunes each hot stratum to
+    a hash-bucket prefix provably containing the whole kept set, then
+    runs the exact window over the ~budget-sized survivors only —
+    equivalence to this plain form is property-tested on random Zipfian
+    corpora and certified by the shared oracle."""
     return _quota_fill(load(spark, sf_dir, "documents"), QUOTA_CHARS)
+
+
+def quota_sample_tokens_budget_skewsafe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The skew-escalated formulation as a first-class gated entry
+    (``threshold_chars=0`` forces the escalation for EVERY stratum, so
+    the oracle certifies the pruned path itself, not a fallback)."""
+    return _quota_fill_skewsafe(
+        load(spark, sf_dir, "documents"), QUOTA_CHARS, threshold_chars=0
+    )
 
 
 def _quota_fill(docs: DataFrame, budget: int) -> DataFrame:
@@ -126,6 +140,91 @@ def _quota_fill(docs: DataFrame, budget: int) -> DataFrame:
     return (
         docs.select("doc_id", "lang", "n_chars", h.alias("h"))
         .withColumn("prior_chars", prior)
+        .filter(F.col("prior_chars") < budget)
+        .select("doc_id", "lang", "n_chars", "prior_chars")
+    )
+
+
+QUOTA_BUCKET_BITS = 10  # 1024 hash buckets per stratum for the prefix bound
+
+
+def _quota_fill_skewsafe(
+    docs: DataFrame,
+    budget: int,
+    threshold_chars: int = 0,
+    bucket_bits: int = QUOTA_BUCKET_BITS,
+) -> DataFrame:
+    """Skew-safe :func:`_quota_fill`: EXACTLY the same output, without
+    ever sorting a dominant stratum whole.
+
+    The kept set is a prefix of each stratum's (h, doc_id) order, so any
+    doc the window keeps has hash ≤ the boundary doc's hash. Pass 1 bins
+    the 60-bit hash into 2^bucket_bits ordered buckets and aggregates
+    per-(lang, bucket) char sums — map-side-combinable, bounded output
+    (|langs| × 1024 rows collect to the driver). For each stratum the
+    cutoff is the FIRST bucket whose cumulative char sum reaches the
+    budget: every kept doc provably lives at-or-before it (the buckets
+    strictly before the boundary doc's bucket sum to < budget, by
+    definition of the boundary). Pass 2 filters map-side to
+    bucket ≤ cutoff — with a uniform hash the survivors are
+    ~budget + total/1024 chars per stratum regardless of corpus size —
+    and runs the exact window over survivors only. Strata at or below
+    ``threshold_chars`` skip the pruning (cutoff = +∞): below the knob
+    the per-stratum sort is cheap and pass 2 degenerates to the plain
+    form. Deterministic end to end — no sampling, no approx quantiles —
+    and bit-equal to :func:`_quota_fill` (property-tested on random
+    Zipfian corpora; certified by the shared oracle)."""
+    h = F.expr(_SPARK_H.format(expr="cast(doc_id as string)"))
+    shift = 60 - bucket_bits
+    base = stage(  # consumed twice: bucket histogram + the pruned window
+        docs.select("doc_id", "lang", "n_chars", h.alias("h")).withColumn(
+            "bkt", F.shiftright("h", shift)
+        )
+    )
+    hist = (
+        base.groupBy("lang", "bkt")
+        .agg(F.sum("n_chars").alias("c"))
+        .collect()
+    )
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_lang.setdefault(r["lang"], []).append((int(r["bkt"]), int(r["c"])))
+    max_bkt = (1 << bucket_bits) - 1
+    cutoffs: dict[str, int] = {}
+    for lang, rows in per_lang.items():
+        rows.sort()
+        total = sum(c for _, c in rows)
+        if total <= threshold_chars:
+            cutoffs[lang] = max_bkt
+            continue
+        cum = 0
+        cutoff = max_bkt  # stratum under budget → keep every bucket
+        for bkt, c in rows:
+            cum += c
+            if cum >= budget:
+                cutoff = bkt
+                break
+        cutoffs[lang] = cutoff
+    cutoff_expr = None
+    for lang, cut in sorted(cutoffs.items()):
+        cond = F.col("lang") == lang
+        cutoff_expr = (
+            F.when(cond, F.lit(cut))
+            if cutoff_expr is None
+            else cutoff_expr.when(cond, F.lit(cut))
+        )
+    cutoff_expr = (
+        F.lit(max_bkt) if cutoff_expr is None else cutoff_expr.otherwise(F.lit(max_bkt))
+    )
+    survivors = base.filter(F.col("bkt") <= cutoff_expr)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return (
+        survivors.withColumn("prior_chars", prior)
         .filter(F.col("prior_chars") < budget)
         .select("doc_id", "lang", "n_chars", "prior_chars")
     )
@@ -417,6 +516,7 @@ QUERIES = {
     "sample_docs_deterministic": sample_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
     "quota_sample_tokens_budget": quota_sample_tokens_budget,
+    "quota_sample_tokens_budget_skewsafe": quota_sample_tokens_budget_skewsafe,
     "pack_docs_sequences": pack_docs_sequences,
     "curation_pipeline": curation_pipeline,
     "cdc_latest_events": cdc_latest_events,
@@ -596,3 +696,9 @@ ORACLE = {
         FROM kept k LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     """,
 }
+
+# the pruned formulation is output-identical to the plain window by
+# construction — one oracle certifies both
+ORACLE["quota_sample_tokens_budget_skewsafe"] = ORACLE[
+    "quota_sample_tokens_budget"
+]

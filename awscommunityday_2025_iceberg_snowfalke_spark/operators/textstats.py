@@ -391,17 +391,25 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel adds up exactly (total = kept + Σ removed) — the per-rule
     accounting a curation pipeline publishes alongside a corpus release
     (rule order matters and is part of the contract: length → stopword
-    density → punctuation soup). Same thresholds as ``text_quality``;
-    one scan, one map-side-combinable aggregation keyed by lang."""
+    density → punctuation soup). Same thresholds AND same 6-dp-rounded
+    ratios as ``text_quality`` — the rounding must match, not just the
+    thresholds, or raw-ratio boundary docs (e.g. stop_ratio in
+    [0.0499995, 0.05)) would be quality_ok there yet counted as removed
+    here and the two reports would disagree on the same corpus. One
+    scan, one map-side-combinable aggregation keyed by lang."""
     docs = load(spark, sf_dir, "documents")
     toks = _toks()
     n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, _in_list(STOPWORDS_EN))) / n_tokens.cast(
-        "double"
+    stop_ratio = F.round(
+        F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+        / n_tokens.cast("double"),
+        6,
     )
-    punct_ratio = F.length(
-        F.regexp_replace("text", r"[^.!?,;:]", "")
-    ) / F.length("text").cast("double")
+    punct_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+        / F.length("text").cast("double"),
+        6,
+    )
     reason = (
         F.when(n_tokens < 10, "too_short")
         .when(stop_ratio < 0.05, "low_stopwords")
@@ -720,9 +728,9 @@ ORACLE["quality_filter_funnel"] = rf"""
         SELECT lang,
                CASE
                  WHEN n_tokens < 10 THEN 'too_short'
-                 WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.05
+                 WHEN ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) < 0.05
                      THEN 'low_stopwords'
-                 WHEN n_punct / CAST(len_text AS DOUBLE) > 0.2
+                 WHEN ROUND(n_punct / CAST(len_text AS DOUBLE), 6) > 0.2
                      THEN 'punct_soup'
                  ELSE 'kept'
                END AS reason

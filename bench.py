@@ -68,7 +68,7 @@ SUITES: dict[str, list[str]] = {
         "training_export_manifest",
         "dedup_clusters_star",
         "semantic_dedup",
-        "semantic_dedup_pandas",
+        "semantic_dedup_fold",
         "dsir_importance_weights",
         "knn_hard_negatives",
         "quota_sample_tokens_budget",
@@ -77,6 +77,9 @@ SUITES: dict[str, list[str]] = {
         "multimodal_dedup_bytes",
         "quality_filter_funnel",
         "embedding_dim_stats",
+        "quota_sample_tokens_budget_skewsafe",
+        "ann_ivf_recall_report",
+        "simhash64_hamming_pairs",
     ],
 }
 
@@ -110,9 +113,11 @@ HEADLINE = [
     "asof_purchase_signup", # as-of join (union+window, 1 exchange)
     "curation_pipeline",    # normalize→filter→dedup→sample fused pass
     "hll_user_rollup",      # mergeable-sketch daily layer + union total
-    "semantic_dedup",       # SemDeDup cell-bucketed embedding dedup
-    "semantic_dedup_pandas", # same semantics, per-cell Arrow dgemm (3.5x)
+    "semantic_dedup",       # SemDeDup (primary = per-cell Arrow dgemm)
+    "semantic_dedup_fold",  # same semantics, expression-fold contrast (3.5x slower)
     "dsir_importance_weights",  # hashed-ngram importance reweighting
+    "quota_sample_tokens_budget_skewsafe",  # hash-bucket-pruned quota fill
+    "simhash64_hamming_pairs",  # de-saturated 64-bit SimHash pairing
 ]
 
 

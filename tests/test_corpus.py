@@ -272,3 +272,44 @@ def test_hot_shingle_cap_active_matches_capped_oracle(spark, oracle):
         assert_matches_oracle(df, oracle, sql, "jaccard_capped")
     finally:
         dedup.HOT_SHINGLE_DF_CAP = orig
+
+
+def test_embedding_dim_stats_dead_dimension_clamp(spark, tmp_path):
+    """A dimension constant at 0.1 makes E[x²]−E[x]² fractionally negative
+    under float rounding — exactly the dead-dimension input this
+    diagnostic advertises. Unclamped, Spark sqrt returns NaN and duckdb
+    raises; with the GREATEST(·,0) clamp both engines report std = 0.0
+    on the SAME doctored corpus."""
+    import duckdb
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    rows = [(i, i % 3, [0.1, float(i)]) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["pos"]: r["std"]
+        for r in embedding_dim_stats(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == 0.0, f"dead dimension must clamp to 0.0, got {got[0]}"
+    assert got[1] > 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r[3]
+        for r in con.execute(
+            similarity.ORACLE["embedding_dim_stats"]
+        ).fetchall()
+    }
+    con.close()
+    assert oracle[0] == 0.0

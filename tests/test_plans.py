@@ -242,7 +242,7 @@ def test_semantic_dedup_pair_join_is_cell_keyed(spark):
     from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
 
     plan = (
-        similarity.semantic_dedup(spark, SF_DIR)
+        similarity.semantic_dedup_fold(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -271,6 +271,25 @@ def test_quota_sample_single_keyed_window(spark):
     assert shuffle_count(df) <= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_quota_skewsafe_prunes_before_window(spark):
+    """Skew-escalated quota fill: the hash-bucket prefix filter must sit
+    BELOW the lang-keyed window exchange (map-side on the staged scan), so
+    the hot stratum's sort only ever sees the ~budget-sized survivor
+    prefix; still exactly one window exchange and no global sort."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import pipeline
+
+    df = pipeline.quota_sample_tokens_budget_skewsafe(spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    filter_pos = plan.find("(bkt")
+    window_pos = plan.find("Window")
+    assert filter_pos != -1, "bucket-prefix filter missing from the plan"
+    assert window_pos != -1 and window_pos < filter_pos, (
+        "bucket filter must be below (after, in toString order) the window"
+    )
 
 
 def test_dim_stats_single_triple_agg(spark):

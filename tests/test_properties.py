@@ -526,3 +526,53 @@ def test_quota_fill_equals_sequential_reference(spark, rows, budget):
         for r in _quota_fill(df, budget).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # doc_id (deduped below)
+            st.sampled_from(["en", "en", "en", "de", "fr"]),  # Zipf-ish: en hot
+            st.integers(min_value=0, max_value=5000),  # n_chars
+        ),
+        max_size=40,
+    ),
+    budget=st.integers(min_value=1, max_value=12000),
+    threshold=st.sampled_from([0, 3000, 10**9]),
+)
+def test_quota_fill_skewsafe_equals_plain(spark, rows, budget, threshold):
+    """The hash-bucket-pruned quota fill must be BIT-EQUAL to the plain
+    per-stratum window on any corpus, any budget, and any escalation
+    threshold — 0 (every stratum pruned), a mid value (only hot strata
+    pruned), and effectively-infinite (pure fallback). The dominant-lang
+    draw above makes the hot-stratum path exercise for real."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.pipeline import (
+        _quota_fill,
+        _quota_fill_skewsafe,
+    )
+
+    docs = {}
+    for doc_id, lang, n_chars in rows:
+        docs[doc_id] = (lang, n_chars)
+    if not docs:
+        docs[0] = ("en", 10)
+    df = spark.createDataFrame(
+        [(d, lang, n) for d, (lang, n) in docs.items()],
+        "doc_id long, lang string, n_chars long",
+    )
+    plain = {
+        (r["doc_id"], r["lang"], r["n_chars"], r["prior_chars"])
+        for r in _quota_fill(df, budget).collect()
+    }
+    pruned = {
+        (r["doc_id"], r["lang"], r["n_chars"], r["prior_chars"])
+        for r in _quota_fill_skewsafe(
+            df, budget, threshold_chars=threshold
+        ).collect()
+    }
+    assert pruned == plain
