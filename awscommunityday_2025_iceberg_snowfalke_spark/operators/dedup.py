@@ -778,9 +778,10 @@ def simhash64_hamming_pairs_wide(
     the 8-band form (both verify at ≤ 3; one oracle certifies both).
     What changes is candidate volume: an 8-bit band has only 256
     values, so a random corpus puts ~n/256 docs in every bucket and the
-    equi-join generates Θ(n²/256) candidates per band — measured at the
-    scale smoke's 10× step (50 K docs: 8-bit bands 124 M candidate
-    rows vs 16-bit's 480 K). 16-bit bands give 65,536 buckets —
+    equi-join generates Θ(n²/256) candidates per band — measured on the
+    scale smoke's 50 K-doc corpus: 43.8 M candidate pairs under 8×8-bit
+    banding vs 102 K under 4×16-bit (430×). 16-bit bands give 65,536
+    buckets —
     Manku-Jain-Sarma's wider-key table design — pushing the quadratic
     wall out 256×; at genuinely web-scale n the next step is the same
     trick again (fewer, wider bands per extra Hamming bit of slack, or

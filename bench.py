@@ -117,7 +117,7 @@ HEADLINE = [
     "semantic_dedup_fold",  # same semantics, expression-fold contrast (3.5x slower)
     "dsir_importance_weights",  # hashed-ngram importance reweighting
     "quota_sample_tokens_budget_skewsafe",  # hash-bucket-pruned quota fill
-    "simhash64_hamming_pairs",  # de-saturated 64-bit SimHash pairing
+    "simhash64_hamming_pairs_wide",  # de-saturated 64-bit pairing, 16-bit bands
 ]
 
 
