@@ -227,6 +227,109 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- n-gram containment (asymmetric near-dup / subset detection) -------------
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment C(A,B) = |A∩B| / min(|A|,|B|) over the same shingle
+    index — the ASYMMETRIC near-dup signal Jaccard misses: a short doc
+    fully embedded in a long one (quote farms, boilerplate wrappers,
+    article + comment-thread mirrors) scores shared/min = 1.0 while its
+    Jaccard shrinks with the length gap (Broder's resemblance-vs-
+    containment distinction). Plan is byte-for-byte the Jaccard one —
+    same DF-capped inverted-index equi-join, same single pair
+    aggregation with set sizes riding as group keys; only the final
+    ratio differs, so the scale analysis in SCALE.md carries over
+    unchanged."""
+    sh = _shingles(spark, sf_dir)
+    if HOT_SHINGLE_DF_CAP is not None:
+        df_counts = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        hot = stage(
+            df_counts.filter(F.col("df") > HOT_SHINGLE_DF_CAP).select("sh_h")
+        )
+        sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("int").alias("shared"),
+            F.round(
+                F.col("shared") / F.least("na", "nb").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+# --- incremental dedup (new crawl vs existing corpus) ------------------------
+INCREMENTAL_SPLIT_FRAC = 0.8  # doc_id below the 80% mark = "existing" corpus
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production dedup shape: a new crawl batch arrives and must be
+    deduplicated AGAINST the standing corpus, not within itself — rerunning
+    global dedup over 100 TB per batch is the naive plan this op exists to
+    avoid. Split: docs below the 80%-of-id-range mark play the standing
+    corpus, the rest the incoming batch. The batch's content digests
+    LEFT-ANTI join the corpus digest index (at scale: a stored, bucketed
+    digest table — the only thing the batch touches; 32-B keys, broadcast
+    when the batch is small, bucket-local otherwise), then survivors dedup
+    within the batch by the usual min-id groupBy. Output: per-language
+    admitted/rejected accounting — the ingest report. Shuffles digests
+    only, never text; corpus side is scanned once for its digest
+    projection and nothing else."""
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = int(lo) + int((int(hi) - int(lo)) * INCREMENTAL_SPLIT_FRAC)
+    digests = docs.select(
+        "doc_id", "lang", F.sha2("text", 256).alias("h")
+    )
+    corpus = digests.filter(F.col("doc_id") < split).select("h").distinct()
+    batch = digests.filter(F.col("doc_id") >= split)
+    fresh = batch.join(corpus, "h", "left_anti")
+    admitted = (
+        fresh.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+        )
+    )
+    batch_counts = batch.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("batch_docs")
+    )
+    adm_counts = admitted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("admitted_docs")
+    )
+    return (
+        batch_counts.join(adm_counts, "lang", "left")
+        .select(
+            "lang",
+            "batch_docs",
+            F.coalesce("admitted_docs", F.lit(0)).alias("admitted_docs"),
+            (
+                F.col("batch_docs") - F.coalesce("admitted_docs", F.lit(0))
+            ).alias("rejected_docs"),
+        )
+    )
+
+
 # --- MinHash + LSH banding --------------------------------------------------
 # Universal-hash family over one base hash: h_i(x) = (a_i·md5_60(x) + b_i)
 # mod p. One md5 per shingle instead of N_HASHES md5s — at 100 TB the
@@ -827,6 +930,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_containment": dedup_ngram_containment,
+    "dedup_incremental": dedup_incremental,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -967,6 +1072,49 @@ ORACLE = {
                    ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
         ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_ngram_containment": rf"""
+        WITH {_DUCK_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS na, b.n AS nb, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, shared, containment FROM (
+            SELECT doc_a, doc_b, CAST(shared AS INT) AS shared,
+                   ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6)
+                       AS containment
+            FROM pairs
+        ) WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    "dedup_incremental": f"""
+        WITH bounds AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ),
+        digests AS (
+            SELECT doc_id, lang, sha256(text) AS h,
+                   (SELECT lo + CAST(FLOOR((hi - lo) * {INCREMENTAL_SPLIT_FRAC}) AS BIGINT)
+                    FROM bounds) AS split
+            FROM documents
+        ),
+        corpus AS (SELECT DISTINCT h FROM digests WHERE doc_id < split),
+        batch AS (SELECT * FROM digests WHERE doc_id >= split),
+        fresh AS (
+            SELECT * FROM batch WHERE h NOT IN (SELECT h FROM corpus)
+        ),
+        admitted AS (
+            SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+            FROM fresh GROUP BY h
+        ),
+        bc AS (SELECT lang, COUNT(*) AS batch_docs FROM batch GROUP BY lang),
+        ac AS (
+            SELECT lang, COUNT(*) AS admitted_docs FROM admitted GROUP BY lang
+        )
+        SELECT bc.lang, bc.batch_docs,
+               COALESCE(ac.admitted_docs, 0) AS admitted_docs,
+               bc.batch_docs - COALESCE(ac.admitted_docs, 0) AS rejected_docs
+        FROM bc LEFT JOIN ac ON bc.lang = ac.lang
     """,
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "dedup_clusters": _duck_clusters_sql(),

@@ -746,6 +746,38 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     )
 
 
+# --- IVF cell-occupancy report (store-balance diagnostic) --------------------
+def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy of the IVF store — the balance diagnostic a
+    vector store runs after (re)clustering: a hot cell means every probe
+    that touches it scans disproportionate bytes (the partition-skew
+    failure mode of the partitioned-probe layout), and an empty cell is
+    wasted quantizer capacity. Reuses the one map-only Arrow assignment
+    pass (:func:`_assigned_cells`); the stats are a cell-keyed count agg
+    plus a broadcast 1-row total — output is ≤ k rows. load_factor =
+    n/avg(n) > ~4 is the standard re-train trigger (quantizer no longer
+    fits the data distribution)."""
+    assigned = _assigned_cells(spark, sf_dir).select("cell")
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = counts.agg(
+        F.sum("n_vectors").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / F.col("total"), 6).alias(
+            "frac"
+        ),
+        F.round(
+            F.col("n_vectors").cast("double") / (F.col("total") / F.col("k")),
+            6,
+        ).alias("load_factor"),
+    )
+
+
 # --- IVF recall certification (accuracy/cost trade-off as an artifact) ------
 RECALL_PROBES = (1, 2, 4)
 
@@ -943,6 +975,119 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gram-matrix accumulation (whitening / PCA preparation) ------------------
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix G[i,j] = Σ_v e_i·e_j over the corpus —
+    the d×d accumulation every whitening / PCA / ZCA preprocessing step
+    needs before touching an eigensolver (covariance = G/n − μμᵀ with μ
+    from :func:`embedding_dim_stats`; the eigendecomposition itself is a
+    driver-side d×d numpy call on this bounded output, never a
+    distributed op).
+
+    Spark shape: ONE map-only Arrow pass expands each vector to its
+    d(d+1)/2 upper-triangle products — a vectorized numpy outer-product
+    slice per batch, exact per product (one IEEE multiply, bit-identical
+    to the oracle's `vi*vj`) — then a single groupBy(i,j) with DECIMAL
+    accumulation: map-side combine collapses every partition to ≤ 2,080
+    rows (d=64) before the only exchange, so the shuffle is
+    O(partitions·d²) regardless of corpus rows, and decimal addition
+    keeps the sums partition-order independent (the `det_sum` recipe —
+    the twin of this plan with per-batch float dgemm partials, EᵀE, is
+    the raw-throughput deployment shape but reassociates float adds and
+    loses cross-engine bit-parity; at 100 TB you run the dgemm form and
+    accept engine-level tolerance, here the gate demands exactness)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def expand(batches):
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if not len(E):
+                continue
+            d = E.shape[1]
+            iu, ju = np.triu_indices(d)
+            P = E[:, iu] * E[:, ju]  # (batch, d(d+1)/2) exact products
+            n = len(E)
+            yield pd.DataFrame(
+                {
+                    "i": np.tile(iu.astype(np.int32), n),
+                    "j": np.tile(ju.astype(np.int32), n),
+                    "p": P.ravel(),
+                }
+            )
+
+    prods = emb.select(_as_double("embedding").alias("embedding")).mapInPandas(
+        expand, "i int, j int, p double"
+    )
+    return prods.groupBy("i", "j").agg(
+        F.round(
+            F.sum(F.col("p").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("gram")
+    )
+
+
+# --- PCA spectrum over the bounded gram artifact -----------------------------
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA / whitening end-to-end on the engine's two bounded artifacts:
+    covariance C = G/n − μμᵀ assembled driver-side from
+    :func:`embedding_gram_matrix` (d(d+1)/2 rows) and the per-dimension
+    means (d rows), then a d×d numpy ``eigvalsh`` — the eigensolve is
+    NEVER distributed work at any corpus size; only the two linear
+    accumulations touch data. Like ``kmeans_ivf_train``, the gate row
+    carries what SQL can certify: the exact decimal-deterministic trace
+    (Σ per-dimension variance — which equals Σ eigenvalues, the
+    invariant that catches a wrong gram/mean assembly) plus in-engine
+    booleans that the eigen-spectrum conserves that trace and is
+    PSD-nonnegative. Eigenvalues themselves are replayed against plain
+    numpy in the unit test."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode(_as_double("embedding")).alias("pos", "v"))
+    mean = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
+        "v"
+    )
+    mean_sq = F.sum(
+        (F.col("v") * F.col("v")).cast("decimal(28,12)")
+    ).cast("double") / F.count("v")
+    per_dim = comp.groupBy("pos").agg(
+        F.count("v").alias("n"),
+        mean.alias("mean"),
+        F.greatest(mean_sq - mean * mean, F.lit(0.0)).alias("var"),
+    )
+    trace_df = per_dim.agg(
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.max("n").cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("var").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("trace_var"),
+    )
+    row = trace_df.collect()[0]
+    d, n = int(row["dim"]), int(row["n_vectors"])
+    mu = np.zeros(d)
+    for r in per_dim.select("pos", "mean").collect():
+        mu[int(r["pos"])] = float(r["mean"])
+    G = np.zeros((d, d))
+    for r in embedding_gram_matrix(spark, sf_dir).collect():
+        G[int(r["i"]), int(r["j"])] = G[int(r["j"]), int(r["i"])] = float(
+            r["gram"]
+        )
+    lam = np.linalg.eigvalsh(G / n - np.outer(mu, mu))
+    # tolerances: gram entries are rounded to 6 dp, so the assembled
+    # trace can drift ~d·5e-7 from the exact decimal one
+    eig_sum_ok = bool(abs(float(lam.sum()) - float(row["trace_var"])) < 1e-3)
+    eig_nonneg_ok = bool(float(lam.min()) > -1e-6)
+    return trace_df.select(
+        "dim",
+        "n_vectors",
+        "trace_var",
+        F.lit(eig_sum_ok).alias("eig_sum_ok"),
+        F.lit(eig_nonneg_ok).alias("eig_nonneg_ok"),
+    )
+
+
 # --- Arrow-vectorized brute force (the Pandas-UDF batch-matmul path) --------
 def knn_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same top-k semantics as :func:`knn_bruteforce_cosine`, computed on
@@ -1022,6 +1167,9 @@ QUERIES = {
     "kmeans_ivf_train": kmeans_ivf_train,
     "knn_hard_negatives": knn_hard_negatives,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_pca_variance": embedding_pca_variance,
+    "ann_ivf_cell_stats": ann_ivf_cell_stats,
 }
 
 
@@ -1230,6 +1378,45 @@ ORACLE["embedding_dim_stats"] = """
     FROM agg
 """
 
+ORACLE["embedding_gram_matrix"] = """
+    WITH comp AS (
+        SELECT e[i + 1] AS vi, e[j + 1] AS vj,
+               CAST(i AS INT) AS i, CAST(j AS INT) AS j
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             UNNEST(range(len(e))) AS u(i), UNNEST(range(len(e))) AS v(j)
+        WHERE j >= i
+    )
+    SELECT i, j,
+           ROUND(CAST(SUM(CAST(vi * vj AS DECIMAL(28,12))) AS DOUBLE), 6)
+               AS gram
+    FROM comp GROUP BY i, j
+"""
+
+# eigen outputs aren't SQL-derivable; the gate certifies the exact decimal
+# trace (= Σ eigenvalues by linear algebra) + in-engine conservation booleans
+ORACLE["embedding_pca_variance"] = """
+    WITH comp AS (
+        SELECT e[i + 1] AS v, CAST(i AS INT) AS pos
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             UNNEST(range(len(e))) AS u(i)
+    ),
+    agg AS (
+        SELECT pos, COUNT(v) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v)
+                   AS mean,
+               CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v)
+                   AS mean_sq
+        FROM comp GROUP BY pos
+    )
+    SELECT CAST(COUNT(*) AS INT) AS dim,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(GREATEST(mean_sq - mean * mean, 0)
+                AS DECIMAL(28,12))) AS DOUBLE), 6) AS trace_var,
+           TRUE AS eig_sum_ok,
+           TRUE AS eig_nonneg_ok
+    FROM agg
+"""
+
 ORACLE["semantic_dedup"] = f"""
     WITH {_DUCK_ASSIGN_CTES},
     dup AS (
@@ -1249,6 +1436,19 @@ ORACLE["semantic_dedup_fold"] = ORACLE["semantic_dedup"]
 # the cell-partitioned store probe returns the same top-k as the map-only
 # Arrow formulation — one oracle certifies both storage stories
 ORACLE["ann_ivf_partitioned_probe"] = ORACLE["ann_ivf_cosine"]
+
+ORACLE["ann_ivf_cell_stats"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    counts AS (
+        SELECT cell, COUNT(*) AS n_vectors FROM assign GROUP BY cell
+    ),
+    tot AS (SELECT SUM(n_vectors) AS total, COUNT(*) AS k FROM counts)
+    SELECT cell, n_vectors,
+           ROUND(CAST(n_vectors AS DOUBLE) / total, 6) AS frac,
+           ROUND(CAST(n_vectors AS DOUBLE) / (CAST(total AS DOUBLE) / k), 6)
+               AS load_factor
+    FROM counts CROSS JOIN tot
+"""
 
 
 def _duck_ivf_topk_sql(n_probe: int) -> str:

@@ -384,6 +384,92 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- token frequency-of-frequency spectrum (Zipf diagnostics) ----------------
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency spectrum: how many distinct tokens occur
+    exactly k times in the corpus (Good-Turing's N_k; a log-log-linear
+    spectrum is the Zipf sanity check every tokenizer/corpus release
+    publishes, and hapax mass — N_1/V — is the OCR-noise smell test).
+    Two chained aggregations, BOTH map-side-combinable: token → count
+    (the vocabulary pass every LM op here already pays), then count →
+    #tokens (output ≤ |distinct counts| rows — tiny). Shuffles shrink at
+    each level; nothing here grows with corpus size except the first
+    vocabulary exchange, which is the irreducible cost of any corpus
+    statistic."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_toks()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    spectrum = vocab.groupBy("tf").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # scalar corpus-token total rides a broadcast 1-row cross join (the
+    # textstats scalar convention); the ratio is integer/integer — exact
+    total = spectrum.agg(
+        F.sum(F.col("n_tokens") * F.col("tf")).alias("total_tokens")
+    )
+    return spectrum.crossJoin(F.broadcast(total)).select(
+        F.col("tf").alias("occurrences"),
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") * F.col("tf")).cast("double")
+            / F.col("total_tokens"),
+            6,
+        ).alias("mass_fraction"),
+    )
+
+
+# --- quality-band sampling (perplexity-bucketed corpus construction) ---------
+QUALITY_BAND_EDGES = (3.40, 3.41)  # rounded-score cutpoints on this corpus
+QUALITY_BAND_KEEP_PCT = {"low": 50, "mid": 100, "high": 20}
+
+
+def quality_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucketed sampling — the DCLM/FineWeb-style move where
+    the training mix keeps quality BANDS at different rates instead of
+    hard-filtering (mid-band text kept whole, boilerplate-leaning low
+    band downsampled, rare-token noise band kept at a trickle for
+    robustness). Bands cut the :func:`unigram_logprob_score` signal at
+    FIXED literal edges, not quantiles: absolute-threshold banding is
+    map-side, reproducible across corpus versions, and avoids the
+    cross-engine quantile-interpolation trap (both engines compare the
+    identical 6-dp-rounded score to the same literals); membership
+    within a band is the deterministic md5 keep-rate device from
+    :mod:`pipeline`. Adds ZERO shuffles beyond the scoring agg — band
+    assignment, hashing, and keep-filtering all fuse into the scoring
+    output's projection; the final per-band rollup is 3 groups. Output:
+    per-band doc/token totals and kept counts (the mix report a corpus
+    release publishes)."""
+    scored = unigram_logprob_score(spark, sf_dir)
+    band = (
+        F.when(F.col("avg_neg_logprob") < QUALITY_BAND_EDGES[0], "low")
+        .when(F.col("avg_neg_logprob") < QUALITY_BAND_EDGES[1], "mid")
+        .otherwise("high")
+    )
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        % 100
+    )
+    rate = F.lit(None).cast("int")
+    expr = None
+    for name, pct in QUALITY_BAND_KEEP_PCT.items():
+        cond = F.col("band") == name
+        expr = F.when(cond, pct) if expr is None else expr.when(cond, pct)
+    rate = expr.otherwise(F.lit(0))
+    flagged = scored.select(
+        "doc_id", "n_tokens", band.alias("band"), bucket.alias("bkt")
+    ).withColumn("kept", (F.col("bkt") < rate).cast("long"))
+    return flagged.groupBy("band").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("kept").alias("kept_docs"),
+        F.sum(F.col("kept") * F.col("n_tokens")).alias("kept_tokens"),
+    )
+
+
 # --- quality-rule funnel (the per-rule removal accounting) -------------------
 def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style rule funnel: how many documents per language each
@@ -503,6 +589,8 @@ QUERIES = {
     "unigram_logprob_score": unigram_logprob_score,
     "dsir_importance_weights": dsir_importance_weights,
     "quality_filter_funnel": quality_filter_funnel,
+    "quality_band_sample": quality_band_sample,
+    "token_frequency_spectrum": token_frequency_spectrum,
 }
 
 ORACLE = {
@@ -686,6 +774,62 @@ ORACLE["unigram_logprob_score"] = rf"""
            ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*), 6)
                AS avg_neg_logprob
     FROM scored GROUP BY doc_id
+"""
+
+ORACLE["token_frequency_spectrum"] = rf"""
+    WITH vocab AS (
+        SELECT t, COUNT(*) AS tf FROM (
+            SELECT unnest({_DUCK_TOKS}) AS t FROM documents
+        ) GROUP BY t
+    ),
+    spectrum AS (
+        SELECT tf, COUNT(*) AS n_tokens FROM vocab GROUP BY tf
+    ),
+    tot AS (SELECT SUM(n_tokens * tf) AS total_tokens FROM spectrum)
+    SELECT tf AS occurrences, n_tokens,
+           ROUND(CAST(n_tokens * tf AS DOUBLE) / total_tokens, 6)
+               AS mass_fraction
+    FROM spectrum CROSS JOIN tot
+"""
+
+ORACLE["quality_band_sample"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v FROM toks),
+    scored AS (
+        SELECT k.doc_id,
+               -ln(CAST(vocab.c + 1 AS DOUBLE) / (tot.n + tot.v)) AS nlp
+        FROM toks k JOIN vocab USING (t) CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE)
+                     / COUNT(*), 6) AS score
+        FROM scored GROUP BY doc_id
+    ),
+    flagged AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN score < {QUALITY_BAND_EDGES[0]} THEN 'low'
+                    WHEN score < {QUALITY_BAND_EDGES[1]} THEN 'mid'
+                    ELSE 'high' END AS band,
+               CASE WHEN
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 100 <
+                   CASE WHEN score < {QUALITY_BAND_EDGES[0]}
+                            THEN {QUALITY_BAND_KEEP_PCT["low"]}
+                        WHEN score < {QUALITY_BAND_EDGES[1]}
+                            THEN {QUALITY_BAND_KEEP_PCT["mid"]}
+                        ELSE {QUALITY_BAND_KEEP_PCT["high"]} END
+               THEN 1 ELSE 0 END AS kept
+        FROM per_doc
+    )
+    SELECT band, COUNT(*) AS total_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(kept) AS BIGINT) AS kept_docs,
+           CAST(SUM(kept * n_tokens) AS BIGINT) AS kept_tokens
+    FROM flagged GROUP BY band
 """
 
 ORACLE["dsir_importance_weights"] = rf"""

@@ -80,6 +80,14 @@ SUITES: dict[str, list[str]] = {
         "quota_sample_tokens_budget_skewsafe",
         "ann_ivf_recall_report",
         "simhash64_hamming_pairs",
+        "simhash64_hamming_pairs_wide",
+        "dedup_ngram_containment",
+        "embedding_gram_matrix",
+        "embedding_pca_variance",
+        "quality_band_sample",
+        "dedup_incremental",
+        "token_frequency_spectrum",
+        "ann_ivf_cell_stats",
     ],
 }
 

@@ -313,3 +313,41 @@ def test_embedding_dim_stats_dead_dimension_clamp(spark, tmp_path):
     }
     con.close()
     assert oracle[0] == 0.0
+
+
+def test_embedding_pca_variance_eigen_replay(spark):
+    """The PCA spectrum assembled from the engine's bounded artifacts
+    (gram matrix + per-dim means) must match a direct numpy covariance
+    eigendecomposition of the raw parquet, and the gated invariants must
+    hold for real."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        embedding_dim_stats,
+        embedding_gram_matrix,
+        embedding_pca_variance,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    E = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+    n, d = E.shape
+    mu_direct = E.mean(axis=0)
+    C_direct = (E.T @ E) / n - np.outer(mu_direct, mu_direct)
+    lam_direct = np.linalg.eigvalsh(C_direct)
+
+    G = np.zeros((d, d))
+    for r in embedding_gram_matrix(spark, SF_DIR).collect():
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram"]
+    mu = np.zeros(d)
+    for r in embedding_dim_stats(spark, SF_DIR).collect():
+        mu[r["pos"]] = r["mean"]
+    lam_engine = np.linalg.eigvalsh(G / n - np.outer(mu, mu))
+
+    # gram entries rounded to 6 dp, means to 8 dp → small assembly drift
+    assert np.allclose(lam_engine, lam_direct, atol=1e-3)
+
+    row = embedding_pca_variance(spark, SF_DIR).collect()[0]
+    assert row["dim"] == d and row["n_vectors"] == n
+    assert row["eig_sum_ok"] and row["eig_nonneg_ok"]
+    assert abs(row["trace_var"] - lam_direct.sum()) < 1e-3

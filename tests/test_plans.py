@@ -351,3 +351,16 @@ def test_query_log_records_cost_columns(spark):
     assert row["shuffle_bytes"] > 0
     assert row["est_credits"] > 0
     assert row["elapsed_sec"] > 0
+
+
+def test_gram_matrix_single_bounded_exchange(spark):
+    """Gram accumulation: the only exchange is the (i,j)-keyed final agg,
+    and map-side partial aggregation must collapse each partition to
+    ≤ d(d+1)/2 rows before it (a plan without partial agg would shuffle
+    2,080 rows PER VECTOR)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+
+    df = similarity.embedding_gram_matrix(spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, "partial+final agg expected"
