@@ -661,6 +661,30 @@ def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (session, sf_dir, width) → staged SimHash signature table. Like the
+# shingle index, the signature table is the shared intermediate of the
+# pairing family (both band layouts consume it, and both self-join sides
+# read it); memoizing makes it a session-lifetime materialized view —
+# the 64 vote aggregates run once per corpus, not once per pairing call.
+_SIMHASH_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _staged_simhash(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
+    try:
+        per_session = _SIMHASH_CACHE.setdefault(spark, {})
+    except TypeError:
+        per_session = {}
+    key = (sf_dir, width)
+    cached = per_session.get(key)
+    if cached is None:
+        fn = simhash64 if width == 64 else simhash32
+        cached = stage(fn(spark, sf_dir))
+        per_session[key] = cached
+    return cached
+
+
 # --- SimHash (32-bit) -------------------------------------------------------
 def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash over distinct tokens: portable token hash →
@@ -720,7 +744,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verifier (the Jaccard stage); the de-saturated production
     width is :func:`simhash64_hamming_pairs` — same plan, 8 bands,
     13× fewer candidates on this corpus."""
-    sh = stage(simhash32(spark, sf_dir))  # both join sides read one file
+    sh = _staged_simhash(spark, sf_dir, 32)  # both join sides read one file
     bands = None
     for b in range(_SIMHASH_BANDS):
         part = sh.select(
@@ -835,7 +859,7 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     78 docs (the residue is the corpus's genuinely templated
     near-identical token sets, which IS what SimHash should pair). Same
     numbers recorded in SCALE.md."""
-    sh = stage(simhash64(spark, sf_dir))  # both join sides read one file
+    sh = _staged_simhash(spark, sf_dir, 64)  # both join sides read one file
     bands = None
     for b in range(_SIMHASH64_BANDS):
         part = sh.select(
@@ -890,7 +914,7 @@ def simhash64_hamming_pairs_wide(
     trick again (fewer, wider bands per extra Hamming bit of slack, or
     signature-sorted prefix tables). Shuffle rows per doc: 4, same as
     32-bit banding."""
-    sh = stage(simhash64(spark, sf_dir))
+    sh = _staged_simhash(spark, sf_dir, 64)
     bands = None
     for b in range(4):
         part = sh.select(
