@@ -2,21 +2,29 @@
 extension — SURVEY §7 step 8; no counterpart in the reference, which has no
 document pipeline).
 
-Five dedup families, each shuffle-aware for 100 TB:
+The dedup families, each shuffle-aware for 100 TB:
 
 - exact (full-text groupBy) — correctness baseline; shuffles full text.
 - exact by content hash — the scale path: shuffle 32-byte digests, not
   documents. At 100 TB this is the difference between a ~100 TB shuffle and
   a ~tens-of-GB shuffle.
-- n-gram Jaccard — all-pairs similarity restricted to shingle-sharing
-  candidates (inverted-index join), never a cartesian product.
+- incremental (new crawl vs standing corpus) — digest LEFT-ANTI join, the
+  production ingest shape: a batch never re-deduplicates the corpus.
+- n-gram Jaccard / containment — all-pairs similarity restricted to
+  shingle-sharing candidates (inverted-index join), never a cartesian
+  product; containment (shared/min) is the asymmetric short-inside-long
+  signal on the identical plan.
 - MinHash + LSH banding — the sublinear candidate generator: signature =
   16 portable hashes, 4 bands × 4 rows; only band-collision pairs are
   verified. Hashing is md5-prefix→int64 so the duckdb oracle reproduces it
   bit-for-bit (engine-neutral, unlike xxhash64).
-- SimHash (32-bit) — near-dup fingerprint; Hamming-adjacent docs collide.
+- SimHash (32- and 64-bit) — near-dup fingerprints with pigeonhole-banded
+  Hamming pairing; band WIDTH (8- vs 16-bit) is the candidate-volume
+  scale knob.
+- duplicate clustering — label propagation + large/small-star contraction
+  over the verified pair graph.
 
-Embedding-cosine near-dup lives in :mod:`similarity`.
+Embedding-cosine / semantic (SemDeDup) near-dup lives in :mod:`similarity`.
 """
 
 from __future__ import annotations

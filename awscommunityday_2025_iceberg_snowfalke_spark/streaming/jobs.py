@@ -293,6 +293,44 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(s)
 
 
+def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of :func:`operators.dedup.dedup_incremental`'s
+    production topology: the new-crawl batch arrives AS A STREAM and is
+    screened against the standing corpus's digest index via a
+    stream-static LEFT OUTER join (static side = the corpus digests — at
+    100 TB a stored, bucketed digest table that each micro-batch joins
+    bucket-locally; here it broadcasts). One streaming aggregation rolls
+    up per-language batch/fresh/duplicate counts — Spark allows exactly
+    one agg per streaming query, so the within-batch min-id dedup that
+    the batch operator also performs stays in the batch path; the stream
+    reports arrival-screening accounting, its own SQL-expressible
+    contract. Same doc-id 80% split as the batch twin."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = int(lo) + int((int(hi) - int(lo)) * 0.8)
+    corpus = (
+        docs.filter(F.col("doc_id") < split)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("known", F.lit(True))
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents*.parquet")
+        .filter(F.col("doc_id") >= split)
+        .select("doc_id", "lang", F.sha2("text", 256).alias("h"))
+    )
+    flagged = stream.join(F.broadcast(corpus), "h", "left_outer")
+    agg = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("batch_docs"),
+        F.sum(F.col("known").isNull().cast("long")).alias("fresh_docs"),
+        F.sum(F.col("known").isNotNull().cast("long")).alias("dup_docs"),
+    )
+    return _run_to_memory(agg)
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
     "streaming_dedup_events": streaming_dedup_events,
@@ -301,11 +339,32 @@ QUERIES = {
     "streaming_user_sessions": streaming_user_sessions,
     "small_file_lifecycle_report": small_file_lifecycle_report,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_dedup_incremental": streaming_dedup_incremental,
 }
 
 from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
 
 ORACLE = {
+    # stream-static screening must equal the same accounting in batch SQL
+    "streaming_dedup_incremental": """
+        WITH bounds AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ),
+        digests AS (
+            SELECT doc_id, lang, sha256(text) AS h,
+                   (SELECT lo + CAST(FLOOR((hi - lo) * 0.8) AS BIGINT)
+                    FROM bounds) AS split
+            FROM documents
+        ),
+        corpus AS (SELECT DISTINCT h FROM digests WHERE doc_id < split),
+        batch AS (SELECT * FROM digests WHERE doc_id >= split)
+        SELECT lang, COUNT(*) AS batch_docs,
+               CAST(SUM(CASE WHEN h NOT IN (SELECT h FROM corpus)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fresh_docs,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM corpus)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        FROM batch GROUP BY lang
+    """,
     # the stateful streaming operator must equal the batch sessionization
     "streaming_user_sessions": _REL_ORACLE["user_sessions"],
     "streaming_session_windows": _REL_ORACLE["user_sessions"],
