@@ -354,8 +354,54 @@ def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- perceptual-hash near-dup (feature-space fingerprint grouping) -----------
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash asset grouping — the media near-dup layer ABOVE
+    byte-exact sha-256 (:func:`multimodal_dedup_bytes`): re-encoded or
+    lightly-edited assets share feature structure, not bytes. Fingerprint
+    = dHash + aHash over the extracted feature vector (here the byte
+    histogram; a real pipeline swaps in DCT/pHash over decoded pixels —
+    same 15-bit-per-asset plumbing): bits 0-6 compare adjacent feature
+    buckets (dHash), bits 7-14 threshold each bucket against the uniform
+    mass 1/N_BUCKETS (aHash). Every comparison is per-element on the
+    exact c/n doubles both engines already agree on — no order-dependent
+    reduction anywhere, so the fingerprint is bit-portable. Grouping is
+    one groupBy on the fingerprint (shuffles a 2-byte key per asset);
+    Hamming-banded pairing at production fingerprint widths reuses the
+    :mod:`dedup` SimHash band machinery unchanged."""
+    feats = multimodal_byte_histogram_vectors(spark, sf_dir)
+    f = F.col("features")
+    bits = []
+    for b in range(N_BUCKETS - 1):
+        bits.append(
+            F.when(
+                F.element_at(f, b + 1) > F.element_at(f, b + 2),
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+        )
+    for b in range(N_BUCKETS):
+        bits.append(
+            F.when(
+                F.element_at(f, b + 1) > F.lit(1.0 / N_BUCKETS),
+                F.lit(1 << (N_BUCKETS - 1 + b)),
+            ).otherwise(F.lit(0))
+        )
+    acc = bits[0]
+    for bit in bits[1:]:
+        acc = acc + bit
+    return (
+        feats.select("doc_id", acc.cast("int").alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
+    "multimodal_phash_groups": multimodal_phash_groups,
     "multimodal_dedup_bytes": multimodal_dedup_bytes,
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -474,6 +520,45 @@ ORACLE["multimodal_embed"] = f"""
                ',') AS embedding,
            ROUND(sqrt(list_dot_product(embedding, embedding)), 6) AS emb_norm
     FROM emb
+"""
+
+ORACLE["multimodal_phash_groups"] = f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, n, unnest(range(1, n + 1)) AS i, h FROM b
+    ), vals AS (
+      SELECT doc_id, n,
+             (strpos('0123456789ABCDEF',
+                     substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF',
+                     substr(h, CAST(2*i AS INT), 1)) - 1) AS v
+      FROM ex
+    ), counts AS (
+      SELECT doc_id, n, v // {256 // N_BUCKETS} AS bucket, COUNT(*) AS c
+      FROM vals GROUP BY 1, 2, 3
+    ), spine AS (
+      SELECT doc_id, n, unnest(range({N_BUCKETS})) AS bucket FROM b
+    ), filled AS (
+      SELECT s.doc_id, s.n, s.bucket, COALESCE(c.c, 0) AS c
+      FROM spine s
+      LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+    ), fvec AS (
+      SELECT doc_id,
+             list(CASE WHEN n = 0 THEN 0.0
+                       ELSE CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END
+                  ORDER BY bucket) AS f
+      FROM filled GROUP BY doc_id
+    ), hashed AS (
+      SELECT doc_id,
+             CAST((CASE WHEN f[1] > f[2] THEN 1 ELSE 0 END) + (CASE WHEN f[2] > f[3] THEN 2 ELSE 0 END) + (CASE WHEN f[3] > f[4] THEN 4 ELSE 0 END) + (CASE WHEN f[4] > f[5] THEN 8 ELSE 0 END) + (CASE WHEN f[5] > f[6] THEN 16 ELSE 0 END) + (CASE WHEN f[6] > f[7] THEN 32 ELSE 0 END) + (CASE WHEN f[7] > f[8] THEN 64 ELSE 0 END)
+                + (CASE WHEN f[1] > 1.0/8 THEN 128 ELSE 0 END) + (CASE WHEN f[2] > 1.0/8 THEN 256 ELSE 0 END) + (CASE WHEN f[3] > 1.0/8 THEN 512 ELSE 0 END) + (CASE WHEN f[4] > 1.0/8 THEN 1024 ELSE 0 END) + (CASE WHEN f[5] > 1.0/8 THEN 2048 ELSE 0 END) + (CASE WHEN f[6] > 1.0/8 THEN 4096 ELSE 0 END) + (CASE WHEN f[7] > 1.0/8 THEN 8192 ELSE 0 END) + (CASE WHEN f[8] > 1.0/8 THEN 16384 ELSE 0 END) AS INT) AS phash
+      FROM fvec
+    )
+    SELECT phash, COUNT(*) AS n_assets, MIN(doc_id) AS keep_doc_id
+    FROM hashed GROUP BY phash
 """
 
 ORACLE["multimodal_dedup_bytes"] = """

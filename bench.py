@@ -88,6 +88,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_incremental",
         "token_frequency_spectrum",
         "ann_ivf_cell_stats",
+        "multimodal_phash_groups",
     ],
 }
 

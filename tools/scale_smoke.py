@@ -77,6 +77,13 @@ DOC_QUERIES = [
     "dsir_importance_weights",  # one token agg + broadcast 1024-row dict
     "quality_filter_funnel", # map-side rule accounting
     "simhash64_hamming_pairs_wide",  # 4x16-bit banded pairing (scale layout)
+    # late-round-7 additions
+    "quota_sample_tokens_budget_skewsafe",  # bucket-pruned stratum windows
+    "dedup_incremental",     # crawl-vs-corpus digest anti-join
+    "dedup_ngram_containment",  # shared/min on the capped inverted index
+    "token_frequency_spectrum",  # two shrinking aggs (Zipf N_k)
+    "embedding_gram_matrix", # map-only triangle expansion + bounded agg
+    "quality_band_sample",   # scoring agg + map-side banding
 ]
 
 
@@ -234,6 +241,10 @@ def main() -> None:
     ap.add_argument("--sizes", default=None,
                     help="comma row counts (events; for docs = document rows, "
                          "embeddings follow at 2:5)")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of the family's query list "
+                         "(targeted re-measurement without paying the full "
+                         "sweep)")
     ap.add_argument("--keep", action="store_true", help="keep generated parquet")
     ap.add_argument("--attempts", type=int, default=2,
                     help="timed attempts per query; min is reported "
@@ -243,6 +254,12 @@ def main() -> None:
                      else "5000,50000,500000")
     sizes = [int(s) for s in (args.sizes or default_sizes).split(",")]
     queries = QUERIES if args.family == "events" else DOC_QUERIES
+    if args.queries:
+        want = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in want if q not in queries]
+        if unknown:
+            raise SystemExit(f"not in the {args.family} list: {unknown}")
+        queries = want
 
     spark = get_spark(app_name="scale_smoke")
     qs = all_queries()
