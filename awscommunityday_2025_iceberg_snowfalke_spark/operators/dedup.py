@@ -338,6 +338,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicated n-gram span analysis (substring-level dedup signal) ----------
+SPAN_NGRAM = 10  # Lee et al. use 50-token spans; 10 fits the 64-word docs
+
+
+def doc_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-LEVEL duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document-level dedup
+    misses boilerplate headers, license blocks, and quoted passages
+    repeated across otherwise-distinct docs. Per doc: how many of its
+    word-10-gram positions also occur in ANOTHER document. The suffix
+    array the paper builds is a single-machine structure; the Spark shape
+    is the inverted n-gram index this module already scales — explode
+    positional 10-grams, hash them portably, mark grams whose document
+    frequency > 1 via one groupBy over (gram → distinct docs bounded
+    accounting), and roll up per doc. Shuffles 8-byte gram hashes, and
+    the df computation is map-side-combinable; the Zipf-head hazard is
+    the same class the shingle DF cap handles (a hot boilerplate gram is
+    exactly what this op exists to FIND, so it is counted, not capped).
+    Output per doc: total spans, duplicated spans, dup fraction — the
+    span-removal planning report."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SPAN_NGRAM)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (SPAN_NGRAM - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i, SPAN_NGRAM)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id", "pos", F.expr(_SPARK_H.format(expr="gram")).alias("g")
+        )
+    )
+    grams = stage(grams)  # consumed twice: df table + per-doc rollup
+    # a gram is a cross-doc duplicate iff it appears in >1 DISTINCT doc
+    # (in-doc repetition alone is doc_repetition_stats' business)
+    df_tab = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("g")
+    )
+    flagged = grams.join(
+        df_tab.withColumn("dup", F.lit(1)), "g", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("dup_spans"),
+        F.round(
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+# --- dedup release reports ----------------------------------------------------
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of duplicate-cluster sizes (how many clusters have
+    exactly k members) — the one-table summary a dedup release publishes:
+    a long tail of large clusters means mirror farms; mass at k=1 is the
+    unique core. Rolls up the already-certified cluster labels; output is
+    ≤ |distinct sizes| rows."""
+    clusters = dedup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("k").alias("cluster_size"),
+            "n_clusters",
+            (F.col("k") * F.col("n_clusters")).alias("docs_in_size"),
+        )
+    )
+
+
 # --- MinHash + LSH banding --------------------------------------------------
 # Universal-hash family over one base hash: h_i(x) = (a_i·md5_60(x) + b_i)
 # mod p. One md5 per shingle instead of N_HASHES md5s — at 100 TB the
@@ -964,6 +1052,8 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_incremental": dedup_incremental,
+    "doc_duplicate_ngram_spans": doc_duplicate_ngram_spans,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -1147,6 +1237,39 @@ ORACLE = {
                COALESCE(ac.admitted_docs, 0) AS admitted_docs,
                bc.batch_docs - COALESCE(ac.admitted_docs, 0) AS rejected_docs
         FROM bc LEFT JOIN ac ON bc.lang = ac.lang
+    """,
+    "doc_duplicate_ngram_spans": rf"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   {_DUCK_H.format(expr=f"array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {SPAN_NGRAM} AS INT)], ' ')")} AS g
+            FROM t, UNNEST(range(len(toks) - {SPAN_NGRAM - 1})) AS u(i)
+            WHERE len(toks) >= {SPAN_NGRAM}
+        ),
+        dupg AS (
+            SELECT g FROM (
+                SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g
+            ) WHERE df > 1
+        )
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN g.g IN (SELECT g FROM dupg)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+               ROUND(CAST(SUM(CASE WHEN g.g IN (SELECT g FROM dupg)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                   AS dup_fraction
+        FROM g GROUP BY doc_id
+    """,
+    "dedup_cluster_size_histogram": f"""
+        WITH clusters AS ({_duck_clusters_sql()}),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS k FROM clusters GROUP BY cluster_id
+        )
+        SELECT k AS cluster_size, COUNT(*) AS n_clusters,
+               CAST(k * COUNT(*) AS BIGINT) AS docs_in_size
+        FROM sizes GROUP BY k
     """,
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "dedup_clusters": _duck_clusters_sql(),

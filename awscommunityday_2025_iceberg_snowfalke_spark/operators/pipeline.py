@@ -294,6 +294,41 @@ def pack_docs_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- domain-mixture accounting (source reweighting) --------------------------
+def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) token accounting with uniform-target reweight
+    factors — the static half of domain-mixture tuning (DoReMi et al.
+    learn the target weights; every pipeline still needs THIS table:
+    what share each domain actually contributes and the factor that
+    would equalize it, reweight = target_share / actual_share). One
+    map-side-combinable groupBy(source) over one scan, plus a broadcast
+    1-row totals join — output is |domains| rows at any corpus size.
+    Ratios are integer/integer divisions (exact, cross-engine); token
+    counts use the corpus-standard whitespace tokenizer."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    per_src = docs.select("source", n_tok.alias("n")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(
+            (F.lit(1.0) / F.col("n_sources")) / share, 6
+        ).alias("uniform_reweight"),
+    )
+
+
 # --- CDC latest-per-key compaction -------------------------------------------
 def cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat events as a change stream keyed by user_id: latest state per
@@ -520,6 +555,7 @@ QUERIES = {
     "pack_docs_sequences": pack_docs_sequences,
     "curation_pipeline": curation_pipeline,
     "cdc_latest_events": cdc_latest_events,
+    "doc_domain_mixture": doc_domain_mixture,
     "word_doc_frequency_topk": word_doc_frequency_topk,
     "doc_top_terms": doc_top_terms,
     "purchasers_without_errors": purchasers_without_errors,
@@ -594,6 +630,26 @@ ORACLE = {
                CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM binned GROUP BY bin_id
+    """,
+    "doc_domain_mixture": r"""
+        WITH per_src AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        t -> t <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+                   AS token_share,
+               ROUND((1.0 / n_sources)
+                     / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
+                   AS uniform_reweight
+        FROM per_src CROSS JOIN tot
     """,
     "cdc_latest_events": """
         SELECT user_id, event_id, event_type,

@@ -89,6 +89,9 @@ SUITES: dict[str, list[str]] = {
         "token_frequency_spectrum",
         "ann_ivf_cell_stats",
         "multimodal_phash_groups",
+        "doc_duplicate_ngram_spans",
+        "dedup_cluster_size_histogram",
+        "doc_domain_mixture",
     ],
 }
 
