@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
@@ -402,6 +402,69 @@ def doc_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("dup_fraction"),
+    )
+
+
+# --- line-level dedup (C4's duplicate-line removal) ---------------------------
+LINE_TOKENS = 16  # fixed-width pseudo-lines over the testdata's unbroken text
+
+
+def dedup_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level dedup accounting: across the whole corpus each
+    distinct line survives only at its first occurrence (lowest doc_id,
+    then position); later copies are removed — the pass that strips
+    repeated navigation bars, cookie banners, and footer boilerplate
+    document-level dedup never touches. The testdata's text has no
+    newlines, so "lines" are fixed 16-token segments — the plan is
+    byte-identical for real newline splits (swap the segmenter
+    expression). Shape: explode (doc, pos, line-hash), ONE window
+    ranked by (doc_id, pos) per line hash — shuffle keyed on the 8-byte
+    hash, never line text; first-occurrence semantics are deterministic
+    by construction. At 100 TB the hot keys are exactly the boilerplate
+    lines being removed — bounded per-key state (the rank-1 row), AQE
+    skew split for the sort. Output per doc: total/kept/removed lines —
+    the removal accounting a C4 run publishes."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    lines = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            (F.size("toks") + LINE_TOKENS - 1)
+                            / F.lit(LINE_TOKENS),
+                            F.lit(1),
+                        ).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("toks"),
+                            (i - 1) * LINE_TOKENS + 1,
+                            LINE_TOKENS,
+                        ),
+                    ),
+                )
+            ).alias("pos", "line"),
+        )
+        .select(
+            "doc_id", "pos", F.expr(_SPARK_H.format(expr="line")).alias("lh")
+        )
+    )
+    w = Window.partitionBy("lh").orderBy("doc_id", "pos")
+    flagged = lines.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("long")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("kept").alias("kept_lines"),
+        (F.count(F.lit(1)) - F.sum("kept")).alias("removed_lines"),
     )
 
 
@@ -1053,6 +1116,7 @@ QUERIES = {
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_incremental": dedup_incremental,
     "doc_duplicate_ngram_spans": doc_duplicate_ngram_spans,
+    "dedup_lines_report": dedup_lines_report,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
@@ -1171,6 +1235,12 @@ def _duck_simhash_sql() -> str:
     """
 
 
+_DUCK_LINE_EXPR = (
+    f"array_to_string(toks[CAST(i * {LINE_TOKENS} + 1 AS INT):"
+    f"CAST(i * {LINE_TOKENS} + {LINE_TOKENS} AS INT)], ' ')"
+)
+
+
 ORACLE = {
     "dedup_exact": """
         SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
@@ -1237,6 +1307,30 @@ ORACLE = {
                COALESCE(ac.admitted_docs, 0) AS admitted_docs,
                bc.batch_docs - COALESCE(ac.admitted_docs, 0) AS rejected_docs
         FROM bc LEFT JOIN ac ON bc.lang = ac.lang
+    """,
+    "dedup_lines_report": rf"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   {_DUCK_H.format(expr=_DUCK_LINE_EXPR)} AS lh
+            FROM t, UNNEST(range(GREATEST(
+                CAST(CEIL(len(toks) / CAST({LINE_TOKENS} AS DOUBLE)) AS BIGINT),
+                1))) AS u(i)
+        ),
+        flagged AS (
+            SELECT doc_id,
+                   CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY lh ORDER BY doc_id, pos) = 1
+                   THEN 1 ELSE 0 END AS kept
+            FROM lines
+        )
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(kept) AS BIGINT) AS kept_lines,
+               CAST(COUNT(*) - SUM(kept) AS BIGINT) AS removed_lines
+        FROM flagged GROUP BY doc_id
     """,
     "doc_duplicate_ngram_spans": rf"""
         WITH t AS (

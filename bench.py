@@ -92,6 +92,7 @@ SUITES: dict[str, list[str]] = {
         "doc_duplicate_ngram_spans",
         "dedup_cluster_size_histogram",
         "doc_domain_mixture",
+        "dedup_lines_report",
     ],
 }
 
