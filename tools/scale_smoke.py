@@ -84,6 +84,10 @@ DOC_QUERIES = [
     "token_frequency_spectrum",  # two shrinking aggs (Zipf N_k)
     "embedding_gram_matrix", # map-only triangle expansion + bounded agg
     "quality_band_sample",   # scoring agg + map-side banding
+    "doc_duplicate_ngram_spans",  # positional gram index, df>1 marking
+    "dedup_lines_report",    # first-occurrence window over line hashes
+    "doc_domain_mixture",    # source-keyed agg + broadcast totals
+    "multimodal_phash_groups",  # feature extract + fingerprint groupBy
 ]
 
 
