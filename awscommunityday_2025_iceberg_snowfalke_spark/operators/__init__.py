@@ -21,6 +21,7 @@ def _modules():
         dedup,
         lifecycle,
         multimodal,
+        parity,
         pipeline,
         relational,
         similarity,
@@ -39,6 +40,7 @@ def _modules():
     # than whole modules). The local gate (tests/test_corpus) still checks
     # ALL entries every round regardless of order.
     return (
+        parity,
         dedup,
         similarity,
         textstats,
@@ -64,70 +66,79 @@ def _modules():
 # all_queries() each round; this list is rotated per round so every entry
 # eventually gets a driver CORRECTNESS row. History: r1-r4 sampled
 # relational/snowsql/tpch; r5 sampled the extension families; r6 sampled
-# the 27 never-sampled entries (governance/writers/streaming/pyds/mv/scale/
-# plans/analytics) + fixes + the r1-r3 relational tail — all 50 green.
-# r7 (this rotation) front-loads (a) the eleven round-6 operators that were
-# added after r6's gate was pinned and so have never been driver-sampled
-# (semantic_dedup is now the Arrow dgemm primary; the former expression-fold
-# primary rides along as semantic_dedup_fold), (b) the four round-7
-# additions (skew-safe quota fill, IVF recall report, 64-bit SimHash pair),
-# and (c) the entire r4-vintage relational/snowsql/tpch tail — the 34
-# longest-unsampled entries. 16 + 34 = 50 exactly.
+# the 27 never-sampled entries + fixes + the r1-r3 relational tail (50/50
+# green); r7 sampled the 16 post-r6 additions + the entire r4-vintage
+# relational/snowsql/tpch tail (47/50 — quality_filter_funnel and the
+# quota pair were driver-red on cross-engine numeric fragility).
+# r8 (this rotation) front-loads:
+# (a) the three r7 driver-red entries, now environment-proofed — integer
+#     cross-product thresholds in the funnel, emitted h/bkt diagnostic
+#     columns in the quota pair;
+# (b) the four parity probes (operators/parity.py) that pin the driver's
+#     engine-pair behavior per fragility class;
+# (c) the thirteen round-7 late additions that have never been
+#     driver-sampled (queued in COVERAGE.md);
+# (d) text_quality + unigram_logprob_score, whose implementations changed
+#     this round (integer predicates / shared decimal-sum core) and so
+#     need fresh driver evidence despite their r5 pass;
+# (e) 28 longest-unsampled r5-vintage entries as backfill.
+# 3 + 4 + 13 + 2 + 28 = 50 exactly.
 _GATE_FRONT = (
-    # round-6 operators, never driver-sampled (added post-rotation-freeze)
-    "semantic_dedup",
-    "semantic_dedup_fold",
-    "dedup_clusters_star",
-    "dsir_importance_weights",
-    "knn_hard_negatives",
-    "embedding_dim_stats",
-    "quota_sample_tokens_budget",
-    "ann_ivf_partitioned_probe",
-    "simhash_hamming_pairs",
-    "multimodal_dedup_bytes",
+    # (a) the r7 driver-reds, fixed this round
     "quality_filter_funnel",
-    # round-7 additions
+    "quota_sample_tokens_budget",
     "quota_sample_tokens_budget_skewsafe",
-    "ann_ivf_recall_report",
-    "simhash64",
-    "simhash64_hamming_pairs",
-    "simhash64_hamming_pairs_wide",
-    # r4-vintage tail: props/snowsql/relational odds and ends
-    "compaction_analysis",
-    "event_types_per_user",
-    "events_last_week_interval",
-    "hot_cold_union",
-    "props_json_stats",
-    "props_malformed_rescue",
-    "props_map_decode",
-    "snowsql_daily_date_expr",
-    "snowsql_filtered_counts",
-    "snowsql_interval_region",
-    "snowsql_qualify_top5",
-    "value_percentiles",
-    # r4-vintage tail: the 22 TPC-H-style queries
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_year_revenue",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_heavy_part_shippers",
-    "q21_last_shippers",
-    "q22_inactive_customers",
+    # (b) driver-environment parity probes
+    "parity_probe_hexcast",
+    "parity_probe_round_half",
+    "parity_probe_window_runsum",
+    "parity_probe_ln_round",
+    # (c) round-7 late additions, never driver-sampled
+    "embedding_gram_matrix",
+    "embedding_pca_variance",
+    "dedup_ngram_containment",
+    "quality_band_sample",
+    "dedup_incremental",
+    "token_frequency_spectrum",
+    "ann_ivf_cell_stats",
+    "streaming_dedup_incremental",
+    "multimodal_phash_groups",
+    "doc_duplicate_ngram_spans",
+    "dedup_cluster_size_histogram",
+    "doc_domain_mixture",
+    "dedup_lines_report",
+    # (d) changed this round — need fresh driver evidence
+    "text_quality",
+    "unigram_logprob_score",
+    # (e) longest-unsampled r5 vintage backfill
+    "dedup_exact",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_corpus_summary",
+    "simhash32",
+    "knn_bruteforce_cosine",
+    "knn_pandas_cosine",
+    "embedding_quantize_int8",
+    "embedding_norms",
+    "label_centroid_sim",
+    "ann_lsh_cosine",
+    "dedup_embedding_cosine",
+    "ann_ivf_cosine",
+    "kmeans_ivf_train",
+    "doc_bm25_search",
+    "text_normalize",
+    "lang_id",
+    "token_stats",
+    "doc_fingerprint",
+    "doc_repetition_stats",
+    "benchmark_contamination",
+    "text_redact_pii",
+    "sample_docs_deterministic",
+    "stratified_sample_docs",
+    "pack_docs_sequences",
+    "curation_pipeline",
 )
 
 

@@ -129,7 +129,13 @@ def quota_sample_tokens_budget_skewsafe(
 def _quota_fill(docs: DataFrame, budget: int) -> DataFrame:
     """Core of :func:`quota_sample_tokens_budget` on any (doc_id, lang,
     n_chars) relation — split out so the property test can drive it with
-    arbitrary corpora against a sequential Python reference."""
+    arbitrary corpora against a sequential Python reference.
+
+    The ordering hash ``h`` is part of the OUTPUT on purpose: when a
+    cross-engine mismatch occurs, the diff localizes in one glance to
+    "the engines hash differently" (h column differs) vs "the engines
+    disagree on the window running sum" (h matches, prior_chars differs)
+    — the r7 driver-red diagnosis gap."""
     h = F.expr(_SPARK_H.format(expr="cast(doc_id as string)"))
     w = (
         Window.partitionBy("lang")
@@ -141,7 +147,7 @@ def _quota_fill(docs: DataFrame, budget: int) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars", h.alias("h"))
         .withColumn("prior_chars", prior)
         .filter(F.col("prior_chars") < budget)
-        .select("doc_id", "lang", "n_chars", "prior_chars")
+        .select("doc_id", "lang", "n_chars", "h", "prior_chars")
     )
 
 
@@ -223,10 +229,13 @@ def _quota_fill_skewsafe(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prior = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    # h and bkt ride in the output for mismatch localization (see
+    # _quota_fill): a driver-side diff immediately separates "hash
+    # differs" / "bucket binning differs" / "window differs".
     return (
         survivors.withColumn("prior_chars", prior)
         .filter(F.col("prior_chars") < budget)
-        .select("doc_id", "lang", "n_chars", "prior_chars")
+        .select("doc_id", "lang", "n_chars", "h", "bkt", "prior_chars")
     )
 
 
@@ -601,12 +610,12 @@ ORACLE = {
         GROUP BY lang
     """,
     "quota_sample_tokens_budget": f"""
-        SELECT doc_id, lang, n_chars, prior_chars FROM (
-            SELECT doc_id, lang, n_chars,
-                   COALESCE(SUM(n_chars) OVER (
+        SELECT doc_id, lang, n_chars, h, prior_chars FROM (
+            SELECT doc_id, lang, n_chars, h,
+                   CAST(COALESCE(SUM(n_chars) OVER (
                         PARTITION BY lang ORDER BY h, doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS prior_chars
+                   ), 0) AS BIGINT) AS prior_chars
             FROM (SELECT doc_id, lang, n_chars,
                          {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")} AS h
                   FROM documents)
@@ -753,8 +762,19 @@ ORACLE = {
     """,
 }
 
-# the pruned formulation is output-identical to the plain window by
-# construction — one oracle certifies both
-ORACLE["quota_sample_tokens_budget_skewsafe"] = ORACLE[
-    "quota_sample_tokens_budget"
-]
+# The pruned formulation is output-identical to the plain window by
+# construction, but its gated schema additionally carries the bucket id
+# (bkt = h >> (60 - QUOTA_BUCKET_BITS)) so a driver-side mismatch
+# localizes to hash / binning / window in one glance.
+ORACLE["quota_sample_tokens_budget_skewsafe"] = f"""
+    SELECT doc_id, lang, n_chars, h, bkt, prior_chars FROM (
+        SELECT doc_id, lang, n_chars, h, h >> {60 - QUOTA_BUCKET_BITS} AS bkt,
+               CAST(COALESCE(SUM(n_chars) OVER (
+                    PARTITION BY lang ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prior_chars
+        FROM (SELECT doc_id, lang, n_chars,
+                     {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")} AS h
+              FROM documents)
+    ) WHERE prior_chars < {QUOTA_CHARS}
+"""

@@ -46,6 +46,32 @@ def _duck_in(words):
     return "t IN (" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
+# --- exact cross-engine ratio rounding --------------------------------------
+# round(num/den, 6) HALF_UP computed WITHOUT ever rounding a double:
+# k = floor((2·num·10^6 + den) / (2·den)) in exact int64 arithmetic, then a
+# single IEEE division k/10^6 (correctly rounded on every engine, so the
+# resulting double is bit-identical). ROUND(double, 6) is NOT portable —
+# Spark rounds the exact BigDecimal of the binary double HALF_UP while
+# DuckDB's float path multiplies by 10^6 first, so any ratio near an
+# x.xxxxxx5 boundary (e.g. 1/128 = 0.0078125) can flip between engines —
+# the r7 driver-red class. Integer ratios are cheap to make exact; use
+# this for every displayed ratio of two integer counts.
+def _ratio6(num, den):
+    a = num.cast("bigint") * 2000000 + den.cast("bigint")
+    b = den.cast("bigint") * 2
+    # (a - a%b)/b: numerator exactly divisible, quotient an exact integer
+    # < 2^53, so the double division is exact on any IEEE engine
+    k = ((a - a % b) / b).cast("bigint")
+    return k.cast("double") / F.lit(1000000.0)
+
+
+def _duck_ratio6(num_sql: str, den_sql: str) -> str:
+    return (
+        f"(CAST((2000000 * ({num_sql}) + ({den_sql})) // (2 * ({den_sql})) "
+        f"AS DOUBLE) / 1000000.0)"
+    )
+
+
 # --- quality scoring --------------------------------------------------------
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -58,19 +84,29 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         n_tokens.alias("n_tokens"),
-        F.round(n_nonspace / n_tokens.cast("double"), 6).alias("avg_token_len"),
-        F.round(n_stop / n_tokens.cast("double"), 6).alias("stopword_ratio"),
-        F.round(n_punct / F.length("text").cast("double"), 6).alias("punct_ratio"),
+        n_stop.alias("n_stop"),
+        n_punct.alias("n_punct"),
+        _ratio6(n_nonspace, n_tokens).alias("avg_token_len"),
+        _ratio6(n_stop, n_tokens).alias("stopword_ratio"),
+        _ratio6(n_punct, F.length("text")).alias("punct_ratio"),
+        F.length("text").alias("len_text"),
     )
-    # simple composite: long enough, some stopwords, not punctuation soup
+    # simple composite: long enough, some stopwords, not punctuation soup.
+    # Thresholds as INTEGER cross-products (n_stop/n_tokens >= 1/20 ⇔
+    # n_stop*20 >= n_tokens; n_punct/len <= 1/5 ⇔ n_punct*5 <= len): no
+    # double ever enters a predicate, so the decision is bit-identical on
+    # any engine/version — ROUND(double) half-boundary behavior differs
+    # between Spark (exact BigDecimal HALF_UP) and DuckDB builds, which
+    # made the rounded-ratio form flip boundary docs cross-engine (the r7
+    # driver-red class). The rounded ratios stay as display columns only.
     return out.withColumn(
         "quality_ok",
         (
             (F.col("n_tokens") >= 10)
-            & (F.col("stopword_ratio") >= 0.05)
-            & (F.col("punct_ratio") <= 0.2)
+            & (F.col("n_stop") * 20 >= F.col("n_tokens"))
+            & (F.col("n_punct") * 5 <= F.col("len_text"))
         ).cast("int"),
-    )
+    ).drop("len_text")
 
 
 # --- language identification (n-gram/stopword heuristic) --------------------
@@ -356,6 +392,21 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs keyed on doc_id, map-side combined. ln() and the decimal score
     sum follow doc_bm25_search's proven cross-engine determinism recipe
     (fixed fold via DECIMAL, round 6)."""
+    return _unigram_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("nlp_sum").cast("double") / F.col("n_tokens"), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
+def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the unigram-LM scorers: per-doc (doc_id, n_tokens,
+    nlp_sum) where nlp_sum is the DECIMAL(38,16) sum of per-token
+    -ln p — kept UNROUNDED so consumers that threshold the score
+    (:func:`quality_band_sample`) can compare exact decimals instead of
+    rounded doubles (the r7 cross-engine fragility class)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_toks()).alias("t"))
     toks = stage(toks)  # consumed twice: vocab build + scoring join
@@ -371,16 +422,9 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = toks.join(F.broadcast(vocab), "t").select(
         "doc_id", neg_lp.alias("nlp")
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(F.col("nlp").cast("decimal(28,16)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_neg_logprob"),
-        )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("nlp").cast("decimal(28,16)")).alias("nlp_sum"),
     )
 
 
@@ -420,7 +464,13 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- quality-band sampling (perplexity-bucketed corpus construction) ---------
-QUALITY_BAND_EDGES = (3.40, 3.41)  # rounded-score cutpoints on this corpus
+# avg-nlp cutpoints on this corpus, as EXACT decimal literals: band
+# compares use the decimal inequality nlp_sum {<,≥} edge·n_tokens — never
+# a rounded double against a double literal (the r7 driver-red fragility
+# class; pre-emptively de-fragilized per the r7 verdict). DECIMAL(3,2)
+# edge × bigint count stays far inside decimal(38) so neither engine
+# truncates or overflows.
+QUALITY_BAND_EDGES = ("3.40", "3.41")
 QUALITY_BAND_KEEP_PCT = {"low": 50, "mid": 100, "high": 20}
 
 
@@ -432,18 +482,29 @@ def quality_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     robustness). Bands cut the :func:`unigram_logprob_score` signal at
     FIXED literal edges, not quantiles: absolute-threshold banding is
     map-side, reproducible across corpus versions, and avoids the
-    cross-engine quantile-interpolation trap (both engines compare the
-    identical 6-dp-rounded score to the same literals); membership
-    within a band is the deterministic md5 keep-rate device from
-    :mod:`pipeline`. Adds ZERO shuffles beyond the scoring agg — band
-    assignment, hashing, and keep-filtering all fuse into the scoring
-    output's projection; the final per-band rollup is 3 groups. Output:
-    per-band doc/token totals and kept counts (the mix report a corpus
-    release publishes)."""
-    scored = unigram_logprob_score(spark, sf_dir)
+    cross-engine quantile-interpolation trap. The edge compare is the
+    exact decimal cross-product ``nlp_sum < edge·n_tokens`` (⇔ avg <
+    edge): the unrounded DECIMAL score sum differs across engines only
+    in trailing ulp noise (~1e-13), so the decision flips only if a
+    doc's mean sits within ~1e-15 of an edge — measure-zero for
+    transcendental sums, vs the ~1e-6-wide window the former
+    ROUND(avg,6)-vs-3.40 compare exposed. Membership within a band is
+    the deterministic md5 keep-rate device from :mod:`pipeline`. Adds
+    ZERO shuffles beyond the scoring agg; the final per-band rollup is
+    3 groups. Output: per-band doc/token totals and kept counts (the
+    mix report a corpus release publishes)."""
+    from decimal import Decimal
+
+    scored = _unigram_doc_scores(spark, sf_dir)
+    lo = F.col("n_tokens").cast("decimal(20,0)") * F.lit(
+        Decimal(QUALITY_BAND_EDGES[0])
+    )
+    hi = F.col("n_tokens").cast("decimal(20,0)") * F.lit(
+        Decimal(QUALITY_BAND_EDGES[1])
+    )
     band = (
-        F.when(F.col("avg_neg_logprob") < QUALITY_BAND_EDGES[0], "low")
-        .when(F.col("avg_neg_logprob") < QUALITY_BAND_EDGES[1], "mid")
+        F.when(F.col("nlp_sum") < lo, "low")
+        .when(F.col("nlp_sum") < hi, "mid")
         .otherwise("high")
     )
     bucket = (
@@ -477,29 +538,24 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel adds up exactly (total = kept + Σ removed) — the per-rule
     accounting a curation pipeline publishes alongside a corpus release
     (rule order matters and is part of the contract: length → stopword
-    density → punctuation soup). Same thresholds AND same 6-dp-rounded
-    ratios as ``text_quality`` — the rounding must match, not just the
-    thresholds, or raw-ratio boundary docs (e.g. stop_ratio in
-    [0.0499995, 0.05)) would be quality_ok there yet counted as removed
-    here and the two reports would disagree on the same corpus. One
-    scan, one map-side-combinable aggregation keyed by lang."""
+    density → punctuation soup). Thresholds are INTEGER cross-products
+    (stop/tokens < 1/20 ⇔ stop·20 < tokens; punct/len > 1/5 ⇔
+    punct·5 > len) — exact, engine-version-proof, and equivalent to the
+    unrounded rational thresholds; ``text_quality`` uses the identical
+    integer form so the two reports agree on every doc by construction.
+    (The previous 6-dp-rounded-double compare was driver-red in r7:
+    Spark's BigDecimal HALF_UP and DuckDB's float-path ROUND disagree at
+    half-boundary inputs, and one boundary doc flips a whole lang row.)
+    One scan, one map-side-combinable aggregation keyed by lang."""
     docs = load(spark, sf_dir, "documents")
     toks = _toks()
     n_tokens = F.size(toks)
-    stop_ratio = F.round(
-        F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
-        / n_tokens.cast("double"),
-        6,
-    )
-    punct_ratio = F.round(
-        F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
-        / F.length("text").cast("double"),
-        6,
-    )
+    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
     reason = (
         F.when(n_tokens < 10, "too_short")
-        .when(stop_ratio < 0.05, "low_stopwords")
-        .when(punct_ratio > 0.2, "punct_soup")
+        .when(n_stop * 20 < n_tokens, "low_stopwords")
+        .when(n_punct * 5 > F.length("text"), "punct_soup")
         .otherwise("kept")
     )
     return (
@@ -641,13 +697,13 @@ ORACLE = {
         FROM documents
     """,
     "text_quality": rf"""
-        SELECT doc_id, n_chars, n_tokens,
-               ROUND(n_nonspace / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
-               ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-               ROUND(n_punct / CAST(len_text AS DOUBLE), 6) AS punct_ratio,
+        SELECT doc_id, n_chars, n_tokens, n_stop, n_punct,
+               {_duck_ratio6("n_nonspace", "n_tokens")} AS avg_token_len,
+               {_duck_ratio6("n_stop", "n_tokens")} AS stopword_ratio,
+               {_duck_ratio6("n_punct", "len_text")} AS punct_ratio,
                CAST(n_tokens >= 10
-                    AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
-                    AND n_punct / CAST(len_text AS DOUBLE) <= 0.2 AS INT) AS quality_ok
+                    AND n_stop * 20 >= n_tokens
+                    AND n_punct * 5 <= len_text AS INT) AS quality_ok
         FROM (
             SELECT doc_id, n_chars,
                    CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens,
@@ -805,21 +861,24 @@ ORACLE["quality_band_sample"] = rf"""
     ),
     per_doc AS (
         SELECT doc_id, COUNT(*) AS n_tokens,
-               ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE)
-                     / COUNT(*), 6) AS score
+               SUM(CAST(nlp AS DECIMAL(28,16))) AS nlp_sum
         FROM scored GROUP BY doc_id
     ),
     flagged AS (
         SELECT doc_id, n_tokens,
-               CASE WHEN score < {QUALITY_BAND_EDGES[0]} THEN 'low'
-                    WHEN score < {QUALITY_BAND_EDGES[1]} THEN 'mid'
+               CASE WHEN nlp_sum < n_tokens * CAST({QUALITY_BAND_EDGES[0]}
+                        AS DECIMAL(3,2)) THEN 'low'
+                    WHEN nlp_sum < n_tokens * CAST({QUALITY_BAND_EDGES[1]}
+                        AS DECIMAL(3,2)) THEN 'mid'
                     ELSE 'high' END AS band,
                CASE WHEN
                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
                         1, 15)) AS BIGINT) % 100 <
-                   CASE WHEN score < {QUALITY_BAND_EDGES[0]}
+                   CASE WHEN nlp_sum < n_tokens * CAST({QUALITY_BAND_EDGES[0]}
+                            AS DECIMAL(3,2))
                             THEN {QUALITY_BAND_KEEP_PCT["low"]}
-                        WHEN score < {QUALITY_BAND_EDGES[1]}
+                        WHEN nlp_sum < n_tokens * CAST({QUALITY_BAND_EDGES[1]}
+                            AS DECIMAL(3,2))
                             THEN {QUALITY_BAND_KEEP_PCT["mid"]}
                         ELSE {QUALITY_BAND_KEEP_PCT["high"]} END
                THEN 1 ELSE 0 END AS kept
@@ -872,18 +931,20 @@ ORACLE["quality_filter_funnel"] = rf"""
         SELECT lang,
                CASE
                  WHEN n_tokens < 10 THEN 'too_short'
-                 WHEN ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) < 0.05
-                     THEN 'low_stopwords'
-                 WHEN ROUND(n_punct / CAST(len_text AS DOUBLE), 6) > 0.2
-                     THEN 'punct_soup'
+                 WHEN n_stop * 20 < n_tokens THEN 'low_stopwords'
+                 WHEN n_punct * 5 > len_text THEN 'punct_soup'
                  ELSE 'kept'
                END AS reason
         FROM sig
     )
     SELECT lang, COUNT(*) AS total_docs,
-           SUM(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS removed_too_short,
-           SUM(CASE WHEN reason = 'low_stopwords' THEN 1 ELSE 0 END) AS removed_low_stopwords,
-           SUM(CASE WHEN reason = 'punct_soup' THEN 1 ELSE 0 END) AS removed_punct_soup,
-           SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS kept_docs
+           CAST(SUM(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END)
+               AS BIGINT) AS removed_too_short,
+           CAST(SUM(CASE WHEN reason = 'low_stopwords' THEN 1 ELSE 0 END)
+               AS BIGINT) AS removed_low_stopwords,
+           CAST(SUM(CASE WHEN reason = 'punct_soup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS removed_punct_soup,
+           CAST(SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END)
+               AS BIGINT) AS kept_docs
     FROM reasons GROUP BY lang
 """

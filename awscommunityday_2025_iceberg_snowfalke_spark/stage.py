@@ -18,13 +18,27 @@ but is the wrong residency model at cluster scale:
 - lineage is severed with no recovery path: on a real cluster a lost
   executor kills every query whose plan references the checkpoint.
 
-This module stages intermediates as parquet in a per-session temp
+This module stages intermediates as parquet in a per-session staging
 directory instead. A fresh ``spark.read.parquet`` scan is a hard plan
 barrier (consumer-side inferred filters cannot substitute expressions into
 the producer's stages), holds zero executor memory (files live on disk,
 served through the OS page cache), survives executor loss (any executor
 can re-read a split), and is freed deterministically — ``discard`` for
 loop intermediates, session temp-dir cleanup at exit for the rest.
+
+SHARED-FILESYSTEM REQUIREMENT (cluster deployments): the staging root
+must be a path every executor can read AND the driver can write — on a
+real multi-node cluster that means a shared filesystem (HDFS/NFS/object
+store mount), NOT the driver's local /tmp: ``df.write.parquet`` runs on
+executors, so a driver-local tempdir would scatter part-files across
+executor-local disks and the re-read would silently miss splits. Resolve
+the root explicitly via (in precedence order) the Spark conf
+``spark.graft.stageDir``, the env var ``SPARK_GRAFT_STAGE_DIR``, or — as
+the local[-mode] default only — a ``tempfile.mkdtemp`` under the
+driver's tempdir (correct in local mode where driver and executors share
+one machine). Cluster jobs MUST set one of the two knobs to a shared
+path; a warehouse-adjacent directory (e.g. ``<warehouse>/_staging``) is
+the natural choice.
 
 The write is eager by construction (an action runs before ``stage``
 returns), which keeps the round-2 property that concurrent consumers never
@@ -39,6 +53,7 @@ import os
 import shutil
 import tempfile
 import threading
+import uuid
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +67,17 @@ _DIRS: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionar
 _DIRS_STRONG: dict = {}  # fallback when SparkSession isn't weakref-able
 
 
+def _configured_root(spark: SparkSession) -> str | None:
+    """Explicit staging root: Spark conf ``spark.graft.stageDir`` first,
+    then ``SPARK_GRAFT_STAGE_DIR`` from the environment; None → local
+    tempdir fallback (single-machine deployments only)."""
+    try:
+        conf_root = spark.conf.get("spark.graft.stageDir", None)
+    except Exception:
+        conf_root = None
+    return conf_root or os.environ.get("SPARK_GRAFT_STAGE_DIR") or None
+
+
 def _session_root(spark: SparkSession) -> str:
     with _LOCK:
         try:
@@ -59,7 +85,16 @@ def _session_root(spark: SparkSession) -> str:
         except TypeError:
             root = _DIRS_STRONG.get(id(spark))
         if root is None:
-            root = tempfile.mkdtemp(prefix="sparkgraft-stage-")
+            configured = _configured_root(spark)
+            if configured:
+                # per-session subdir so concurrent sessions sharing one
+                # cluster-wide staging root never collide; cleaned at exit
+                root = os.path.join(
+                    configured, "sparkgraft-stage-" + uuid.uuid4().hex[:12]
+                )
+                os.makedirs(root, exist_ok=True)
+            else:
+                root = tempfile.mkdtemp(prefix="sparkgraft-stage-")
             atexit.register(shutil.rmtree, root, ignore_errors=True)
             try:
                 _DIRS[spark] = root

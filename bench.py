@@ -220,7 +220,16 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_report.json"),
         "w",
     ) as fh:
-        json.dump({"sf": sf_dir, "total_sec": total, "queries": report}, fh, indent=2)
+        json.dump(
+            {
+                "sf": sf_dir,
+                "total_sec": total,
+                "env": _engine_versions(),
+                "queries": report,
+            },
+            fh,
+            indent=2,
+        )
 
     line = {
         "metric": "total_sec",
@@ -228,10 +237,33 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
+        # engine versions ride in the bench artifact so every recorded
+        # BENCH_r{N}.json names the environment that produced it — the
+        # observability gap behind the r7 local-green/driver-red episode
+        # (the parity_probe_* gate entries are the per-class complement)
+        "env": _engine_versions(),
     }
     if errors:
         line["errors"] = errors
     print(json.dumps(line))
+
+
+def _engine_versions() -> dict[str, str]:
+    import platform
+
+    import pyspark
+
+    versions = {
+        "pyspark": pyspark.__version__,
+        "python": platform.python_version(),
+    }
+    try:
+        import duckdb
+
+        versions["duckdb"] = duckdb.__version__
+    except Exception:
+        pass
+    return versions
 
 
 if __name__ == "__main__":

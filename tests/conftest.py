@@ -54,6 +54,15 @@ def _norm(v):
     return v
 
 
+def _dtype_class(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "uint")) or s == "bool":
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    return "other"
+
+
 def assert_matches_oracle(spark_df, oracle_con, sql: str, name: str = "?"):
     """Mirror of the driver's compare: sort columns by name, normalize
     values, compare as multisets."""
@@ -62,6 +71,22 @@ def assert_matches_oracle(spark_df, oracle_con, sql: str, name: str = "?"):
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != oracle {len(odf)}"
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     assert s_cols == o_cols, f"{name}: columns {s_cols} != oracle {o_cols}"
+    # Pandas dtype CLASS must agree column-by-column: duckdb renders an
+    # uncast SUM as HUGEINT, which fetchdf() converts to float64 while the
+    # Spark side stays int64 — Python's int==float made the old value
+    # compare blind to it, but a driver-side value HASH sees 49 != 49.0
+    # (the r7 local-green/driver-red class; oracles must CAST sums).
+    # Null-bearing int columns legitimately become float64 on BOTH sides
+    # (pandas has no nullable int here), so only flag class skew when
+    # neither side has nulls in that column.
+    for c in s_cols:
+        sc, oc = _dtype_class(sdf[c].dtype), _dtype_class(odf[c].dtype)
+        if sc != oc and not sdf[c].isna().any() and not odf[c].isna().any():
+            assert False, (
+                f"{name}: column {c!r} dtype class {sdf[c].dtype} (spark) != "
+                f"{odf[c].dtype} (oracle) — uncast SUM/HUGEINT? A driver "
+                "value-hash distinguishes 49 from 49.0 even though == does not"
+            )
     s_rows = sorted(
         (tuple(_norm(v) for v in row) for row in sdf[s_cols].itertuples(index=False)),
         key=repr,
