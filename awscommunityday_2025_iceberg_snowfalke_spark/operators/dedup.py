@@ -524,15 +524,23 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup pairs, exactly reproducible by the oracle.
+_LSH_CAND_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
-    signatures → band hashes (md5 of 4 concatenated minhashes) → candidate
-    pairs sharing any band → verified with exact shingle Jaccard. Output:
-    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold. At scale the
-    band join shuffles only (band_idx, 32-byte hash, doc_id) tuples."""
-    sh = _shingles(spark, sf_dir)
-    sig = _minhash_signatures(sh)
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged MinHash/LSH candidate pairs (doc_a < doc_b sharing ≥1 band),
+    memoized per (session, corpus) — the shared blocking front for every
+    verify layer (exact Jaccard in :func:`minhash_lsh_pairs`, edit
+    distance in :func:`dedup_editdist_verify`). At scale the band join
+    shuffles only (band_idx, 32-byte hash, doc_id) tuples."""
+    try:
+        per_session = _LSH_CAND_CACHE.setdefault(spark, {})
+    except TypeError:
+        per_session = {}
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
+    sig = _minhash_signatures(_shingles(spark, sf_dir))
     rows_per_band = N_HASHES // N_BANDS
     band_cols = [
         F.md5(
@@ -559,7 +567,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    cand = stage(cand)  # consumed twice: pruning + final join
+    cand = stage(cand)  # consumed repeatedly: pruning + verify joins
+    per_session[sf_dir] = cand
+    return cand
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs, exactly reproducible by the oracle.
+
+    signatures → band hashes (md5 of 4 concatenated minhashes) → candidate
+    pairs sharing any band → verified with exact shingle Jaccard. Output:
+    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold."""
+    sh = _shingles(spark, sf_dir)
+    cand = _lsh_candidates(spark, sf_dir)
     # verify candidates with exact Jaccard — the shingle join runs only over
     # docs that appear in some candidate pair (semi-join pruning): at scale
     # the verify cost tracks |candidates|, not |corpus|²
@@ -593,6 +613,98 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- MinHash estimator accuracy report ---------------------------------------
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy accounting for the MinHash pipeline: for every
+    VERIFIED near-dup pair, the signature-agreement estimate
+    (|{i : mᵢ(A)=mᵢ(B)}| / 16 — an unbiased Jaccard estimator, Broder
+    1997) next to the exact shingle Jaccard. The per-sketch analogue of
+    `ann_ivf_recall_report`: corpus releases publish estimator-vs-truth
+    tables so the banding thresholds can be tuned on evidence, not
+    folklore. Integer agreement counts; `est_jaccard` = k/16 is an exact
+    binary division, bit-portable by construction. Cost: two signature
+    joins keyed on doc ids over the (already verified, small) pair set —
+    the signatures and pairs are the memoized artifacts every other
+    MinHash entry shares."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sig = _minhash_signatures(_shingles(spark, sf_dir))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    eq = None
+    for i in range(N_HASHES):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        eq = term if eq is None else eq + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            eq.alias("eq_hashes"),
+            (eq.cast("double") / N_HASHES).alias("est_jaccard"),
+            "jaccard",
+        )
+    )
+
+
+# --- edit-distance verification of LSH candidates ---------------------------
+EDITDIST_PREFIX = 512  # chars compared per doc — bounds O(L²) per pair
+EDITDIST_SIM_X = (1, 5)  # keep pairs with lev·5 ≤ max_len (≥80% similar)
+
+
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (Levenshtein) verification of the MinHash/LSH
+    candidate pairs — the fuzzy-dedup verify layer that catches
+    insert/delete edits n-gram Jaccard dilutes (a 1-char typo destroys 3
+    shingles; it is 1 edit here). Used in production pipelines as the
+    precision layer after shingle blocking when near-identical boilerplate
+    differs only by injected IDs/dates.
+
+    Scale shape: edit distance is O(L²) per pair, so it NEVER runs
+    all-pairs — only over the banded LSH candidate set (shared, staged,
+    memoized via :func:`_lsh_candidates`; candidate volume is the banding
+    physics measured in SCALE.md), and on a fixed ``EDITDIST_PREFIX``-char
+    prefix so per-pair cost is bounded by a constant, not document length.
+    Both engines compute classic Levenshtein on the identical lowercased
+    prefix (built-in, JVM-side/vectorized — no UDF), and the keep
+    predicate is the INTEGER cross-product ``lev·5 ≤ greatest(len_a,
+    len_b)`` (⇔ normalized similarity ≥ 0.8) — no doubles anywhere, so
+    the output is bit-portable by construction."""
+    cand = _lsh_candidates(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, EDITDIST_PREFIX).alias("t"),
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b")
+    )
+    lev = F.levenshtein("t_a", "t_b")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("lev"),
+            F.length("t_a").alias("len_a"),
+            F.length("t_b").alias("len_b"),
+        )
+        .filter(
+            F.col("lev") * EDITDIST_SIM_X[1]
+            <= F.greatest(F.col("len_a"), F.col("len_b"))
+        )
     )
 
 
@@ -1119,6 +1231,8 @@ QUERIES = {
     "dedup_lines_report": dedup_lines_report,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash_estimate_accuracy": minhash_estimate_accuracy,
+    "dedup_editdist_verify": dedup_editdist_verify,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_corpus_summary": dedup_corpus_summary,
@@ -1156,7 +1270,10 @@ def _duck_clusters_sql() -> str:
     """
 
 
-def _duck_minhash_sql() -> str:
+def _duck_lsh_cand_cte() -> str:
+    """The shared WITH-body through the LSH candidate-pair CTE ``cand`` —
+    the oracle twin of :func:`_lsh_candidates`, reused by every verify
+    layer (Jaccard, edit distance)."""
     mins = ",\n               ".join(
         f"MIN(({a} * hb + {b}) % {_MH_P}) AS m{s}"
         for s, (a, b) in enumerate(_mh_params())
@@ -1194,7 +1311,12 @@ def _duck_minhash_sql() -> str:
             FROM long a JOIN long b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
-        ),
+        )"""
+
+
+def _duck_minhash_sql() -> str:
+    return f"""
+        {_duck_lsh_cand_cte()},
         shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n AS na, b.n AS nb, COUNT(*) AS shared
@@ -1391,6 +1513,53 @@ _SIMHASH_BAND_ROWS = " UNION ALL ".join(
     f" (simhash >> {8 * b}) & 255 AS band_val FROM sh"
     for b in range(_SIMHASH_BANDS)
 )
+
+_EQ16 = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+ORACLE["minhash_estimate_accuracy"] = f"""
+    {_duck_lsh_cand_cte()},
+    shared AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               sa.n AS na, sb.n AS nb, COUNT(*) AS shared
+        FROM sh sa JOIN sh sb ON sa.sh_h = sb.sh_h AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(CAST(s.shared AS DOUBLE) / (s.na + s.nb - s.shared), 6)
+                       AS jaccard
+            FROM cand c
+            JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST({_EQ16} AS INT) AS eq_hashes,
+           CAST({_EQ16} AS DOUBLE) / {N_HASHES} AS est_jaccard,
+           v.jaccard
+    FROM verified v
+    JOIN sig a ON v.doc_a = a.doc_id
+    JOIN sig b ON v.doc_b = b.doc_id
+"""
+
+ORACLE["dedup_editdist_verify"] = f"""
+    {_duck_lsh_cand_cte()},
+    t AS (
+        SELECT doc_id, substr(lower(text), 1, {EDITDIST_PREFIX}) AS t
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.t, tb.t) AS INT) AS lev,
+           CAST(length(ta.t) AS INT) AS len_a,
+           CAST(length(tb.t) AS INT) AS len_b
+    FROM cand c
+    JOIN t ta ON c.doc_a = ta.doc_id
+    JOIN t tb ON c.doc_b = tb.doc_id
+    WHERE levenshtein(ta.t, tb.t) * {EDITDIST_SIM_X[1]}
+          <= GREATEST(length(ta.t), length(tb.t))
+"""
 
 ORACLE["simhash_hamming_pairs"] = f"""
     WITH sh AS ({_duck_simhash_sql()}),

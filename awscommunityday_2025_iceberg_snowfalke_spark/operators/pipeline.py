@@ -556,8 +556,56 @@ def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-epoch shard assignment ----------------------------------------------
+EPOCH_COUNT = 3
+EPOCH_SHARDS = 16
+
+
+def epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-shard assignment: each epoch
+    re-shuffles the corpus into ``EPOCH_SHARDS`` shards via
+    shard = h(doc_id ‖ epoch) mod S — the standard trick that gives every
+    epoch an independent, reproducible permutation WITHOUT storing a
+    shuffle order (any worker recomputes its shard membership from the
+    doc id alone; restarts and re-runs agree bit-for-bit). Output: the
+    per-(epoch, shard) balance report (doc/char counts + id range) a
+    data loader publishes to verify shard uniformity before a run.
+
+    Scale shape: epochs explode map-side from a literal sequence
+    (|rows| × EPOCH_COUNT, no join), the md5 shard hash is codegen, and
+    the one exchange carries (epoch, shard)-keyed partial aggregates —
+    E·S groups total regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(EPOCH_COUNT - 1))
+        ).alias("epoch"),
+    )
+    shard = (
+        F.expr(
+            _SPARK_H.format(
+                expr="concat(cast(doc_id as string), ':', cast(epoch as string))"
+            )
+        )
+        % EPOCH_SHARDS
+    )
+    return (
+        base.withColumn("shard", shard)
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 QUERIES = {
     "sample_docs_deterministic": sample_docs_deterministic,
+    "epoch_shard_assignment": epoch_shard_assignment,
     "stratified_sample_docs": stratified_sample_docs,
     "quota_sample_tokens_budget": quota_sample_tokens_budget,
     "quota_sample_tokens_budget_skewsafe": quota_sample_tokens_budget_skewsafe,
@@ -574,6 +622,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "epoch_shard_assignment": f"""
+        SELECT epoch, shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM (
+            SELECT d.doc_id, d.n_chars, e.epoch,
+                   {_DUCK_H.format(expr="concat(CAST(d.doc_id AS VARCHAR), ':', CAST(e.epoch AS VARCHAR))")}
+                       % {EPOCH_SHARDS} AS shard
+            FROM documents d, (SELECT UNNEST(range({EPOCH_COUNT})) AS epoch) e
+        )
+        GROUP BY epoch, shard
+    """,
     "curation_pipeline": f"""
         WITH cleaned AS (
             SELECT doc_id, lang,

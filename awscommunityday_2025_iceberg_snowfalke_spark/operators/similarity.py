@@ -103,6 +103,26 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- kNN-graph hubness diagnostic -------------------------------------------
+def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the kNN graph — the HUBNESS diagnostic
+    (Radovanović et al., JMLR 2010): in high-dimensional embedding
+    spaces a few "hub" vectors appear in disproportionately many top-k
+    lists, which skews retrieval and contrastive sampling; a healthy
+    embedding space has a tight in-degree distribution. Derived entirely
+    from the existing top-k pass: one count per neighbor, then a
+    frequency-of-frequency rollup (≤ k·|queries| rows in, ≤ k distinct
+    degrees out — both exchanges shrink). Counts only, bit-portable."""
+    knn = knn_bruteforce_cosine(spark, sf_dir)
+    deg = knn.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("neighbor_id").alias("example_vec"),
+    )
+
+
 # --- hard-negative mining (contrastive-training batch construction) ---------
 def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k *hard negatives* per query vector: the nearest neighbors whose
@@ -1175,6 +1195,7 @@ def knn_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "knn_graph_degree_stats": knn_graph_degree_stats,
     "knn_pandas_cosine": knn_pandas_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_norms": embedding_norms,
@@ -1363,6 +1384,16 @@ ORACLE = {
 
 # the Arrow/numpy twin must produce byte-identical top-k after round-8
 ORACLE["knn_pandas_cosine"] = ORACLE["knn_bruteforce_cosine"]
+
+ORACLE["knn_graph_degree_stats"] = f"""
+    WITH knn AS ({ORACLE["knn_bruteforce_cosine"]}),
+    deg AS (
+        SELECT neighbor_id, COUNT(*) AS in_degree FROM knn GROUP BY neighbor_id
+    )
+    SELECT in_degree, COUNT(*) AS n_vectors,
+           MIN(neighbor_id) AS example_vec
+    FROM deg GROUP BY in_degree
+"""
 
 ORACLE["knn_hard_negatives"] = f"""
     SELECT query_id, query_label, neighbor_id, neighbor_label,

@@ -632,8 +632,101 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PMI collocations (corpus-level phrase discovery) ------------------------
+PMI_MIN_PAIR = 5  # min bigram count for a collocation candidate
+PMI_TOPK = 50
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations — the corpus
+    phrase-discovery pass (tokenizer vocab curation, stop-phrase lists,
+    domain-term extraction) run before/alongside BPE training.
+
+    PMI = ln(p(ab) / (p(a)p(b))) = ln(c_ab·N² / (M·c_a·c_b)): the
+    ARGUMENT is a ratio of two exact int64 products (token total N,
+    bigram total M, pair/unigram counts), so both engines feed libm the
+    bit-identical double; ln + ROUND(6) is display-only per the corpus
+    determinism recipe, and the top-k ORDER is by integer count + token
+    text, never by the float. Scale shape: adjacent-pair explode is
+    map-side (transform over the token array, no self-join); the bigram
+    aggregation is the one real exchange (map-side combinable, output
+    bounded by distinct adjacent pairs); unigram counts broadcast; the
+    two scalar totals collect. Rare pairs are cut at ``PMI_MIN_PAIR``
+    BEFORE the unigram join, so the join input is the frequent tail."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+    )
+    pairs = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIR)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = (
+        docs.select(toks.alias("t"))
+        .agg(
+            F.sum(F.size("t")).alias("n_tokens"),
+            F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_bigrams"),
+        )
+        .collect()[0]
+    )
+    n, m = int(totals["n_tokens"]), int(totals["n_bigrams"])
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        pair_counts.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.lit(n) * F.lit(n)).cast("double")
+                    / (F.lit(m) * F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("c_ab").desc(), F.col("w1"), F.col("w2")
+    ).limit(PMI_TOPK)
+
+
+# --- language-ID confusion matrix --------------------------------------------
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language classifier vs the
+    labeled lang column — the router-quality report a multilingual
+    pipeline publishes when lang-ID gates the per-language branches.
+    One scan + one tiny agg (|langs|² cells); counts only, so the
+    output is bit-portable."""
+    pred = lang_id(spark, sf_dir)
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("lang_match").cast("bigint").alias("n_correct"),
+    )
+
+
 QUERIES = {
     "doc_bm25_search": doc_bm25_search,
+    "pmi_collocations": pmi_collocations,
+    "doc_lang_confusion": doc_lang_confusion,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -650,6 +743,55 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pmi_collocations": rf"""
+        WITH base AS (
+            SELECT {_DUCK_TOKS} AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT toks[CAST(i AS INT) + 1] AS w1,
+                   toks[CAST(i AS INT) + 2] AS w2
+            FROM base, UNNEST(range(len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 2
+        ),
+        pc AS (
+            SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2
+            HAVING COUNT(*) >= {PMI_MIN_PAIR}
+        ),
+        uni AS (
+            SELECT x AS w, COUNT(*) AS c
+            FROM (SELECT UNNEST(toks) AS x FROM base) GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(len(toks)) AS BIGINT) AS n,
+                   CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS m
+            FROM base
+        )
+        SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+               ROUND(ln(CAST(c_ab * n * n AS DOUBLE)
+                        / CAST(m * ua.c * ub.c AS DOUBLE)), 6) AS pmi
+        FROM pc JOIN uni ua ON pc.w1 = ua.w
+                JOIN uni ub ON pc.w2 = ub.w
+                CROSS JOIN tot
+        ORDER BY c_ab DESC, w1, w2 LIMIT {PMI_TOPK}
+    """,
+    "doc_lang_confusion": rf"""
+        WITH pred AS (
+            SELECT lang,
+                   CASE WHEN len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_EN)}))
+                             >= len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_DE)}))
+                         AND len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_EN)}))
+                             >= len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_FR)}))
+                        THEN 'en'
+                        WHEN len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_DE)}))
+                             >= len(list_filter({_DUCK_TOKS}, t -> {_duck_in(STOPWORDS_FR)}))
+                        THEN 'de' ELSE 'fr' END AS pred_lang
+            FROM documents
+        )
+        SELECT lang, pred_lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct
+        FROM pred GROUP BY lang, pred_lang
+    """,
     "doc_bm25_search": rf"""
         WITH base AS (
             SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents

@@ -93,6 +93,12 @@ SUITES: dict[str, list[str]] = {
         "dedup_cluster_size_histogram",
         "doc_domain_mixture",
         "dedup_lines_report",
+        "dedup_editdist_verify",
+        "minhash_estimate_accuracy",
+        "pmi_collocations",
+        "doc_lang_confusion",
+        "epoch_shard_assignment",
+        "knn_graph_degree_stats",
     ],
 }
 

@@ -365,3 +365,37 @@ def test_gram_matrix_single_bounded_exchange(spark):
     assert shuffle_count(df) <= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, "partial+final agg expected"
+
+
+def test_epoch_shard_single_exchange(spark):
+    """Per-epoch shard assignment: epochs explode map-side from a literal
+    sequence; the only exchange carries (epoch, shard)-keyed partials."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import pipeline
+
+    df = pipeline.epoch_shard_assignment(spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "epoch fan-out must be a generator, not a join"
+
+
+def test_pmi_topk_no_global_sort(spark):
+    """PMI collocations: unigram dictionaries broadcast onto the bigram
+    aggregate, and the top-k is TakeOrderedAndProject (per-partition heap
+    + driver merge), never a global sort."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.pmi_collocations(spark, SF_DIR)
+    assert has_broadcast_join(df), "unigram counts must broadcast"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_editdist_verify_no_cartesian(spark):
+    """Edit-distance verify runs over the banded LSH candidate set only:
+    joins everywhere, never a cartesian pairing of documents."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    df = dedup.dedup_editdist_verify(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()
