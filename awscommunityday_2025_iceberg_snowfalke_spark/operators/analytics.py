@@ -428,8 +428,29 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+# --- distribution-position windows (PERCENT_RANK / CUME_DIST) ---------------
+def event_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST per user over the (ts, event_id) total
+    order — the distribution-position half of the rank family
+    (rank/dense_rank live in :func:`event_rank_dense`). Both values are
+    quotients of small integers ((rank−1)/(n−1), peers/n) computed as a
+    single IEEE division of identical operands on every engine —
+    bit-portable WITHOUT rounding, unlike ROUND(double) (the r7 class).
+    One user-keyed window exchange, same partitioning as every other
+    per-user window here."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
 QUERIES = {
     "event_rank_dense": event_rank_dense,
+    "event_percent_rank": event_percent_rank,
     "table_profile_events": table_profile_events,
     "heavy_hitter_users": heavy_hitter_users,
     "value_stats_by_type": value_stats_by_type,
@@ -449,6 +470,18 @@ QUERIES = {
 _ROUND_VAL = "ROUND(CAST(CAST(value AS DECIMAL(28,8)) AS DOUBLE), 4)"
 
 ORACLE = {
+    "event_percent_rank": """
+        SELECT user_id, event_id,
+               PERCENT_RANK() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS pct_rank,
+               CUME_DIST() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS cume_dist
+        FROM events
+    """,
     "rolling_1h_event_count": """
         SELECT user_id, event_id,
                COUNT(*) OVER (

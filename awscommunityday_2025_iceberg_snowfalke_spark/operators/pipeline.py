@@ -353,6 +353,34 @@ def cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SCD2 history from the change stream -------------------------------------
+def cdc_scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 materialization of the change
+    stream: each purchase event sets the user's current value; the SCD2
+    row carries its validity interval [valid_from, valid_to) via LEAD
+    over the (ts, event_id) order, open-ended (NULL) for the current
+    version — the read-path twin of :func:`cdc_latest_events` (which
+    keeps ONLY the current version; this keeps the full history a
+    warehouse dimension table needs for as-of joins and audits). One
+    user-keyed window exchange, no self-join — the naive formulation
+    (join each row to its successor) pays a second exchange and a
+    range-join; LEAD is free on the already-sorted window."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        fmt(F.col("ts")).alias("valid_from"),
+        fmt(nxt).alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
 # --- corpus document-frequency top-k -----------------------------------------
 def word_doc_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 words by document frequency. Per-doc distinct applied inside
@@ -612,6 +640,7 @@ QUERIES = {
     "pack_docs_sequences": pack_docs_sequences,
     "curation_pipeline": curation_pipeline,
     "cdc_latest_events": cdc_latest_events,
+    "cdc_scd2_user_value": cdc_scd2_user_value,
     "doc_domain_mixture": doc_domain_mixture,
     "word_doc_frequency_topk": word_doc_frequency_topk,
     "doc_top_terms": doc_top_terms,
@@ -633,6 +662,20 @@ ORACLE = {
             FROM documents d, (SELECT UNNEST(range({EPOCH_COUNT})) AS epoch) e
         )
         GROUP BY epoch, shard
+    """,
+    "cdc_scd2_user_value": """
+        SELECT user_id, event_id, value,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                   AS valid_from,
+               strftime(LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ), '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CASE WHEN LEAD(ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM events WHERE event_type = 'purchase'
     """,
     "curation_pipeline": f"""
         WITH cleaned AS (

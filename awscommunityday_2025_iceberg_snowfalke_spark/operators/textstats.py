@@ -709,6 +709,42 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(PMI_TOPK)
 
 
+# --- per-source quality triage ----------------------------------------------
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality triage: for each crawl/source the doc count,
+    how many pass the :func:`text_quality` composite (same integer
+    cross-product rules — consistent by construction, not by matching
+    round-off), char volume, and the exact-rounded pass rate. This is
+    the table a curation run reads FIRST: a source with a collapsed pass
+    rate gets dropped wholesale before any per-doc work is spent on it.
+    One scan, one |sources|-group agg; the rate uses the `_ratio6` exact
+    integer rounding, so every column is bit-portable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    ok = (
+        (n_tokens >= 10)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 5 <= F.length("text"))
+    ).cast("long")
+    agg = docs.select("source", "n_chars", ok.alias("ok")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").alias("n_quality_ok"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_quality_ok",
+        "total_chars",
+        _ratio6(F.col("n_quality_ok"), F.col("n_docs")).alias("ok_rate"),
+    )
+
+
 # --- language-ID confusion matrix --------------------------------------------
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the stopword language classifier vs the
@@ -727,6 +763,7 @@ QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "pmi_collocations": pmi_collocations,
     "doc_lang_confusion": doc_lang_confusion,
+    "source_quality_report": source_quality_report,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -743,6 +780,30 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_quality_report": rf"""
+        WITH sig AS (
+            SELECT source, n_chars,
+                   CASE WHEN n_tokens >= 10
+                         AND n_stop * 20 >= n_tokens
+                         AND n_punct * 5 <= len_text
+                        THEN 1 ELSE 0 END AS ok
+            FROM (
+                SELECT source, n_chars,
+                       CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens,
+                       CAST(len(list_filter({_DUCK_TOKS},
+                            t -> {_duck_in(STOPWORDS_EN)})) AS INT) AS n_stop,
+                       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                           AS n_punct,
+                       length(text) AS len_text
+                FROM documents
+            )
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(ok) AS BIGINT) AS n_quality_ok,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               {_duck_ratio6("CAST(SUM(ok) AS BIGINT)", "COUNT(*)")} AS ok_rate
+        FROM sig GROUP BY source
+    """,
     "pmi_collocations": rf"""
         WITH base AS (
             SELECT {_DUCK_TOKS} AS toks FROM documents

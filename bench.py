@@ -99,6 +99,9 @@ SUITES: dict[str, list[str]] = {
         "doc_lang_confusion",
         "epoch_shard_assignment",
         "knn_graph_degree_stats",
+        "source_quality_report",
+        "event_percent_rank",
+        "cdc_scd2_user_value",
     ],
 }
 
