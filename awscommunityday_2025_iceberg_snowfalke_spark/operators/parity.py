@@ -133,7 +133,8 @@ ORACLE = {
         FROM range(0, 10) AS t(id)
     """,
     "parity_probe_round_half": f"""
-        SELECT id, num, den,
+        SELECT CAST(id AS BIGINT) AS id, CAST(num AS BIGINT) AS num,
+               CAST(den AS BIGINT) AS den,
                ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r6,
                ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000, 3)
                    AS r3_scaled
