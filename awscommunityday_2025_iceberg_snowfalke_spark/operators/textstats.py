@@ -709,6 +709,41 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(PMI_TOPK)
 
 
+# --- per-language character entropy ------------------------------------------
+def lang_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-distribution entropy — the corpus-release
+    encoding sanity check (mojibake, base64 blobs, and wrong-charset
+    slices all shift char entropy far from a natural language's ~3
+    nats). Identity: H = ln(n) − (Σ c·ln c)/n over per-(lang, char)
+    counts c, so the only transcendental inputs are ln of INTEGERS —
+    identical doubles on every engine — accumulated under the decimal-
+    sum recipe; ln(n) and the final division are single IEEE ops on
+    identical operands. Char explode is one corpus pass whose
+    aggregation map-side-combines to ≤ |langs|·|alphabet| rows; the
+    entropy fold then runs on that bounded table. Display round 6."""
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("lang", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_char.groupBy("lang").agg(
+        F.sum("c").alias("n_chars_total"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(
+                (F.col("c") * F.log(F.col("c").cast("double"))).cast(
+                    "decimal(28,16)"
+                )
+            ).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
 # --- per-source quality triage ----------------------------------------------
 def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality triage: for each crawl/source the doc count,
@@ -764,6 +799,7 @@ QUERIES = {
     "pmi_collocations": pmi_collocations,
     "doc_lang_confusion": doc_lang_confusion,
     "source_quality_report": source_quality_report,
+    "lang_char_entropy": lang_char_entropy,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -780,6 +816,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lang_char_entropy": """
+        WITH chars AS (
+            SELECT lang, UNNEST(string_split(lower(text), '')) AS ch
+            FROM documents
+        ),
+        per_char AS (
+            SELECT lang, ch, COUNT(*) AS c FROM chars
+            WHERE ch <> '' GROUP BY 1, 2
+        )
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_chars_total,
+               COUNT(*) AS distinct_chars,
+               ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                     - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE))
+                                     AS DECIMAL(28,16))) AS DOUBLE)
+                       / CAST(SUM(c) AS BIGINT), 6) AS entropy_nats
+        FROM per_char GROUP BY lang
+    """,
     "source_quality_report": rf"""
         WITH sig AS (
             SELECT source, n_chars,

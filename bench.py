@@ -102,6 +102,7 @@ SUITES: dict[str, list[str]] = {
         "source_quality_report",
         "event_percent_rank",
         "cdc_scd2_user_value",
+        "lang_char_entropy",
     ],
 }
 

@@ -88,6 +88,12 @@ DOC_QUERIES = [
     "dedup_lines_report",    # first-occurrence window over line hashes
     "doc_domain_mixture",    # source-keyed agg + broadcast totals
     "multimodal_phash_groups",  # feature extract + fingerprint groupBy
+    # round-8 additions
+    "dedup_editdist_verify", # bounded-prefix levenshtein over LSH candidates
+    "minhash_estimate_accuracy",  # signature-agreement joins on verified pairs
+    "pmi_collocations",      # bigram agg + broadcast unigram dicts, top-k
+    "epoch_shard_assignment",  # literal epoch explode, E*S-keyed agg
+    "source_quality_report", # map-side rules, |sources|-group agg
 ]
 
 
