@@ -616,6 +616,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- quality-aware survivorship ----------------------------------------------
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate survivorship: per near-dup cluster keep the
+    BEST-quality copy (quality flag desc, doc_id asc tiebreak), not the
+    lowest-id one — what production dedup actually does when mirrors
+    differ in OCR noise or boilerplate wrapping (keeping MIN(doc_id) can
+    systematically keep the worse copy). Quality is the same integer-rule
+    composite as ``text_quality``, so the survivor choice is bit-portable.
+    One cluster-keyed window (rank + quality sum share the partition) over
+    the label table that :func:`dedup_clusters` already computes —
+    survivorship adds no corpus-sized shuffle of its own."""
+    from .textstats import STOPWORDS_EN, _in_list, _toks
+
+    labels = dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    ok = (
+        (n_tokens >= 10)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 5 <= F.length("text"))
+    ).cast("int")
+    joined = labels.join(docs.select("doc_id", ok.alias("ok")), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    rn = F.row_number().over(
+        wc.orderBy(F.desc("ok"), F.asc("doc_id"))
+    )
+    return (
+        joined.withColumn("rn", rn)
+        .withColumn("n_quality_ok", F.sum("ok").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc"),
+            "cluster_size",
+            "n_quality_ok",
+            F.col("ok").alias("survivor_ok"),
+        )
+    )
+
+
 # --- MinHash estimator accuracy report ---------------------------------------
 def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy accounting for the MinHash pipeline: for every
@@ -1233,6 +1276,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "minhash_estimate_accuracy": minhash_estimate_accuracy,
     "dedup_editdist_verify": dedup_editdist_verify,
+    "dedup_keep_best_quality": dedup_keep_best_quality,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_corpus_summary": dedup_corpus_summary,
@@ -1517,6 +1561,47 @@ _SIMHASH_BAND_ROWS = " UNION ALL ".join(
 _EQ16 = " + ".join(
     f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
 )
+
+
+def _duck_keep_best_sql() -> str:
+    from .textstats import STOPWORDS_EN, _DUCK_TOKS, _duck_in
+
+    return f"""
+        WITH clusters AS ({_duck_clusters_sql()}),
+        q AS (
+            SELECT doc_id,
+                   CASE WHEN n_tokens >= 10
+                         AND n_stop * 20 >= n_tokens
+                         AND n_punct * 5 <= len_text
+                        THEN 1 ELSE 0 END AS ok
+            FROM (
+                SELECT doc_id,
+                       CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens,
+                       CAST(len(list_filter({_DUCK_TOKS},
+                            t -> {_duck_in(STOPWORDS_EN)})) AS INT) AS n_stop,
+                       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                           AS n_punct,
+                       length(text) AS len_text
+                FROM documents
+            )
+        ),
+        r AS (
+            SELECT c.cluster_id, c.doc_id, c.cluster_size, q.ok,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.ok DESC, c.doc_id ASC
+                   ) AS rn,
+                   CAST(SUM(q.ok) OVER (PARTITION BY c.cluster_id)
+                       AS BIGINT) AS n_quality_ok
+            FROM clusters c JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS survivor_doc, cluster_size,
+               n_quality_ok, ok AS survivor_ok
+        FROM r WHERE rn = 1
+    """
+
+
+ORACLE["dedup_keep_best_quality"] = _duck_keep_best_sql()
 
 ORACLE["minhash_estimate_accuracy"] = f"""
     {_duck_lsh_cand_cte()},

@@ -103,6 +103,8 @@ SUITES: dict[str, list[str]] = {
         "event_percent_rank",
         "cdc_scd2_user_value",
         "lang_char_entropy",
+        "dedup_keep_best_quality",
+        "pseudonymized_join_audit",
     ],
 }
 
