@@ -331,8 +331,33 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg)
 
 
+def streaming_cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge-on-read: latest state per key maintained as a
+    STREAMING aggregation — the standing read-model a CDC consumer keeps
+    while change events arrive (the batch twin is
+    ``operators.pipeline.cdc_latest_events``; both hash-equal the same
+    QUALIFY-row_number oracle, the sessionization-trio pattern). The
+    latest row rides a single ``max(struct(ts, event_id, …))`` keyed
+    aggregate: per-key state is ONE struct regardless of stream length —
+    the O(1)-per-key state bound that makes this viable on an unbounded
+    CDC feed (plus a watermark there; availableNow over a finite table
+    needs none)."""
+    s = _events_stream(spark, sf_dir).select(
+        "user_id", F.struct("ts", "event_id", "event_type").alias("st")
+    )
+    latest = s.groupBy("user_id").agg(F.max("st").alias("st"))
+    out = latest.select(
+        "user_id",
+        F.col("st.event_id").alias("event_id"),
+        F.col("st.event_type").alias("event_type"),
+        F.date_format("st.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+    return _run_to_memory(out)
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
+    "streaming_cdc_latest_events": streaming_cdc_latest_events,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_daily_windows": streaming_daily_windows,
     "dynamic_table_user_engagement": dynamic_table_user_engagement,
@@ -367,6 +392,14 @@ ORACLE = {
     """,
     # the stateful streaming operator must equal the batch sessionization
     "streaming_user_sessions": _REL_ORACLE["user_sessions"],
+    # streaming latest-per-key must equal the batch merge-on-read twin
+    "streaming_cdc_latest_events": """
+        SELECT user_id, event_id, event_type,
+               STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events
+        QUALIFY ROW_NUMBER() OVER
+            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
     "streaming_session_windows": _REL_ORACLE["user_sessions"],
     "small_file_lifecycle_report": """
         SELECT 'ingested' AS stage,
