@@ -143,6 +143,8 @@ HEADLINE = [
     "dsir_importance_weights",  # hashed-ngram importance reweighting
     "quota_sample_tokens_budget_skewsafe",  # hash-bucket-pruned quota fill
     "simhash64_hamming_pairs_wide",  # de-saturated 64-bit pairing, 16-bit bands
+    "dedup_editdist_verify",  # bounded-prefix levenshtein over LSH candidates
+    "pmi_collocations",       # bigram PMI: one agg + broadcast dicts, top-k
 ]
 
 

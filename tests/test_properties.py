@@ -576,3 +576,81 @@ def test_quota_fill_skewsafe_equals_plain(spark, rows, budget, threshold):
         ).collect()
     }
     assert pruned == plain
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ratio6_equals_decimal_half_up(spark, texts):
+    """_ratio6 must equal exact Decimal HALF_UP rounding of num/den for
+    arbitrary non-negative integer pairs derived from data (here: char
+    and token counts of random strings) — the portability contract that
+    replaced ROUND(double, 6)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        _ratio6,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(t, len(t), max(1, len(t.split()))) for t in texts]
+    df = spark.createDataFrame(rows, "t string, num long, den long")
+    got = {
+        r["t"]: r["r"]
+        for r in df.select(
+            "t", _ratio6(F.col("num"), F.col("den")).alias("r")
+        ).collect()
+    }
+    for t, num, den in rows:
+        expect = float(
+            (Decimal(num) / Decimal(den)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got[t] == expect, (t, num, den, got[t], expect)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n_docs=st.integers(min_value=1, max_value=60))
+def test_epoch_shard_assignment_properties(spark, n_docs):
+    """Epoch sharding invariants: every (doc, epoch) pair lands in exactly
+    one shard (per-epoch doc totals = corpus size), shards are within
+    [0, S), and the assignment is deterministic across recomputation."""
+    import pyspark.sql.functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import pipeline
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 97).alias("n_chars")
+    )
+    shard = F.expr(
+        pipeline._SPARK_H.format(
+            expr="concat(cast(doc_id as string), ':', cast(epoch as string))"
+        )
+    ) % pipeline.EPOCH_SHARDS
+    base = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(pipeline.EPOCH_COUNT - 1))
+        ).alias("epoch"),
+    ).withColumn("shard", shard)
+    rows = base.collect()
+    assert len(rows) == n_docs * pipeline.EPOCH_COUNT
+    assert all(0 <= r["shard"] < pipeline.EPOCH_SHARDS for r in rows)
+    per_epoch = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], set()).add(r["doc_id"])
+    assert all(len(s) == n_docs for s in per_epoch.values())
+    rows2 = base.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
