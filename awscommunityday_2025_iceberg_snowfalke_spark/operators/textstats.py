@@ -709,6 +709,29 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(PMI_TOPK)
 
 
+# --- log2-bucketed length distribution ---------------------------------------
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length distribution per language — the
+    length-profile chart every corpus release publishes (truncation
+    cliffs, boilerplate spikes, and tokenizer-context planning all read
+    off it). The bucket is ``length(bin(n_chars))`` = ⌊log2 n⌋+1 —
+    pure integer/string machinery, identical on both engines, with none
+    of the floor(log2(double)) boundary risk at exact powers of two.
+    One scan, one map-side-combinable agg to ≤ |langs|·64 rows."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1))))
+    return (
+        docs.select("lang", bucket.alias("log2_bucket"), "n_chars")
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # --- per-language character entropy ------------------------------------------
 def lang_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-distribution entropy — the corpus-release
@@ -800,6 +823,7 @@ QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "source_quality_report": source_quality_report,
     "lang_char_entropy": lang_char_entropy,
+    "doc_length_histogram": doc_length_histogram,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -816,6 +840,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_length_histogram": """
+        SELECT lang,
+               CAST(length(bin(GREATEST(n_chars, 1))) AS INT) AS log2_bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang, log2_bucket
+    """,
     "lang_char_entropy": """
         WITH chars AS (
             SELECT lang, UNNEST(string_split(lower(text), '')) AS ch
