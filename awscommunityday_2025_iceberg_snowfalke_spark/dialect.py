@@ -40,18 +40,42 @@ _QUALIFY_RE = re.compile(
 
 # CURRENT_DATE / CURRENT_DATE() — word-bounded so column names survive
 _CURRENT_DATE_RE = re.compile(r"\bCURRENT_DATE\b(?:\s*\(\s*\))?", re.IGNORECASE)
+# CURRENT_TIMESTAMP / CURRENT_TIMESTAMP() — the reference's perf harness
+# brackets every test with `SELECT CURRENT_TIMESTAMP() AS start_time`
+# (performance_comparison.sql:53-60); anchored for the same determinism
+# reason as CURRENT_DATE
+_CURRENT_TS_RE = re.compile(
+    r"\bCURRENT_TIMESTAMP\b(?:\s*\(\s*\))?", re.IGNORECASE
+)
+# OBJECT_CONSTRUCT(*) builds a row object of all columns in Snowflake
+# (performance_comparison.sql:16: ARRAY_AGG(OBJECT_CONSTRUCT(*))); Spark's
+# struct(*) is the same shape, and ARRAY_AGG parses natively (alias of
+# collect_list). The keyed form OBJECT_CONSTRUCT('k', v, …) maps to
+# named_struct, which takes the identical alternating-argument list.
+_OBJ_STAR_RE = re.compile(
+    r"\bOBJECT_CONSTRUCT\s*\(\s*\*\s*\)", re.IGNORECASE
+)
+_OBJ_KEYED_RE = re.compile(r"\bOBJECT_CONSTRUCT\s*\(", re.IGNORECASE)
 
 
 def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
     """Rewrite Snowflake-isms into Spark SQL.
 
     - ``QUALIFY pred`` → wrap-and-filter subquery (no QUALIFY in OSS Spark).
-    - ``CURRENT_DATE`` → ``DATE '<anchor_date>'`` (pass ``anchor_date=None``
-      to keep wall-clock semantics). ``DATE(x)``, ``INTERVAL '...'`` and
-      date±int arithmetic parse natively in Spark SQL — no rewrite needed.
+    - ``CURRENT_DATE`` / ``CURRENT_TIMESTAMP`` → anchored literals (pass
+      ``anchor_date=None`` to keep wall-clock semantics).
+    - ``OBJECT_CONSTRUCT(*)`` → ``struct(*)``; ``OBJECT_CONSTRUCT(k, v,…)``
+      → ``named_struct(k, v,…)``. ``ARRAY_AGG``, ``DATE(x)``,
+      ``INTERVAL '...'`` and date±int arithmetic parse natively in Spark
+      SQL — no rewrite needed.
     """
     if anchor_date:
         sql = _CURRENT_DATE_RE.sub(f"DATE '{anchor_date}'", sql)
+        sql = _CURRENT_TS_RE.sub(
+            f"TIMESTAMP '{anchor_date} 00:00:00'", sql
+        )
+    sql = _OBJ_STAR_RE.sub("struct(*)", sql)
+    sql = _OBJ_KEYED_RE.sub("named_struct(", sql)
     m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
     if not m or "QUALIFY" not in sql.upper():
         return sql

@@ -654,3 +654,34 @@ def test_epoch_shard_assignment_properties(spark, n_docs):
     assert all(len(s) == n_docs for s in per_epoch.values())
     rows2 = base.collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_translate_object_construct_and_timestamp(spark):
+    """The reference's remaining Snowflake-isms must run through the shim:
+    ARRAY_AGG(OBJECT_CONSTRUCT(*)) (performance_comparison.sql:16) and the
+    CURRENT_TIMESTAMP timing brackets (:53-60) — rewritten to
+    array_agg(struct(*)) and the anchored timestamp literal."""
+    import os
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.dialect import translate
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    load(spark, sf_dir, "events").limit(50).createOrReplaceTempView(
+        "dlt_events"
+    )
+    sql = translate(
+        "SELECT ARRAY_AGG(OBJECT_CONSTRUCT(*)) AS rows_obj, "
+        "CURRENT_TIMESTAMP() AS run_ts FROM dlt_events"
+    )
+    assert "struct(*)" in sql and "TIMESTAMP '2024-01-31 00:00:00'" in sql
+    row = spark.sql(sql).collect()[0]
+    assert len(row["rows_obj"]) == 50
+    assert str(row["run_ts"]).startswith("2024-01-31")
+    keyed = translate(
+        "SELECT OBJECT_CONSTRUCT('a', 1, 'b', 'x') AS o"
+    )
+    got = spark.sql(keyed).collect()[0]["o"].asDict()
+    assert got == {"a": 1, "b": "x"}
