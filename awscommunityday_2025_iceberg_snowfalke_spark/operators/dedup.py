@@ -616,6 +616,39 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-source duplicate overlap ------------------------------------------
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap: for every source pair, how
+    many VERIFIED near-dup pairs connect them (including the diagonal —
+    within-source duplication) — the mirror-detection matrix that decides
+    dedup ORDER in production (dedup the heavily-overlapping source pair
+    first; a source whose docs all point into another is a re-crawl and
+    gets dropped wholesale). Built on the already-verified MinHash pair
+    graph (Jaccard ≥ threshold), not raw digests: mirrors rarely match
+    byte-exactly across crawls, and this corpus has zero cross-source
+    exact dups — the near-dup graph is where the overlap signal actually
+    lives. Shape: two broadcast dim-joins (doc→source is a projection of
+    the corpus, joined by id) over the bounded verified-pair set, then a
+    ≤|sources|²-group agg. Nothing scales beyond |verified pairs|."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("near_dup_pairs"))
+    )
+
+
 # --- quality-aware survivorship ----------------------------------------------
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware duplicate survivorship: per near-dup cluster keep the
@@ -1277,6 +1310,7 @@ QUERIES = {
     "minhash_estimate_accuracy": minhash_estimate_accuracy,
     "dedup_editdist_verify": dedup_editdist_verify,
     "dedup_keep_best_quality": dedup_keep_best_quality,
+    "source_overlap_matrix": source_overlap_matrix,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_corpus_summary": dedup_corpus_summary,
@@ -1602,6 +1636,17 @@ def _duck_keep_best_sql() -> str:
 
 
 ORACLE["dedup_keep_best_quality"] = _duck_keep_best_sql()
+
+ORACLE["source_overlap_matrix"] = f"""
+    WITH mh AS ({_duck_minhash_sql()})
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*) AS near_dup_pairs
+    FROM mh
+    JOIN documents sa ON mh.doc_a = sa.doc_id
+    JOIN documents sb ON mh.doc_b = sb.doc_id
+    GROUP BY 1, 2
+"""
 
 ORACLE["minhash_estimate_accuracy"] = f"""
     {_duck_lsh_cand_cte()},

@@ -709,6 +709,44 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(PMI_TOPK)
 
 
+# --- first BPE merge table ---------------------------------------------------
+BPE_TOPK = 50
+
+
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide adjacent
+    CHARACTER-pair frequencies within words (Sennrich et al. 2016 start
+    from a character vocabulary; the highest-count pair becomes merge #1).
+    This is the table the first merge is argmax'd from — and iterations
+    2..N repeat the identical plan over progressively merged symbols, so
+    this entry is the per-iteration cost model for distributed BPE
+    training. Shape: word extraction and the in-row pair explode are
+    map-side (transform over split('') — no self-join); ONE
+    map-side-combinable agg bounded by |alphabet|² pairs; top-k orders by
+    integer count with pair-text tiebreak (TakeOrderedAndProject, never a
+    global sort). Counts only — bit-portable."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> struct(substring(w, i, 1) as c1, substring(w, i + 1, 1) as c2))"
+    )
+    pairs = (
+        docs.select(F.explode(words).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.c1", "p.c2")
+    )
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("c1"), F.col("c2"))
+        .limit(BPE_TOPK)
+    )
+
+
 # --- log2-bucketed length distribution ---------------------------------------
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length distribution per language — the
@@ -824,6 +862,7 @@ QUERIES = {
     "source_quality_report": source_quality_report,
     "lang_char_entropy": lang_char_entropy,
     "doc_length_histogram": doc_length_histogram,
+    "bpe_first_merges": bpe_first_merges,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -840,6 +879,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bpe_first_merges": f"""
+        WITH words AS (
+            SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        pairs AS (
+            SELECT substring(w, CAST(i AS INT), 1) AS c1,
+                   substring(w, CAST(i AS INT) + 1, 1) AS c2
+            FROM words, UNNEST(range(1, length(w))) AS u(i)
+            WHERE length(w) >= 2
+        )
+        SELECT c1, c2, COUNT(*) AS pair_count
+        FROM pairs GROUP BY c1, c2
+        ORDER BY pair_count DESC, c1, c2 LIMIT {BPE_TOPK}
+    """,
     "doc_length_histogram": """
         SELECT lang,
                CAST(length(bin(GREATEST(n_chars, 1))) AS INT) AS log2_bucket,
