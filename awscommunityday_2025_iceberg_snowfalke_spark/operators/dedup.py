@@ -572,17 +572,14 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup pairs, exactly reproducible by the oracle.
-
-    signatures → band hashes (md5 of 4 concatenated minhashes) → candidate
-    pairs sharing any band → verified with exact shingle Jaccard. Output:
-    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold."""
+def _candidate_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-shingle counts (doc_a, doc_b, na, nb, shared) for every
+    LSH candidate pair — the verify core shared by the thresholded pair
+    entry and the threshold-sweep diagnostic. The shingle join runs only
+    over docs that appear in some candidate pair (semi-join pruning): at
+    scale the verify cost tracks |candidates|, not |corpus|²."""
     sh = _shingles(spark, sf_dir)
     cand = _lsh_candidates(spark, sf_dir)
-    # verify candidates with exact Jaccard — the shingle join runs only over
-    # docs that appear in some candidate pair (semi-join pruning): at scale
-    # the verify cost tracks |candidates|, not |corpus|²
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -601,8 +598,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    return cand.join(shared, ["doc_a", "doc_b"])
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs, exactly reproducible by the oracle.
+
+    signatures → band hashes (md5 of 4 concatenated minhashes) → candidate
+    pairs sharing any band → verified with exact shingle Jaccard. Output:
+    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold."""
     return (
-        cand.join(shared, ["doc_a", "doc_b"])
+        _candidate_shared(spark, sf_dir)
         .select(
             "doc_a",
             "doc_b",
@@ -613,6 +619,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-tuning curve for the LSH pipeline: candidate pairs
+    bucketed by exact-Jaccard DECILE (⌊10·shared/union⌋, computed in
+    pure integer arithmetic — no rounded-double predicate anywhere).
+    Production dedup picks its keep threshold off exactly this histogram
+    (where does the similarity mass sit? how many pairs does each cut
+    admit?) instead of folklore defaults; the banded-candidate pre-image
+    makes the sweep cheap — it re-aggregates the verify core's output
+    (≤ |candidates| rows), adding one ≤11-group combinable agg."""
+    cs = _candidate_shared(spark, sf_dir)
+    a = F.col("shared") * 10
+    b = F.col("na") + F.col("nb") - F.col("shared")
+    decile = ((a - a % b) / b).cast("int")
+    return (
+        cs.select(decile.alias("jaccard_decile"))
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 
@@ -1307,6 +1333,7 @@ QUERIES = {
     "dedup_lines_report": dedup_lines_report,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "jaccard_threshold_sweep": jaccard_threshold_sweep,
     "minhash_estimate_accuracy": minhash_estimate_accuracy,
     "dedup_editdist_verify": dedup_editdist_verify,
     "dedup_keep_best_quality": dedup_keep_best_quality,
@@ -1636,6 +1663,22 @@ def _duck_keep_best_sql() -> str:
 
 
 ORACLE["dedup_keep_best_quality"] = _duck_keep_best_sql()
+
+ORACLE["jaccard_threshold_sweep"] = f"""
+    {_duck_lsh_cand_cte()},
+    shared AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               sa.n AS na, sb.n AS nb, COUNT(*) AS shared
+        FROM sh sa JOIN sh sb ON sa.sh_h = sb.sh_h AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST((s.shared * 10) // (s.na + s.nb - s.shared) AS INT)
+               AS jaccard_decile,
+           COUNT(*) AS n_pairs
+    FROM cand c
+    JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+    GROUP BY 1
+"""
 
 ORACLE["source_overlap_matrix"] = f"""
     WITH mh AS ({_duck_minhash_sql()})
