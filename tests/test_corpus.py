@@ -351,3 +351,42 @@ def test_embedding_pca_variance_eigen_replay(spark):
     assert row["dim"] == d and row["n_vectors"] == n
     assert row["eig_sum_ok"] and row["eig_nonneg_ok"]
     assert abs(row["trace_var"] - lam_direct.sum()) < 1e-3
+
+
+def test_keep_best_quality_beats_min_id(spark, tmp_path):
+    """Semantic regression for quality-aware survivorship: a near-dup pair
+    where the LOWER id is the punctuation-soup copy and the higher id is
+    clean — MIN(doc_id) survivorship (dedup_clusters' canonical flag)
+    would keep the bad copy; dedup_keep_best_quality must keep the clean
+    one."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        dedup_keep_best_quality,
+    )
+
+    base = (
+        "the cat and the dog run to the park and play in the sun for a "
+        "while today with the kids and the ball"
+    )
+    soup = " " + "!!!!....;;;;:::::" * 8
+    rows = [
+        (0, "en", "crawlA", base + soup),   # near-dup, fails punct rule
+        (1, "en", "crawlB", base),           # near-dup, passes
+        (2, "en", "crawlA", "completely different words nobody repeats "
+                             "anywhere else in this corpus at all okay"),
+    ]
+    df = spark.createDataFrame(
+        [(i, lang, src, t, len(t)) for i, lang, src, t in rows],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["cluster_id"]: r
+        for r in dedup_keep_best_quality(spark, str(tmp_path)).collect()
+    }
+    pair = out[0]  # cluster id = min member id = 0
+    assert pair["cluster_size"] == 2, out
+    assert pair["survivor_doc"] == 1, (
+        "must keep the clean copy, not MIN(doc_id): %s" % (pair,)
+    )
+    assert pair["survivor_ok"] == 1 and pair["n_quality_ok"] == 1
