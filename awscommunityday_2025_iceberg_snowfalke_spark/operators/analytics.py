@@ -224,6 +224,30 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(*cols)
 
 
+# --- unpivot (the wide→long inverse of the pivot) ----------------------------
+def unpivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: the wide per-user pivot table melted back to long
+    (user_id, event_type, total_value) — the other half of the
+    pivot/unpivot pair a warehouse user expects (Snowflake has both as
+    first-class clauses; Spark 3.4+ has ``DataFrame.unpivot``). Zero-sum
+    cells (absent combinations re-materialized by the pivot's COALESCE)
+    are dropped on both engines so the long form round-trips the original
+    sparse relation. Plan: the melt is a map-side Expand over the pivot
+    output — no additional shuffle beyond the pivot's own agg."""
+    piv = pivot_user_event_values(spark, sf_dir)
+    long = piv.unpivot(
+        ids=["user_id"],
+        values=[f"{t}_value" for t in EVENT_TYPES],
+        variableColumnName="event_col",
+        valueColumnName="total_value",
+    )
+    return long.filter(F.col("total_value") != 0.0).select(
+        "user_id",
+        F.expr("replace(event_col, '_value', '')").alias("event_type"),
+        "total_value",
+    )
+
+
 # --- deterministic distribution statistics -----------------------------------
 def value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type stddev and corr(value, hour-of-day) assembled from exact
@@ -462,6 +486,7 @@ QUERIES = {
     "grouping_sets_type_or_day": grouping_sets_type_or_day,
     "daily_purchase_signup_reconciliation": daily_purchase_signup_reconciliation,
     "pivot_user_event_values": pivot_user_event_values,
+    "unpivot_user_event_values": unpivot_user_event_values,
     "hll_user_rollup": hll_user_rollup,
     "dq_expectations": dq_expectations,
     "rolling_1h_event_count": rolling_1h_event_count,
@@ -651,6 +676,14 @@ ORACLE = {
         FROM (SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS event_date
               FROM events)
         GROUP BY GROUPING SETS ((event_type), (event_date))
+    """,
+    "unpivot_user_event_values": """
+        SELECT user_id, event_type,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 2)
+                   AS total_value
+        FROM events GROUP BY user_id, event_type
+        HAVING ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 2)
+               <> 0.0
     """,
     "pivot_user_event_values": """
         SELECT user_id,
