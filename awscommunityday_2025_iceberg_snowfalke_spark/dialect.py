@@ -68,6 +68,17 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
       → ``named_struct(k, v,…)``. ``ARRAY_AGG``, ``DATE(x)``,
       ``INTERVAL '...'`` and date±int arithmetic parse natively in Spark
       SQL — no rewrite needed.
+
+    KNOWN SEMANTIC DELTA (keyed OBJECT_CONSTRUCT only): Snowflake's
+    OBJECT_CONSTRUCT **omits** key/value pairs whose value is NULL (and
+    has KEEP_NULL / DISTINCT variants), while ``named_struct`` keeps the
+    field with a NULL value — structs are fixed-shape, so the field
+    cannot be dropped per-row. For NULL-free inputs (every keyed use in
+    the reference corpus) the rewrite is exact; on null-bearing inputs
+    downstream predicates like ``obj:k IS NULL`` flip from
+    "key absent" to "field present, value NULL". If Snowflake's
+    drop-null semantics are required, build a map and filter entries:
+    ``map_filter(map(k1, v1, …), (k, v) -> v IS NOT NULL)``.
     """
     if anchor_date:
         sql = _CURRENT_DATE_RE.sub(f"DATE '{anchor_date}'", sql)

@@ -38,6 +38,12 @@ from ..sources.registry import load
 from ..stage import discard, stage
 
 JACCARD_THRESHOLD = 0.10
+# Exact rational twin of JACCARD_THRESHOLD for keep predicates:
+# keep iff shared·JACCARD_X[1] ≥ JACCARD_X[0]·union — pure int64
+# arithmetic on both engines, immune to the ROUND(double)-in-predicate
+# fragility class (the rounded jaccard stays as a display column only).
+JACCARD_X = (1, 10)
+assert JACCARD_X[0] / JACCARD_X[1] == JACCARD_THRESHOLD
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
@@ -59,8 +65,7 @@ HOT_SHINGLE_DF_CAP: int | None = 1000
 
 # Portable 60-bit hash: md5 hex prefix → int64. Same value in Spark and
 # duckdb (verified), so LSH pipelines are exactly reproducible cross-engine.
-_SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
-_DUCK_H = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+from .hashing import _DUCK_H, _SPARK_H  # canonical 60-bit hash device
 
 
 # (session, sf_dir) → checkpointed shingle-set DataFrame. The shingle index
@@ -221,22 +226,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    union = F.col("na") + F.col("nb") - F.col("shared")
     return (
-        pairs.select(
+        pairs.filter(F.col("shared") * JACCARD_X[1] >= JACCARD_X[0] * union)
+        .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.round(F.col("shared") / union.cast("double"), 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
 # --- n-gram containment (asymmetric near-dup / subset detection) -------------
 CONTAINMENT_THRESHOLD = 0.5
+CONTAINMENT_X = (1, 2)  # exact rational: keep iff shared·2 ≥ 1·min(na, nb)
 
 
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,7 +277,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
-        pairs.select(
+        pairs.filter(
+            F.col("shared") * CONTAINMENT_X[1]
+            >= CONTAINMENT_X[0] * F.least("na", "nb")
+        )
+        .select(
             "doc_a",
             "doc_b",
             F.col("shared").cast("int").alias("shared"),
@@ -282,7 +289,6 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("shared") / F.least("na", "nb").cast("double"), 6
             ).alias("containment"),
         )
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
 
 
@@ -606,19 +612,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     signatures → band hashes (md5 of 4 concatenated minhashes) → candidate
     pairs sharing any band → verified with exact shingle Jaccard. Output:
-    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold."""
+    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold. The keep
+    predicate is the INTEGER cross-product shared·10 ≥ union (exact
+    rational twin of the 0.10 threshold) — the rounded jaccard is a
+    display column only, never a predicate, so every downstream consumer
+    (clusters, survivorship, overlap matrix) inherits a bit-portable
+    pair graph instead of boundary-pair flips."""
+    cs = _candidate_shared(spark, sf_dir)
+    union = F.col("na") + F.col("nb") - F.col("shared")
     return (
-        _candidate_shared(spark, sf_dir)
+        cs.filter(F.col("shared") * JACCARD_X[1] >= JACCARD_X[0] * union)
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.round(F.col("shared") / union.cast("double"), 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -1450,13 +1458,13 @@ def _duck_minhash_sql() -> str:
             FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4
         )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT c.doc_a, c.doc_b,
-                   ROUND(CAST(s.shared AS DOUBLE) / (s.na + s.nb - s.shared), 6)
-                       AS jaccard
-            FROM cand c
-            JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
-        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(s.shared AS DOUBLE) / (s.na + s.nb - s.shared), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+        WHERE s.shared * {JACCARD_X[1]}
+              >= {JACCARD_X[0]} * (s.na + s.nb - s.shared)
     """
 
 
@@ -1508,11 +1516,10 @@ ORACLE = {
             FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4
         )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT doc_a, doc_b,
-                   ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
-            FROM pairs
-        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        SELECT doc_a, doc_b,
+               ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+        FROM pairs
+        WHERE shared * {JACCARD_X[1]} >= {JACCARD_X[0]} * (na + nb - shared)
     """,
     "dedup_ngram_containment": rf"""
         WITH {_DUCK_SHINGLES},
@@ -1522,12 +1529,11 @@ ORACLE = {
             FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4
         )
-        SELECT doc_a, doc_b, shared, containment FROM (
-            SELECT doc_a, doc_b, CAST(shared AS INT) AS shared,
-                   ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6)
-                       AS containment
-            FROM pairs
-        ) WHERE containment >= {CONTAINMENT_THRESHOLD}
+        SELECT doc_a, doc_b, CAST(shared AS INT) AS shared,
+               ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6)
+                   AS containment
+        FROM pairs
+        WHERE shared * {CONTAINMENT_X[1]} >= {CONTAINMENT_X[0]} * LEAST(na, nb)
     """,
     "dedup_incremental": f"""
         WITH bounds AS (
@@ -1722,13 +1728,13 @@ ORACLE["minhash_estimate_accuracy"] = f"""
         GROUP BY 1, 2, 3, 4
     ),
     verified AS (
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT c.doc_a, c.doc_b,
-                   ROUND(CAST(s.shared AS DOUBLE) / (s.na + s.nb - s.shared), 6)
-                       AS jaccard
-            FROM cand c
-            JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
-        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(s.shared AS DOUBLE) / (s.na + s.nb - s.shared), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+        WHERE s.shared * {JACCARD_X[1]}
+              >= {JACCARD_X[0]} * (s.na + s.nb - s.shared)
     )
     SELECT v.doc_a, v.doc_b,
            CAST({_EQ16} AS INT) AS eq_hashes,

@@ -34,8 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
-_DUCK_H = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+# Imported from the canonical module (not a copy): the probes must
+# exercise the exact expression the operators use, so a device change
+# propagates here by construction.
+from .hashing import _DUCK_H, _SPARK_H
 
 
 def parity_probe_hexcast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,10 +37,9 @@ SAMPLE_MOD = 5  # keep doc_id hash buckets ≡ 0 (deterministic ~20%)
 TOPK_WORDS = 50
 TOPK_TERMS = 3
 
-# Portable 60-bit hash (same trick as operators.dedup): md5 hex prefix →
-# int64, bit-identical in Spark and duckdb.
-_SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
-_DUCK_H = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+# Portable 60-bit hash: md5 hex prefix → int64, bit-identical in Spark
+# and duckdb. One canonical definition for all consumers (see hashing.py).
+from .hashing import _DUCK_H, _SPARK_H
 
 
 # --- deterministic hash sampling ---------------------------------------------

@@ -23,9 +23,8 @@ STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "d
 STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour")
 
 _FP_MOD = 1_000_003
-# portable token hash (same construction as operators.dedup)
-_SPARK_TH = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
-_DUCK_TH = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+# portable token hash — the canonical device instantiated at expr="t"
+from .hashing import _DUCK_TH, _SPARK_TH
 
 
 def _toks(col="text"):
@@ -642,12 +641,17 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase-discovery pass (tokenizer vocab curation, stop-phrase lists,
     domain-term extraction) run before/alongside BPE training.
 
-    PMI = ln(p(ab) / (p(a)p(b))) = ln(c_ab·N² / (M·c_a·c_b)): the
-    ARGUMENT is a ratio of two exact int64 products (token total N,
-    bigram total M, pair/unigram counts), so both engines feed libm the
-    bit-identical double; ln + ROUND(6) is display-only per the corpus
-    determinism recipe, and the top-k ORDER is by integer count + token
-    text, never by the float. Scale shape: adjacent-pair explode is
+    PMI = ln(p(ab) / (p(a)p(b))) = ln(c_ab) + 2·ln(N) − ln(M) − ln(c_a)
+    − ln(c_b): computed as a SUM of logs of individual int64 counts —
+    never as ln of an int64 product. (The product form c_ab·N² wraps
+    silently past 2^63 in non-ANSI Spark while DuckDB raises, i.e. the
+    engines diverge exactly at large corpus scale; each individual count
+    stays exact in a double up to 2^53 ≈ 9·10^15 tokens, comfortably past
+    100 TB of text.) Every ln input is an integer-valued double, so both
+    engines feed libm bit-identical arguments; the sum is the same
+    left-associative IEEE chain on both sides, and ROUND(6) is
+    display-only per the corpus determinism recipe — the top-k ORDER is
+    by integer count + token text, never by the float. Scale shape: adjacent-pair explode is
     map-side (transform over the token array, no self-join); the bigram
     aggregation is the one real exchange (map-side combinable, output
     bounded by distinct adjacent pairs); unigram counts broadcast; the
@@ -696,10 +700,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_a",
             "c_b",
             F.round(
-                F.log(
-                    (F.col("c_ab") * F.lit(n) * F.lit(n)).cast("double")
-                    / (F.lit(m) * F.col("c_a") * F.col("c_b")).cast("double")
-                ),
+                F.log(F.col("c_ab").cast("double"))
+                + F.lit(2.0) * F.log(F.lit(float(n)))
+                - F.log(F.lit(float(m)))
+                - F.log(F.col("c_a").cast("double"))
+                - F.log(F.col("c_b").cast("double")),
                 6,
             ).alias("pmi"),
         )
@@ -968,8 +973,11 @@ ORACLE = {
             FROM base
         )
         SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
-               ROUND(ln(CAST(c_ab * n * n AS DOUBLE)
-                        / CAST(m * ua.c * ub.c AS DOUBLE)), 6) AS pmi
+               ROUND(ln(CAST(c_ab AS DOUBLE))
+                     + 2.0 * ln(CAST(n AS DOUBLE))
+                     - ln(CAST(m AS DOUBLE))
+                     - ln(CAST(ua.c AS DOUBLE))
+                     - ln(CAST(ub.c AS DOUBLE)), 6) AS pmi
         FROM pc JOIN uni ua ON pc.w1 = ua.w
                 JOIN uni ub ON pc.w2 = ub.w
                 CROSS JOIN tot

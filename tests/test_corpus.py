@@ -259,11 +259,11 @@ def test_hot_shingle_cap_active_matches_capped_oracle(spark, oracle):
             FROM shc a JOIN shc b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4
         )
-        SELECT doc_a, doc_b, jaccard FROM (
-            SELECT doc_a, doc_b,
-                   ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
-            FROM pairs
-        ) WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+        SELECT doc_a, doc_b,
+               ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+        FROM pairs
+        WHERE shared * {dedup.JACCARD_X[1]}
+              >= {dedup.JACCARD_X[0]} * (na + nb - shared)
     """
     orig = dedup.HOT_SHINGLE_DF_CAP
     try:
