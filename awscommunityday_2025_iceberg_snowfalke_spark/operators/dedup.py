@@ -411,6 +411,71 @@ def doc_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact substring dedup (Lee et al. 2022, suffix-window formulation) -----
+SUBSTR_WINDOW = 50  # tokens — the ≥50-token duplication threshold of Lee et al.
+
+
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr tool):
+    every MAXIMAL token span of ≥ ``SUBSTR_WINDOW`` tokens that occurs at
+    least twice anywhere in the corpus, reported per document with its
+    position and length — the remove-these-spans output the paper derives
+    from a suffix array. This is the precision end of the dedup family:
+    `doc_duplicate_ngram_spans` approximates the signal at 10-gram
+    granularity; this operator reports the paper's own ≥50-token maximal
+    spans exactly.
+
+    Spark-first reformulation of the suffix array: a duplicated span of
+    length L contains exactly L−W+1 duplicated W-token windows, so
+    maximal duplicated spans = maximal runs of duplicated windows.
+    (1) slide a W-token window over every doc — an in-row ``transform``
+    over the token array, map-side; (2) digest each window (md5 of the
+    joined tokens — 128 bits, collision-safe at 100 TB where the 60-bit
+    device would start to birthday-collide across ~10^12 windows);
+    (3) one count-over-digest window marks windows occurring ≥2 times
+    corpus-wide — including twice within one doc, the paper's
+    self-repetition case; (4) per-doc consecutive duplicated positions
+    merge into maximal spans (pos − row_number island grouping). Two
+    shuffles total, both linear in corpus tokens and carrying only
+    (digest, doc_id, pos) — never document text — i.e. the same budget
+    as the distributed suffix-array construction pass, with no global
+    sort anywhere. Tokenization matches the shingle family
+    (lower + whitespace split), so both engines see identical windows."""
+    W = SUBSTR_WINDOW
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    wins = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {W}), i -> "
+                    f"struct(i as pos, "
+                    f"md5(array_join(slice(t, i + 1, {W}), ' ')) as wh))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    )
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    dup = wins.withColumn("n_occ", n_occ).filter(F.col("n_occ") >= 2)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("g", F.col("pos") - F.row_number().over(wd))
+    return (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(W)).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .drop("g")
+    )
+
+
 # --- line-level dedup (C4's duplicate-line removal) ---------------------------
 LINE_TOKENS = 16  # fixed-width pseudo-lines over the testdata's unbroken text
 
@@ -1360,6 +1425,7 @@ QUERIES = {
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_incremental": dedup_incremental,
     "doc_duplicate_ngram_spans": doc_duplicate_ngram_spans,
+    "dedup_exact_substrings": dedup_exact_substrings,
     "dedup_lines_report": dedup_lines_report,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1841,3 +1907,34 @@ ORACLE["simhash64_hamming_pairs"] = f"""
 # 4×16-bit banding finds exactly the same ≤3-Hamming pairs (pigeonhole is
 # exact at the verify threshold) — one oracle certifies both band layouts
 ORACLE["simhash64_hamming_pairs_wide"] = ORACLE["simhash64_hamming_pairs"]
+
+ORACLE["dedup_exact_substrings"] = rf"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(array_to_string(
+                   t[CAST(i AS INT) + 1 : CAST(i AS INT) + {SUBSTR_WINDOW}],
+                   ' ')) AS wh
+        FROM base, UNNEST(range(len(t) - {SUBSTR_WINDOW} + 1)) AS u(i)
+        WHERE len(t) >= {SUBSTR_WINDOW}
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY wh) AS n_occ
+            FROM wins
+        ) WHERE n_occ >= 2
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS g
+        FROM dup
+    )
+    SELECT doc_id, MIN(pos) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_WINDOW} AS INT) AS span_tokens,
+           COUNT(*) AS n_dup_windows
+    FROM isl GROUP BY doc_id, g
+"""

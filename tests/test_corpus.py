@@ -390,3 +390,71 @@ def test_keep_best_quality_beats_min_id(spark, tmp_path):
         "must keep the clean copy, not MIN(doc_id): %s" % (pair,)
     )
     assert pair["survivor_ok"] == 1 and pair["n_quality_ok"] == 1
+
+
+def test_dedup_exact_substrings_spans(spark, tmp_path):
+    """Lee-et-al exact substring dedup on a doctored corpus with KNOWN
+    span geometry: a 60-token span shared by two docs must surface as one
+    maximal span per doc at the exact offset (11 duplicated 50-windows →
+    span_tokens 60), a 50-token span repeated twice WITHIN one doc must
+    surface both occurrences (the paper's self-repetition case), and a
+    unique doc must be absent."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        dedup_exact_substrings,
+    )
+
+    shared = " ".join(f"shared{i}" for i in range(60))
+    inner = " ".join(f"inner{i}" for i in range(50))
+    docs = [
+        # doc 0: 10 unique tokens, then the shared span at positions 10..69
+        (0, " ".join(f"pre{i}" for i in range(10)) + " " + shared),
+        # doc 1: the shared span at 0..59, then 20 unique tokens
+        (1, shared + " " + " ".join(f"post{i}" for i in range(20))),
+        # doc 2: a 50-token span, a 5-token gap, the same span again
+        (2, inner + " gapa gapb gapc gapd gape " + inner),
+        # doc 3: 60 unique tokens — must not appear at all
+        (3, " ".join(f"solo{i}" for i in range(60))),
+    ]
+    spark.createDataFrame(
+        [(i, "en", "crawlA", t, len(t)) for i, t in docs],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = sorted(
+        (
+            (r["doc_id"], r["span_start"], r["span_tokens"], r["n_dup_windows"])
+            for r in dedup_exact_substrings(spark, str(tmp_path)).collect()
+        )
+    )
+    assert rows == [
+        (0, 10, 60, 11),
+        (1, 0, 60, 11),
+        (2, 0, 50, 1),
+        (2, 55, 50, 1),
+    ], rows
+
+
+def test_ann_ivf_pq_refine_recovers_recall(spark):
+    """IVF-PQ's exact-refine stage must recover the recall the 8-byte
+    codes destroy: ADC alone measures ~0.16 recall on this corpus; after
+    the PQ_REFINE shortlist + exact re-rank the PQ result must match the
+    uncompressed IVF top-k's recall floor, and every returned pair's
+    exact cosine must agree with the brute-force score for that pair."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+    from conftest import SF_DIR
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.knn_bruteforce_cosine(spark, SF_DIR).collect()
+    }
+    pq_rows = similarity.ann_ivf_pq_cosine(spark, SF_DIR).collect()
+    pq = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in pq_rows}
+    assert bf, "brute force must return neighbors"
+    recall = len(set(bf) & set(pq)) / len(bf)
+    # same floor as test_ann_ivf_recall_floor: with PQ_REFINE = 10·k the
+    # refine stage makes PQ recall == plain-IVF recall at this scale
+    assert recall >= 0.25, f"IVF-PQ recall {recall:.2f} below floor"
+    for key in set(bf) & set(pq):
+        assert pq[key] == bf[key], (key, pq[key], bf[key])
+    for r in pq_rows:
+        assert 1 <= r["rank"] <= similarity.TOP_K
