@@ -355,8 +355,75 @@ def streaming_cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out)
 
 
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-to-table WRITE path the reference's dynamic-table story
+    implies (P:753-766): change batches arrive as a stream and each
+    micro-batch lands in the snapshot table via MERGE — i.e.
+    ``foreachBatch`` + ``SnapshotTable.merge``, the Structured-Streaming
+    idiom for continuous upsert into an Iceberg-style table (Iceberg's
+    own docs prescribe exactly this pairing for streaming MERGE INTO).
+
+    Topology: v1 seeds the table with the cold events (< 7d cutoff); the
+    CDC feed (events from ``_MERGE_CUT`` on, value doubled — the same
+    change-set as the batch twin ``merge_upsert_events``) is staged as 4
+    files and consumed with ``maxFilesPerTrigger=1``, so FOUR separate
+    micro-batches each run one atomic MERGE commit — the history
+    assertion pins append + 4 merges. Keys are unique across the feed, so
+    the final table state is batching-invariant and the oracle is
+    hash-equal to ``merge_upsert_events``'s. At 100 TB each micro-batch
+    merge scopes to overlapping files (see ``SnapshotTable.merge``'s
+    scale note); exactly-once comes from the checkpoint's batch-id ledger
+    plus the table's CAS commit (a replayed batch re-merges the same keys
+    idempotently)."""
+    from ..operators.lifecycle import _MERGE_CUT, CUTOFF_7D, make_table
+
+    ev = load(spark, sf_dir, "events")
+    cold_cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    src_cut = F.to_timestamp(F.lit(_MERGE_CUT))
+    tbl = make_table(spark, "streammerge_")
+    tbl.append(ev.filter(F.col("ts") < cold_cut), n_files=8)
+
+    feed_dir = tempfile.mkdtemp(prefix="cdc_feed_")
+    source = ev.filter(F.col("ts") >= src_cut).withColumn(
+        "value", F.col("value") * 2
+    )
+    source.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tbl.merge(batch_df, keys=["event_id"], n_files=8)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    ops = [m["operation"] for m in tbl.history()]
+    assert ops == ["append"] + ["merge"] * 4, ops
+    from ..functions import det_sum
+
+    return (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_sum("value", 2).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
+    "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_cdc_latest_events": streaming_cdc_latest_events,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_daily_windows": streaming_daily_windows,
@@ -367,9 +434,13 @@ QUERIES = {
     "streaming_dedup_incremental": streaming_dedup_incremental,
 }
 
+from ..operators.lifecycle import ORACLE as _LC_ORACLE  # noqa: E402
 from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
 
 ORACLE = {
+    # four streaming MERGE micro-batches must land the exact final table
+    # state the batch twin's single MERGE lands (keys unique ⇒ invariant)
+    "streaming_merge_upsert": _LC_ORACLE["merge_upsert_events"],
     # stream-static screening must equal the same accounting in batch SQL
     "streaming_dedup_incremental": """
         WITH bounds AS (
