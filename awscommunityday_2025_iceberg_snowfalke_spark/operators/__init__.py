@@ -70,75 +70,72 @@ def _modules():
 # green); r7 sampled the 16 post-r6 additions + the entire r4-vintage
 # relational/snowsql/tpch tail (47/50 — quality_filter_funnel and the
 # quota pair were driver-red on cross-engine numeric fragility).
-# r8 (this rotation) front-loads:
-# (a) the three r7 driver-red entries, now environment-proofed — integer
-#     cross-product thresholds in the funnel, emitted h/bkt diagnostic
-#     columns in the quota pair;
-# (b) the four parity probes (operators/parity.py) that pin the driver's
-#     engine-pair behavior per fragility class;
-# (c) the thirteen round-7 late additions that have never been
-#     driver-sampled (queued in COVERAGE.md);
-# (d) text_quality + unigram_logprob_score, whose implementations changed
-#     this round (integer predicates / shared decimal-sum core) and so
-#     need fresh driver evidence despite their r5 pass;
-# (e) 28 longest-unsampled r5-vintage entries as backfill.
-# 3 + 4 + 13 + 2 + 28 = 50 exactly.
+# r9 (this rotation) front-loads, per VERDICT r8 ask 1, the entries with
+# NO driver CORRECTNESS row yet plus the stalest vintage:
+# (a) the three round-9 additions (exact substring dedup, IVF-PQ ×2,
+#     streaming MERGE upsert = 4);
+# (b) the eighteen r8 extension additions, judge-certified in r8 but
+#     never driver-sampled (COVERAGE.md's r9 queue);
+# (c) the eighteen r5-vintage entries whose only driver row is from r5
+#     (temporal joins, multimodal, lifecycle tails);
+# (d) ten r6-vintage spine entries (sources/streaming/governance/MV) as
+#     the longest-sampled backfill.
+# 4 + 18 + 18 + 10 = 50 exactly (test_registry pins the arithmetic).
 _GATE_FRONT = (
-    # (a) the r7 driver-reds, fixed this round
-    "quality_filter_funnel",
-    "quota_sample_tokens_budget",
-    "quota_sample_tokens_budget_skewsafe",
-    # (b) driver-environment parity probes
-    "parity_probe_hexcast",
-    "parity_probe_round_half",
-    "parity_probe_window_runsum",
-    "parity_probe_ln_round",
-    # (c) round-7 late additions, never driver-sampled
-    "embedding_gram_matrix",
-    "embedding_pca_variance",
-    "dedup_ngram_containment",
-    "quality_band_sample",
-    "dedup_incremental",
-    "token_frequency_spectrum",
-    "ann_ivf_cell_stats",
-    "streaming_dedup_incremental",
-    "multimodal_phash_groups",
-    "doc_duplicate_ngram_spans",
-    "dedup_cluster_size_histogram",
-    "doc_domain_mixture",
-    "dedup_lines_report",
-    # (d) changed this round — need fresh driver evidence
-    "text_quality",
-    "unigram_logprob_score",
-    # (e) longest-unsampled r5 vintage backfill
-    "dedup_exact",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "dedup_corpus_summary",
-    "simhash32",
-    "knn_bruteforce_cosine",
-    "knn_pandas_cosine",
-    "embedding_quantize_int8",
-    "embedding_norms",
-    "label_centroid_sim",
-    "ann_lsh_cosine",
-    "dedup_embedding_cosine",
-    "ann_ivf_cosine",
-    "kmeans_ivf_train",
-    "doc_bm25_search",
-    "text_normalize",
-    "lang_id",
-    "token_stats",
-    "doc_fingerprint",
-    "doc_repetition_stats",
-    "benchmark_contamination",
-    "text_redact_pii",
-    "sample_docs_deterministic",
-    "stratified_sample_docs",
-    "pack_docs_sequences",
-    "curation_pipeline",
+    # (a) round-9 additions
+    "dedup_exact_substrings",
+    "ann_ivf_pq_cosine",
+    "ann_ivf_pq_recall_report",
+    "streaming_merge_upsert",
+    # (b) r8 extension additions, never driver-sampled
+    "dedup_editdist_verify",
+    "minhash_estimate_accuracy",
+    "dedup_keep_best_quality",
+    "jaccard_threshold_sweep",
+    "source_overlap_matrix",
+    "pmi_collocations",
+    "doc_lang_confusion",
+    "source_quality_report",
+    "lang_char_entropy",
+    "doc_length_histogram",
+    "bpe_first_merges",
+    "epoch_shard_assignment",
+    "knn_graph_degree_stats",
+    "event_percent_rank",
+    "cdc_scd2_user_value",
+    "pseudonymized_join_audit",
+    "streaming_cdc_latest_events",
+    "unpivot_user_event_values",
+    # (c) r5-vintage, sampled only in r5
+    "cdc_latest_events",
+    "word_doc_frequency_topk",
+    "doc_top_terms",
+    "purchasers_without_errors",
+    "purchasers_with_signup",
+    "hourly_gapfill",
+    "training_export_manifest",
+    "asof_purchase_signup",
+    "purchases_within_hour_of_signup",
+    "multimodal_ingest",
+    "multimodal_audio_chunks",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "lifecycle_snapshot_counts",
+    "merge_upsert_events",
+    "zorder_clustering_report",
+    "schema_evolution_read",
+    "file_skipping_report",
+    # (d) r6-vintage spine backfill
+    "pyds_snapshot_scan",
+    "mv_daily_user_stats",
+    "dynamic_table_user_engagement",
+    "streaming_event_counts",
+    "small_file_lifecycle_report",
+    "query_history",
+    "masked_profiles",
+    "csv_roundtrip_profiles",
+    "partition_pruned_scan",
+    "hot_tier_ctas",
 )
 
 
