@@ -56,6 +56,7 @@ QUERIES = [
     "rolling_1h_event_count",  # RANGE-interval frame
     "cdc_latest_events",    # latest-per-key window
     "hll_user_rollup",      # sketch rollup + exact gate column
+    "unpivot_user_event_values",  # map-side Expand over the pivot output
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
@@ -94,6 +95,12 @@ DOC_QUERIES = [
     "pmi_collocations",      # bigram agg + broadcast unigram dicts, top-k
     "epoch_shard_assignment",  # literal epoch explode, E*S-keyed agg
     "source_quality_report", # map-side rules, |sources|-group agg
+    # round-8 stragglers + round-9 additions
+    "source_overlap_matrix", # pair-graph joins + |sources|²-group agg
+    "bpe_first_merges",      # in-row pair explode, alphabet-bounded agg
+    "jaccard_threshold_sweep",  # ≤11-group agg over the verify core
+    "dedup_exact_substrings",   # windowed digest runs (Lee-et-al spans)
+    "ann_ivf_pq_cosine",     # PQ codes + ADC + bounded exact refine
 ]
 
 
