@@ -72,20 +72,23 @@ def _modules():
 # quota pair were driver-red on cross-engine numeric fragility).
 # r9 (this rotation) front-loads, per VERDICT r8 ask 1, the entries with
 # NO driver CORRECTNESS row yet plus the stalest vintage:
-# (a) the three round-9 additions (exact substring dedup, IVF-PQ ×2,
-#     streaming MERGE upsert = 4);
+# (a) the seven round-9 additions (exact-substring dedup family ×3,
+#     IVF-PQ family ×3, streaming MERGE upsert);
 # (b) the eighteen r8 extension additions, judge-certified in r8 but
 #     never driver-sampled (COVERAGE.md's r9 queue);
 # (c) the eighteen r5-vintage entries whose only driver row is from r5
 #     (temporal joins, multimodal, lifecycle tails);
-# (d) ten r6-vintage spine entries (sources/streaming/governance/MV) as
-#     the longest-sampled backfill.
-# 4 + 18 + 18 + 10 = 50 exactly (test_registry pins the arithmetic).
+# (d) seven r6-vintage spine entries (sources/streaming/governance/MV)
+#     as the longest-sampled backfill.
+# 7 + 18 + 18 + 7 = 50 exactly (test_registry pins the arithmetic).
 _GATE_FRONT = (
     # (a) round-9 additions
     "dedup_exact_substrings",
+    "dedup_substring_removal_report",
+    "benchmark_contamination_substrings",
     "ann_ivf_pq_cosine",
     "ann_ivf_pq_recall_report",
+    "embedding_pq_codes",
     "streaming_merge_upsert",
     # (b) r8 extension additions, never driver-sampled
     "dedup_editdist_verify",
@@ -133,9 +136,6 @@ _GATE_FRONT = (
     "small_file_lifecycle_report",
     "query_history",
     "masked_profiles",
-    "csv_roundtrip_profiles",
-    "partition_pruned_scan",
-    "hot_tier_ctas",
 )
 
 

@@ -415,6 +415,34 @@ def doc_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_WINDOW = 50  # tokens — the ≥50-token duplication threshold of Lee et al.
 
 
+def _substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, wh) for every sliding ``SUBSTR_WINDOW``-token window:
+    the in-row transform+explode device shared by the exact-substring
+    family. md5 digests (128-bit) because the family compares windows
+    corpus-wide — at ~10^12 windows the 60-bit device would start to
+    birthday-collide. Tokenization matches the shingle family (lower +
+    whitespace split) so both engines see identical windows."""
+    W = SUBSTR_WINDOW
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {W}), i -> "
+                    f"struct(i as pos, "
+                    f"md5(array_join(slice(t, i + 1, {W}), ' ')) as wh))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    )
+
+
 def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", the ExactSubstr tool):
@@ -442,25 +470,8 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the distributed suffix-array construction pass, with no global
     sort anywhere. Tokenization matches the shingle family
     (lower + whitespace split), so both engines see identical windows."""
+    wins = _substr_windows(spark, sf_dir)
     W = SUBSTR_WINDOW
-    docs = load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    wins = (
-        docs.select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(t) - {W}), i -> "
-                    f"struct(i as pos, "
-                    f"md5(array_join(slice(t, i + 1, {W}), ' ')) as wh))"
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
-    )
     n_occ = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     dup = wins.withColumn("n_occ", n_occ).filter(F.col("n_occ") >= 2)
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -473,6 +484,78 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dup_windows"),
         )
         .drop("g")
+    )
+
+
+def dedup_substring_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al removal ACCOUNTING over :func:`dedup_exact_substrings`:
+    per source, how many docs carry a ≥50-token duplicated span and what
+    fraction of the source's tokens the remove-duplicated-spans pass
+    would delete — the paper's headline "~3% of tokens in C4 are exact
+    duplicates" table, and the go/no-go number a curation run reads
+    before paying for the removal rewrite. Maximal spans per doc are
+    non-overlapping by construction (islands of consecutive duplicated
+    windows), so per-doc removed tokens is a plain SUM of span lengths —
+    no interval arithmetic. One extra |sources|-group exchange over the
+    span output plus a map-side token-count agg; the displayed fraction
+    uses the corpus integer-ratio device (exact on both engines,
+    display-only)."""
+    from .textstats import _ratio6
+
+    docs = load(spark, sf_dir, "documents")
+    spans = dedup_exact_substrings(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("removed_tokens")
+    )
+    toks = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    base = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    joined = base.join(per_doc, "doc_id", "left_outer")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("removed_tokens").alias("docs_with_dup_spans"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.coalesce(F.sum("removed_tokens"), F.lit(0)).alias("removed_tokens"),
+    )
+    return agg.withColumn(
+        "removed_frac",
+        _ratio6(F.col("removed_tokens"), F.col("total_tokens")),
+    )
+
+
+def benchmark_contamination_substrings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring-level decontamination: training docs sharing a FULL
+    ≥``SUBSTR_WINDOW``-token window with the held-out benchmark split —
+    the high-precision complement to ``benchmark_contamination``'s
+    8-gram screen (8-grams over-flag boilerplate; a verbatim 50-token
+    overlap is the smoking gun eval-leak signal GPT-3/PaLM-style
+    decontamination acts on). Same held-out convention as the 8-gram
+    entry (doc_id % CONTAM_MOD == 0 = benchmark). Scale shape: the
+    benchmark window set is bounded by the EVAL corpus, so detection is
+    a map-side broadcast semi-join over the training window stream — no
+    corpus-vs-corpus join; output rows are bounded by contaminated docs.
+    Reports distinct shared windows and the longest contiguous leaked
+    run (consecutive shared positions → islands, like the dedup spans)."""
+    from .textstats import CONTAM_MOD
+
+    wins = _substr_windows(spark, sf_dir)
+    bench = (
+        wins.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("wh")
+        .distinct()
+    )
+    train = wins.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    hits = train.join(F.broadcast(bench), "wh")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("g", F.col("pos") - F.row_number().over(wd))
+    runs = isl.groupBy("doc_id", "g").agg(
+        (F.max("pos") - F.min("pos") + F.lit(SUBSTR_WINDOW)).alias("run_tokens"),
+        F.count(F.lit(1)).alias("n_wins"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.sum("n_wins").alias("n_shared_windows"),
+        F.max("run_tokens").alias("max_leak_tokens"),
     )
 
 
@@ -1426,6 +1509,8 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "doc_duplicate_ngram_spans": doc_duplicate_ngram_spans,
     "dedup_exact_substrings": dedup_exact_substrings,
+    "dedup_substring_removal_report": dedup_substring_removal_report,
+    "benchmark_contamination_substrings": benchmark_contamination_substrings,
     "dedup_lines_report": dedup_lines_report,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1908,8 +1993,8 @@ ORACLE["simhash64_hamming_pairs"] = f"""
 # exact at the verify threshold) — one oracle certifies both band layouts
 ORACLE["simhash64_hamming_pairs_wide"] = ORACLE["simhash64_hamming_pairs"]
 
-ORACLE["dedup_exact_substrings"] = rf"""
-    WITH base AS (
+# shared (doc_id, pos, wh) window CTE — the oracle twin of _substr_windows
+_DUCK_SUBSTR_WINS = rf"""base AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
         FROM documents
     ),
@@ -1920,7 +2005,10 @@ ORACLE["dedup_exact_substrings"] = rf"""
                    ' ')) AS wh
         FROM base, UNNEST(range(len(t) - {SUBSTR_WINDOW} + 1)) AS u(i)
         WHERE len(t) >= {SUBSTR_WINDOW}
-    ),
+    )"""
+
+ORACLE["dedup_exact_substrings"] = rf"""
+    WITH {_DUCK_SUBSTR_WINS},
     dup AS (
         SELECT doc_id, pos FROM (
             SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY wh) AS n_occ
@@ -1937,4 +2025,57 @@ ORACLE["dedup_exact_substrings"] = rf"""
            CAST(MAX(pos) - MIN(pos) + {SUBSTR_WINDOW} AS INT) AS span_tokens,
            COUNT(*) AS n_dup_windows
     FROM isl GROUP BY doc_id, g
+"""
+
+from .textstats import _duck_ratio6 as _tduck_ratio6  # noqa: E402
+
+ORACLE["dedup_substring_removal_report"] = rf"""
+    WITH spans AS ({ORACLE["dedup_exact_substrings"]}),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS removed_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(p.removed_tokens) AS docs_with_dup_spans,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(p.removed_tokens), 0) AS BIGINT)
+               AS removed_tokens,
+           {_tduck_ratio6("CAST(COALESCE(SUM(p.removed_tokens), 0) AS BIGINT)",
+                          "CAST(SUM(n_tokens) AS BIGINT)")} AS removed_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY source
+"""
+
+from .textstats import CONTAM_MOD as _CONTAM_MOD  # noqa: E402
+
+ORACLE["benchmark_contamination_substrings"] = rf"""
+    WITH {_DUCK_SUBSTR_WINS},
+    bench AS (
+        SELECT DISTINCT wh FROM wins WHERE doc_id % {_CONTAM_MOD} = 0
+    ),
+    train AS (
+        SELECT doc_id, pos FROM wins
+        WHERE doc_id % {_CONTAM_MOD} <> 0
+          AND wh IN (SELECT wh FROM bench)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS g
+        FROM train
+    ),
+    runs AS (
+        SELECT doc_id, g,
+               MAX(pos) - MIN(pos) + {SUBSTR_WINDOW} AS run_tokens,
+               COUNT(*) AS n_wins
+        FROM isl GROUP BY doc_id, g
+    )
+    SELECT doc_id, CAST(SUM(n_wins) AS BIGINT) AS n_shared_windows,
+           CAST(MAX(run_tokens) AS INT) AS max_leak_tokens
+    FROM runs GROUP BY doc_id
 """

@@ -1023,6 +1023,71 @@ def ann_ivf_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_topk(spark, sf_dir, N_PROBE)
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ STORAGE artifact itself: per vector its IVF cell, the
+    ``PQ_M`` byte codes (csv — 8 B/vector, 64× smaller than fp64), and
+    the relative reconstruction error ‖x − r‖/‖x‖ — the table a vector
+    store materializes once and every ADC query scans, plus the
+    compression-quality column the store is accepted on (FAISS reports
+    the same quantization-error metric from ``IndexPQ::train``).
+
+    One map-only Arrow pass (codebooks ride the closure, same encode as
+    :func:`_pq_topk` — argmin ties to the lowest code id); zero
+    shuffles. Error via the expansion ‖x−r‖² = x·x − 2·x·r + r·r with
+    x·r = Σ_m dot(x_sub, cw) and r·r = Σ_m cw·cw, clamped at 0 before
+    the sqrt (the exact-reconstruction case lands at −ε in floats);
+    ROUND(6) display-only — the oracle reproduces the identical
+    expansion, so the artifact is full-value certified end to end."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    cb = [C[:, m * PQ_SUB : (m + 1) * PQ_SUB].copy() for m in range(PQ_M)]
+    cn2 = [(cb[m] * cb[m]).sum(axis=1) for m in range(PQ_M)]
+
+    def encode(batches):
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            En = np.linalg.norm(E, axis=1)
+            A = (E @ C.T) / (En[:, None] * Cn[None, :])
+            acell = cells[np.argmax(A, axis=1)]
+            codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+            rn2 = np.zeros(len(ids))
+            xr = np.zeros(len(ids))
+            for m in range(PQ_M):
+                Em = E[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (Em @ cb[m].T)
+                D = D + cn2[m][None, :]
+                cm = np.argmin(D, axis=1)
+                codes[:, m] = cm
+                rn2 = rn2 + cn2[m][cm]
+                xr = xr + (Em * cb[m][cm]).sum(axis=1)
+            xx = (E * E).sum(axis=1)
+            err2 = xx - 2.0 * xr + rn2
+            En = np.sqrt(xx)
+            rel = np.sqrt(np.maximum(err2, 0.0)) / En
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": acell,
+                    "codes_csv": [
+                        ",".join(str(int(c)) for c in row) for row in codes
+                    ],
+                    "recon_rel_err": np.round(rel, 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode,
+        "vec_id long, cell long, codes_csv string, recon_rel_err double",
+    )
+
+
 def ann_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@``TOP_K`` of the PQ-compressed probe versus exact brute
     force, per probe count — the same harness as
@@ -1421,6 +1486,7 @@ QUERIES = {
     "ann_ivf_recall_report": ann_ivf_recall_report,
     "ann_ivf_pq_cosine": ann_ivf_pq_cosine,
     "ann_ivf_pq_recall_report": ann_ivf_pq_recall_report,
+    "embedding_pq_codes": embedding_pq_codes,
     "kmeans_ivf_train": kmeans_ivf_train,
     "knn_hard_negatives": knn_hard_negatives,
     "embedding_dim_stats": embedding_dim_stats,
@@ -1898,6 +1964,28 @@ ORACLE["ann_ivf_pq_recall_report"] = f"""
     FROM cand c JOIN bf ON c.query_id = bf.query_id
                        AND c.neighbor_id = bf.neighbor_id
     GROUP BY c.n_probe
+"""
+
+ORACLE["embedding_pq_codes"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    {_DUCK_PQ_CTES},
+    xr AS (
+        SELECT c.vec_id,
+               string_agg(CAST(c.code_id AS VARCHAR), ',' ORDER BY c.m)
+                   AS codes_csv,
+               SUM(list_dot_product(
+                   a.e[c.m * {PQ_SUB} + 1 : c.m * {PQ_SUB} + {PQ_SUB}],
+                   c.cw)) AS xdotr,
+               SUM(c.cw2) AS rr,
+               any_value(list_dot_product(a.e, a.e)) AS xx,
+               any_value(a.cell) AS cell
+        FROM codes c JOIN assign a ON a.vec_id = c.vec_id
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, cell, codes_csv,
+           ROUND(sqrt(GREATEST(xx - 2.0 * xdotr + rr, 0.0)) / sqrt(xx), 6)
+               AS recon_rel_err
+    FROM xr
 """
 
 # per-cell k-means outputs aren't SQL-derivable; the gate row checks the

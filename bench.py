@@ -106,8 +106,11 @@ SUITES: dict[str, list[str]] = {
         "dedup_keep_best_quality",
         "pseudonymized_join_audit",
         "dedup_exact_substrings",
+        "dedup_substring_removal_report",
+        "benchmark_contamination_substrings",
         "ann_ivf_pq_cosine",
         "ann_ivf_pq_recall_report",
+        "embedding_pq_codes",
     ],
 }
 

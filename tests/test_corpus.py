@@ -433,6 +433,39 @@ def test_dedup_exact_substrings_spans(spark, tmp_path):
         (2, 55, 50, 1),
     ], rows
 
+    # removal accounting on the same known geometry: 60+60+100 tokens
+    # removed of 70+80+105+60 total, 3 of 4 docs affected, exact ratio
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        dedup_substring_removal_report,
+    )
+
+    rep = dedup_substring_removal_report(spark, str(tmp_path)).collect()
+    assert len(rep) == 1 and rep[0]["source"] == "crawlA"
+    r = rep[0]
+    assert (
+        r["n_docs"],
+        r["docs_with_dup_spans"],
+        r["total_tokens"],
+        r["removed_tokens"],
+    ) == (4, 3, 315, 220), r
+    assert r["removed_frac"] == 0.698413  # exact half-up 220/315
+
+    # substring decontamination: doc 0 (0 % 11 == 0) is the benchmark
+    # split; only doc 1 shares a full 50-window with it (the 60-token
+    # span -> 11 shared windows, one 60-token contiguous leak); doc 2's
+    # internal repetition must NOT be flagged
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        benchmark_contamination_substrings,
+    )
+
+    leaks = [
+        (r["doc_id"], r["n_shared_windows"], r["max_leak_tokens"])
+        for r in benchmark_contamination_substrings(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert leaks == [(1, 11, 60)], leaks
+
 
 def test_ann_ivf_pq_refine_recovers_recall(spark):
     """IVF-PQ's exact-refine stage must recover the recall the 8-byte

@@ -399,3 +399,54 @@ def test_editdist_verify_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan.lower()
+
+
+def test_exact_substrings_linear_shuffles_only(spark):
+    """Exact-substring dedup must stay two-linear-shuffle shaped: the
+    window explode is in-row (no join of any kind in the plan), shuffles
+    carry only (digest, doc_id, pos), and there is no corpus-wide sort
+    outside the per-key window sorts."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    df = dedup.dedup_exact_substrings(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "span derivation must be join-free"
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_pq_search_broadcasts_shortlist_and_refines(spark):
+    """IVF-PQ: the ADC pass is one MapInPandas over the corpus; the
+    refine stage joins the bounded shortlist back by BROADCAST — a
+    shuffle join there would drag the whole corpus through the exchange
+    for a constant-sized candidate set."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+
+    df = similarity.ann_ivf_pq_cosine(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert has_broadcast_join(df), "refine shortlist must broadcast"
+
+
+def test_pq_codes_map_only(spark):
+    """The PQ storage artifact is a pure map pass: no exchange at all —
+    codebooks ride the UDF closure."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+
+    df = similarity.embedding_pq_codes(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert shuffle_count(df) == 0, plan
+
+
+def test_contamination_substrings_broadcast_screen(spark):
+    """Substring decontamination screens the training window stream
+    against the eval-bounded benchmark set by broadcast — never a
+    shuffle join of two corpus-sized relations."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    df = dedup.benchmark_contamination_substrings(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df), "benchmark window set must broadcast"

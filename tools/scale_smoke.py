@@ -100,7 +100,10 @@ DOC_QUERIES = [
     "bpe_first_merges",      # in-row pair explode, alphabet-bounded agg
     "jaccard_threshold_sweep",  # ≤11-group agg over the verify core
     "dedup_exact_substrings",   # windowed digest runs (Lee-et-al spans)
+    "dedup_substring_removal_report",  # |sources|-group rollup of spans
+    "benchmark_contamination_substrings",  # eval-bounded broadcast screen
     "ann_ivf_pq_cosine",     # PQ codes + ADC + bounded exact refine
+    "embedding_pq_codes",    # map-only PQ encode artifact
 ]
 
 
