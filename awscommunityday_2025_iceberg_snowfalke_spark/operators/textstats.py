@@ -860,6 +860,191 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gopher quality rules (Rae et al. 2021, MassiveText, Appendix A) --------
+# The canonical document-level rule set, adapted to this corpus's token
+# granularity (the paper states some repetition thresholds over character
+# fractions; we use the token-level twins computed by
+# doc_repetition_stats, thresholds noted per rule below). Every rule is an
+# INTEGER cross-product predicate — no double ever enters a keep decision,
+# so the flags are bit-identical on any engine (the r7 driver-red lesson).
+# Gopher's required English function words (Rae et al. App. A) plus the
+# indefinite article: the synthetic corpus's 31-word vocabulary contains
+# only 'the' and 'a' of the English function words, so without 'a' the
+# ≥2-distinct rule would be degenerate-false on every document here (the
+# canonical eight stay in the list — on real English text they dominate).
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with", "a",
+)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher/MassiveText quality-rule flags + composite keep.
+
+    Rules (Rae et al. 2021 App. A, token-level adaptation):
+      * ``wc_ok``          — word count in [50, 100 000];
+      * ``wordlen_ok``     — mean word length in [3, 10] chars
+                             (``3·n_tokens ≤ nonspace_chars ≤ 10·n_tokens``);
+      * ``symbol_ok``      — symbol-to-word ratio (# and …) ≤ 0.1;
+      * ``alpha_ok``       — ≥ 80 % of words contain an alphabetic char;
+      * ``stopword_ok``    — ≥ 2 distinct of the 8 required stopwords;
+      * ``rep_bigram_ok``  — top-bigram token fraction ≤ 0.20;
+      * ``rep_trigram_ok`` — duplicate-trigram token fraction ≤ 0.30;
+      * ``gopher_ok``      — AND of all seven.
+
+    Scale shape: the per-doc stats are map-side expressions on the scan
+    (whole-stage codegen, zero shuffle); the two repetition inputs reuse
+    :func:`doc_repetition_stats`'s shape — one n-gram explode keyed on
+    doc_id into partial-aggregated groupBys, joined back on the key. At
+    100 TB this is the same budget as every other per-doc filter: a
+    doc-keyed shuffle of counting rows, never text."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", _toks().alias("ts"))
+    n_tokens = F.size("ts")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    n_hash = F.length(F.regexp_replace("text", r"[^#]", ""))
+    # each non-overlapping literal '...' removes 3 chars; exact int count
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    n_alpha = F.size(F.filter(F.col("ts"), lambda t: t.rlike("[a-z]")))
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    n_required = F.expr(
+        f"size(filter(array({req}), w -> array_contains(ts, w)))"
+    )
+    per_doc = base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_nonspace.alias("n_nonspace"),
+        (n_hash + n_ellipsis.cast("bigint")).alias("n_sym"),
+        n_alpha.alias("n_alpha"),
+        n_required.alias("n_required"),
+    )
+    rep = doc_repetition_stats(spark, sf_dir).select(
+        "doc_id", "n_trigrams", "dup_trigram_frac", "top_bigram_frac"
+    )
+    # recompute the repetition predicates from integer counts (the frac
+    # columns are display-rounded); reuse the same explode plans inline.
+    f3 = base.filter(F.size("ts") >= 3)
+    tri = f3.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', "
+                "element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    tstats = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("g").alias("d_tri"),
+    )
+    bi = f3.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', "
+                "element_at(ts, i), element_at(ts, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    btop = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi"), F.sum("c").alias("n_bi"))
+    )
+    joined = per_doc.join(tstats, "doc_id", "left").join(btop, "doc_id", "left")
+    wc_ok = (F.col("n_tokens") >= GOPHER_MIN_WORDS) & (
+        F.col("n_tokens") <= GOPHER_MAX_WORDS
+    )
+    wordlen_ok = (F.col("n_nonspace") >= 3 * F.col("n_tokens")) & (
+        F.col("n_nonspace") <= 10 * F.col("n_tokens")
+    )
+    symbol_ok = F.col("n_sym") * 10 <= F.col("n_tokens")
+    alpha_ok = F.col("n_alpha") * 5 >= F.col("n_tokens") * 4
+    stopword_ok = F.col("n_required") >= 2
+    # docs with < 3 tokens have no n-grams: repetition rules vacuously pass
+    rep_tri_ok = F.coalesce(
+        (F.col("n_tri") - F.col("d_tri")) * 10 <= 3 * F.col("n_tri"),
+        F.lit(True),
+    )
+    rep_bi_ok = F.coalesce(
+        F.col("top_bi") * 5 <= F.col("n_bi"), F.lit(True)
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        wc_ok.cast("int").alias("wc_ok"),
+        wordlen_ok.cast("int").alias("wordlen_ok"),
+        symbol_ok.cast("int").alias("symbol_ok"),
+        alpha_ok.cast("int").alias("alpha_ok"),
+        stopword_ok.cast("int").alias("stopword_ok"),
+        rep_bi_ok.cast("int").alias("rep_bigram_ok"),
+        rep_tri_ok.cast("int").alias("rep_trigram_ok"),
+        (
+            wc_ok & wordlen_ok & symbol_ok & alpha_ok & stopword_ok
+            & rep_bi_ok & rep_tri_ok
+        ).cast("int").alias("gopher_ok"),
+    )
+
+
+# --- bigram LM scoring (CCNet-style LM filter, one order up from unigram) ---
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the mean negative log-probability of its
+    token bigrams under a Laplace-smoothed bigram LM trained on the corpus
+    itself — the next step up from :func:`unigram_logprob_score` toward the
+    CCNet/KenLM perplexity filter (Wenzek et al. 2020): repetitive
+    boilerplate scores LOW (predictable transitions), shuffled/noisy text
+    scores HIGH, and the unigram scorer can't tell them apart.
+
+    p(b|a) = (c(a,b) + 1) / (c(a·) + V),  V = corpus vocabulary size.
+
+    Scale shape: one bigram explode (in-row transform, no join), staged
+    and consumed twice — once into the two count tables (map-side
+    combinable), once into the scoring join. The bigram dictionary is
+    vocabulary-bounded (≤ V², empirically ~Heaps-linear in corpus size),
+    joined BY KEY — a keyed shuffle of (a, b, count) rows, never text;
+    the unigram context table is broadcast. Per-doc reduction follows the
+    proven decimal-fold determinism recipe (DECIMAL(28,16) sum, round 6).
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("ts")).filter(F.size("ts") >= 2)
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), i -> named_struct("
+                "'a', element_at(ts, i), 'b', element_at(ts, i + 1)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pairs = stage(pairs)  # consumed three times: c_ab, c_a, scoring join
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    v = int(
+        docs.select(F.explode(_toks()).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()[0]["v"]
+    )
+    neg_lp = -F.log(
+        (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.lit(v))
+    )
+    scored = (
+        pairs.join(cab, ["a", "b"])
+        .join(F.broadcast(ca), "a")
+        .select("doc_id", neg_lp.alias("nlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nlp").cast("decimal(28,16)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
 QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "pmi_collocations": pmi_collocations,
@@ -881,6 +1066,8 @@ QUERIES = {
     "quality_filter_funnel": quality_filter_funnel,
     "quality_band_sample": quality_band_sample,
     "token_frequency_spectrum": token_frequency_spectrum,
+    "gopher_quality_rules": gopher_quality_rules,
+    "bigram_logprob_score": bigram_logprob_score,
 }
 
 ORACLE = {
@@ -1298,4 +1485,78 @@ ORACLE["quality_filter_funnel"] = rf"""
            CAST(SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END)
                AS BIGINT) AS kept_docs
     FROM reasons GROUP BY lang
+"""
+
+_DUCK_REQ = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+
+ORACLE["gopher_quality_rules"] = rf"""
+    WITH base AS (SELECT doc_id, text, {_DUCK_TOKS} AS ts FROM documents),
+    per_doc AS (
+        SELECT doc_id,
+               len(ts) AS n_tokens,
+               length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+               length(regexp_replace(text, '[^#]', '', 'g'))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_sym,
+               len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                   AS n_alpha,
+               len(list_filter([{_DUCK_REQ}], w -> list_contains(ts, w)))
+                   AS n_required
+        FROM base
+    ),
+    f AS (SELECT * FROM base WHERE len(ts) >= 3),
+    tri AS (SELECT doc_id, unnest({_DUCK_TRI}) AS g FROM f),
+    tstats AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS d_tri
+               FROM tri GROUP BY 1),
+    bi AS (SELECT doc_id, unnest({_DUCK_BI}) AS g FROM f),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    btop AS (SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bi
+             FROM bc GROUP BY 1)
+    SELECT p.doc_id, p.n_tokens,
+        CASE WHEN p.n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             THEN 1 ELSE 0 END AS wc_ok,
+        CASE WHEN p.n_nonspace >= 3 * p.n_tokens
+              AND p.n_nonspace <= 10 * p.n_tokens
+             THEN 1 ELSE 0 END AS wordlen_ok,
+        CASE WHEN p.n_sym * 10 <= p.n_tokens THEN 1 ELSE 0 END AS symbol_ok,
+        CASE WHEN p.n_alpha * 5 >= p.n_tokens * 4 THEN 1 ELSE 0 END
+            AS alpha_ok,
+        CASE WHEN p.n_required >= 2 THEN 1 ELSE 0 END AS stopword_ok,
+        CASE WHEN b.doc_id IS NULL OR b.top_bi * 5 <= b.n_bi
+             THEN 1 ELSE 0 END AS rep_bigram_ok,
+        CASE WHEN t.doc_id IS NULL OR (t.n_tri - t.d_tri) * 10 <= 3 * t.n_tri
+             THEN 1 ELSE 0 END AS rep_trigram_ok,
+        CASE WHEN p.n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND p.n_nonspace >= 3 * p.n_tokens
+              AND p.n_nonspace <= 10 * p.n_tokens
+              AND p.n_sym * 10 <= p.n_tokens
+              AND p.n_alpha * 5 >= p.n_tokens * 4
+              AND p.n_required >= 2
+              AND (b.doc_id IS NULL OR b.top_bi * 5 <= b.n_bi)
+              AND (t.doc_id IS NULL OR (t.n_tri - t.d_tri) * 10 <= 3 * t.n_tri)
+             THEN 1 ELSE 0 END AS gopher_ok
+    FROM per_doc p
+    LEFT JOIN tstats t USING (doc_id)
+    LEFT JOIN btop b USING (doc_id)
+"""
+
+ORACLE["bigram_logprob_score"] = rf"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    f AS (SELECT * FROM base WHERE len(ts) >= 2),
+    idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM f),
+    pairs AS (SELECT doc_id, ts[CAST(i AS INT)] AS a,
+                     ts[CAST(i AS INT) + 1] AS b FROM idx),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+    ca AS (SELECT a, COUNT(*) AS c_a FROM pairs GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT t) AS v FROM (
+        SELECT unnest({_DUCK_TOKS}) AS t FROM documents)),
+    scored AS (
+        SELECT k.doc_id,
+               -ln(CAST(cab.c_ab + 1 AS DOUBLE) / (ca.c_a + tot.v)) AS nlp
+        FROM pairs k JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*),
+                 6) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
 """

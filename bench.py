@@ -153,6 +153,8 @@ HEADLINE = [
     "pmi_collocations",       # bigram PMI: one agg + broadcast dicts, top-k
     "dedup_exact_substrings", # Lee-et-al maximal ≥50-token duplicated spans
     "ann_ivf_pq_cosine",      # IVF-PQ: 8-byte codes + ADC + exact refine
+    "gopher_quality_rules",   # canonical rule flags + repetition joins
+    "bigram_logprob_score",   # bigram-LM scoring (keyed dict join + fold)
 ]
 
 

@@ -491,3 +491,81 @@ def test_ann_ivf_pq_refine_recovers_recall(spark):
         assert pq[key] == bf[key], (key, pq[key], bf[key])
     for r in pq_rows:
         assert 1 <= r["rank"] <= similarity.TOP_K
+
+
+def test_gopher_rules_doctored_docs(spark, tmp_path):
+    """Each Gopher rule must trip on a doc doctored to violate exactly it:
+    short doc -> wc, alternating boilerplate -> both repetition rules,
+    stopword-free doc -> stopword, hash soup -> symbol; the clean doc
+    passes everything."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        gopher_quality_rules,
+    )
+
+    clean = "the a " + " ".join(f"tok{i}" for i in range(58))
+    short = "the a " + " ".join(f"tok{i}" for i in range(8))
+    repet = "the a " + "spam ham " * 30
+    nostop = " ".join(f"word{i}" for i in range(60))
+    symsoup = "the a " + " ".join(
+        "###" if i % 5 == 0 else f"sym{i}" for i in range(58)
+    )
+    docs = [(0, clean), (1, short), (2, repet), (3, nostop), (4, symsoup)]
+    spark.createDataFrame(
+        [(i, "en", "srcT", t, len(t)) for i, t in docs],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        r["doc_id"]: r for r in gopher_quality_rules(spark, str(tmp_path)).collect()
+    }
+    flags = (
+        "wc_ok", "wordlen_ok", "symbol_ok", "alpha_ok", "stopword_ok",
+        "rep_bigram_ok", "rep_trigram_ok", "gopher_ok",
+    )
+    assert [rows[0][f] for f in flags] == [1] * 8, rows[0]
+    assert (rows[1]["wc_ok"], rows[1]["gopher_ok"]) == (0, 0)
+    assert (
+        rows[2]["rep_bigram_ok"],
+        rows[2]["rep_trigram_ok"],
+        rows[2]["gopher_ok"],
+    ) == (0, 0, 0)
+    assert (rows[3]["stopword_ok"], rows[3]["gopher_ok"]) == (0, 0)
+    assert (rows[4]["symbol_ok"], rows[4]["gopher_ok"]) == (0, 0)
+    # the violations are surgical: every OTHER flag on the doctored docs
+    # stays 1 (each doc trips only its targeted rule set)
+    assert [rows[1][f] for f in flags[1:-1]] == [1] * 6, rows[1]
+    assert [rows[3][f] for f in ("wc_ok", "wordlen_ok", "symbol_ok", "alpha_ok",
+                                 "rep_bigram_ok", "rep_trigram_ok")] == [1] * 6
+
+
+def test_bigram_scorer_separates_repetition_from_noise(spark, tmp_path):
+    """The docstring's discriminative-power claim, verified: two docs with
+    IDENTICAL token multisets (so the unigram scorer ties them exactly)
+    must separate under the bigram LM — the doc with corpus-typical
+    transitions scores low, the order-shuffled doc with never-seen
+    transitions scores high."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    patterned = " ".join(["red blue green yellow"] * 5)  # 20 tokens
+    sorted_runs = " ".join(
+        ["red"] * 5 + ["blue"] * 5 + ["green"] * 5 + ["yellow"] * 5
+    )  # same multiset, novel transitions
+    docs = [(i, patterned) for i in range(10)] + [(10, sorted_runs)]
+    spark.createDataFrame(
+        [(i, "en", "srcB", t, len(t)) for i, t in docs],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    uni = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in unigram_logprob_score(spark, str(tmp_path)).collect()
+    }
+    assert uni[0] == uni[10], "unigram scorer must tie identical multisets"
+    bi = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_logprob_score(spark, str(tmp_path)).collect()
+    }
+    assert bi[10] > bi[0] + 1.0, (bi[0], bi[10])

@@ -24,6 +24,7 @@ from awscommunityday_2025_iceberg_snowfalke_spark.operators import (
 # NOT registry entries (helper functions, schema columns, Spark APIs)
 _COVERAGE_NON_ENTRIES = {
     "ext_user_events",  # temp-view name in the external-scan narrative
+    "gopher_ok",  # composite flag column of gopher_quality_rules
     "kmeans_ivf_cells",  # helper behind kmeans_ivf_train
     "l_commitdate",  # TPC-H column the driver schema lacks
     "refresh_incremental",  # MaterializedView method

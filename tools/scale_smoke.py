@@ -104,6 +104,8 @@ DOC_QUERIES = [
     "benchmark_contamination_substrings",  # eval-bounded broadcast screen
     "ann_ivf_pq_cosine",     # PQ codes + ADC + bounded exact refine
     "embedding_pq_codes",    # map-only PQ encode artifact
+    "gopher_quality_rules",  # map-side rules + doc-keyed repetition joins
+    "bigram_logprob_score",  # bigram explode + keyed dict join + decimal fold
 ]
 
 
