@@ -914,6 +914,50 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_b_bit_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW 2010): store only the
+    LOWEST BIT of each of the 16 minhash values — 2 bytes per doc instead
+    of 128 — and estimate Jaccard from the 1-bit agreement count A₁ as
+    Ĵ = 2·(A₁/k) − 1 (for b=1, E[A₁/k] = J + (1−J)/2, so the linear
+    correction debiases it; the paper's eq. 13 at b=1 for unrelated
+    docs). The companion table to `minhash_estimate_accuracy`: for every
+    verified near-dup pair, the 1-bit estimate next to the full 16-hash
+    estimate and the exact shingle Jaccard — the evidence a 100 TB
+    deployment reads before trading 64× signature storage for estimator
+    variance. Integer bit-agreement counts; both estimates are exact
+    binary divisions (k = 16), bit-portable by construction. Cost: the
+    same two signature joins over the verified pair set as the 16-hash
+    accuracy entry — signatures and pairs are memoized artifacts."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sig = _minhash_signatures(_shingles(spark, sf_dir))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[(F.col(f"m{i}") % 2).alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[(F.col(f"m{i}") % 2).alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    eq = None
+    for i in range(N_HASHES):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        eq = term if eq is None else eq + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            eq.alias("eq_bits"),
+            # 2·(A/16) − 1 = (2A − 16)/16: exact binary division
+            ((eq * 2 - N_HASHES).cast("double") / N_HASHES).alias(
+                "est_1bit_jaccard"
+            ),
+            "jaccard",
+        )
+    )
+
+
 # --- edit-distance verification of LSH candidates ---------------------------
 EDITDIST_PREFIX = 512  # chars compared per doc — bounds O(L²) per pair
 EDITDIST_SIM_X = (1, 5)  # keep pairs with lev·5 ≤ max_len (≥80% similar)
@@ -1516,6 +1560,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "jaccard_threshold_sweep": jaccard_threshold_sweep,
     "minhash_estimate_accuracy": minhash_estimate_accuracy,
+    "minhash_b_bit_accuracy": minhash_b_bit_accuracy,
     "dedup_editdist_verify": dedup_editdist_verify,
     "dedup_keep_best_quality": dedup_keep_best_quality,
     "source_overlap_matrix": source_overlap_matrix,
@@ -1890,6 +1935,38 @@ ORACLE["minhash_estimate_accuracy"] = f"""
     SELECT v.doc_a, v.doc_b,
            CAST({_EQ16} AS INT) AS eq_hashes,
            CAST({_EQ16} AS DOUBLE) / {N_HASHES} AS est_jaccard,
+           v.jaccard
+    FROM verified v
+    JOIN sig a ON v.doc_a = a.doc_id
+    JOIN sig b ON v.doc_b = b.doc_id
+"""
+
+_EQ16_B1 = " + ".join(
+    f"(CASE WHEN a.m{i} % 2 = b.m{i} % 2 THEN 1 ELSE 0 END)"
+    for i in range(N_HASHES)
+)
+
+ORACLE["minhash_b_bit_accuracy"] = f"""
+    {_duck_lsh_cand_cte()},
+    shared AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               sa.n AS na, sb.n AS nb, COUNT(*) AS shared
+        FROM sh sa JOIN sh sb ON sa.sh_h = sb.sh_h AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(s.shared AS DOUBLE) / (s.na + s.nb - s.shared), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+        WHERE s.shared * {JACCARD_X[1]}
+              >= {JACCARD_X[0]} * (s.na + s.nb - s.shared)
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST({_EQ16_B1} AS INT) AS eq_bits,
+           CAST(2 * ({_EQ16_B1}) - {N_HASHES} AS DOUBLE) / {N_HASHES}
+               AS est_1bit_jaccard,
            v.jaccard
     FROM verified v
     JOIN sig a ON v.doc_a = a.doc_id

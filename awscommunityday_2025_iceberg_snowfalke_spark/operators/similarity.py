@@ -103,6 +103,48 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.30  # cosine radius for range search (≈ top 1% of this corpus)
+
+
+def ann_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search — all corpus vectors within a similarity radius
+    of each query, the retrieval mode dedup/contamination screens use
+    (every match matters, not just the k best; FAISS `range_search`).
+    Same plan as the brute-force top-k baseline minus the window: the
+    query batch broadcasts, the corpus streams map-side through the dot
+    product, and the radius filter replaces the per-query sort — so range
+    search is strictly CHEAPER than top-k at scale (no rank exchange at
+    all; the IVF route composes the same way via cell pruning).
+
+    Determinism: `cos_raw` is the identical double on both engines (the
+    left-to-right fold recipe), and τ is a literal — comparing identical
+    doubles to a literal cannot diverge (ROUND8_NOTES audit class). The
+    rounded cosine stays display-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q")
+    ).withColumn("nq", _norm(F.col("q")))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("e")
+    ).withColumn("ne", _norm(F.col("e")))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    return scored.filter(F.col("cos_raw") >= F.lit(RANGE_TAU)).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_raw", 8).alias("cosine_sim"),
+    )
+
+
 # --- kNN-graph hubness diagnostic -------------------------------------------
 def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree distribution of the kNN graph — the HUBNESS diagnostic
@@ -1472,6 +1514,7 @@ def knn_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "ann_range_search_cosine": ann_range_search_cosine,
     "knn_graph_degree_stats": knn_graph_degree_stats,
     "knn_pandas_cosine": knn_pandas_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -1664,6 +1707,15 @@ ORACLE = {
 
 # the Arrow/numpy twin must produce byte-identical top-k after round-8
 ORACLE["knn_pandas_cosine"] = ORACLE["knn_bruteforce_cosine"]
+
+ORACLE["ann_range_search_cosine"] = f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_DUCK_COS.format(a="q.embedding", b="c.embedding")}, 8)
+               AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND {_DUCK_COS.format(a="q.embedding", b="c.embedding")} >= {RANGE_TAU}
+"""
 
 ORACLE["knn_graph_degree_stats"] = f"""
     WITH knn AS ({ORACLE["knn_bruteforce_cosine"]}),

@@ -579,9 +579,14 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- DSIR importance weighting (hashed n-gram log-ratio) --------------------
 DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
+# admission threshold on the MEAN PER-TOKEN log importance: sits between
+# the target slice's per-token mean (≈ −0.044 on this corpus) and the
+# non-target languages' (≈ −0.047 … −0.049); exact decimal literal so the
+# admit predicate is a decimal-vs-decimal compare
+DSIR_ADMIT_TAU = "-0.046"
 
 
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
     the log importance ratio ln p_target(x) − ln p_raw(x) under hashed
@@ -619,14 +624,65 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("raw_c") + 1).cast("double") / F.lit(float(n_raw + DSIR_BUCKETS))
     )
     weights = counts.select("bkt", w.alias("w"))
+    # per-doc UNROUNDED decimal sum: exact cross-engine (decimal-sum
+    # recipe), so consumers may filter/rank on w_sum directly; the rounded
+    # double is applied display-side in dsir_importance_weights only
     return (
         toks.join(F.broadcast(weights), "bkt")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(F.col("w").cast("decimal(28,16)")).cast("double"), 6
-            ).alias("log_importance"),
+            F.sum(F.col("w").cast("decimal(28,16)")).alias("w_sum"),
+        )
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR log importance ratio (see ``_dsir_doc_scores`` for the
+    model construction and the scale argument)."""
+    return _dsir_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("w_sum").cast("double"), 6).alias("log_importance"),
+    )
+
+
+def dsir_select_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION step of DSIR: admit documents whose MEAN PER-TOKEN
+    log importance ratio clears the admission threshold τ, and report the
+    per-language composition shift. (The paper resamples ∝ exp(w);
+    thresholding the length-normalized score is the deterministic
+    top-mass variant a pipeline can re-run byte-identically — raw w_sum
+    is length-biased: long docs accumulate more of the Laplace-smoothing
+    penalty, so every absolute score is negative and incomparable across
+    lengths. It needs NO global sort: the admit decision is a map-side
+    predicate, zero exchanges beyond the scoring core's own.) Output is
+    |langs| rows: corpus vs admitted docs/tokens and exact-ratio admit
+    shares — the en slice (the DSIR target) is admitted at ~1.6–1.9× the
+    rate of other languages on this corpus (the hashed-BoW signal is
+    real but soft at 1024 buckets). Determinism: admit iff
+    w_sum > τ·n_tokens with τ an exact DECIMAL literal — a
+    decimal-vs-decimal compare, no division, no double in the
+    decision."""
+    s = _dsir_doc_scores(spark, sf_dir)
+    sel = (
+        F.col("w_sum")
+        > F.col("n_tokens") * F.expr(f"CAST({DSIR_ADMIT_TAU} AS DECIMAL(6,3))")
+    ).cast("long")
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(sel).alias("admitted_docs"),
+            F.sum(F.col("n_tokens") * sel).alias("admitted_tokens"),
+        )
+        .withColumn(
+            "admit_doc_share", _ratio6(F.col("admitted_docs"), F.col("n_docs"))
+        )
+        .withColumn(
+            "admit_token_share",
+            _ratio6(F.col("admitted_tokens"), F.col("n_tokens")),
         )
     )
 
@@ -752,6 +808,75 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE tokenizer application (fixed merge artifact) ------------------------
+# The frozen tokenizer artifact: the first 8 merges learned by running the
+# standard BPE trainer (count adjacent symbol pairs over word frequencies,
+# merge the argmax, repeat) over this corpus's [a-z] word stream —
+# `bpe_first_merges` is iteration 1 of exactly that loop. Merge 6
+# ('m','er') composes a previously-merged symbol, so application order is
+# load-bearing, as in a real tokenizer. Production never re-trains per
+# query: the merge table is a release artifact, applied everywhere.
+BPE_MERGES = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+)
+
+
+def bpe_encode_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the frozen 8-merge tokenizer artifact to every
+    document and report the per-doc token accounting (chars, whitespace
+    words, BPE symbols, exact chars-per-token ratio). This is the
+    tokenize step every training-data pipeline runs corpus-wide before
+    packing; `token_stats`'s BPE-token ESTIMATE calibrates against this
+    exact count.
+
+    Mechanics: each word is exploded to spaced symbols ('h e l l o'),
+    then each merge (a,b) rewrites ' a b '→' ab ' as TWO left-to-right
+    non-overlapping replace passes in priority order (two passes close
+    the boundary-sharing case — in ' e r e r ' the first pass's match
+    consumes the middle space, hiding the second occurrence; the
+    restored delimiters expose it to pass two). String `replace` scans
+    identically in Spark and DuckDB, so the encoding is bit-identical
+    cross-engine; all outputs are integers plus one exact `_ratio6`.
+
+    Scale: pure map-side codegen string expressions inside `transform`
+    over the in-row word array — zero joins, zero shuffles, no UDF; the
+    merge table rides in the expression tree as literals (a real 30k-merge
+    vocab would move to a broadcast trie inside an Arrow-batched
+    `mapInPandas`, the multimodal-encoder shape — same plan, zero
+    exchanges either way)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+
+    def _encode(w):
+        s = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in BPE_MERGES:
+            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            s = F.replace(F.replace(s, pat, rep), pat, rep)
+        return F.size(F.split(F.trim(s), " "))
+
+    n_bpe = F.aggregate(
+        F.transform(words, _encode),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_az = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        n_az.alias("n_az_chars"),
+        n_bpe.alias("n_bpe_tokens"),
+    ).withColumn(
+        "chars_per_token", _ratio6(F.col("n_az_chars"), F.col("n_bpe_tokens"))
+    )
+
+
 # --- log2-bucketed length distribution ---------------------------------------
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length distribution per language — the
@@ -771,6 +896,62 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --- robust length outliers (median / MAD) -----------------------------------
+MAD_K = 5  # flag docs with |n_chars − median| > MAD_K · MAD
+
+
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier detection — median/MAD instead
+    of mean/stddev, the estimator pair that survives the very outliers it
+    hunts (a handful of concatenation-bug megadocs shift a mean/σ fence
+    far enough to hide themselves; the median and the median absolute
+    deviation have 50% breakdown). The standard curation screen for
+    truncated shards and runaway concatenations before they skew packing
+    and token budgets.
+
+    Determinism: interpolated medians of integers land on halves, so the
+    table carries 2·median and 2·MAD-of-2·deviations (= 4·MAD) as exact
+    BIGINTs, and the outlier predicate is the pure-integer cross-product
+    2·dev_x2 > MAD_K·mad_x4 — equivalent to |x − med| > MAD_K·MAD with no
+    double anywhere in the decision (the corpus predicate rule). Both
+    engines interpolate percentile(0.5) as (a+b)/2 — exact in IEEE.
+
+    Scale: two grouped EXACT percentiles over a narrow (lang, n_chars)
+    projection plus one broadcast join of |langs| medians — column-pruned
+    scans, map-side outlier flagging, |langs|-row output. At 100 TB the
+    exact per-group percentile (which materializes each group's values)
+    swaps for approx_percentile with an ε bound — the plan shape is
+    unchanged; exact is kept here for oracle parity (the
+    `value_percentiles` precedent)."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        (F.percentile("n_chars", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("med_x2")
+    )
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "dev_x2", F.abs(F.col("n_chars") * 2 - F.col("med_x2"))
+    )
+    mad = dev.groupBy("lang").agg(
+        (F.percentile("dev_x2", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med_x2").alias("med_x2"),  # constant within the group
+            F.max("mad_x4").alias("mad_x4"),
+            F.sum(
+                (F.col("dev_x2") * 2 > F.col("mad_x4") * MAD_K).cast("long")
+            ).alias("n_outliers"),
+            F.max("dev_x2").alias("max_dev_x2"),
         )
     )
 
@@ -1052,7 +1233,9 @@ QUERIES = {
     "source_quality_report": source_quality_report,
     "lang_char_entropy": lang_char_entropy,
     "doc_length_histogram": doc_length_histogram,
+    "doc_length_outliers": doc_length_outliers,
     "bpe_first_merges": bpe_first_merges,
+    "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -1063,6 +1246,7 @@ QUERIES = {
     "text_redact_pii": text_redact_pii,
     "unigram_logprob_score": unigram_logprob_score,
     "dsir_importance_weights": dsir_importance_weights,
+    "dsir_select_threshold": dsir_select_threshold,
     "quality_filter_funnel": quality_filter_funnel,
     "quality_band_sample": quality_band_sample,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -1453,6 +1637,106 @@ ORACLE["dsir_importance_weights"] = rf"""
                AS log_importance
     FROM b JOIN w USING (bkt)
     GROUP BY b.doc_id
+"""
+
+def _duck_bpe_encode(var: str) -> str:
+    """The DuckDB twin of ``_encode`` — generated from the SAME
+    ``BPE_MERGES`` tuple so the two engines can never drift."""
+    s = f"' ' || regexp_replace({var}, '(.)', '\\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    return f"len(string_split(trim({s}), ' '))"
+
+
+ORACLE["bpe_encode_fixed_merges"] = f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                   w -> w <> '') AS words
+        FROM documents
+    ),
+    enc AS (
+        SELECT doc_id, lang,
+               CAST(len(words) AS INT) AS n_words,
+               CAST(list_sum(list_transform(words, w -> length(w)))
+                    AS BIGINT) AS n_az_chars,
+               CAST(list_sum(list_transform(words,
+                    w -> {_duck_bpe_encode("w")})) AS BIGINT) AS n_bpe_tokens
+        FROM w
+    )
+    SELECT doc_id, lang, n_words, n_az_chars, n_bpe_tokens,
+           {_duck_ratio6("n_az_chars", "n_bpe_tokens")} AS chars_per_token
+    FROM enc
+"""
+
+ORACLE["doc_length_outliers"] = f"""
+    WITH med AS (
+        SELECT lang, CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med_x2
+        FROM documents GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.lang, m.med_x2,
+               ABS(2 * d.n_chars - m.med_x2) AS dev_x2
+        FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (
+        SELECT lang, CAST(2 * quantile_cont(dev_x2, 0.5) AS BIGINT) AS mad_x4
+        FROM dev GROUP BY lang
+    )
+    SELECT v.lang, COUNT(*) AS n_docs,
+           MAX(v.med_x2) AS med_x2, MAX(a.mad_x4) AS mad_x4,
+           CAST(SUM(CASE WHEN v.dev_x2 * 2 > a.mad_x4 * {MAD_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           MAX(v.dev_x2) AS max_dev_x2
+    FROM dev v JOIN mad a USING (lang)
+    GROUP BY v.lang
+"""
+
+ORACLE["dsir_select_threshold"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang, {_DUCK_TH} % {DSIR_BUCKETS} AS bkt,
+               CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS tgt
+        FROM toks
+    ),
+    counts AS (
+        SELECT bkt, COUNT(*) AS raw_c, SUM(tgt) AS tgt_c FROM b GROUP BY bkt
+    ),
+    tot AS (SELECT COUNT(*) AS n_raw, SUM(tgt) AS n_tgt FROM b),
+    w AS (
+        SELECT bkt,
+               ln((tgt_c + 1.0) / (n_tgt + {DSIR_BUCKETS}))
+             - ln((raw_c + 1.0) / (n_raw + {DSIR_BUCKETS})) AS w
+        FROM counts CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT b.doc_id, b.lang, COUNT(*) AS n_tokens,
+               SUM(CAST(w.w AS DECIMAL(28,16))) AS w_sum
+        FROM b JOIN w USING (bkt)
+        GROUP BY b.doc_id, b.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN w_sum > n_tokens *
+                    CAST({DSIR_ADMIT_TAU} AS DECIMAL(6,3)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS admitted_docs,
+           CAST(SUM(CASE WHEN w_sum > n_tokens *
+                    CAST({DSIR_ADMIT_TAU} AS DECIMAL(6,3)) THEN n_tokens
+                    ELSE 0 END) AS BIGINT) AS admitted_tokens,
+           {_duck_ratio6(
+               f"SUM(CASE WHEN w_sum > n_tokens * "
+               f"CAST({DSIR_ADMIT_TAU} AS DECIMAL(6,3)) THEN 1 ELSE 0 END)",
+               "COUNT(*)")} AS admit_doc_share,
+           {_duck_ratio6(
+               f"SUM(CASE WHEN w_sum > n_tokens * "
+               f"CAST({DSIR_ADMIT_TAU} AS DECIMAL(6,3)) THEN n_tokens "
+               f"ELSE 0 END)",
+               "SUM(n_tokens)")} AS admit_token_share
+    FROM per_doc GROUP BY lang
 """
 
 ORACLE["quality_filter_funnel"] = rf"""

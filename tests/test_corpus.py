@@ -569,3 +569,66 @@ def test_bigram_scorer_separates_repetition_from_noise(spark, tmp_path):
         for r in bigram_logprob_score(spark, str(tmp_path)).collect()
     }
     assert bi[10] > bi[0] + 1.0, (bi[0], bi[10])
+
+
+def test_doc_length_outliers_flags_megadoc(spark, tmp_path):
+    """The median/MAD fence must flag an injected concatenation-bug
+    megadoc while staying silent on the well-behaved base corpus — and
+    the megadoc must NOT move the fence itself (the robustness property
+    that motivates median/MAD over mean/stddev)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        doc_length_outliers,
+    )
+
+    # 20 well-behaved docs (lengths 100±10) + one 50_000-char megadoc
+    rows = [(i, "en", "src", "x" * (100 + i), 100 + i) for i in range(20)]
+    rows.append((99, "en", "src", "y" * 50_000, 50_000))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["lang"]: r for r in doc_length_outliers(spark, str(tmp_path)).collect()}
+    en = out["en"]
+    assert en["n_outliers"] == 1, en
+    # fence unmoved: median stays in the base band (2·median ≈ 2·110)
+    assert en["med_x2"] <= 2 * 120, en
+    assert en["max_dev_x2"] == 2 * 50_000 - en["med_x2"]
+
+
+def test_bpe_encode_matches_python_reference(spark, tmp_path):
+    """The two-pass-replace encoding must equal a symbol-level greedy BPE
+    reference (merge the pair left-to-right, priority order) on words
+    exercising every tricky case: composed merges (m+er on 'merger'),
+    boundary-sharing chains ('rerere', where a single replace pass would
+    miss the second overlap), multiple distinct merges per word, and
+    merge-free words."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_MERGES,
+        bpe_encode_fixed_merges,
+    )
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    text = "merger rerere stats lower hash vector atat stst"
+    expect = sum(ref_encode(w) for w in text.split())
+    spark.createDataFrame(
+        [(0, "en", "src", text, len(text))],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    row = bpe_encode_fixed_merges(spark, str(tmp_path)).collect()[0]
+    assert row["n_bpe_tokens"] == expect, (row["n_bpe_tokens"], expect)
+    assert row["n_words"] == 8 and row["n_az_chars"] == len(text) - 7
