@@ -161,6 +161,49 @@ def cube_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- GROUPING SETS (arbitrary grouping combinations) -------------------------
+def grouping_sets_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an EXPLICIT set list — ((type, dow), (type),
+    (dow)) but NOT the grand total: the case ROLLUP/CUBE can't express
+    (rollup is prefix-closed, cube is the full lattice; Snowflake and
+    Spark both expose the arbitrary-list clause, and this completes the
+    multi-dim grouping family next to `rollup_type_daily` /
+    `cube_type_band`). `grouping_id()` disambiguates which set produced a
+    row — the contract consumers pivot on, and it distinguishes a real
+    NULL group key from a rolled-up one.
+
+    dow is emitted Sunday=0 in BOTH engines (Spark dayofweek() is 1-based
+    Sunday-start, DuckDB EXTRACT(dow) 0-based — the −1 shim is the only
+    delta). Like rollup/cube this compiles to ONE Expand + one exchange —
+    each input row is replicated per grouping set map-side and aggregated
+    in a single pass; no per-set scan, no union of subqueries."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.col("value").cast(_DEC).alias("v"),
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"]],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v").cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "gid",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --- FULL OUTER reconciliation (completes the join-type matrix) --------------
 def daily_purchase_signup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchases vs signups, FULL OUTER joined on day — the
@@ -483,6 +526,7 @@ QUERIES = {
     "running_total_per_user": running_total_per_user,
     "rollup_type_daily": rollup_type_daily,
     "cube_type_band": cube_type_band,
+    "grouping_sets_type_dow": grouping_sets_type_dow,
     "grouping_sets_type_or_day": grouping_sets_type_or_day,
     "daily_purchase_signup_reconciliation": daily_purchase_signup_reconciliation,
     "pivot_user_event_values": pivot_user_event_values,
@@ -655,6 +699,20 @@ ORACLE = {
                           ELSE 'high' END AS value_band
               FROM events)
         GROUP BY CUBE(event_type, value_band)
+    """,
+    "grouping_sets_type_dow": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(dow, -1) AS dow,
+               CAST(GROUPING(event_type, dow) AS INT) AS gid,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 2)
+                   AS total_value
+        FROM (SELECT event_type,
+                     CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) AS INT)
+                         AS dow,
+                     value
+              FROM events)
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
     """,
     "daily_purchase_signup_reconciliation": """
         SELECT COALESCE(p.event_date, s.event_date) AS event_date,

@@ -317,9 +317,13 @@ def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
-    per_src = docs.select("source", n_tok.alias("n")).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n").alias("n_tokens"),
+    # staged: totals and the output both read the |sources|-row artifact,
+    # so the corpus scan+tokenize+agg runs once
+    per_src = stage(
+        docs.select("source", n_tok.alias("n")).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
     )
     totals = per_src.agg(
         F.sum("n_tokens").alias("total_tokens"),
@@ -334,6 +338,54 @@ def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.lit(1.0) / F.col("n_sources")) / share, 6
         ).alias("uniform_reweight"),
+    )
+
+
+def domain_temperature_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the multilingual/
+    multi-domain rebalancing rule (mT5/XLM-R style: sample domain s with
+    probability q_s ∝ p_s^α, α < 1 flattening the head so low-resource
+    domains are up-sampled without the uniform target's full distortion).
+    `doc_domain_mixture` reports the uniform-target factor; this is the
+    tunable middle ground every real mixture schedule uses.
+
+    α = 0.5 deliberately: p^0.5 = sqrt(p), and IEEE sqrt is CORRECTLY
+    ROUNDED (a kernel guarantee, unlike libm pow/exp) — so the scaled
+    weight is the identical double on both engines with no transcendental
+    in sight. Normalization sums the weights through DECIMAL(28,16) (the
+    corpus recipe), and every displayed ratio divides identical doubles —
+    deterministic; nothing here enters a predicate.
+
+    Scale: one map-side-combinable groupBy(source) over one scan plus two
+    broadcast 1-row totals joins — |domains| rows at any corpus size; the
+    weight table then broadcasts back into the sampler exactly like
+    `stratified_sample_docs`'s literal rate map."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    # |sources| rows, consumed three times (totals, weight sum, output) —
+    # staged so the corpus scan+tokenize+agg runs ONCE, not per consumer
+    per_src = stage(
+        docs.select("source", n_tok.alias("n")).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    weighted = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "w_dec", F.sqrt(p).cast("decimal(28,16)")
+    )
+    wsum = weighted.agg(F.sum("w_dec").alias("w_sum"))
+    q = F.col("w_dec").cast("double") / F.col("w_sum").cast("double")
+    return weighted.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(q, 6).alias("temp_weight"),
+        F.round(q / p, 6).alias("sample_factor"),
     )
 
 
@@ -641,6 +693,7 @@ QUERIES = {
     "cdc_latest_events": cdc_latest_events,
     "cdc_scd2_user_value": cdc_scd2_user_value,
     "doc_domain_mixture": doc_domain_mixture,
+    "domain_temperature_reweight": domain_temperature_reweight,
     "word_doc_frequency_topk": word_doc_frequency_topk,
     "doc_top_terms": doc_top_terms,
     "purchasers_without_errors": purchasers_without_errors,
@@ -761,6 +814,31 @@ ORACLE = {
                      / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
                    AS uniform_reweight
         FROM per_src CROSS JOIN tot
+    """,
+    "domain_temperature_reweight": r"""
+        WITH per_src AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        t -> t <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per_src),
+        weighted AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / total_tokens AS p,
+                   CAST(sqrt(CAST(n_tokens AS DOUBLE) / total_tokens)
+                        AS DECIMAL(28,16)) AS w_dec
+            FROM per_src CROSS JOIN tot
+        ),
+        ws AS (SELECT SUM(w_dec) AS w_sum FROM weighted)
+        SELECT source, n_docs, n_tokens,
+               ROUND(p, 6) AS token_share,
+               ROUND(CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE), 6)
+                   AS temp_weight,
+               ROUND((CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE)) / p, 6)
+                   AS sample_factor
+        FROM weighted CROSS JOIN ws
     """,
     "cdc_latest_events": """
         SELECT user_id, event_id, event_type,

@@ -450,3 +450,54 @@ def test_contamination_substrings_broadcast_screen(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert has_broadcast_join(df), "benchmark window set must broadcast"
+
+
+def test_grouping_sets_single_expand_single_exchange(spark):
+    """GROUPING SETS compiles to ONE Expand (map-side row replication per
+    set) feeding one keyed exchange — never a union of per-set scans."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import analytics
+
+    df = analytics.grouping_sets_type_dow(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert shuffle_count(df) <= 1
+    assert "Union" not in plan, "must not rewrite to a union of scans"
+
+
+def test_temperature_reweight_scans_corpus_once(spark):
+    """Temperature reweighting: the per-source aggregate is staged, so
+    the corpus scan runs ONCE — totals and the weight sum re-read the
+    |sources|-row artifact, and both ride broadcast 1-row cross joins."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import pipeline
+
+    df = pipeline.domain_temperature_reweight(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus scan ran once, eagerly, at stage() time: the final plan
+    # reads only the staged |sources|-row artifact
+    assert plan.count("documents.parquet") == 0, "corpus must not rescan"
+    assert "sparkgraft-stage" in plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_encode_map_only(spark):
+    """BPE encoding is a pure map-side expression pass: zero exchanges,
+    zero joins — the merge table lives in the expression tree."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.bpe_encode_fixed_merges(spark, SF_DIR)
+    assert shuffle_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_range_search_no_rank_exchange(spark):
+    """Range search must be strictly cheaper than top-k: broadcast query
+    batch, no window/rank exchange anywhere in the plan."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+
+    df = similarity.ann_range_search_cosine(spark, SF_DIR)
+    assert shuffle_count(df) == 0, "radius filter replaces the rank exchange"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, "query batch must broadcast"
+    assert "Window" not in plan
