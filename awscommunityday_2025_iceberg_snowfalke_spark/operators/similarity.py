@@ -145,6 +145,128 @@ def ann_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MMR diversified retrieval ----------------------------------------------
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_MU = 0.3  # diversity weight — a LITERAL, never computed as 1−λ
+#   (python 1−0.7 = 0.30000000000000004 ≠ the SQL literal 0.3; both
+#   engines and the UDF must use the same literal double)
+MMR_K = 5  # diversified picks per query
+MMR_SHORTLIST = 20  # relevance shortlist fed to the greedy stage
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    diversified top-k — greedily pick argmax λ·sim(q,d) − μ·max_{s∈S}
+    sim(d,s), so the result set trades raw relevance for coverage (the
+    re-rank every retrieval-augmented sampler runs after ANN, and the
+    antidote to near-dup-saturated neighbor lists).
+
+    Distributed shape: relevance shortlist (top-`MMR_SHORTLIST` per
+    query) via the existing broadcast-scored window; member-pair cosines
+    via a per-query self-join of the STAGED shortlist artifact (≤ N²
+    rows per query, all bounded by the shortlist — never corpus²); then
+    the inherently sequential greedy loop runs per query inside ONE
+    `applyInPandas` over ≤ N² pre-computed doubles — Python touches only
+    shortlist-sized state, never corpus rows, so the operator scales
+    with |queries|, not |corpus|.
+
+    Determinism: every similarity is computed by the codegen fold (the
+    bit-exact recipe) BEFORE Python; the UDF only does IEEE ±×
+    comparisons on those doubles with an id tiebreak, and the DuckDB twin
+    replays the same greedy via a recursive CTE over the same doubles —
+    score rounding is display-only, applied engine-side (not by python's
+    half-even `round`)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q")
+    ).withColumn("nq", _norm(F.col("q")))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("e")
+    ).withColumn("ne", _norm(F.col("e")))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
+                "rel"
+            ),
+            F.col("e").alias("v"),
+            F.col("ne").alias("nv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    # staged: the shortlist (with vectors) is consumed on BOTH sides of
+    # the pair self-join — unstaged, the corpus scan + window runs twice
+    short = stage(
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", "rel", "v", "nv")
+    )
+    a = short.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand"),
+        "rel",
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = short.select(
+        "query_id",
+        F.col("neighbor_id").alias("other"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("cand") != F.col("other"))
+        .select(
+            "query_id",
+            "cand",
+            "rel",
+            "other",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "sim"
+            ),
+        )
+    )
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        rels, sims = {}, {}
+        for r in pdf.itertuples(index=False):
+            rels[r.cand] = r.rel
+            sims[(r.cand, r.other)] = r.sim
+        qid = int(pdf["query_id"].iloc[0])
+        sel, rows = [], []
+        for step in range(1, MMR_K + 1):
+            best = None
+            for c in sorted(rels):  # ascending id = deterministic tiebreak
+                if c in sel:
+                    continue
+                pen = max((sims[(c, s)] for s in sel), default=0.0)
+                score = MMR_LAMBDA * rels[c] - MMR_MU * pen
+                if best is None or score > best[0]:
+                    best = (score, c)
+            sel.append(best[1])
+            rows.append((qid, step, best[1], best[0]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "mmr_rank", "neighbor_id", "mmr_score"]
+        )
+
+    out = pairs.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id long, mmr_rank int, neighbor_id long, mmr_score double",
+    )
+    return out.select(
+        "query_id",
+        "mmr_rank",
+        "neighbor_id",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
 # --- kNN-graph hubness diagnostic -------------------------------------------
 def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree distribution of the kNN graph — the HUBNESS diagnostic
@@ -1515,6 +1637,7 @@ def knn_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "ann_range_search_cosine": ann_range_search_cosine,
+    "mmr_diverse_topk": mmr_diverse_topk,
     "knn_graph_degree_stats": knn_graph_degree_stats,
     "knn_pandas_cosine": knn_pandas_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -1707,6 +1830,75 @@ ORACLE = {
 
 # the Arrow/numpy twin must produce byte-identical top-k after round-8
 ORACLE["knn_pandas_cosine"] = ORACLE["knn_bruteforce_cosine"]
+
+# MMR oracle: the same greedy replayed as a recursive CTE — one row per
+# (query, step); each iteration joins the remaining shortlist candidates,
+# scores them against the selected-so-far list (pair sims via a per-cand
+# MAP, list_max over the lookups), and QUALIFY-picks rn=1. Same doubles,
+# same id tiebreak, so the trajectories are identical.
+ORACLE["mmr_diverse_topk"] = f"""
+    WITH RECURSIVE scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="q.embedding", b="c.embedding")} AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_COS.format(a="q.embedding", b="c.embedding")}
+                            DESC, c.vec_id
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, rel FROM scored
+        WHERE rnk <= {MMR_SHORTLIST}
+    ),
+    prs AS (
+        SELECT a.query_id, a.neighbor_id AS cand, b.neighbor_id AS other,
+               {_DUCK_COS.format(a="ea.embedding", b="eb.embedding")} AS sim
+        FROM short a
+        JOIN short b ON a.query_id = b.query_id
+                    AND a.neighbor_id <> b.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    cands AS (
+        SELECT s.query_id, s.neighbor_id AS cand, s.rel, m.m
+        FROM short s
+        JOIN (
+            SELECT query_id, cand,
+                   MAP(list(other ORDER BY other),
+                       list(sim ORDER BY other)) AS m
+            FROM prs GROUP BY query_id, cand
+        ) m ON m.query_id = s.query_id AND m.cand = s.neighbor_id
+    ),
+    rec AS (
+        SELECT query_id, CAST([] AS BIGINT[]) AS sel, 0 AS step,
+               CAST(NULL AS BIGINT) AS pick, CAST(NULL AS DOUBLE) AS score
+        FROM (SELECT DISTINCT query_id FROM short)
+        UNION ALL
+        SELECT query_id, list_append(sel, cand), step + 1, cand, score
+        FROM (
+            SELECT r.query_id, r.sel, r.step, c.cand,
+                   {MMR_LAMBDA} * c.rel - {MMR_MU} * COALESCE(
+                       list_max(list_transform(r.sel, x -> c.m[x][1])), 0.0
+                   ) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.query_id
+                       ORDER BY {MMR_LAMBDA} * c.rel - {MMR_MU} * COALESCE(
+                           list_max(list_transform(r.sel, x -> c.m[x][1])),
+                           0.0) DESC,
+                           c.cand
+                   ) AS rn
+            FROM rec r
+            JOIN cands c ON c.query_id = r.query_id
+                        AND NOT list_contains(r.sel, c.cand)
+            WHERE r.step < {MMR_K}
+        ) WHERE rn = 1
+    )
+    SELECT query_id, step AS mmr_rank, pick AS neighbor_id,
+           ROUND(score, 6) AS mmr_score
+    FROM rec WHERE step >= 1
+"""
 
 ORACLE["ann_range_search_cosine"] = f"""
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -632,3 +632,48 @@ def test_bpe_encode_matches_python_reference(spark, tmp_path):
     row = bpe_encode_fixed_merges(spark, str(tmp_path)).collect()[0]
     assert row["n_bpe_tokens"] == expect, (row["n_bpe_tokens"], expect)
     assert row["n_words"] == 8 and row["n_az_chars"] == len(text) - 7
+
+
+def test_mmr_skips_near_duplicate_neighbors(spark, tmp_path):
+    """MMR must pull a moderately-relevant DIVERSE vector ahead of a
+    near-duplicate of the first pick, while plain relevance ranks the
+    duplicates first — the redundancy case the operator exists for.
+    Geometry: query=x; ids 1/2/3 ≈ 0.9-relevance near-dups of each other;
+    id 4 = 0.75-relevance but far from the dup cluster. λ=0.7/μ=0.3 →
+    after picking id 1, score(id 4) ≈ 0.41 > score(id 2) ≈ 0.33."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        mmr_diverse_topk,
+    )
+
+    def vec(*components):
+        v = [0.0] * 64
+        for idx, val in components:
+            v[idx] = val
+        return v
+
+    rows = [
+        (0, vec((0, 1.0)), 0),                      # the query (x axis)
+        (1, vec((0, 0.9), (2, 0.436)), 0),          # near-dup cluster
+        (2, vec((0, 0.9), (2, 0.435), (1, 0.001)), 0),
+        (3, vec((0, 0.9), (2, 0.434), (1, 0.002)), 0),
+        (4, vec((0, 0.75), (2, -0.66)), 1),         # diverse, rel 0.75
+        (5, vec((0, 0.2), (1, 0.98)), 2),           # low-rel fillers
+        (6, vec((0, 0.15), (1, 0.99)), 2),
+        (7, vec((0, 0.1), (1, 0.97)), 2),
+    ]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lb) for i, v, lb in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in mmr_diverse_topk(spark, str(tmp_path)).collect()
+    }
+    assert out[(0, 1)] in {1, 2, 3}, out  # a cluster member leads
+    assert out[(0, 2)] == 4, (
+        "diversity penalty must promote the far vector over the near-dups",
+        out,
+    )
+    # the remaining cluster members still beat the low-rel fillers
+    assert {out[(0, 3)], out[(0, 4)]} <= {1, 2, 3}, out
