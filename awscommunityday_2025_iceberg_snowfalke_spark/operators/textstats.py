@@ -900,6 +900,46 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- vocabulary OOV coverage -------------------------------------------------
+VOCAB_K = 1000  # fixed vocabulary size (top-k corpus tokens)
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language under a fixed top-`VOCAB_K`
+    frequency vocabulary — the coverage table a tokenizer release ships
+    (and the first thing checked when a new language or domain joins the
+    mix: a high OOV slice will fragment into byte-fallback tokens and
+    blow up its effective sequence length). Vocabulary selection is
+    deterministic: ORDER BY count DESC, token ASC, LIMIT — identical
+    boundary ties on both engines; the OOV flag is a null-check, so no
+    numeric enters any decision.
+
+    Scale shape: the token explode is staged and consumed twice (vocab
+    build + scoring); the vocab build is one map-side-combinable agg into
+    TakeOrderedAndProject (per-partition heap, never a global sort); the
+    k-row vocabulary broadcasts into a LEFT join on the token stream; the
+    report is a |langs|-group combinable agg."""
+    docs = load(spark, sf_dir, "documents")
+    toks = stage(docs.select("lang", F.explode(_toks()).alias("t")))
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(VOCAB_K)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    scored = toks.join(F.broadcast(vocab), "t", "left")
+    oov = F.col("in_v").isNull().cast("long")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+        )
+        .withColumn("oov_rate", _ratio6(F.col("n_oov"), F.col("n_tokens")))
+    )
+
+
 # --- robust length outliers (median / MAD) -----------------------------------
 MAD_K = 5  # flag docs with |n_chars − median| > MAD_K · MAD
 
@@ -1171,6 +1211,25 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- bigram LM scoring (CCNet-style LM filter, one order up from unigram) ---
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """Staged per-doc adjacent token pairs — the shared explode both
+    bigram LMs (Laplace and Kneser-Ney) build their count tables and
+    scoring joins on. In-row transform, no join; staged because every
+    consumer reads it 3-5 times."""
+    base = docs.select("doc_id", _toks().alias("ts")).filter(F.size("ts") >= 2)
+    return stage(
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), i -> named_struct("
+                    "'a', element_at(ts, i), 'b', element_at(ts, i + 1)))"
+                )
+            ).alias("p"),
+        ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+
+
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document by the mean negative log-probability of its
     token bigrams under a Laplace-smoothed bigram LM trained on the corpus
@@ -1190,17 +1249,7 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven decimal-fold determinism recipe (DECIMAL(28,16) sum, round 6).
     """
     docs = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _toks().alias("ts")).filter(F.size("ts") >= 2)
-    pairs = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ts) - 1), i -> named_struct("
-                "'a', element_at(ts, i), 'b', element_at(ts, i + 1)))"
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    pairs = stage(pairs)  # consumed three times: c_ab, c_a, scoring join
+    pairs = _bigram_pairs(docs)
     cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     ca = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
     v = int(
@@ -1226,6 +1275,59 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Kneser-Ney bigram LM scoring --------------------------------------------
+KN_DISCOUNT = 0.75  # absolute discount D — 3/4, exact in binary
+
+
+def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under an interpolated Kneser-Ney bigram LM —
+    the smoothing KenLM actually ships (Kneser & Ney 1995; Chen & Goodman
+    1999), one fidelity step past the Laplace twin: instead of a uniform
+    +1 prior, mass discounted from seen bigrams backs off to the
+    CONTINUATION unigram p_cont(b) = N1+(·b)/N1+(··) — "how many contexts
+    does b follow" — which correctly downweights tokens that are frequent
+    only inside one collocation (the 'francisco' effect).
+
+        p(b|a) = max(c(a,b) − D, 0)/c(a·) + (D·N1+(a·)/c(a·))·p_cont(b)
+
+    Scale shape: identical to `bigram_logprob_score` — the shared staged
+    pair explode feeds four map-side-combinable count tables (c_ab keyed;
+    c_a, N1+(a·), N1+(·b) vocabulary-bounded broadcasts; N1+(··) the one
+    scalar collect) and one keyed scoring join; per-doc reduction is the
+    decimal-fold recipe. Determinism: D and every count are exact; the
+    probability is a fixed tree of IEEE ops over identical doubles, and
+    ln rides the parity-probed recipe."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _bigram_pairs(docs)
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    n1a = pairs.groupBy("a").agg(F.countDistinct("b").alias("n1a"))
+    n1b = pairs.groupBy("b").agg(F.countDistinct("a").alias("n1b"))
+    t = int(cab.agg(F.count(F.lit(1)).alias("t")).collect()[0]["t"])
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("c_ab").cast("double") - d, F.lit(0.0))
+        / F.col("c_a").cast("double")
+        + ((d * F.col("n1a").cast("double")) / F.col("c_a").cast("double"))
+        * (F.col("n1b").cast("double") / F.lit(float(t)))
+    )
+    scored = (
+        pairs.join(cab, ["a", "b"])
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(n1a), "a")
+        .join(F.broadcast(n1b), "b")
+        .select("doc_id", (-F.log(p)).alias("nlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nlp").cast("decimal(28,16)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
 QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "pmi_collocations": pmi_collocations,
@@ -1234,6 +1336,7 @@ QUERIES = {
     "lang_char_entropy": lang_char_entropy,
     "doc_length_histogram": doc_length_histogram,
     "doc_length_outliers": doc_length_outliers,
+    "vocab_oov_rate": vocab_oov_rate,
     "bpe_first_merges": bpe_first_merges,
     "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
     "text_quality": text_quality,
@@ -1252,6 +1355,7 @@ QUERIES = {
     "token_frequency_spectrum": token_frequency_spectrum,
     "gopher_quality_rules": gopher_quality_rules,
     "bigram_logprob_score": bigram_logprob_score,
+    "kneser_ney_bigram_score": kneser_ney_bigram_score,
 }
 
 ORACLE = {
@@ -1671,6 +1775,25 @@ ORACLE["bpe_encode_fixed_merges"] = f"""
     FROM enc
 """
 
+ORACLE["vocab_oov_rate"] = rf"""
+    WITH toks AS (
+        SELECT lang, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    vocab AS (
+        SELECT t, 1 AS in_v FROM (
+            SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+            ORDER BY c DESC, t LIMIT {VOCAB_K}
+        )
+    )
+    SELECT lang, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           {_duck_ratio6("SUM(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END)",
+                         "COUNT(*)")} AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (t)
+    GROUP BY lang
+"""
+
 ORACLE["doc_length_outliers"] = f"""
     WITH med AS (
         SELECT lang, CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med_x2
@@ -1838,6 +1961,35 @@ ORACLE["bigram_logprob_score"] = rf"""
         SELECT k.doc_id,
                -ln(CAST(cab.c_ab + 1 AS DOUBLE) / (ca.c_a + tot.v)) AS nlp
         FROM pairs k JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*),
+                 6) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+"""
+
+ORACLE["kneser_ney_bigram_score"] = rf"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    f AS (SELECT * FROM base WHERE len(ts) >= 2),
+    idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM f),
+    pairs AS (SELECT doc_id, ts[CAST(i AS INT)] AS a,
+                     ts[CAST(i AS INT) + 1] AS b FROM idx),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+    ca AS (SELECT a, COUNT(*) AS c_a FROM pairs GROUP BY 1),
+    n1a AS (SELECT a, COUNT(DISTINCT b) AS n1a FROM pairs GROUP BY 1),
+    n1b AS (SELECT b, COUNT(DISTINCT a) AS n1b FROM pairs GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM cab),
+    scored AS (
+        SELECT k.doc_id,
+               -ln(
+                   GREATEST(CAST(cab.c_ab AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+                       / CAST(ca.c_a AS DOUBLE)
+                   + (({KN_DISCOUNT} * CAST(n1a.n1a AS DOUBLE))
+                       / CAST(ca.c_a AS DOUBLE))
+                   * (CAST(n1b.n1b AS DOUBLE) / CAST(tot.t AS DOUBLE))
+               ) AS nlp
+        FROM pairs k JOIN cab USING (a, b) JOIN ca USING (a)
+             JOIN n1a USING (a) JOIN n1b USING (b) CROSS JOIN tot
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*),

@@ -501,3 +501,25 @@ def test_range_search_no_rank_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, "query batch must broadcast"
     assert "Window" not in plan
+
+
+def test_vocab_oov_topk_heap_and_broadcast(spark):
+    """Vocabulary build must be TakeOrderedAndProject (per-partition heap),
+    and the k-row vocab must broadcast into the scoring join."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.vocab_oov_rate(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df), "vocab must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_kneser_ney_broadcasts_context_tables(spark):
+    """KN scoring: c_a / N1+(a.) / N1+(.b) are vocabulary-bounded and must
+    all broadcast; only the bigram table joins by key."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.kneser_ney_bigram_score(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:500]
