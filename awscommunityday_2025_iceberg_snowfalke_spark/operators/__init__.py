@@ -72,15 +72,20 @@ def _modules():
 # quota pair were driver-red on cross-engine numeric fragility).
 # r9 (this rotation) front-loads, per VERDICT r8 ask 1, the entries with
 # NO driver CORRECTNESS row yet plus the stalest vintage:
-# (a) the seven round-9 additions (exact-substring dedup family ×3,
-#     IVF-PQ family ×3, streaming MERGE upsert);
-# (b) the eighteen r8 extension additions, judge-certified in r8 but
+# (a) the NINETEEN round-9 additions (exact-substring dedup family ×3,
+#     IVF-PQ family ×3, streaming MERGE upsert, Gopher rules, bigram LM,
+#     b-bit minhash, range search, MMR, DSIR selection, length outliers,
+#     BPE encode, temperature reweight, GROUPING SETS, Kneser-Ney,
+#     vocab OOV);
+# (b) three entries CHANGED this round whose driver rows predate the
+#     change (minhash_lsh_pairs' integer predicate; the dsir/doc-mixture
+#     shared-core refactors);
+# (c) the eighteen r8 extension additions, judge-certified in r8 but
 #     never driver-sampled (COVERAGE.md's r9 queue);
-# (c) the eighteen r5-vintage entries whose only driver row is from r5
-#     (temporal joins, multimodal, lifecycle tails);
-# (d) seven r6-vintage spine entries (sources/streaming/governance/MV)
-#     as the longest-sampled backfill.
-# 7 + 18 + 18 + 7 = 50 exactly (test_registry pins the arithmetic).
+# (d) ten of the eighteen r5-vintage entries whose only driver row is
+#     from r5; the remaining five r5 + three multimodal + seven
+#     r6-vintage spine entries queue for r10 (list in COVERAGE.md).
+# 19 + 3 + 18 + 10 = 50 exactly (test_registry pins the arithmetic).
 _GATE_FRONT = (
     # (a) round-9 additions
     "dedup_exact_substrings",
@@ -90,7 +95,23 @@ _GATE_FRONT = (
     "ann_ivf_pq_recall_report",
     "embedding_pq_codes",
     "streaming_merge_upsert",
-    # (b) r8 extension additions, never driver-sampled
+    "gopher_quality_rules",
+    "bigram_logprob_score",
+    "minhash_b_bit_accuracy",
+    "ann_range_search_cosine",
+    "mmr_diverse_topk",
+    "dsir_select_threshold",
+    "doc_length_outliers",
+    "bpe_encode_fixed_merges",
+    "domain_temperature_reweight",
+    "grouping_sets_type_dow",
+    "kneser_ney_bigram_score",
+    "vocab_oov_rate",
+    # (b) changed this round — driver rows predate the change
+    "minhash_lsh_pairs",
+    "dsir_importance_weights",
+    "doc_domain_mixture",
+    # (c) r8 extension additions, never driver-sampled
     "dedup_editdist_verify",
     "minhash_estimate_accuracy",
     "dedup_keep_best_quality",
@@ -109,7 +130,7 @@ _GATE_FRONT = (
     "pseudonymized_join_audit",
     "streaming_cdc_latest_events",
     "unpivot_user_event_values",
-    # (c) r5-vintage, sampled only in r5
+    # (d) r5-vintage, sampled only in r5 (stalest ten)
     "cdc_latest_events",
     "word_doc_frequency_topk",
     "doc_top_terms",
@@ -120,22 +141,6 @@ _GATE_FRONT = (
     "asof_purchase_signup",
     "purchases_within_hour_of_signup",
     "multimodal_ingest",
-    "multimodal_audio_chunks",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "lifecycle_snapshot_counts",
-    "merge_upsert_events",
-    "zorder_clustering_report",
-    "schema_evolution_read",
-    "file_skipping_report",
-    # (d) r6-vintage spine backfill
-    "pyds_snapshot_scan",
-    "mv_daily_user_stats",
-    "dynamic_table_user_engagement",
-    "streaming_event_counts",
-    "small_file_lifecycle_report",
-    "query_history",
-    "masked_profiles",
 )
 
 
