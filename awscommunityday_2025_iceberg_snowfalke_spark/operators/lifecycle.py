@@ -345,6 +345,64 @@ class SnapshotTable:
             raise ValueError("empty table")
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def changelog(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
+        """Row-level CHANGELOG between two snapshots (Iceberg's changelog
+        scan / Delta's table_changes): emits ``change_type`` ∈ {insert,
+        delete, update_preimage, update_postimage} + the row. Computed the
+        way a table format computes it — from the MANIFEST FILE DIFF, not
+        a full two-version table diff: only files added/removed between
+        the versions are read (at 100 TB a changelog over a merge touches
+        the merge's rewritten files, not the table), then a keyed
+        full-outer join classifies rows; rows identical on both sides are
+        compaction-rewrite noise and drop out, so a pure compact commit
+        yields an EMPTY changelog (test-pinned)."""
+        mf, mt = self._manifest(v_from), self._manifest(v_to)
+        from_set, to_set = set(mf["files"]), set(mt["files"])
+        added = [f for f in mt["files"] if f not in from_set]
+        removed = [f for f in mf["files"] if f not in to_set]
+
+        def _read(files: list[str]) -> DataFrame | None:
+            if not files:
+                return None
+            paths = [os.path.join(self.path, "data", f) for f in files]
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+        a, r = _read(added), _read(removed)
+        ct = F.lit
+        if a is None and r is None:
+            base = self.read(version=v_to).limit(0)
+            return base.select(ct("none").alias("change_type"), "*").limit(0)
+        if r is None:
+            return a.select(ct("insert").alias("change_type"), "*")
+        if a is None:
+            return r.select(ct("delete").alias("change_type"), "*")
+        cols = [c for c in a.columns if c not in keys]
+        pa = F.struct(*[F.col(f"a.{c}") for c in cols])
+        pr = F.struct(*[F.col(f"r.{c}") for c in cols])
+        j = (
+            a.alias("a")
+            .withColumn("_pa", F.lit(1))
+            .join(
+                r.alias("r").withColumn("_pr", F.lit(1)),
+                keys,
+                "full_outer",
+            )
+        )
+        def _rows(tag, side, cond):
+            return j.filter(cond).select(
+                ct(tag).alias("change_type"),
+                *keys,
+                *[F.col(f"{side}.{c}").alias(c) for c in cols],
+            )
+
+        both = F.col("_pa").isNotNull() & F.col("_pr").isNotNull()
+        return (
+            _rows("insert", "a", F.col("_pr").isNull())
+            .unionByName(_rows("delete", "r", F.col("_pa").isNull()))
+            .unionByName(_rows("update_postimage", "a", both & (pa != pr)))
+            .unionByName(_rows("update_preimage", "r", both & (pa != pr)))
+        )
+
     # -- maintenance ---------------------------------------------------------
     def compact(
         self, target_files: int = 1, sort_by: list[str] | None = None
@@ -704,9 +762,44 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG scan between snapshots — the incremental-consumption
+    read path (Iceberg changelog / Delta CDF): v1 = cold append, v2 = hot
+    append, v3 = MERGE doubling ``value`` for every event from
+    ``_MERGE_CUT`` on; then ``changelog(1, 3)`` must classify hot rows as
+    inserts (at their FINAL, post-merge value) and the cold
+    ``[_MERGE_CUT, CUTOFF_7D)`` slice as update pre/post image pairs —
+    no deletes. The report aggregates per (change_type, event_type).
+
+    Scale: the changelog reads only files ADDED/REMOVED between the
+    manifests (the merge's rewrite scope), never the full table at either
+    version; rewrite-noise rows cancel via whole-row equality in the
+    keyed full-outer join (a pure compact commit therefore produces an
+    empty changelog — test-pinned)."""
+    ev = load(spark, sf_dir, "events")
+    cold_cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    src_cut = F.to_timestamp(F.lit(_MERGE_CUT))
+    tbl = make_table(spark, "chlog_")
+    tbl.append(ev.filter(F.col("ts") < cold_cut), n_files=8)
+    tbl.append(ev.filter(F.col("ts") >= cold_cut), n_files=8)
+    tbl.merge(
+        ev.filter(F.col("ts") >= src_cut).withColumn(
+            "value", F.col("value") * 2
+        ),
+        keys=["event_id"],
+        n_files=8,
+    )
+    ch = tbl.changelog(1, 3, keys=["event_id"])
+    return ch.groupBy("change_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        det_sum("value", 2).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "merge_upsert_events": merge_upsert_events,
+    "snapshot_changelog": snapshot_changelog,
     "zorder_clustering_report": zorder_clustering_report,
     "schema_evolution_read": schema_evolution_read,
     "file_skipping_report": file_skipping_report,
@@ -826,6 +919,25 @@ ORACLE = {
         SELECT 2, 'append', (SELECT COUNT(*) FROM events), 16
         UNION ALL
         SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
+    """,
+    "snapshot_changelog": f"""
+        WITH changes AS (
+            SELECT 'insert' AS change_type, event_type,
+                   CASE WHEN ts >= TIMESTAMP '{_MERGE_CUT}'
+                        THEN value * 2 ELSE value END AS value
+            FROM events WHERE ts >= {_TS7}
+            UNION ALL
+            SELECT 'update_postimage', event_type, value * 2
+            FROM events
+            WHERE ts >= TIMESTAMP '{_MERGE_CUT}' AND ts < {_TS7}
+            UNION ALL
+            SELECT 'update_preimage', event_type, value
+            FROM events
+            WHERE ts >= TIMESTAMP '{_MERGE_CUT}' AND ts < {_TS7}
+        )
+        SELECT change_type, event_type, COUNT(*) AS n_rows,
+               {det_sum_sql("value", 2)} AS sum_value
+        FROM changes GROUP BY change_type, event_type
     """,
     "clustering_skipping_report": """
         WITH bounds AS (

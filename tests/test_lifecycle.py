@@ -263,3 +263,34 @@ def test_rewrite_vs_rewrite_conflict_raises(spark, events, tmp_path):
         t._commit_rewrite(base, loser, "compact")
     assert t.read().count() == events.count()
     assert len(t.files()) == 2  # winner's layout intact
+
+
+def test_changelog_classifies_and_compact_is_silent(spark, events, tmp_path):
+    """changelog(v1, v2) over an append = pure inserts; a MERGE shows up
+    as update pre/post pairs; and a compact-only commit yields an EMPTY
+    changelog (rewrite noise must cancel via whole-row equality)."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    t.append(half, n_files=2)   # v1
+    t.append(rest, n_files=2)   # v2
+    ins = t.changelog(1, 2, keys=["event_id"])
+    assert ins.select("change_type").distinct().collect()[0][0] == "insert"
+    assert ins.count() == rest.count()
+
+    src = events.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1
+    )
+    t.merge(src, keys=["event_id"], n_files=2)  # v3
+    ch = t.changelog(2, 3, keys=["event_id"])
+    got = dict(
+        (r["change_type"], r["n"]) for r in
+        ch.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_upd = src.count()
+    assert got == {"update_preimage": n_upd, "update_postimage": n_upd}, got
+
+    t.compact(target_files=1)  # v4: row-neutral
+    assert t.changelog(3, 4, keys=["event_id"]).count() == 0
