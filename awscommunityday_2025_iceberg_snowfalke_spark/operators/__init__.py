@@ -72,20 +72,20 @@ def _modules():
 # quota pair were driver-red on cross-engine numeric fragility).
 # r9 (this rotation) front-loads, per VERDICT r8 ask 1, the entries with
 # NO driver CORRECTNESS row yet plus the stalest vintage:
-# (a) the NINETEEN round-9 additions (exact-substring dedup family ×3,
+# (a) the TWENTY-TWO round-9 additions (exact-substring dedup family ×3,
 #     IVF-PQ family ×3, streaming MERGE upsert, Gopher rules, bigram LM,
 #     b-bit minhash, range search, MMR, DSIR selection, length outliers,
 #     BPE encode, temperature reweight, GROUPING SETS, Kneser-Ney,
-#     vocab OOV);
+#     vocab OOV, snapshot changelog, pHash Hamming pairs, approx top-k);
 # (b) three entries CHANGED this round whose driver rows predate the
 #     change (minhash_lsh_pairs' integer predicate; the dsir/doc-mixture
 #     shared-core refactors);
 # (c) the eighteen r8 extension additions, judge-certified in r8 but
 #     never driver-sampled (COVERAGE.md's r9 queue);
-# (d) ten of the eighteen r5-vintage entries whose only driver row is
-#     from r5; the remaining five r5 + three multimodal + seven
-#     r6-vintage spine entries queue for r10 (list in COVERAGE.md).
-# 19 + 3 + 18 + 10 = 50 exactly (test_registry pins the arithmetic).
+# (d) seven of the eighteen r5-vintage entries whose only driver row is
+#     from r5; the remaining eleven r5 + seven r6-vintage spine entries
+#     queue for r10 (list in COVERAGE.md).
+# 22 + 3 + 18 + 7 = 50 exactly (test_registry pins the arithmetic).
 _GATE_FRONT = (
     # (a) round-9 additions
     "dedup_exact_substrings",
@@ -107,6 +107,9 @@ _GATE_FRONT = (
     "grouping_sets_type_dow",
     "kneser_ney_bigram_score",
     "vocab_oov_rate",
+    "snapshot_changelog",
+    "multimodal_phash_hamming_pairs",
+    "approx_topk_users",
     # (b) changed this round — driver rows predate the change
     "minhash_lsh_pairs",
     "dsir_importance_weights",
@@ -130,7 +133,7 @@ _GATE_FRONT = (
     "pseudonymized_join_audit",
     "streaming_cdc_latest_events",
     "unpivot_user_event_values",
-    # (d) r5-vintage, sampled only in r5 (stalest ten)
+    # (d) r5-vintage, sampled only in r5 (stalest seven)
     "cdc_latest_events",
     "word_doc_frequency_topk",
     "doc_top_terms",
@@ -138,9 +141,6 @@ _GATE_FRONT = (
     "purchasers_with_signup",
     "hourly_gapfill",
     "training_export_manifest",
-    "asof_purchase_signup",
-    "purchases_within_hour_of_signup",
-    "multimodal_ingest",
 )
 
 

@@ -495,6 +495,52 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+# --- frequent-items sketch (approx_top_k) ------------------------------------
+TOPK_SKETCH_K = 3  # boundary is tie-free at every test SF (checked)
+TOPK_SKETCH_TRACKED = 262144  # sketch capacity: exact below it, ~CMS above
+
+
+def approx_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via the `approx_top_k` frequent-items
+    sketch next to the exact answer — the third member of the
+    approximate family (HLL distinct counts in `hll_user_rollup`,
+    t-digest percentiles in `approx_distinct_users`). At 100 TB the
+    sketch replaces a full user-keyed aggregation with an
+    O(maxItemsTracked)-space mergeable summary — the knob trades memory
+    for the count-error band. Oracle pattern per the HLL precedent: the
+    exact top-k (count DESC, user_id tiebreak) is the full-value
+    surface; the sketch's answers appear only inside accuracy BOOLEANS
+    (found + count within 5%), which the oracle asserts. k=3 keeps the
+    membership boolean deterministic: the rank-3/4 boundary is strictly
+    separated at every test SF, so no tie can flip which users belong in
+    the exact set."""
+    ev = load(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(TOPK_SKETCH_K)
+        .collect()
+    )
+    sk = ev.agg(
+        F.expr(
+            f"approx_top_k(user_id, {TOPK_SKETCH_K}, {TOPK_SKETCH_TRACKED})"
+        ).alias("tk")
+    ).collect()[0]["tk"]
+    approx = {r["item"]: r["count"] for r in sk}
+    rows = []
+    for rank, r in enumerate(exact, 1):
+        u, c = int(r["user_id"]), int(r["n_events"])
+        found = u in approx
+        ok = found and abs(approx[u] - c) * 20 <= c
+        rows.append((rank, u, c, int(found), int(ok)))
+    return spark.createDataFrame(
+        rows,
+        "rank int, user_id long, n_events long,"
+        " approx_found int, approx_count_ok int",
+    )
+
+
 # --- distribution-position windows (PERCENT_RANK / CUME_DIST) ---------------
 def event_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT_RANK + CUME_DIST per user over the (ts, event_id) total
@@ -527,6 +573,7 @@ QUERIES = {
     "rollup_type_daily": rollup_type_daily,
     "cube_type_band": cube_type_band,
     "grouping_sets_type_dow": grouping_sets_type_dow,
+    "approx_topk_users": approx_topk_users,
     "grouping_sets_type_or_day": grouping_sets_type_or_day,
     "daily_purchase_signup_reconciliation": daily_purchase_signup_reconciliation,
     "pivot_user_event_values": pivot_user_event_values,
@@ -699,6 +746,14 @@ ORACLE = {
                           ELSE 'high' END AS value_band
               FROM events)
         GROUP BY CUBE(event_type, value_band)
+    """,
+    "approx_topk_users": f"""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS INT)
+                   AS rank,
+               user_id, c AS n_events,
+               1 AS approx_found, 1 AS approx_count_ok
+        FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+        ORDER BY c DESC, user_id LIMIT {TOPK_SKETCH_K}
     """,
     "grouping_sets_type_dow": """
         SELECT COALESCE(event_type, 'ALL') AS event_type,
