@@ -145,6 +145,83 @@ def ann_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Matryoshka truncation recall -------------------------------------------
+MRL_DIMS = (16, 32, 64)  # prefix lengths; 64 = full (recall 1.0 sanity row)
+
+
+def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k under PREFIX-truncated embeddings — the
+    Matryoshka-representation storage/accuracy frontier (Kusupati et al.
+    2022): MRL-trained encoders pack coarse semantics into the leading
+    dimensions, so a store can keep only the first d dims (4× I/O cut at
+    d/4) and re-rank the shortlist with full vectors. This entry measures
+    what truncation costs on THIS embedding table: per prefix length,
+    top-k by truncated cosine vs the full-dimension ground truth, as an
+    exact hit-count recall. (These synthetic embeddings are not
+    MRL-trained, so the measured recall is the honest pessimistic
+    baseline; the operator is the evaluation harness a real store runs
+    before committing to a truncation.) Complements `embedding_pq_codes`
+    (subvector quantization) with the other axis of compression:
+    dimension dropout.
+
+    Determinism: each truncated cosine is the same left-to-right fold
+    over the same prefix on both engines; per-query top-k uses the
+    (cos DESC, id) tiebreak; recall is an exact integer `_ratio6`-style
+    division. Scale: one broadcast-query corpus pass per prefix length
+    (|MRL_DIMS| passes) — at a deployment the d-prefix pass reads a
+    d-truncated column, which is the whole point."""
+    emb = load(spark, sf_dir, "embeddings")
+    outs = []
+    for d in MRL_DIMS:
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(_as_double("embedding"), 1, d).alias("q"),
+        ).withColumn("nq", _norm(F.col("q")))
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.slice(_as_double("embedding"), 1, d).alias("e"),
+        ).withColumn("ne", _norm(F.col("e")))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
+                    "cos_raw"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_raw"), F.asc("neighbor_id")
+        )
+        outs.append(
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
+        )
+    # d = 64 ground truth: staged — it joins against every truncation pass
+    full = stage(outs[-1].select("query_id", "neighbor_id"))
+    hits = None
+    for i, d in enumerate(MRL_DIMS):
+        h = (
+            outs[i]
+            .join(full, ["query_id", "neighbor_id"])
+            .groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    possible = N_QUERIES * TOP_K
+    num = F.col("hits").cast("bigint") * 2000000 + possible
+    k = ((num - num % (2 * possible)) / (2 * possible)).cast("bigint")
+    return hits.select(
+        "dim",
+        "hits",
+        F.lit(possible).alias("possible"),
+        (k.cast("double") / F.lit(1000000.0)).alias("recall"),
+    )
+
+
 # --- MMR diversified retrieval ----------------------------------------------
 MMR_LAMBDA = 0.7  # relevance weight
 MMR_MU = 0.3  # diversity weight — a LITERAL, never computed as 1−λ
@@ -1638,6 +1715,7 @@ QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "ann_range_search_cosine": ann_range_search_cosine,
     "mmr_diverse_topk": mmr_diverse_topk,
+    "embedding_truncation_recall": embedding_truncation_recall,
     "knn_graph_degree_stats": knn_graph_degree_stats,
     "knn_pandas_cosine": knn_pandas_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -1830,6 +1908,42 @@ ORACLE = {
 
 # the Arrow/numpy twin must produce byte-identical top-k after round-8
 ORACLE["knn_pandas_cosine"] = ORACLE["knn_bruteforce_cosine"]
+
+def _duck_trunc_topk(d: int) -> str:
+    cos = _DUCK_COS.format(
+        a=f"(CAST(q.embedding AS DOUBLE[]))[1:{d}]",
+        b=f"(CAST(c.embedding AS DOUBLE[]))[1:{d}]",
+    )
+    return f"""
+        SELECT {d} AS dim, q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id
+        ) <= {TOP_K}
+    """
+
+
+ORACLE["embedding_truncation_recall"] = f"""
+    WITH topks AS (
+        {" UNION ALL ".join(_duck_trunc_topk(d) for d in MRL_DIMS)}
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM topks WHERE dim = {MRL_DIMS[-1]}
+    ),
+    hits AS (
+        SELECT t.dim, COUNT(*) AS hits
+        FROM topks t JOIN gt f
+             ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        GROUP BY t.dim
+    )
+    SELECT dim, CAST(hits AS INT) AS hits,
+           {N_QUERIES * TOP_K} AS possible,
+           (CAST((2000000 * hits + {N_QUERIES * TOP_K})
+                 // (2 * {N_QUERIES * TOP_K}) AS DOUBLE) / 1000000.0)
+               AS recall
+    FROM hits
+"""
 
 # MMR oracle: the same greedy replayed as a recursive CTE — one row per
 # (query, step); each iteration joins the remaining shortlist candidates,
