@@ -623,6 +623,45 @@ def dedup_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- dedup release reports ----------------------------------------------------
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-METHOD agreement matrix — which near-dup detectors find the
+    same pairs: verified MinHash-Jaccard vs banded 64-bit SimHash vs
+    embedding-cosine, as pairwise overlap counts. The table a production
+    team reads before ordering its dedup cascade (methods with high
+    overlap are redundant stages; low-overlap methods catch different
+    duplicate classes — shingle methods see lexical mirrors, embeddings
+    see paraphrases) — the cross-method companion to
+    `source_overlap_matrix`'s cross-source view.
+
+    Scale: all three pair sets are the bounded, memoized artifacts their
+    own entries already produce (candidates from banded indexes, never
+    corpus²); the overlap joins and counts run on those bounded sets, and
+    the scalar set sizes are bounded driver collects (the IVF-centroid
+    precedent). doc_id and vec_id are the same id space (the
+    `training_export_manifest` doc⋈vector contract)."""
+    from .similarity import dedup_embedding_cosine
+
+    sets = (
+        ("minhash_jaccard", minhash_lsh_pairs(spark, sf_dir)),
+        ("simhash64_hamming", simhash64_hamming_pairs_wide(spark, sf_dir)),
+        ("embedding_cosine", dedup_embedding_cosine(spark, sf_dir)),
+    )
+    pairs = [(n, d.select("doc_a", "doc_b")) for n, d in sets]
+    sizes = {n: d.count() for n, d in pairs}
+    rows = []
+    for i in range(len(pairs)):
+        for j in range(i + 1, len(pairs)):
+            na, a = pairs[i]
+            nb, b = pairs[j]
+            common = a.join(b, ["doc_a", "doc_b"]).count()
+            rows.append((na, nb, sizes[na], sizes[nb], common))
+    return spark.createDataFrame(
+        rows,
+        "method_a string, method_b string, pairs_a long, pairs_b long,"
+        " common_pairs long",
+    )
+
+
 def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of duplicate-cluster sizes (how many clusters have
     exactly k members) — the one-table summary a dedup release publishes:
@@ -1567,6 +1606,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_corpus_summary": dedup_corpus_summary,
+    "dedup_method_agreement": dedup_method_agreement,
     "simhash32": simhash32,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "simhash64": simhash64,
@@ -2156,3 +2196,36 @@ ORACLE["benchmark_contamination_substrings"] = rf"""
            CAST(MAX(run_tokens) AS INT) AS max_leak_tokens
     FROM runs GROUP BY doc_id
 """
+
+
+def _method_agreement_oracle() -> str:
+    """Composes the three pair-set oracles (each a full WITH...SELECT,
+    legal as a parenthesized subquery) into the agreement matrix — the
+    twin can never drift from the member entries' own oracles."""
+    from .similarity import ORACLE as _SIM_ORACLE
+
+    ma = ORACLE["minhash_lsh_pairs"]
+    ms = ORACLE["simhash64_hamming_pairs_wide"]
+    me = _SIM_ORACLE["dedup_embedding_cosine"]
+    return f"""
+        WITH ma AS (SELECT doc_a, doc_b FROM ({ma})),
+        ms AS (SELECT doc_a, doc_b FROM ({ms})),
+        me AS (SELECT doc_a, doc_b FROM ({me}))
+        SELECT 'minhash_jaccard' AS method_a,
+               'simhash64_hamming' AS method_b,
+               (SELECT COUNT(*) FROM ma) AS pairs_a,
+               (SELECT COUNT(*) FROM ms) AS pairs_b,
+               (SELECT COUNT(*) FROM ma JOIN ms USING (doc_a, doc_b))
+                   AS common_pairs
+        UNION ALL
+        SELECT 'minhash_jaccard', 'embedding_cosine',
+               (SELECT COUNT(*) FROM ma), (SELECT COUNT(*) FROM me),
+               (SELECT COUNT(*) FROM ma JOIN me USING (doc_a, doc_b))
+        UNION ALL
+        SELECT 'simhash64_hamming', 'embedding_cosine',
+               (SELECT COUNT(*) FROM ms), (SELECT COUNT(*) FROM me),
+               (SELECT COUNT(*) FROM ms JOIN me USING (doc_a, doc_b))
+    """
+
+
+ORACLE["dedup_method_agreement"] = _method_agreement_oracle()
