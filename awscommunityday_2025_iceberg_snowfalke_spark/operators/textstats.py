@@ -12,7 +12,7 @@ regexes, portable md5-based token hash for the fingerprint).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
@@ -901,7 +901,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- vocabulary OOV coverage -------------------------------------------------
-VOCAB_K = 1000  # fixed vocabulary size (top-k corpus tokens)
+VOCAB_K = 20  # fixed vocabulary size (the corpus has 31 types — see below)
 
 
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,8 +909,11 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency vocabulary — the coverage table a tokenizer release ships
     (and the first thing checked when a new language or domain joins the
     mix: a high OOV slice will fragment into byte-fallback tokens and
-    blow up its effective sequence length). Vocabulary selection is
-    deterministic: ORDER BY count DESC, token ASC, LIMIT — identical
+    blow up its effective sequence length). The generator's corpus
+    vocabulary is only 31 types (measured, all SFs), so `VOCAB_K` = 20
+    keeps the rate non-degenerate: a real deployment sets 30k-100k
+    against a Heaps-law type inventory — same plan. Vocabulary selection
+    is deterministic: ORDER BY count DESC, token ASC, LIMIT — identical
     boundary ties on both engines; the OOV flag is a null-check, so no
     numeric enters any decision.
 
@@ -937,6 +940,103 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(oov).alias("n_oov"),
         )
         .withColumn("oov_rate", _ratio6(F.col("n_oov"), F.col("n_tokens")))
+    )
+
+
+VOCAB_CURVE_SIZES = (5, 10, 20)  # must bite on the 31-type corpus vocab
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab-size SELECTION CURVE: corpus OOV rate at several
+    candidate vocabulary sizes — the frontier a tokenizer design reads
+    before fixing |V| (`vocab_oov_rate` evaluates ONE released vocab per
+    language; this picks the vocab size). One ranked-vocabulary build
+    serves every candidate size: rank tokens once by (count DESC, token),
+    then OOV at size s is just rank > s — so the curve costs one extra
+    bounded join column, not |sizes| vocabulary builds.
+
+    Scale: staged token explode → one combinable count agg; ranking the
+    vocabulary is a window over the VOCABULARY relation (Heaps-sublinear
+    in corpus rows — ~5k types here; at web scale the ranked head that
+    matters broadcasts and the tail is OOV at every candidate size by
+    construction). The scoring join broadcasts ranks; per-size flags are
+    integer rank compares."""
+    docs = load(spark, sf_dir, "documents")
+    toks = stage(docs.select(F.explode(_toks()).alias("t")))
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    ranked = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    scored = toks.join(F.broadcast(ranked.select("t", "rnk")), "t")
+    # ONE corpus pass computes every size's OOV sum; the curve rows then
+    # explode from the single aggregate row
+    wide = scored.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum((F.col("rnk") > s).cast("long")).alias(f"oov_{s}")
+            for s in VOCAB_CURVE_SIZES
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("vocab_size"),
+                F.col("n_tokens").alias("n_tokens"),
+                F.col(f"oov_{s}").alias("n_oov"),
+            )
+            for s in VOCAB_CURVE_SIZES
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.vocab_size", "r.n_tokens", "r.n_oov")
+        .withColumn("oov_rate", _ratio6(F.col("n_oov"), F.col("n_tokens")))
+    )
+
+
+NEG_SAMPLE_TOPK = 50
+
+
+def negative_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style NEGATIVE-SAMPLING distribution: tokens drawn
+    ∝ count^{3/4} (Mikolov et al. 2013 — the exponent that up-weights the
+    mid-frequency band against stopword dominance). Emits the top-k table
+    with raw counts, the damped weight, and the normalized sampling
+    share; the 3/4 power is computed as sqrt(c)·sqrt(sqrt(c)) — two IEEE
+    sqrts and one multiply, every step CORRECTLY ROUNDED, so the weight
+    is the identical double on both engines with no libm pow anywhere
+    (the `domain_temperature_reweight` α=1/2 trick, composed once more).
+    Normalization sums weights over the FULL vocabulary through
+    DECIMAL(28,16).
+
+    Scale: one combinable token agg to the vocabulary relation; the
+    weight sum is a bounded vocabulary-wide agg; top-k by integer counts
+    is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("c").cast("double")
+    vocab = stage(
+        docs.select(F.explode(_toks()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "w_dec", (F.sqrt(c) * F.sqrt(F.sqrt(c))).cast("decimal(28,16)")
+        )
+    )
+    tot = vocab.agg(F.sum("w_dec").alias("w_sum"))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(NEG_SAMPLE_TOPK)
+        .select(
+            "t",
+            "c",
+            F.round(F.col("w_dec").cast("double"), 6).alias("weight"),
+            F.round(
+                F.col("w_dec").cast("double") / F.col("w_sum").cast("double"), 6
+            ).alias("sample_share"),
+        )
     )
 
 
@@ -1337,6 +1437,8 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "doc_length_outliers": doc_length_outliers,
     "vocab_oov_rate": vocab_oov_rate,
+    "vocab_coverage_curve": vocab_coverage_curve,
+    "negative_sampling_weights": negative_sampling_weights,
     "bpe_first_merges": bpe_first_merges,
     "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
     "text_quality": text_quality,
@@ -1792,6 +1894,48 @@ ORACLE["vocab_oov_rate"] = rf"""
                          "COUNT(*)")} AS oov_rate
     FROM toks LEFT JOIN vocab v USING (t)
     GROUP BY lang
+"""
+
+ORACLE["vocab_coverage_curve"] = rf"""
+    WITH toks AS (
+        SELECT unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    ranked AS (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rnk
+        FROM toks GROUP BY t
+    ),
+    scored AS (SELECT r.rnk FROM toks JOIN ranked r USING (t)),
+    sizes AS (
+        SELECT UNNEST([{", ".join(str(s) for s in VOCAB_CURVE_SIZES)}])
+            AS vocab_size
+    )
+    SELECT CAST(s.vocab_size AS INT) AS vocab_size,
+           (SELECT COUNT(*) FROM scored) AS n_tokens,
+           CAST(SUM(CASE WHEN sc.rnk > s.vocab_size THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           {_duck_ratio6(
+               "SUM(CASE WHEN sc.rnk > s.vocab_size THEN 1 ELSE 0 END)",
+               "COUNT(*)")} AS oov_rate
+    FROM sizes s CROSS JOIN scored sc
+    GROUP BY s.vocab_size
+"""
+
+ORACLE["negative_sampling_weights"] = rf"""
+    WITH vocab AS (
+        SELECT t, COUNT(*) AS c,
+               CAST(sqrt(CAST(COUNT(*) AS DOUBLE))
+                    * sqrt(sqrt(CAST(COUNT(*) AS DOUBLE)))
+                    AS DECIMAL(28,16)) AS w_dec
+        FROM (SELECT unnest({_DUCK_TOKS}) AS t FROM documents)
+        GROUP BY t
+    ),
+    tot AS (SELECT SUM(w_dec) AS w_sum FROM vocab)
+    SELECT t, c,
+           ROUND(CAST(w_dec AS DOUBLE), 6) AS weight,
+           ROUND(CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE), 6)
+               AS sample_share
+    FROM vocab CROSS JOIN tot
+    ORDER BY c DESC, t LIMIT {NEG_SAMPLE_TOPK}
 """
 
 ORACLE["doc_length_outliers"] = f"""
