@@ -133,10 +133,68 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVO_CUT = "2024-01-24 00:00:00"  # pre/post-evolution generation split
+
+
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION (Iceberg's headline metadata trick): the
+    table's early files were written UNPARTITIONED; later files adopt the
+    Hive day= spec. Evolution is metadata-only — nobody rewrites the old
+    files — so one logical table spans two physical layouts, and a
+    day-scoped query must (a) partition-PRUNE the post-evolution
+    generation via the spec columns while (b) data-FILTERING the
+    pre-evolution generation via pushed ts predicates. That split is
+    exactly what this entry executes and reports, one aggregate per
+    generation; tests/test_plans.py asserts PartitionFilters on the new
+    generation and PushedFilters on the legacy one.
+
+    Scale: the legacy generation's cost decays as compaction/expiry
+    retire old files into the new spec; meanwhile its scans still push
+    ts to the parquet footers (row-group skipping) — degraded pruning,
+    not a full scan."""
+    import tempfile
+
+    from .registry import load
+
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(_EVO_CUT))
+    base = tempfile.mkdtemp(prefix="events_evo_")
+    legacy_path, parted_path = f"{base}/legacy", f"{base}/parted"
+    ev.filter(F.col("ts") < cut).coalesce(4).write.mode("overwrite").parquet(
+        legacy_path
+    )
+    write_partitioned(ev.filter(F.col("ts") >= cut), parted_path, granularity="day")
+
+    legacy_day = (
+        spark.read.parquet(legacy_path)
+        .filter(
+            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-16 00:00:00")))
+        )
+        .select(F.lit("pre-evolution").alias("generation"), "event_type", "user_id")
+    )
+    hot_day = (
+        spark.read.parquet(parted_path)
+        .filter(
+            (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 25)
+        )
+        .select(F.lit("post-evolution").alias("generation"), "event_type", "user_id")
+    )
+    return (
+        legacy_day.unionByName(hot_day)
+        .groupBy("generation", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 QUERIES = {
     "csv_roundtrip_profiles": csv_roundtrip_profiles,
     "hot_tier_ctas": hot_tier_ctas,
     "partition_pruned_scan": partition_pruned_scan,
+    "partition_evolution_scan": partition_evolution_scan,
 }
 
 ORACLE = {
@@ -162,6 +220,21 @@ ORACLE = {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
           AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type
+    """,
+    "partition_evolution_scan": """
+        SELECT 'pre-evolution' AS generation, event_type,
+               COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type
+        UNION ALL
+        SELECT 'post-evolution', event_type,
+               COUNT(*), COUNT(DISTINCT user_id)
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+          AND ts < TIMESTAMP '2024-01-26 00:00:00'
         GROUP BY event_type
     """,
 }

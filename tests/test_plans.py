@@ -523,3 +523,24 @@ def test_kneser_ney_broadcasts_context_tables(spark):
     df = textstats.kneser_ney_bigram_score(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3, plan[:500]
+
+
+def test_partition_evolution_prunes_new_filters_old(spark):
+    """Partition evolution: the post-evolution generation must prune via
+    PartitionFilters on the spec columns while the pre-evolution files
+    push the ts predicate to the parquet scan — one logical table, two
+    physical disciplines."""
+    import re
+
+    df = writers.partition_evolution_scan(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    parted = [
+        s
+        for s in re.findall(r"PartitionFilters: \[[^\]]*", plan)
+        if "day" in s
+    ]
+    assert parted, "new generation must partition-prune on the spec columns"
+    legacy = [
+        s for s in re.findall(r"PushedFilters: \[[^\]]*\]", plan) if "ts" in s
+    ]
+    assert legacy, "legacy generation must push ts to the scan"
