@@ -56,6 +56,17 @@ _OBJ_STAR_RE = re.compile(
     r"\bOBJECT_CONSTRUCT\s*\(\s*\*\s*\)", re.IGNORECASE
 )
 _OBJ_KEYED_RE = re.compile(r"\bOBJECT_CONSTRUCT\s*\(", re.IGNORECASE)
+# `, LATERAL FLATTEN(input => expr) f` — Snowflake's table function for
+# exploding arrays/objects — maps to Spark's LATERAL VIEW explode. Spark's
+# generator alias takes the output column name directly, so `f.value`
+# references keep working; only the VALUE output column is mapped (the
+# reference corpus never reads FLATTEN's index/key/path outputs; extend the
+# AS-list with posexplode if index is ever needed).
+_FLATTEN_RE = re.compile(
+    r",\s*LATERAL\s+FLATTEN\s*\(\s*input\s*=>\s*(?P<expr>[^)]+)\)"
+    r"\s*(?P<alias>\w+)",
+    re.IGNORECASE,
+)
 
 
 def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
@@ -68,6 +79,9 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
       → ``named_struct(k, v,…)``. ``ARRAY_AGG``, ``DATE(x)``,
       ``INTERVAL '...'`` and date±int arithmetic parse natively in Spark
       SQL — no rewrite needed.
+    - ``, LATERAL FLATTEN(input => x) f`` → ``LATERAL VIEW explode(x) f
+      AS value`` (the VALUE output column only; FLATTEN's index/key/path
+      outputs are unmapped — swap in posexplode if index is needed).
 
     KNOWN SEMANTIC DELTA (keyed OBJECT_CONSTRUCT only): Snowflake's
     OBJECT_CONSTRUCT **omits** key/value pairs whose value is NULL (and
@@ -87,6 +101,13 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
         )
     sql = _OBJ_STAR_RE.sub("struct(*)", sql)
     sql = _OBJ_KEYED_RE.sub("named_struct(", sql)
+    sql = _FLATTEN_RE.sub(
+        lambda m: (
+            f" LATERAL VIEW explode({m.group('expr').strip()})"
+            f" {m.group('alias')} AS value"
+        ),
+        sql,
+    )
     m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
     if not m or "QUALIFY" not in sql.upper():
         return sql

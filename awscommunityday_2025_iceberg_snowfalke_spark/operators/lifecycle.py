@@ -103,7 +103,7 @@ class SnapshotTable:
     def _snapshot_files(self) -> list[str]:
         d = os.path.join(self.path, "snapshots")
         return sorted(
-            (f for f in os.listdir(d) if f.endswith(".json")),
+            (f for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")),
             key=lambda f: int(f[1:-5]),
         )
 
@@ -286,6 +286,65 @@ class SnapshotTable:
                 return base + 1
         raise RuntimeError(f"{operation}: commit retries exhausted")
 
+    # -- write-audit-publish (staged snapshots / WAP) ------------------------
+    def _staged_path(self, wap_id: str) -> str:
+        return os.path.join(self.path, "snapshots", f"staged-{wap_id}.json")
+
+    def stage_append(
+        self, df: DataFrame, wap_id: str, n_files: int | None = None
+    ) -> None:
+        """WAP step 1 — WRITE: land the batch's data files and a STAGED
+        manifest (``staged-<wap_id>.json``) that the version listing
+        ignores — main's readers cannot see the batch (Iceberg:
+        ``spark.wap.id`` staged commits). Idempotent-per-wap_id: a
+        restaged id replaces its manifest; the superseded files await
+        orphan GC."""
+        added = self._write_files(df, n_files)
+        m = {
+            "wap_id": wap_id,
+            "operation": "wap.append",
+            "base_version": self.current_version,
+            "files": added,
+            "timestamp": time.time(),
+        }
+        tmp = self._staged_path(wap_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.rename(tmp, self._staged_path(wap_id))
+
+    def read_staged(self, wap_id: str) -> DataFrame:
+        """WAP step 2 — AUDIT: read main AS IF the staged batch were
+        published (current files + staged files) without committing
+        anything; the validation query surface."""
+        with open(self._staged_path(wap_id)) as fh:
+            staged = json.load(fh)
+        base = self.current_version
+        files = (self._manifest(base)["files"] if base else []) + staged["files"]
+        paths = [os.path.join(self.path, "data", f) for f in files]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def publish_staged(self, wap_id: str) -> int:
+        """WAP step 3 — PUBLISH: fast-forward main to include the audited
+        batch via the same CAS loop as ``append`` (Iceberg:
+        ``cherrypick_snapshot``); the staged manifest is retired."""
+        with open(self._staged_path(wap_id)) as fh:
+            staged = json.load(fh)
+        added = staged["files"]
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version
+            prev = self._manifest(base)["files"] if base else []
+            if self._try_commit(base + 1, prev + added, "wap.publish"):
+                os.remove(self._staged_path(wap_id))
+                return base + 1
+        raise RuntimeError("publish_staged: commit retries exhausted")
+
+    def abort_staged(self, wap_id: str) -> None:
+        """Audit failed: drop the staged manifest; the batch's data files
+        become orphans and the next ``remove_orphan_files()`` reclaims
+        them (GC treats files of still-staged manifests as live, so only
+        the aborted batch is collected)."""
+        os.remove(self._staged_path(wap_id))
+
     def append(self, df: DataFrame, n_files: int | None = None) -> int:
         """T1: atomic concurrent-safe append (Iceberg: ``writeTo(t)
         .append()``). Data files are written once; the manifest commit is a
@@ -441,10 +500,17 @@ class SnapshotTable:
 
     def remove_orphan_files(self) -> list[str]:
         """T7 (Iceberg: ``CALL system.remove_orphan_files``): delete data
-        files referenced by no live snapshot."""
+        files referenced by no live snapshot AND no in-flight staged WAP
+        manifest (so GC is safe to run while a write-audit-publish batch
+        is still under audit)."""
         live: set[str] = set()
         for m in self.history():
             live.update(m["files"])
+        snap_dir = os.path.join(self.path, "snapshots")
+        for f in os.listdir(snap_dir):
+            if f.startswith("staged-") and f.endswith(".json"):
+                with open(os.path.join(snap_dir, f)) as fh:
+                    live.update(json.load(fh)["files"])
         removed = []
         data_dir = os.path.join(self.path, "data")
         for f in os.listdir(data_dir):
@@ -796,10 +862,55 @@ def snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH, the production Iceberg ingestion pattern
+    (stage a snapshot under a WAP id, validate it with real queries while
+    main stays untouched, then publish atomically — or abort and GC):
+    v1 = cold events on main; the hot batch stages under ``audit-1``
+    (visible via ``read_staged``, invisible to main); a deliberately
+    corrupted twin stages under ``audit-2``, FAILS its audit (negative
+    values), aborts, and orphan GC reclaims exactly its 3 files — the
+    staged-but-live ``audit-1`` files survive GC; publish fast-forwards
+    main to v2. The report pins row visibility at every phase plus the
+    version and GC accounting.
+
+    Scale: staging writes the batch's files once — audit reads and the
+    eventual publish reuse them (publish is a manifest-only CAS commit,
+    zero data I/O) — which is exactly why WAP is the 100 TB ingestion
+    gate: validation cost never doubles the write path."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    cold, hot = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+    tbl = make_table(spark, "wap_")
+    tbl.append(cold, n_files=4)
+    tbl.stage_append(hot, "audit-1", n_files=4)
+    main_before = tbl.read().count()
+    staged_rows = tbl.read_staged("audit-1").count()
+    # the failing audit: a corrupted batch must never reach main
+    tbl.stage_append(
+        hot.withColumn("value", -F.col("value")), "audit-2", n_files=3
+    )
+    bad = tbl.read_staged("audit-2").filter(F.col("value") < 0).count()
+    assert bad > 0, "audit-2 must trip its validation"
+    tbl.abort_staged("audit-2")
+    orphans = len(tbl.remove_orphan_files())
+    version = tbl.publish_staged("audit-1")
+    main_after = tbl.read().count()
+    rows = [
+        ("main_rows_before_publish", main_before),
+        ("staged_visible_rows", staged_rows),
+        ("aborted_orphan_files", orphans),
+        ("published_version", version),
+        ("main_rows_after_publish", main_after),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "merge_upsert_events": merge_upsert_events,
     "snapshot_changelog": snapshot_changelog,
+    "wap_publish_audit": wap_publish_audit,
     "zorder_clustering_report": zorder_clustering_report,
     "schema_evolution_read": schema_evolution_read,
     "file_skipping_report": file_skipping_report,
@@ -919,6 +1030,18 @@ ORACLE = {
         SELECT 2, 'append', (SELECT COUNT(*) FROM events), 16
         UNION ALL
         SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
+    """,
+    "wap_publish_audit": f"""
+        SELECT 'main_rows_before_publish' AS metric,
+               (SELECT COUNT(*) FROM events WHERE ts < {_TS7}) AS value
+        UNION ALL
+        SELECT 'staged_visible_rows', (SELECT COUNT(*) FROM events)
+        UNION ALL
+        SELECT 'aborted_orphan_files', CAST(3 AS BIGINT)
+        UNION ALL
+        SELECT 'published_version', CAST(2 AS BIGINT)
+        UNION ALL
+        SELECT 'main_rows_after_publish', (SELECT COUNT(*) FROM events)
     """,
     "snapshot_changelog": f"""
         WITH changes AS (

@@ -84,6 +84,22 @@ SNOW_SQL = {
         WHERE e.timestamp >= CURRENT_DATE - INTERVAL '3 DAY'
         GROUP BY p.region
     """,
+    # Snowflake's signature table function: build per-user arrays with
+    # ARRAY_AGG(DISTINCT …), then LATERAL FLATTEN them back to rows —
+    # the worksheet idiom for semi-structured/array columns. The shim
+    # rewrites `, LATERAL FLATTEN(input => x) f` → LATERAL VIEW explode;
+    # the per-user array order is engine-nondeterministic but the
+    # explode→re-aggregate makes the result order-independent.
+    "snowsql_flatten_event_types": """
+        WITH per_user AS (
+            SELECT user_id, ARRAY_AGG(DISTINCT event_type) AS types
+            FROM ext_user_events
+            GROUP BY user_id
+        )
+        SELECT f.value AS event_type, COUNT(*) AS n_users
+        FROM per_user, LATERAL FLATTEN(input => per_user.types) f
+        GROUP BY f.value
+    """,
 }
 
 
@@ -148,5 +164,9 @@ ORACLE = {
         LEFT JOIN events e ON p.user_id = e.user_id
         WHERE e.ts >= DATE '2024-01-31' - INTERVAL '3 DAY'
         GROUP BY p.region
+    """,
+    "snowsql_flatten_event_types": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
 }

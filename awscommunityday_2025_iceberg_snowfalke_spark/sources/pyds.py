@@ -80,7 +80,7 @@ def _resolve_files(path: str, options) -> list[str]:
 
     snap_dir = os.path.join(path, "snapshots")
     snaps = sorted(
-        (f for f in os.listdir(snap_dir) if f.endswith(".json")),
+        (f for f in os.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")),
         key=lambda f: int(f[1:-5]),
     )
     if not snaps:
@@ -193,7 +193,7 @@ def _all_commits(path: str) -> list[dict]:
     snap_dir = os.path.join(path, "snapshots")
     out = []
     for f in sorted(
-        (f for f in os.listdir(snap_dir) if f.endswith(".json")),
+        (f for f in os.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")),
         key=lambda f: int(f[1:-5]),
     ):
         with open(os.path.join(snap_dir, f)) as fh:
