@@ -187,7 +187,13 @@ class SnapshotTable:
         return self.spark.read.parquet(*paths)
 
     # -- commits -------------------------------------------------------------
-    def _try_commit(self, version: int, files: list[str], operation: str) -> bool:
+    def _try_commit(
+        self,
+        version: int,
+        files: list[str],
+        operation: str,
+        delete_files: list[dict] | None = None,
+    ) -> bool:
         """Compare-and-swap commit attempt: exclusively create
         ``v<version>.json``. ``os.link`` (unlike ``os.rename``) fails with
         FileExistsError when the target exists, so of two writers racing to
@@ -199,6 +205,7 @@ class SnapshotTable:
             "operation": operation,
             "timestamp": time.time(),
             "files": files,
+            "delete_files": delete_files or [],
         }
         snap_dir = os.path.join(self.path, "snapshots")
         tmp = os.path.join(snap_dir, f".commit-{uuid.uuid4().hex[:8]}.tmp")
@@ -281,8 +288,13 @@ class SnapshotTable:
             added.append(new)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version
-            prev = self._manifest(base)["files"] if base else []
-            if self._try_commit(base + 1, prev + added, operation):
+            m = self._manifest(base) if base else {"files": []}
+            if self._try_commit(
+                base + 1,
+                m["files"] + added,
+                operation,
+                delete_files=m.get("delete_files", []),
+            ):
                 return base + 1
         raise RuntimeError(f"{operation}: commit retries exhausted")
 
@@ -332,8 +344,13 @@ class SnapshotTable:
         added = staged["files"]
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version
-            prev = self._manifest(base)["files"] if base else []
-            if self._try_commit(base + 1, prev + added, "wap.publish"):
+            m = self._manifest(base) if base else {"files": []}
+            if self._try_commit(
+                base + 1,
+                m["files"] + added,
+                "wap.publish",
+                delete_files=m.get("delete_files", []),
+            ):
                 os.remove(self._staged_path(wap_id))
                 return base + 1
         raise RuntimeError("publish_staged: commit retries exhausted")
@@ -356,8 +373,13 @@ class SnapshotTable:
         added = self._write_files(df, n_files)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version
-            prev = self._manifest(base)["files"] if base else []
-            if self._try_commit(base + 1, prev + added, "append"):
+            m = self._manifest(base) if base else {"files": []}
+            if self._try_commit(
+                base + 1,
+                m["files"] + added,
+                "append",
+                delete_files=m.get("delete_files", []),
+            ):
                 return base + 1
         raise RuntimeError("append: commit retries exhausted")
 
@@ -402,7 +424,37 @@ class SnapshotTable:
         paths = [os.path.join(self.path, "data", f) for f in m["files"]]
         if not paths:
             raise ValueError("empty table")
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # merge-on-read: apply this snapshot's EQUALITY DELETE files
+        # (Iceberg v2) — an anti-join against the tombstone keys; COW
+        # compaction folds them in and clears the list
+        for d in m.get("delete_files", []):
+            keys = self.spark.read.parquet(
+                os.path.join(self.path, "data", d["file"])
+            )
+            df = df.join(keys, d["key_cols"], "left_anti")
+        return df
+
+    def delete_where_mor(self, keys: DataFrame, key_cols: list[str]) -> int:
+        """MERGE-ON-READ DELETE (Iceberg v2 equality deletes): write the
+        doomed keys as a DELETE FILE and commit a manifest that keeps
+        every data file but records the tombstones — a metadata-plus-
+        tiny-file commit, no data rewrite (the 100 TB delete path: a
+        GDPR/right-to-erasure pass costs O(|keys|), not O(|table|)).
+        Readers anti-join the tombstones (``read``); the next
+        ``compact()`` materializes the deletes and clears them."""
+        added = self._write_files(keys.select(*key_cols).distinct(), 1)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version
+            m = self._manifest(base) if base else {"files": []}
+            dels = list(m.get("delete_files", [])) + [
+                {"file": f, "key_cols": key_cols} for f in added
+            ]
+            if self._try_commit(
+                base + 1, m["files"], "delete.mor", delete_files=dels
+            ):
+                return base + 1
+        raise RuntimeError("delete_where_mor: commit retries exhausted")
 
     def changelog(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
         """Row-level CHANGELOG between two snapshots (Iceberg's changelog
@@ -506,6 +558,7 @@ class SnapshotTable:
         live: set[str] = set()
         for m in self.history():
             live.update(m["files"])
+            live.update(d["file"] for d in m.get("delete_files", []))
         snap_dir = os.path.join(self.path, "snapshots")
         for f in os.listdir(snap_dir):
             if f.startswith("staged-") and f.endswith(".json"):
@@ -906,11 +959,50 @@ def wap_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value long")
 
 
+def mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE (Iceberg v2 equality deletes) end-to-end:
+    v1 = full events table; v2 = MOR delete of every ``error`` event by
+    key — ONE tombstone file committed, zero data files rewritten (the
+    right-to-erasure path whose cost is O(|keys|), not O(|table|));
+    reads at v2 anti-join the tombstones; time travel to v1 still shows
+    the deleted rows (tombstones are per-snapshot metadata); v3 =
+    ``compact()`` materializes the delete (reads apply tombstones, the
+    rewrite persists the filtered rows) and CLEARS the delete-file list.
+    The report pins per-version row counts and tombstone-file counts —
+    v2 and v3 agree on rows while disagreeing on mechanism.
+
+    Simplification vs Iceberg: tombstones here apply table-wide (no
+    sequence-number scoping), so a key re-inserted after a MOR delete
+    stays hidden until compaction; and `changelog` diffs data files
+    only — compact before changelog-reading across a MOR delete."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "mor_")
+    tbl.append(ev, n_files=8)
+    doomed = ev.filter(F.col("event_type") == "error").select("event_id")
+    tbl.delete_where_mor(doomed, ["event_id"])
+    tbl.compact(target_files=2)
+    rows = []
+    for v in (1, 2, 3):
+        m = tbl._manifest(v)
+        rows.append(
+            (
+                v,
+                m["operation"],
+                tbl.read(version=v).count(),
+                len(m.get("delete_files", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, operation string, row_count long, n_delete_files int"
+    )
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "merge_upsert_events": merge_upsert_events,
     "snapshot_changelog": snapshot_changelog,
     "wap_publish_audit": wap_publish_audit,
+    "mor_delete_events": mor_delete_events,
     "zorder_clustering_report": zorder_clustering_report,
     "schema_evolution_read": schema_evolution_read,
     "file_skipping_report": file_skipping_report,
@@ -1030,6 +1122,17 @@ ORACLE = {
         SELECT 2, 'append', (SELECT COUNT(*) FROM events), 16
         UNION ALL
         SELECT 3, 'compact', (SELECT COUNT(*) FROM events), 1
+    """,
+    "mor_delete_events": f"""
+        SELECT 1 AS version, 'append' AS operation,
+               (SELECT COUNT(*) FROM events) AS row_count,
+               0 AS n_delete_files
+        UNION ALL
+        SELECT 2, 'delete.mor',
+               (SELECT COUNT(*) FROM events WHERE event_type <> 'error'), 1
+        UNION ALL
+        SELECT 3, 'compact',
+               (SELECT COUNT(*) FROM events WHERE event_type <> 'error'), 0
     """,
     "wap_publish_audit": f"""
         SELECT 'main_rows_before_publish' AS metric,

@@ -294,3 +294,31 @@ def test_changelog_classifies_and_compact_is_silent(spark, events, tmp_path):
 
     t.compact(target_files=1)  # v4: row-neutral
     assert t.changelog(3, 4, keys=["event_id"]).count() == 0
+
+
+def test_mor_delete_tombstones_survive_append_and_gc(spark, events, tmp_path):
+    """MOR equality deletes: the tombstone list must ride through later
+    appends (an append commit that dropped delete_files would silently
+    resurrect deleted rows), active tombstone files must survive orphan
+    GC, time travel BEFORE the delete still sees the rows, and compact
+    materializes + clears the tombstones."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    cold = events.filter(F.col("event_id") % 2 == 0)
+    hot = events.filter(F.col("event_id") % 2 == 1)
+    t.append(cold, n_files=2)  # v1
+    doomed = cold.filter(F.col("event_type") == "error").select("event_id")
+    n_doomed = doomed.count()
+    t.delete_where_mor(doomed, ["event_id"])  # v2
+    assert t.read().count() == cold.count() - n_doomed
+    assert t.read(version=1).count() == cold.count()  # time travel: intact
+
+    t.append(hot, n_files=2)  # v3 — must carry tombstones forward
+    assert t.read().count() == cold.count() - n_doomed + hot.count()
+    assert len(t._manifest(3)["delete_files"]) == 1
+
+    assert t.remove_orphan_files() == []  # tombstone file is live
+    assert t.read().count() == cold.count() - n_doomed + hot.count()
+
+    t.compact(target_files=1)  # v4: materialize + clear
+    assert t._manifest(4)["delete_files"] == []
+    assert t.read().count() == cold.count() - n_doomed + hot.count()
