@@ -72,20 +72,22 @@ def _modules():
 # quota pair were driver-red on cross-engine numeric fragility).
 # r9 (this rotation) front-loads, per VERDICT r8 ask 1, the entries with
 # NO driver CORRECTNESS row yet plus the stalest vintage:
-# (a) the TWENTY-TWO round-9 additions (exact-substring dedup family ×3,
+# (a) the THIRTY round-9 additions (exact-substring dedup family ×3,
 #     IVF-PQ family ×3, streaming MERGE upsert, Gopher rules, bigram LM,
 #     b-bit minhash, range search, MMR, DSIR selection, length outliers,
 #     BPE encode, temperature reweight, GROUPING SETS, Kneser-Ney,
-#     vocab OOV, snapshot changelog, pHash Hamming pairs, approx top-k);
-# (b) three entries CHANGED this round whose driver rows predate the
-#     change (minhash_lsh_pairs' integer predicate; the dsir/doc-mixture
-#     shared-core refactors);
+#     vocab OOV + coverage curve, negative sampling, snapshot changelog,
+#     pHash Hamming pairs, approx top-k, truncation recall, method
+#     agreement, partition evolution, FLATTEN, WAP, MOR deletes);
+# (b) two entries CHANGED this round whose driver rows predate the
+#     change (minhash_lsh_pairs' integer predicate; the dsir shared-core
+#     refactor — doc_domain_mixture's change was plan-only, its r7 value
+#     evidence stands);
 # (c) the eighteen r8 extension additions, judge-certified in r8 but
 #     never driver-sampled (COVERAGE.md's r9 queue);
-# (d) seven of the eighteen r5-vintage entries whose only driver row is
-#     from r5; the remaining eleven r5 + seven r6-vintage spine entries
-#     queue for r10 (list in COVERAGE.md).
-# 22 + 3 + 18 + 7 = 50 exactly (test_registry pins the arithmetic).
+# the eighteen r5-vintage + seven r6-vintage stale rows all queue for
+# r10 (list in COVERAGE.md).
+# 30 + 2 + 18 = 50 exactly (test_registry pins the arithmetic).
 _GATE_FRONT = (
     # (a) round-9 additions
     "dedup_exact_substrings",
@@ -110,10 +112,17 @@ _GATE_FRONT = (
     "snapshot_changelog",
     "multimodal_phash_hamming_pairs",
     "approx_topk_users",
+    "embedding_truncation_recall",
+    "dedup_method_agreement",
+    "vocab_coverage_curve",
+    "negative_sampling_weights",
+    "partition_evolution_scan",
+    "snowsql_flatten_event_types",
+    "wap_publish_audit",
+    "mor_delete_events",
     # (b) changed this round — driver rows predate the change
     "minhash_lsh_pairs",
     "dsir_importance_weights",
-    "doc_domain_mixture",
     # (c) r8 extension additions, never driver-sampled
     "dedup_editdist_verify",
     "minhash_estimate_accuracy",
@@ -133,14 +142,6 @@ _GATE_FRONT = (
     "pseudonymized_join_audit",
     "streaming_cdc_latest_events",
     "unpivot_user_event_values",
-    # (d) r5-vintage, sampled only in r5 (stalest seven)
-    "cdc_latest_events",
-    "word_doc_frequency_topk",
-    "doc_top_terms",
-    "purchasers_without_errors",
-    "purchasers_with_signup",
-    "hourly_gapfill",
-    "training_export_manifest",
 )
 
 

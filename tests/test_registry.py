@@ -28,6 +28,7 @@ _COVERAGE_NON_ENTRIES = {
     "gopher_ok",  # composite flag column of gopher_quality_rules
     "kmeans_ivf_cells",  # helper behind kmeans_ivf_train
     "l_commitdate",  # TPC-H column the driver schema lacks
+    "read_staged",  # SnapshotTable WAP method
     "refresh_incremental",  # MaterializedView method
     "session_window",  # pyspark.sql.functions API
     "user_profiles",  # reference table name
