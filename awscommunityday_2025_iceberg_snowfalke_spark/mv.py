@@ -83,6 +83,35 @@ class MaterializedView:
         self._stamp(sf_dir)
         return tail
 
+    def refresh_partitions(
+        self, spark: SparkSession, sf_dir: str, values: list
+    ) -> list:
+        """Refresh an EXPLICIT set of partitions — the precise form of
+        ``refresh_incremental`` for callers that know exactly which
+        partitions changed (e.g. from a table-format changelog scan):
+        rebuild only those partition values and dynamically overwrite
+        them; new partition values insert, untouched partitions are not
+        rewritten. Returns the values refreshed."""
+        if not self.partition_col:
+            raise ValueError("partition refresh needs a partition_col")
+        if not values:
+            return []
+        fresh = self.build(spark, sf_dir).filter(
+            F.col(self.partition_col).isin(values)
+        )
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            fresh.write.mode("overwrite").partitionBy(
+                self.partition_col
+            ).parquet(self.path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        self._stamp(sf_dir)
+        return values
+
     def _stamp(self, sf_dir: str) -> None:
         meta = {
             "name": self.name,
@@ -142,7 +171,75 @@ def mv_daily_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.read_or_refresh(spark, sf_dir)
 
 
-QUERIES = {"mv_daily_user_stats": mv_daily_user_stats}
+_CDF_CUT = "2024-01-20 00:00:00"  # the late-batch split for the CDF demo
+
+
+def mv_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG-DRIVEN incremental MV maintenance — the closest OSS
+    Spark gets to Snowflake's auto-maintained MV / dynamic-table
+    incremental refresh: the MV materializes daily event stats OVER THE
+    SNAPSHOT TABLE; when a new batch commits, the table's changelog scan
+    names exactly the affected days, and ``refresh_partitions``
+    recomputes ONLY those (dynamic partition overwrite — untouched days
+    are not rewritten, test-pinned by file mtimes). Trailing-window
+    ``refresh_incremental`` guesses which partitions moved; the changelog
+    KNOWS — late-arriving data lands in whatever old day it touches and
+    still refreshes precisely.
+
+    Scale: refresh cost is O(changed days' rows) — the changelog read
+    touches only the commit's added files, the rebuild aggregates only
+    changed-day rows, and the overwrite rewrites only changed-day
+    partitions. Output = the refreshed MV contents, which the oracle pins
+    to a from-scratch aggregation of the full source (incremental must
+    be indistinguishable from full)."""
+    import tempfile
+
+    from .operators.lifecycle import make_table
+    from .sources.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(_CDF_CUT))
+    tbl = make_table(spark, "mvcdf_")
+    tbl.append(ev.filter(F.col("ts") < cut), n_files=8)  # v1
+
+    def build(spark_: SparkSession, _sf: str) -> DataFrame:
+        return (
+            tbl.read()
+            .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+            .groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).alias("event_count"),
+                F.countDistinct("user_id").alias("unique_users"),
+            )
+        )
+
+    mv = MaterializedView(
+        "daily_from_snapshot",
+        build,
+        tempfile.mkdtemp(prefix="mvcdf_"),
+        partition_col="event_date",
+    )
+    mv.refresh(spark, sf_dir)  # full build at v1
+    tbl.append(ev.filter(F.col("ts") >= cut), n_files=8)  # v2: the late batch
+    changed = [
+        r["d"]
+        for r in tbl.changelog(1, 2, keys=["event_id"])
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .collect()
+    ]
+    mv.refresh_partitions(spark, sf_dir, sorted(changed))
+    return mv.read(spark).select(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        "event_count",
+        "unique_users",
+    )
+
+
+QUERIES = {
+    "mv_daily_user_stats": mv_daily_user_stats,
+    "mv_changelog_refresh": mv_changelog_refresh,
+}
 
 from .sources.registry import PROFILES_SQL  # noqa: E402
 
@@ -158,5 +255,13 @@ ORACLE = {
                     AS BIGINT) AS purchases
         FROM events e JOIN {PROFILES_SQL} pr ON e.user_id = pr.user_id
         GROUP BY 1, 2, 3
+    """,
+    # incremental-from-changelog must be indistinguishable from a full
+    # rebuild over the complete source
+    "mv_changelog_refresh": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               COUNT(*) AS event_count,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM events GROUP BY 1
     """,
 }

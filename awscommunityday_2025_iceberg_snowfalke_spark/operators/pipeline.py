@@ -302,6 +302,59 @@ def pack_docs_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_docs_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLACEMENT MANIFEST the dataloader actually consumes — where
+    each document landed in the packed sequence stream: start bin, token
+    offset inside that bin, end bin, and how many bin boundaries the doc
+    straddles. `pack_docs_sequences` is the per-bin fill report; this is
+    its per-doc transpose, and the input to attention-boundary masking
+    (docs sharing a bin get block-diagonal masks; straddlers are split at
+    the boundary — their `spans_bins` > 1 rows are exactly the splits a
+    loader must make).
+
+    Same two-level cumsum machinery as the fill report (range shards
+    pack in parallel, driver shard-offset cumsum, no global sort); the
+    placement columns are pure integer arithmetic on the exclusive
+    running sum, so the manifest is bit-portable by construction."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    toks = stage(docs.select("doc_id", n_tok.alias("n_tokens")))
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(hi) - int(lo) + 1
+    n_shards = min(PACK_SHARDS, span)
+    sharded = toks.withColumn(
+        "shard",
+        F.expr(f"CAST(((doc_id - {int(lo)}) * {n_shards}) DIV {span} AS INT)"),
+    )
+    totals = sharded.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(totals, key=lambda r: r["shard"]):
+        offsets[int(r["shard"])] = run
+        run += int(r["t"])
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = (
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        + F.element_at(off_map, F.col("shard"))
+    )
+    placed = sharded.withColumn("g", g)
+    start_bin = F.floor(F.col("g") / PACK_BUDGET)
+    end_bin = F.floor((F.col("g") + F.col("n_tokens") - 1) / PACK_BUDGET)
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        start_bin.alias("start_bin"),
+        (F.col("g") - start_bin * PACK_BUDGET).alias("start_offset"),
+        end_bin.alias("end_bin"),
+        (end_bin - start_bin + 1).cast("int").alias("spans_bins"),
+    )
+
+
 # --- domain-mixture accounting (source reweighting) --------------------------
 def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source (domain) token accounting with uniform-target reweight
@@ -689,6 +742,7 @@ QUERIES = {
     "quota_sample_tokens_budget": quota_sample_tokens_budget,
     "quota_sample_tokens_budget_skewsafe": quota_sample_tokens_budget_skewsafe,
     "pack_docs_sequences": pack_docs_sequences,
+    "pack_docs_placement": pack_docs_placement,
     "curation_pipeline": curation_pipeline,
     "cdc_latest_events": cdc_latest_events,
     "cdc_scd2_user_value": cdc_scd2_user_value,
@@ -794,6 +848,30 @@ ORACLE = {
                CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM binned GROUP BY bin_id
+    """,
+    "pack_docs_placement": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(string_split_regex(lower(text), '\s+')) AS n_tokens
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS g
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(g / {PACK_BUDGET}) AS BIGINT) AS start_bin,
+               CAST(g - FLOOR(g / {PACK_BUDGET}) * {PACK_BUDGET} AS BIGINT)
+                   AS start_offset,
+               CAST(FLOOR((g + n_tokens - 1) / {PACK_BUDGET}) AS BIGINT)
+                   AS end_bin,
+               CAST(FLOOR((g + n_tokens - 1) / {PACK_BUDGET})
+                    - FLOOR(g / {PACK_BUDGET}) + 1 AS INT) AS spans_bins
+        FROM placed
     """,
     "doc_domain_mixture": r"""
         WITH per_src AS (

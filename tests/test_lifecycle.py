@@ -322,3 +322,50 @@ def test_mor_delete_tombstones_survive_append_and_gc(spark, events, tmp_path):
     t.compact(target_files=1)  # v4: materialize + clear
     assert t._manifest(4)["delete_files"] == []
     assert t.read().count() == cold.count() - n_doomed + hot.count()
+
+
+def test_mv_refresh_partitions_touches_only_changed(spark, events, tmp_path):
+    """Changelog-driven MV refresh must rewrite ONLY the named partition
+    values: untouched day directories keep their files byte-for-byte
+    (mtime+name identical), changed days are rewritten, and the refreshed
+    MV equals a full rebuild."""
+    import os
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.mv import MaterializedView
+
+    src = events.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    state = {"upto": "2024-01-20"}
+
+    def build(spark_, _sf):
+        return (
+            src.filter(F.col("event_date") < state["upto"])
+            .groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    mv = MaterializedView("t", build, str(tmp_path), partition_col="event_date")
+    mv.refresh(spark, SF_DIR)
+
+    def snap(day):
+        d = os.path.join(mv.path, f"event_date={day}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    before_05 = snap("2024-01-05")
+    before_19 = snap("2024-01-19")
+
+    state["upto"] = "2024-01-31"  # new data arrives for days >= 20... and 19
+    changed = ["2024-01-19", "2024-01-22"]
+    mv.refresh_partitions(spark, SF_DIR, changed)
+
+    assert snap("2024-01-05") == before_05, "untouched partition rewritten"
+    assert snap("2024-01-19") != before_19, "changed partition not rewritten"
+    # partition-column type inference reads the day dirs back as DATE
+    got = {str(r["event_date"]): r["n"] for r in mv.read(spark).collect()}
+    full = {
+        r["event_date"]: r["n"]
+        for r in build(spark, None)
+        .filter(F.col("event_date").isin(["2024-01-05", "2024-01-19", "2024-01-22"]))
+        .collect()
+    }
+    for d in ("2024-01-05", "2024-01-19", "2024-01-22"):
+        assert got[d] == full[d], d
