@@ -646,7 +646,9 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("simhash64_hamming", simhash64_hamming_pairs_wide(spark, sf_dir)),
         ("embedding_cosine", dedup_embedding_cosine(spark, sf_dir)),
     )
-    pairs = [(n, d.select("doc_a", "doc_b")) for n, d in sets]
+    # each pair set is consumed twice (its size + every overlap join):
+    # staged so each detection pipeline executes ONCE
+    pairs = [(n, stage(d.select("doc_a", "doc_b"))) for n, d in sets]
     sizes = {n: d.count() for n, d in pairs}
     rows = []
     for i in range(len(pairs)):
