@@ -1040,6 +1040,76 @@ def negative_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RAG-style token chunking ------------------------------------------------
+CHUNK_TOKENS = 32  # tokens per chunk (sized to this corpus's ~54-token docs)
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping TOKEN-WINDOW chunking — the retrieval-ingestion step
+    that splits documents into embedder-sized pieces with overlap so no
+    answer span straddles a hard boundary (every RAG indexer runs this
+    before `multimodal_embed`'s batch-encode shape; the text twin of
+    `multimodal_audio_chunks`' byte windows). Output: one row per chunk
+    with exact token offsets — the chunk table a vector store indexes.
+
+    Scale: chunk starts explode in-row from ``sequence(0, n−1, stride)``
+    — no join, no shuffle at all (plan-shape: a generator over the scan);
+    the arithmetic is pure integers."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.size(_toks())
+    base = docs.select("doc_id", "lang", n.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    return (
+        base.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_tokens") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("start_tok"),
+        )
+        .withColumn("chunk_idx", (F.col("start_tok") / CHUNK_STRIDE).cast("int"))
+        .withColumn(
+            "end_tok",
+            F.least(F.col("start_tok") + CHUNK_TOKENS, F.col("n_tokens")),
+        )
+        .withColumn(
+            "is_last",
+            (F.col("start_tok") + CHUNK_STRIDE >= F.col("n_tokens")).cast("int"),
+        )
+        .select(
+            "doc_id", "lang", "chunk_idx", "start_tok", "end_tok", "is_last"
+        )
+    )
+
+
+def quality_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FILTER agreement for the quality layer — the counterpart of
+    `dedup_method_agreement` for keep/drop rules: the heuristic composite
+    (`text_quality`'s quality_ok) crossed with the canonical Gopher rule
+    set (`gopher_quality_rules`' gopher_ok), with doc/token counts per
+    cell. The 2×2 a curation review reads before choosing its filter
+    stack: the off-diagonal cells are exactly the docs where the two
+    filter families disagree. One doc-keyed join of two per-doc flag
+    tables (each a single scan), four output rows."""
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_ok")
+    g = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", "n_tokens", "gopher_ok"
+    )
+    return (
+        q.join(g, "doc_id")
+        .groupBy("quality_ok", "gopher_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 # --- robust length outliers (median / MAD) -----------------------------------
 MAD_K = 5  # flag docs with |n_chars − median| > MAD_K · MAD
 
@@ -1439,6 +1509,8 @@ QUERIES = {
     "vocab_oov_rate": vocab_oov_rate,
     "vocab_coverage_curve": vocab_coverage_curve,
     "negative_sampling_weights": negative_sampling_weights,
+    "doc_token_chunks": doc_token_chunks,
+    "quality_method_agreement": quality_method_agreement,
     "bpe_first_merges": bpe_first_merges,
     "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
     "text_quality": text_quality,
@@ -1896,6 +1968,38 @@ ORACLE["vocab_oov_rate"] = rf"""
     GROUP BY lang
 """
 
+ORACLE["doc_token_chunks"] = rf"""
+    WITH base AS (
+        SELECT doc_id, lang, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(start_tok // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(LEAST(start_tok + {CHUNK_TOKENS}, n_tokens) AS INT)
+               AS end_tok,
+           CASE WHEN start_tok + {CHUNK_STRIDE} >= n_tokens
+                THEN 1 ELSE 0 END AS is_last
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               UNNEST(range(0, n_tokens, {CHUNK_STRIDE})) AS start_tok
+        FROM base WHERE n_tokens > 0
+    )
+"""
+
+
+def _quality_agreement_oracle() -> str:
+    tq = ORACLE["text_quality"]
+    gq = ORACLE["gopher_quality_rules"]
+    return f"""
+        WITH tq AS (SELECT doc_id, quality_ok FROM ({tq})),
+        gq AS (SELECT doc_id, n_tokens, gopher_ok FROM ({gq}))
+        SELECT tq.quality_ok, gq.gopher_ok, COUNT(*) AS n_docs,
+               CAST(SUM(gq.n_tokens) AS BIGINT) AS n_tokens
+        FROM tq JOIN gq USING (doc_id)
+        GROUP BY tq.quality_ok, gq.gopher_ok
+    """
+
+
 ORACLE["vocab_coverage_curve"] = rf"""
     WITH toks AS (
         SELECT unnest({_DUCK_TOKS}) AS t FROM documents
@@ -2140,3 +2244,6 @@ ORACLE["kneser_ney_bigram_score"] = rf"""
                  6) AS avg_neg_logprob
     FROM scored GROUP BY doc_id
 """
+
+# composed AFTER both member oracles exist (function defined above)
+ORACLE["quality_method_agreement"] = _quality_agreement_oracle()
