@@ -30,6 +30,7 @@ _COVERAGE_NON_ENTRIES = {
     "l_commitdate",  # TPC-H column the driver schema lacks
     "read_staged",  # SnapshotTable WAP method
     "refresh_incremental",  # MaterializedView method
+    "refresh_partitions",  # MaterializedView method
     "session_window",  # pyspark.sql.functions API
     "user_profiles",  # reference table name
 }
