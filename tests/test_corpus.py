@@ -704,3 +704,42 @@ def test_phash_banding_recovers_all_planted_pairs(spark):
     for r in rows:
         if r["is_planted"]:
             assert r["hamming"] == 2, r  # 'ab' flips exactly 2 parity bits
+
+
+def test_pack_placement_consistent_with_fill_report(spark):
+    """The per-doc placement manifest and the per-bin fill report are two
+    views of ONE packing: for every bin, the token mass the placements
+    assign into it (clipped doc spans) must equal the fill report's
+    bin_tokens, and offsets must never exceed the budget."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pack_docs_placement,
+        pack_docs_sequences,
+    )
+
+    place = pack_docs_placement(spark, SF_DIR).collect()
+    fill = {
+        r["bin_id"]: r["bin_tokens"]
+        for r in pack_docs_sequences(spark, SF_DIR).collect()
+    }
+    mass: dict = {}
+    by_start: dict = {}
+    for r in place:
+        assert 0 <= r["start_offset"] < PACK_BUDGET, r
+        g = r["start_bin"] * PACK_BUDGET + r["start_offset"]
+        end = g + r["n_tokens"]
+        assert r["end_bin"] == (end - 1) // PACK_BUDGET
+        by_start[r["start_bin"]] = by_start.get(r["start_bin"], 0) + r["n_tokens"]
+        for b in range(r["start_bin"], r["end_bin"] + 1):
+            lo = max(g, b * PACK_BUDGET)
+            hi = min(end, (b + 1) * PACK_BUDGET)
+            mass[b] = mass.get(b, 0) + (hi - lo)
+    # fill report groups full doc counts by STARTING bin — exact match
+    assert by_start == fill, (len(by_start), len(fill))
+    # split-span accounting: the streaming pack fills every non-final bin
+    # to EXACTLY the budget (the packing invariant)
+    last = max(mass)
+    for b, m in mass.items():
+        assert m == (PACK_BUDGET if b < last else m), (b, m)
+        if b < last:
+            assert m == PACK_BUDGET, (b, m)

@@ -544,3 +544,13 @@ def test_partition_evolution_prunes_new_filters_old(spark):
         s for s in re.findall(r"PushedFilters: \[[^\]]*\]", plan) if "ts" in s
     ]
     assert legacy, "legacy generation must push ts to the scan"
+
+
+def test_token_chunks_generator_no_shuffle(spark):
+    """Chunking is a pure generator over the scan: zero exchanges."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.doc_token_chunks(spark, SF_DIR)
+    assert shuffle_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan and "Join" not in plan
