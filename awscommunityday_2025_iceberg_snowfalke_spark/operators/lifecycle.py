@@ -193,6 +193,7 @@ class SnapshotTable:
         files: list[str],
         operation: str,
         delete_files: list[dict] | None = None,
+        prev_seqs: dict[str, int] | None = None,
     ) -> bool:
         """Compare-and-swap commit attempt: exclusively create
         ``v<version>.json``. ``os.link`` (unlike ``os.rename``) fails with
@@ -200,11 +201,16 @@ class SnapshotTable:
         commit the same version exactly one wins — the filesystem is the
         arbiter, same role as Iceberg's atomic catalog pointer swap
         (P:205-224). The loser re-bases and retries (see ``append``)."""
+        prev_seqs = prev_seqs or {}
         manifest = {
             "version": version,
             "operation": operation,
             "timestamp": time.time(),
             "files": files,
+            # data SEQUENCE numbers (Iceberg v2): a file keeps the seq of
+            # the commit that introduced it; equality deletes apply only
+            # to files with seq <= the delete's seq
+            "file_seqs": {f: prev_seqs.get(f, version) for f in files},
             "delete_files": delete_files or [],
         }
         snap_dir = os.path.join(self.path, "snapshots")
@@ -256,7 +262,10 @@ class SnapshotTable:
                     "all base files); re-read and retry"
                 )
             delta = [f for f in cur_files if f not in base_files]
-            if self._try_commit(cur + 1, files + delta, operation):
+            cur_seqs = self._manifest(cur).get("file_seqs", {}) if cur else {}
+            if self._try_commit(
+                cur + 1, files + delta, operation, prev_seqs=cur_seqs
+            ):
                 return cur + 1
         raise RuntimeError(f"{operation}: commit retries exhausted")
 
@@ -294,6 +303,7 @@ class SnapshotTable:
                 m["files"] + added,
                 operation,
                 delete_files=m.get("delete_files", []),
+                prev_seqs=m.get("file_seqs", {}),
             ):
                 return base + 1
         raise RuntimeError(f"{operation}: commit retries exhausted")
@@ -350,6 +360,7 @@ class SnapshotTable:
                 m["files"] + added,
                 "wap.publish",
                 delete_files=m.get("delete_files", []),
+                prev_seqs=m.get("file_seqs", {}),
             ):
                 os.remove(self._staged_path(wap_id))
                 return base + 1
@@ -379,6 +390,7 @@ class SnapshotTable:
                 m["files"] + added,
                 "append",
                 delete_files=m.get("delete_files", []),
+                prev_seqs=m.get("file_seqs", {}),
             ):
                 return base + 1
         raise RuntimeError("append: commit retries exhausted")
@@ -424,16 +436,38 @@ class SnapshotTable:
         paths = [os.path.join(self.path, "data", f) for f in m["files"]]
         if not paths:
             raise ValueError("empty table")
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        # merge-on-read: apply this snapshot's EQUALITY DELETE files
-        # (Iceberg v2) — an anti-join against the tombstone keys; COW
-        # compaction folds them in and clears the list
-        for d in m.get("delete_files", []):
-            keys = self.spark.read.parquet(
-                os.path.join(self.path, "data", d["file"])
+        dels = m.get("delete_files", [])
+        if not dels:
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # merge-on-read with SEQUENCE SCOPING (Iceberg v2): an equality
+        # delete applies only to data files whose seq <= the delete's seq
+        # — rows re-inserted AFTER the delete survive. Files are grouped
+        # by their applicable-delete signature (bounded by 2^|deletes|,
+        # in practice a handful), each group anti-joins its deletes, and
+        # the groups union back together.
+        seqs = m.get("file_seqs", {})
+        groups: dict[tuple, list[str]] = {}
+        for f in m["files"]:
+            sig = tuple(
+                i
+                for i, d in enumerate(dels)
+                if seqs.get(f, 0) <= d.get("seq", 1 << 62)
             )
-            df = df.join(keys, d["key_cols"], "left_anti")
-        return df
+            groups.setdefault(sig, []).append(f)
+        out = None
+        for sig, fs in groups.items():
+            part = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, "data", f) for f in fs]
+            )
+            for i in sig:
+                keys = self.spark.read.parquet(
+                    os.path.join(self.path, "data", dels[i]["file"])
+                )
+                part = part.join(keys, dels[i]["key_cols"], "left_anti")
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        return out
 
     def delete_where_mor(self, keys: DataFrame, key_cols: list[str]) -> int:
         """MERGE-ON-READ DELETE (Iceberg v2 equality deletes): write the
@@ -441,17 +475,25 @@ class SnapshotTable:
         every data file but records the tombstones — a metadata-plus-
         tiny-file commit, no data rewrite (the 100 TB delete path: a
         GDPR/right-to-erasure pass costs O(|keys|), not O(|table|)).
-        Readers anti-join the tombstones (``read``); the next
-        ``compact()`` materializes the deletes and clears them."""
+        Readers anti-join the tombstones (``read``) with SEQUENCE
+        SCOPING — a delete applies only to data files whose seq ≤ its
+        own, so later re-inserts of the same key survive (Iceberg v2
+        semantics, test-pinned); the next ``compact()`` materializes the
+        deletes and clears them."""
         added = self._write_files(keys.select(*key_cols).distinct(), 1)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version
             m = self._manifest(base) if base else {"files": []}
             dels = list(m.get("delete_files", [])) + [
-                {"file": f, "key_cols": key_cols} for f in added
+                {"file": f, "key_cols": key_cols, "seq": base + 1}
+                for f in added
             ]
             if self._try_commit(
-                base + 1, m["files"], "delete.mor", delete_files=dels
+                base + 1,
+                m["files"],
+                "delete.mor",
+                delete_files=dels,
+                prev_seqs=m.get("file_seqs", {}),
             ):
                 return base + 1
         raise RuntimeError("delete_where_mor: commit retries exhausted")
@@ -971,10 +1013,11 @@ def mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The report pins per-version row counts and tombstone-file counts —
     v2 and v3 agree on rows while disagreeing on mechanism.
 
-    Simplification vs Iceberg: tombstones here apply table-wide (no
-    sequence-number scoping), so a key re-inserted after a MOR delete
-    stays hidden until compaction; and `changelog` diffs data files
-    only — compact before changelog-reading across a MOR delete."""
+    Sequence scoping (Iceberg v2 semantics): deletes apply only to data
+    files with seq ≤ the delete's seq, so a key re-inserted AFTER the
+    delete survives — test-pinned. Remaining simplification: `changelog`
+    diffs data files only — compact before changelog-reading across a
+    MOR delete."""
     ev = load(spark, sf_dir, "events")
     tbl = make_table(spark, "mor_")
     tbl.append(ev, n_files=8)

@@ -369,3 +369,35 @@ def test_mv_refresh_partitions_touches_only_changed(spark, events, tmp_path):
     }
     for d in ("2024-01-05", "2024-01-19", "2024-01-22"):
         assert got[d] == full[d], d
+
+
+def test_mor_delete_sequence_scoping_reinsert_survives(spark, events, tmp_path):
+    """Iceberg-v2 sequence semantics: an equality delete applies only to
+    data files with seq <= the delete's — a row re-inserted AFTER the
+    delete must SURVIVE reads while the original stays deleted, and
+    compaction must materialize exactly that state."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = events.filter(F.col("event_id") < 100)
+    t.append(base, n_files=2)                       # v1 (seq 1)
+    doomed = base.filter(F.col("event_id") % 7 == 0).select("event_id")
+    n_doomed = doomed.count()
+    t.delete_where_mor(doomed, ["event_id"])        # v2 (delete seq 2)
+    assert t.read().count() == base.count() - n_doomed
+
+    # re-insert half the doomed keys AFTER the delete (seq 3 > 2)
+    reinserted = events.filter(
+        (F.col("event_id") % 14 == 0) & (F.col("event_id") < 100)
+    )
+    n_re = reinserted.count()
+    assert n_re > 0
+    t.append(reinserted, n_files=1)                 # v3
+    assert t.read().count() == base.count() - n_doomed + n_re, (
+        "re-inserted keys must not be hidden by the older tombstone"
+    )
+    survivors = {r["event_id"] for r in t.read().select("event_id").collect()}
+    assert all(i in survivors for i in range(0, 100, 14))
+    assert all(i not in survivors for i in range(7, 100, 14))
+
+    t.compact(target_files=1)                       # v4 materializes
+    assert t._manifest(4)["delete_files"] == []
+    assert t.read().count() == base.count() - n_doomed + n_re
