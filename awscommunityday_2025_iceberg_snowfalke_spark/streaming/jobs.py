@@ -421,9 +421,87 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE-AUDIT-PUBLISH: every arriving micro-batch is
+    STAGED under a per-batch WAP id, audited with a real query over the
+    staged read, and only then published (or aborted) — the streaming
+    twin of ``wap_publish_audit`` and the production ingestion gate for
+    continuous feeds (bad batches never become visible to main, even
+    transiently; plain ``foreachBatch``+append exposes them between
+    commit and quarantine).
+
+    Topology: v1 seeds cold events; the feed is 4 clean hot files plus
+    ONE poisoned file (negated values under offset ids), consumed with
+    ``maxFilesPerTrigger=1`` → 5 micro-batches. The audit — staged read
+    must contain no negative values — publishes exactly the 4 clean
+    batches and aborts the poison; orphan GC then reclaims the aborted
+    batch's files while the published data survives. History is pinned
+    to append + 4 wap.publish commits, and the final state is hash-equal
+    to a plain hot+cold append (the oracle: the full events table).
+    Exactly-once: the checkpoint's batch-id ledger plus idempotent
+    staged manifests per WAP id (a replayed batch restages, then
+    publishes once through the CAS commit)."""
+    from ..operators.lifecycle import CUTOFF_7D, make_table
+
+    ev = load(spark, sf_dir, "events")
+    cold_cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    tbl = make_table(spark, "streamwap_")
+    tbl.append(ev.filter(F.col("ts") < cold_cut), n_files=8)
+
+    feed_dir = tempfile.mkdtemp(prefix="wap_feed_")
+    hot = ev.filter(F.col("ts") >= cold_cut)
+    hot.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    poison = hot.withColumn("event_id", F.col("event_id") + 10_000_000).withColumn(
+        "value", -F.col("value")
+    )
+    poison.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+    def wap_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wid = f"b{batch_id}"
+        tbl.stage_append(batch_df, wid, n_files=2)
+        has_neg = bool(
+            tbl.read_staged(wid).filter(F.col("value") < 0).limit(1).count()
+        )
+        if has_neg:
+            tbl.abort_staged(wid)
+        else:
+            tbl.publish_staged(wid)
+
+    q = (
+        stream.writeStream.foreachBatch(wap_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wap_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    ops = [m["operation"] for m in tbl.history()]
+    assert ops == ["append"] + ["wap.publish"] * 4, ops
+    assert len(tbl.remove_orphan_files()) >= 1, "aborted batch must orphan"
+    from ..functions import det_sum
+
+    return (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_sum("value", 2).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
     "streaming_merge_upsert": streaming_merge_upsert,
+    "streaming_wap_publish": streaming_wap_publish,
     "streaming_cdc_latest_events": streaming_cdc_latest_events,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_daily_windows": streaming_daily_windows,
@@ -434,13 +512,23 @@ QUERIES = {
     "streaming_dedup_incremental": streaming_dedup_incremental,
 }
 
+from ..functions import det_sum_sql  # noqa: E402
 from ..operators.lifecycle import ORACLE as _LC_ORACLE  # noqa: E402
 from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
+
+_DS2 = det_sum_sql("value", 2)
 
 ORACLE = {
     # four streaming MERGE micro-batches must land the exact final table
     # state the batch twin's single MERGE lands (keys unique ⇒ invariant)
     "streaming_merge_upsert": _LC_ORACLE["merge_upsert_events"],
+    # 4 published clean batches + 1 aborted poison batch ⇒ final state is
+    # exactly a hot+cold append: the full events table
+    "streaming_wap_publish": f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {_DS2} AS sum_value
+        FROM events GROUP BY event_type
+    """,
     # stream-static screening must equal the same accounting in batch SQL
     "streaming_dedup_incremental": """
         WITH bounds AS (
