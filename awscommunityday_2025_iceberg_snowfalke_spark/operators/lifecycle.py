@@ -436,6 +436,12 @@ class SnapshotTable:
         paths = [os.path.join(self.path, "data", f) for f in m["files"]]
         if not paths:
             raise ValueError("empty table")
+        return self._read_scoped(m, m["files"])
+
+    def _read_scoped(self, m: dict, files: list[str]) -> DataFrame:
+        """Live rows of snapshot-manifest ``m`` restricted to ``files``,
+        with sequence-scoped tombstone application (see ``read``)."""
+        paths = [os.path.join(self.path, "data", f) for f in files]
         dels = m.get("delete_files", [])
         if not dels:
             return self.spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -447,7 +453,7 @@ class SnapshotTable:
         # the groups union back together.
         seqs = m.get("file_seqs", {})
         groups: dict[tuple, list[str]] = {}
-        for f in m["files"]:
+        for f in files:
             sig = tuple(
                 i
                 for i, d in enumerate(dels)
@@ -508,27 +514,62 @@ class SnapshotTable:
         the merge's rewritten files, not the table), then a keyed
         full-outer join classifies rows; rows identical on both sides are
         compaction-rewrite noise and drop out, so a pure compact commit
-        yields an EMPTY changelog (test-pinned)."""
+        yields an EMPTY changelog (test-pinned). MOR-delete commits are
+        exact too: tombstones ADDED between the versions emit ``delete``
+        rows with their full pre-image (joined against the v_from live
+        state — the one part of a changelog that must touch matching data
+        beyond the file diff, as in Iceberg's own changelog scan), and
+        the removed-file side reads LIVE rows only (v_from's tombstones
+        applied), so a later compaction doesn't re-report rows the
+        tombstone interval already deleted."""
         mf, mt = self._manifest(v_from), self._manifest(v_to)
         from_set, to_set = set(mf["files"]), set(mt["files"])
         added = [f for f in mt["files"] if f not in from_set]
         removed = [f for f in mf["files"] if f not in to_set]
 
-        def _read(files: list[str]) -> DataFrame | None:
-            if not files:
-                return None
-            paths = [os.path.join(self.path, "data", f) for f in files]
-            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
-
-        a, r = _read(added), _read(removed)
+        a = (
+            self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, "data", f) for f in added]
+            )
+            if added
+            else None
+        )
+        # live rows only: rows already MOR-deleted at v_from must not
+        # re-classify as deletes when a rewrite later drops their files
+        r = self._read_scoped(mf, removed) if removed else None
         ct = F.lit
+
+        # tombstones added in (v_from, v_to]: emit full-pre-image deletes
+        known = {d["file"] for d in mf.get("delete_files", [])}
+        new_dels = [
+            d for d in mt.get("delete_files", []) if d["file"] not in known
+        ]
+        mor_rows = None
+        if new_dels:
+            live_from = self.read(version=v_from)
+            for d in new_dels:
+                kdf = self.spark.read.parquet(
+                    os.path.join(self.path, "data", d["file"])
+                )
+                hit = live_from.join(kdf, d["key_cols"], "left_semi").select(
+                    ct("delete").alias("change_type"), "*"
+                )
+                mor_rows = hit if mor_rows is None else mor_rows.unionByName(hit)
+
+        def _with_mor(df: DataFrame) -> DataFrame:
+            if mor_rows is None:
+                return df
+            return df.unionByName(mor_rows, allowMissingColumns=True)
+
         if a is None and r is None:
+            if mor_rows is not None:
+                return mor_rows
             base = self.read(version=v_to).limit(0)
             return base.select(ct("none").alias("change_type"), "*").limit(0)
         if r is None:
-            return a.select(ct("insert").alias("change_type"), "*")
+            return _with_mor(a.select(ct("insert").alias("change_type"), "*"))
         if a is None:
-            return r.select(ct("delete").alias("change_type"), "*")
+            return _with_mor(r.select(ct("delete").alias("change_type"), "*"))
         cols = [c for c in a.columns if c not in keys]
         pa = F.struct(*[F.col(f"a.{c}") for c in cols])
         pr = F.struct(*[F.col(f"r.{c}") for c in cols])
@@ -549,7 +590,7 @@ class SnapshotTable:
             )
 
         both = F.col("_pa").isNotNull() & F.col("_pr").isNotNull()
-        return (
+        return _with_mor(
             _rows("insert", "a", F.col("_pr").isNull())
             .unionByName(_rows("delete", "r", F.col("_pa").isNull()))
             .unionByName(_rows("update_postimage", "a", both & (pa != pr)))
@@ -1015,9 +1056,9 @@ def mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sequence scoping (Iceberg v2 semantics): deletes apply only to data
     files with seq ≤ the delete's seq, so a key re-inserted AFTER the
-    delete survives — test-pinned. Remaining simplification: `changelog`
-    diffs data files only — compact before changelog-reading across a
-    MOR delete."""
+    delete survives — test-pinned. `changelog` is exact across MOR
+    commits too: new tombstones emit full-pre-image delete rows, and
+    the later compaction's changelog is empty (test-pinned)."""
     ev = load(spark, sf_dir, "events")
     tbl = make_table(spark, "mor_")
     tbl.append(ev, n_files=8)

@@ -401,3 +401,31 @@ def test_mor_delete_sequence_scoping_reinsert_survives(spark, events, tmp_path):
     t.compact(target_files=1)                       # v4 materializes
     assert t._manifest(4)["delete_files"] == []
     assert t.read().count() == base.count() - n_doomed + n_re
+
+
+def test_changelog_exact_across_mor_delete(spark, events, tmp_path):
+    """A MOR-delete commit's changelog must emit exactly the deleted
+    rows (full pre-image, change_type=delete), and the subsequent
+    compaction's changelog must be EMPTY — the tombstone interval
+    already reported those deletes; re-reporting at materialization
+    would double-count them downstream."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = events.filter(F.col("event_id") < 200)
+    t.append(base, n_files=2)                       # v1
+    doomed = base.filter(F.col("event_type") == "error").select("event_id")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    t.delete_where_mor(doomed, ["event_id"])        # v2
+
+    ch = t.changelog(1, 2, keys=["event_id"]).collect()
+    assert len(ch) == n_doomed
+    assert {r["change_type"] for r in ch} == {"delete"}
+    assert {r["event_id"] for r in ch} == {
+        r["event_id"] for r in doomed.collect()
+    }
+    assert all(r["event_type"] == "error" for r in ch), "full pre-image"
+
+    t.compact(target_files=1)                       # v3 materializes
+    assert t.changelog(2, 3, keys=["event_id"]).count() == 0, (
+        "compaction must not re-report tombstoned rows"
+    )
