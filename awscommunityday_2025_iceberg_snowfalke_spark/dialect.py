@@ -61,12 +61,91 @@ _OBJ_KEYED_RE = re.compile(r"\bOBJECT_CONSTRUCT\s*\(", re.IGNORECASE)
 # generator alias takes the output column name directly, so `f.value`
 # references keep working; only the VALUE output column is mapped (the
 # reference corpus never reads FLATTEN's index/key/path outputs; extend the
-# AS-list with posexplode if index is ever needed).
-_FLATTEN_RE = re.compile(
-    r",\s*LATERAL\s+FLATTEN\s*\(\s*input\s*=>\s*(?P<expr>[^)]+)\)"
-    r"\s*(?P<alias>\w+)",
-    re.IGNORECASE,
-)
+# AS-list with posexplode if index is ever needed). The input expression is
+# extracted by a quote-aware balanced-paren scan (not a `[^)]+` regex), so
+# nested calls like FLATTEN(input => split(x, ',')) translate intact;
+# argument shapes the shim cannot express (named options like OUTER/PATH,
+# missing alias, non-comma-join placement) raise instead of silently
+# mistranslating.
+_FLATTEN_START_RE = re.compile(r",\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
+_FLATTEN_LEFTOVER_RE = re.compile(r"\bFLATTEN\s*\(", re.IGNORECASE)
+_FLATTEN_INPUT_RE = re.compile(r"input\s*=>\s*", re.IGNORECASE)
+_FLATTEN_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(?P<alias>\w+)", re.IGNORECASE)
+# tokens that can follow the FLATTEN(...) close-paren when the alias was
+# omitted — must not be mistaken for the alias
+_SQL_CLAUSE_WORDS = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY", "UNION",
+    "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
+    "CROSS", "LATERAL", "ON", "USING", "WINDOW", "AS",
+}
+
+
+def _scan_balanced(sql: str, start: int) -> int:
+    """Return the index just past the ')' closing the '(' that precedes
+    ``start``, skipping parens inside single-quoted string literals
+    (Snowflake/Spark escape a quote by doubling it, which this scan
+    handles for free: the doubled quote closes and reopens the literal
+    without exposing any paren)."""
+    depth, i, n = 1, start, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in LATERAL FLATTEN(...)")
+
+
+def _rewrite_flatten(sql: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _FLATTEN_START_RE.search(sql, pos)
+        if m is None:
+            break
+        end = _scan_balanced(sql, m.end())
+        inner = sql[m.end() : end - 1].strip()
+        im = _FLATTEN_INPUT_RE.match(inner)
+        if im is None:
+            raise ValueError(
+                "LATERAL FLATTEN argument form not supported by the dialect "
+                f"shim (expected 'input => <expr>'): FLATTEN({inner})"
+            )
+        expr = inner[im.end() :].strip()
+        if "=>" in expr:
+            raise ValueError(
+                "LATERAL FLATTEN named options (OUTER/PATH/RECURSIVE/MODE) "
+                f"are not supported by the dialect shim: FLATTEN({inner})"
+            )
+        am = _FLATTEN_ALIAS_RE.match(sql, end)
+        if am is not None and am.group("alias").upper() in _SQL_CLAUSE_WORDS:
+            am = None  # next token starts a clause — there is no alias
+        if am is None or not am.group("alias"):
+            raise ValueError(
+                "LATERAL FLATTEN requires a table alias for the dialect "
+                "shim to map `alias.value` references"
+            )
+        out.append(sql[pos : m.start()])
+        out.append(
+            f" LATERAL VIEW explode({expr}) {am.group('alias')} AS value"
+        )
+        pos = am.end()
+    out.append(sql[pos:])
+    rewritten = "".join(out)
+    if _FLATTEN_LEFTOVER_RE.search(rewritten):
+        raise ValueError(
+            "FLATTEN(...) in a position the dialect shim cannot translate "
+            "(only the comma-join form ', LATERAL FLATTEN(input => x) "
+            "alias' is supported); failing loudly rather than emitting "
+            "malformed Spark SQL"
+        )
+    return rewritten
 
 
 def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
@@ -101,13 +180,7 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
         )
     sql = _OBJ_STAR_RE.sub("struct(*)", sql)
     sql = _OBJ_KEYED_RE.sub("named_struct(", sql)
-    sql = _FLATTEN_RE.sub(
-        lambda m: (
-            f" LATERAL VIEW explode({m.group('expr').strip()})"
-            f" {m.group('alias')} AS value"
-        ),
-        sql,
-    )
+    sql = _rewrite_flatten(sql)
     m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
     if not m or "QUALIFY" not in sql.upper():
         return sql

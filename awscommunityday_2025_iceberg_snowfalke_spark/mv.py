@@ -91,7 +91,13 @@ class MaterializedView:
         partitions changed (e.g. from a table-format changelog scan):
         rebuild only those partition values and dynamically overwrite
         them; new partition values insert, untouched partitions are not
-        rewritten. Returns the values refreshed."""
+        rewritten. A requested value whose rebuild yields ZERO rows (all
+        of that partition's source rows deleted upstream — exactly what a
+        changelog-driven refresh can report) is explicitly REMOVED:
+        dynamic partition overwrite only replaces partitions present in
+        the written DataFrame, so without the removal the stale directory
+        would survive and the MV would retain deleted data. Returns the
+        values refreshed."""
         if not self.partition_col:
             raise ValueError("partition refresh needs a partition_col")
         if not values:
@@ -99,6 +105,10 @@ class MaterializedView:
         fresh = self.build(spark, sf_dir).filter(
             F.col(self.partition_col).isin(values)
         )
+        present = {
+            str(r[0])
+            for r in fresh.select(self.partition_col).distinct().collect()
+        }
         old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         try:
             spark.conf.set(
@@ -109,6 +119,13 @@ class MaterializedView:
             ).parquet(self.path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        import shutil
+
+        for v in values:
+            if str(v) not in present:
+                pdir = os.path.join(self.path, f"{self.partition_col}={v}")
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir)
         self._stamp(sf_dir)
         return values
 

@@ -249,20 +249,37 @@ class SnapshotTable:
           in the current snapshot) raises :class:`CommitConflict`, exactly
           Iceberg's rewrite validation failure — the caller re-reads and
           re-runs its rewrite rather than silently clobbering the other
-          writer's result.
+          writer's result;
+        - a concurrent MERGE-ON-READ DELETE (data files unchanged but new
+          delete files present since ``base``) ALSO raises
+          :class:`CommitConflict`: the rewrite read ``base``'s live rows,
+          so committing it with ``delete_files=[]`` would resurrect the
+          concurrently deleted keys. Real Iceberg's rewrite validation
+          fails on new delete files the same way.
         """
-        base_files = set(self._manifest(base)["files"]) if base else set()
+        base_m = self._manifest(base) if base else {"files": []}
+        base_files = set(base_m["files"])
+        base_dels = {d["file"] for d in base_m.get("delete_files", [])}
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version
-            cur_files = self._manifest(cur)["files"] if cur else []
+            cur_m = self._manifest(cur) if cur else {"files": []}
+            cur_files = cur_m["files"]
             if base and not base_files <= set(cur_files):
                 raise CommitConflict(
                     f"{operation} based on v{base} conflicts with a "
                     f"concurrent rewrite (current v{cur} no longer contains "
                     "all base files); re-read and retry"
                 )
+            cur_dels = {d["file"] for d in cur_m.get("delete_files", [])}
+            if cur_dels - base_dels:
+                raise CommitConflict(
+                    f"{operation} based on v{base} conflicts with a "
+                    f"concurrent merge-on-read delete (current v{cur} "
+                    "carries delete files not in the base); committing "
+                    "would resurrect the deleted rows — re-read and retry"
+                )
             delta = [f for f in cur_files if f not in base_files]
-            cur_seqs = self._manifest(cur).get("file_seqs", {}) if cur else {}
+            cur_seqs = cur_m.get("file_seqs", {})
             if self._try_commit(
                 cur + 1, files + delta, operation, prev_seqs=cur_seqs
             ):
@@ -527,33 +544,48 @@ class SnapshotTable:
         added = [f for f in mt["files"] if f not in from_set]
         removed = [f for f in mf["files"] if f not in to_set]
 
-        a = (
-            self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, "data", f) for f in added]
-            )
-            if added
-            else None
-        )
-        # live rows only: rows already MOR-deleted at v_from must not
-        # re-classify as deletes when a rewrite later drops their files
+        # both sides read LIVE rows only, each under its own manifest's
+        # sequence-scoped tombstones: on the added side, a key appended and
+        # then MOR-deleted inside the interval is dead at v_to and must NOT
+        # surface as an insert (its delete is interval-internal churn), while
+        # a re-insert AFTER a delete (seq > delete seq) survives the scoping
+        # and correctly emits; on the removed side, rows already MOR-deleted
+        # at v_from must not re-classify as deletes when a rewrite later
+        # drops their files
+        a = self._read_scoped(mt, added) if added else None
         r = self._read_scoped(mf, removed) if removed else None
         ct = F.lit
 
-        # tombstones added in (v_from, v_to]: emit full-pre-image deletes
+        # tombstones added in (v_from, v_to]: emit full-pre-image deletes.
+        # Pre-images come from KEPT files only (present in both manifests):
+        # a tombstoned key whose v_from file was also rewritten away in the
+        # interval is already classified as a delete by the full-outer join
+        # below (it's in r but, with v_to's tombstone applied, not in a) —
+        # emitting it here too would double-count. Sequence scoping applies
+        # on the kept side as well: a kept file with seq > the delete's seq
+        # is untouched by that tombstone.
         known = {d["file"] for d in mf.get("delete_files", [])}
         new_dels = [
             d for d in mt.get("delete_files", []) if d["file"] not in known
         ]
         mor_rows = None
         if new_dels:
-            live_from = self.read(version=v_from)
+            kept = [f for f in mf["files"] if f in to_set]
+            to_seqs = mt.get("file_seqs", {})
             for d in new_dels:
+                src = [
+                    f
+                    for f in kept
+                    if to_seqs.get(f, 0) <= d.get("seq", 1 << 62)
+                ]
+                if not src:
+                    continue
                 kdf = self.spark.read.parquet(
                     os.path.join(self.path, "data", d["file"])
                 )
-                hit = live_from.join(kdf, d["key_cols"], "left_semi").select(
-                    ct("delete").alias("change_type"), "*"
-                )
+                hit = self._read_scoped(mf, src).join(
+                    kdf, d["key_cols"], "left_semi"
+                ).select(ct("delete").alias("change_type"), "*")
                 mor_rows = hit if mor_rows is None else mor_rows.unionByName(hit)
 
         def _with_mor(df: DataFrame) -> DataFrame:

@@ -1091,7 +1091,12 @@ PQ_SUB = DIM // PQ_M  # dims per subspace
 PQ_REFINE = 10 * TOP_K  # ADC shortlist size fed to the exact re-rank
 
 
-def _pq_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+def _pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int,
+    subidx: "list | None" = None,
+) -> DataFrame:
     """IVF-PQ (Jégou, Douze, Schmid 2011, "Product Quantization for
     Nearest Neighbor Search"): the 100 TB vector-store answer when even
     fp32 vectors don't fit — each corpus vector is stored as ``PQ_M``
@@ -1133,7 +1138,14 @@ def _pq_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     and break on neighbor_id ASC; the exact re-rank reuses the
     parity-proven ``_dot``/``_norm`` fold devices. numpy reassociates
     float adds vs the oracle's folds (the ``knn_pandas_cosine`` stance);
-    parity verified on the fixed testdata at all three SFs."""
+    parity verified on the fixed testdata at all three SFs.
+
+    ``subidx`` (optional): per-subspace dimension-index arrays replacing
+    the contiguous slices — the OPQ hook (:func:`ann_ivf_opq_cosine`):
+    the subspace split becomes an arbitrary permutation of dimensions,
+    everything downstream (encode, ADC, refine) is permutation-agnostic.
+    Default None keeps the contiguous split (the plain-PQ entries'
+    behavior, bit-unchanged)."""
     import numpy as np
     import pandas as pd
 
@@ -1142,8 +1154,12 @@ def _pq_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
     C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
+    if subidx is None:  # contiguous split: plain PQ
+        subidx = [
+            np.arange(m * PQ_SUB, (m + 1) * PQ_SUB) for m in range(PQ_M)
+        ]
     # per-subspace codebooks (k codes × PQ_SUB dims) + code squared norms
-    cb = [C[:, m * PQ_SUB : (m + 1) * PQ_SUB].copy() for m in range(PQ_M)]
+    cb = [C[:, subidx[m]].copy() for m in range(PQ_M)]
     cn2 = [(cb[m] * cb[m]).sum(axis=1) for m in range(PQ_M)]
 
     q_rows = (
@@ -1161,7 +1177,7 @@ def _pq_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
         for ci in order:
             probes_by_cell.setdefault(int(cells[ci]), []).append(qi)
     # ADC lookup tables: T[m][qi, code] = dot(q_sub_m, codeword)
-    T = [Q[:, m * PQ_SUB : (m + 1) * PQ_SUB] @ cb[m].T for m in range(PQ_M)]
+    T = [Q[:, subidx[m]] @ cb[m].T for m in range(PQ_M)]
 
     def score(batches):
         for pdf in batches:
@@ -1175,7 +1191,7 @@ def _pq_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
             codes = np.empty((len(ids), PQ_M), dtype=np.int64)
             rn2 = np.zeros(len(ids))
             for m in range(PQ_M):
-                Em = E[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                Em = E[:, subidx[m]]
                 D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (Em @ cb[m].T)
                 D = D + cn2[m][None, :]
                 cm = np.argmin(D, axis=1)  # first min = lowest code id
@@ -1342,6 +1358,132 @@ def ann_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = None
     for p in RECALL_PROBES:
         part = _pq_topk(spark, sf_dir, p).select(
+            F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    total = bf.count()  # scalar: |queries| * TOP_K
+    hits = (
+        cand.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return hits.select(
+        "n_probe",
+        F.lit(TOP_K).cast("int").alias("top_k"),
+        "hits",
+        F.lit(total).cast("long").alias("total_pairs"),
+        F.round(F.col("hits").cast("double") / F.lit(float(total)), 6).alias(
+            "recall"
+        ),
+    )
+
+
+# --- OPQ: variance-balanced dimension allocation ----------------------------
+def _opq_perm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ ALLOCATION artifact (d rows): each dimension's variance,
+    its variance rank, and its assigned (subspace, slot) under a snake
+    allocation — rank 0 → subspace 0, rank PQ_M−1 → subspace PQ_M−1,
+    rank PQ_M → subspace PQ_M−1 again (boustrophedon), so every subspace
+    receives one dimension from each variance band and the per-subspace
+    variance mass is balanced.
+
+    This is the allocation step of Optimized Product Quantization (Ge,
+    He, Ke, Sun 2013): plain PQ's contiguous split concentrates the
+    high-variance dimensions in few subspaces, whose codebooks then
+    carry most of the quantization error; OPQ fixes the imbalance with a
+    learned rotation + eigenvalue allocation. The rotation needs an
+    eigensolve (not SQL-replicable — the full-value-oracle line this
+    engine does not cross, same stance as the PQ codebook choice); the
+    ALLOCATION — which the OPQ paper applies to the variance spectrum —
+    is exactly reproducible in SQL, so the whole permuted pipeline stays
+    full-value certified. FAISS's cheap pre-transform alternative
+    (``RandomRotationMatrix``) balances the same way, blindly.
+
+    Determinism across engines: variances come from the decimal-sum
+    device (per-term DECIMAL(28,12) rounding, exact accumulation, one
+    final double cast — bit-identical in Spark and DuckDB, the
+    ``embedding_pca_variance`` precedent), rank ties break on pos ASC,
+    and the snake is pure-integer arithmetic. Scale: one posexplode
+    aggregation (map-side combinable) to d groups; the d-row window is
+    bounded work regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    mu = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
+        "v"
+    )
+    msq = F.sum(
+        (F.col("v") * F.col("v")).cast("decimal(28,12)")
+    ).cast("double") / F.count("v")
+    per_dim = comp.groupBy("pos").agg(
+        F.greatest(msq - mu * mu, F.lit(0.0)).alias("dim_var")
+    )
+    w = Window.orderBy(F.desc("dim_var"), F.asc("pos"))  # d rows: bounded
+    ranked = per_dim.withColumn("rk", F.row_number().over(w) - 1)
+    band = F.expr(f"rk div {PQ_M}")
+    off = F.pmod(F.col("rk"), F.lit(PQ_M))
+    return ranked.select(
+        "pos",
+        F.round("dim_var", 10).alias("dim_var"),
+        F.col("rk").cast("int").alias("var_rank"),
+        F.when(F.pmod(band, F.lit(2)) == 0, off)
+        .otherwise(F.lit(PQ_M - 1) - off)
+        .cast("int")
+        .alias("subspace"),
+        band.cast("int").alias("slot"),
+    )
+
+
+def embedding_opq_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry for the OPQ allocation table — see
+    :func:`_opq_perm_frame`."""
+    return _opq_perm_frame(spark, sf_dir)
+
+
+def _opq_subidx(spark: SparkSession, sf_dir: str) -> list:
+    """Materialize the allocation as per-subspace numpy index arrays for
+    :func:`_pq_topk`'s ``subidx`` hook. Collects d rows — bounded by the
+    embedding dimension, never by corpus size."""
+    import numpy as np
+
+    rows = _opq_perm_frame(spark, sf_dir).select(
+        "pos", "subspace", "slot"
+    ).collect()
+    by_m: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_m.setdefault(int(r["subspace"]), []).append(
+            (int(r["slot"]), int(r["pos"]))
+        )
+    return [
+        np.array([p for _, p in sorted(by_m[m])], dtype=np.int64)
+        for m in range(PQ_M)
+    ]
+
+
+def ann_ivf_opq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the OPQ variance-balanced dimension allocation
+    (:func:`_opq_perm_frame`) instead of the contiguous split — same
+    encode → ADC → shortlist → exact-refine pipeline as
+    :func:`ann_ivf_pq_cosine` (the refine stage means final top-k
+    quality is set by shortlist recall; the allocation's effect is
+    measured head-to-head in :func:`ann_ivf_opq_recall_report`)."""
+    return _pq_topk(spark, sf_dir, N_PROBE, subidx=_opq_subidx(spark, sf_dir))
+
+
+def ann_ivf_opq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@``TOP_K`` of the OPQ-allocated PQ probe vs exact brute
+    force, per probe count — the third column of the accuracy/cost
+    frontier next to :func:`ann_ivf_recall_report` (uncompressed) and
+    :func:`ann_ivf_pq_recall_report` (contiguous PQ): probes ×
+    compression × allocation."""
+    sub = _opq_subidx(spark, sf_dir)
+    bf = stage(
+        knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    cand = None
+    for p in RECALL_PROBES:
+        part = _pq_topk(spark, sf_dir, p, subidx=sub).select(
             F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
         )
         cand = part if cand is None else cand.unionByName(part)
@@ -1737,6 +1879,9 @@ QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_pca_variance": embedding_pca_variance,
     "ann_ivf_cell_stats": ann_ivf_cell_stats,
+    "embedding_opq_permutation": embedding_opq_permutation,
+    "ann_ivf_opq_cosine": ann_ivf_opq_cosine,
+    "ann_ivf_opq_recall_report": ann_ivf_opq_recall_report,
 }
 
 
@@ -2344,6 +2489,181 @@ ORACLE["embedding_pq_codes"] = f"""
            ROUND(sqrt(GREATEST(xx - 2.0 * xdotr + rr, 0.0)) / sqrt(xx), 6)
                AS recon_rel_err
     FROM xr
+"""
+
+# --- OPQ oracles: allocation + the permuted encode→ADC→top-k in SQL ---------
+# The permutation derives from decimal-exact per-dim variances (identical
+# across engines — the embedding_pca_variance device), so the WHOLE
+# permuted PQ pipeline stays full-value certified: DuckDB reproduces the
+# allocation, the gathered subvectors, codes, recon norms, ADC scores and
+# the exact refine. Same float stance and tie-breaks as the PQ oracles.
+_DUCK_OPQ_PERM_CTES = f"""
+        dimstat AS (
+            SELECT pos,
+                   CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(v) AS mu,
+                   CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(v) AS msq
+            FROM comp GROUP BY pos
+        ),
+        dimrank AS (
+            SELECT pos, GREATEST(msq - mu * mu, 0.0) AS dim_var,
+                   ROW_NUMBER() OVER (
+                       ORDER BY GREATEST(msq - mu * mu, 0.0) DESC, pos ASC
+                   ) - 1 AS rk
+            FROM dimstat
+        ),
+        opq_perm AS (
+            SELECT pos, dim_var, rk,
+                   CASE WHEN ((rk // {PQ_M}) % 2) = 0 THEN rk % {PQ_M}
+                        ELSE {PQ_M - 1} - (rk % {PQ_M}) END AS subspace,
+                   rk // {PQ_M} AS slot
+            FROM dimrank
+        )"""
+
+ORACLE["embedding_opq_permutation"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    {_DUCK_OPQ_PERM_CTES}
+    SELECT CAST(pos AS INT) AS pos,
+           ROUND(dim_var, 10) AS dim_var,
+           CAST(rk AS INT) AS var_rank,
+           CAST(subspace AS INT) AS subspace,
+           CAST(slot AS INT) AS slot
+    FROM opq_perm
+"""
+
+_DUCK_OPQ_CTES = f"""
+        opq_cb AS (
+            SELECT p.subspace AS m, c.code_id,
+                   list(c.centroid[p.pos + 1] ORDER BY p.slot) AS cw
+            FROM (SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS code_id,
+                         centroid
+                  FROM centroids) c
+            CROSS JOIN opq_perm p
+            GROUP BY p.subspace, c.code_id
+        ),
+        ocb AS (
+            SELECT m, code_id, cw, list_dot_product(cw, cw) AS cw2
+            FROM opq_cb
+        ),
+        osub AS (
+            SELECT a.vec_id, a.cell, p.subspace AS m,
+                   list(a.e[p.pos + 1] ORDER BY p.slot) AS sub
+            FROM assign a CROSS JOIN opq_perm p
+            GROUP BY a.vec_id, a.cell, p.subspace
+        ),
+        oenc AS (
+            SELECT s.vec_id, s.cell, s.m, b.code_id, b.cw, b.cw2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY (list_dot_product(s.sub, s.sub)
+                                 - 2.0 * list_dot_product(s.sub, b.cw))
+                                + b.cw2 ASC,
+                                b.code_id ASC
+                   ) AS rk
+            FROM osub s JOIN ocb b ON b.m = s.m
+        ),
+        ocodes AS (
+            SELECT vec_id, cell, m, code_id, cw, cw2 FROM oenc WHERE rk = 1
+        ),
+        ornorm AS (
+            SELECT vec_id, sqrt(SUM(cw2)) AS rn FROM ocodes GROUP BY vec_id
+        )"""
+
+
+def _duck_opq_topk_sql(n_probe: int) -> str:
+    """Per-probe OPQ-allocated IVF-PQ top-k pairs: gathered-subvector ADC
+    scan → PQ_REFINE shortlist → exact cosine re-rank. Expects the
+    assignment, ``_DUCK_OPQ_PERM_CTES`` and ``_DUCK_OPQ_CTES`` CTEs in
+    scope."""
+    return f"""
+        SELECT query_id, neighbor_id, adc_raw, cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS rank
+        FROM (
+            SELECT s.query_id, s.neighbor_id, s.adc_raw,
+                   list_cosine_similarity(qv.e, cv.e) AS cos_raw
+            FROM (
+                SELECT query_id, neighbor_id, adc_raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc_raw DESC, neighbor_id ASC
+                       ) AS adc_rank
+                FROM (
+                    SELECT qs.query_id, c.vec_id AS neighbor_id,
+                           SUM(list_dot_product(qs.qs, c.cw))
+                               / (qs.qn * r.rn) AS adc_raw
+                    FROM ocodes c
+                    JOIN (
+                        SELECT q.vec_id AS query_id, q.cell AS probe_cell,
+                               q.qn, p.subspace AS m,
+                               list(q.e[p.pos + 1] ORDER BY p.slot) AS qs
+                        FROM (SELECT vec_id, cell, e,
+                                     sqrt(list_dot_product(e, e)) AS qn
+                              FROM scored
+                              WHERE vec_id < {N_QUERIES}
+                                AND cell_rank <= {n_probe}) q
+                        CROSS JOIN opq_perm p
+                        GROUP BY q.vec_id, q.cell, q.qn, p.subspace
+                    ) qs ON c.cell = qs.probe_cell AND c.m = qs.m
+                        AND c.vec_id <> qs.query_id
+                    JOIN ornorm r ON r.vec_id = c.vec_id
+                    GROUP BY qs.query_id, c.vec_id, qs.qn, r.rn
+                )
+            ) s
+            JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings) qv ON qv.vec_id = s.query_id
+            JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings) cv ON cv.vec_id = s.neighbor_id
+            WHERE s.adc_rank <= {PQ_REFINE}
+        )
+    """
+
+
+ORACLE["ann_ivf_opq_cosine"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    {_DUCK_OPQ_PERM_CTES},
+    {_DUCK_OPQ_CTES}
+    SELECT query_id, neighbor_id, ROUND(adc_raw, 8) AS adc_cos,
+           ROUND(cos_raw, 8) AS cosine_sim, rank
+    FROM ({_duck_opq_topk_sql(N_PROBE)})
+    WHERE rank <= {TOP_K}
+"""
+
+_DUCK_OPQ_RECALL_CAND = " UNION ALL ".join(
+    f"SELECT {p} AS n_probe, query_id, neighbor_id"
+    f" FROM ({_duck_opq_topk_sql(p)}) opq{p} WHERE rank <= {TOP_K}"
+    for p in RECALL_PROBES
+)
+
+ORACLE["ann_ivf_opq_recall_report"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    {_DUCK_OPQ_PERM_CTES},
+    {_DUCK_OPQ_CTES},
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DUCK_COS.format(a="q.embedding", b="c.embedding")} DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    ),
+    cand AS ({_DUCK_OPQ_RECALL_CAND})
+    SELECT c.n_probe,
+           CAST({TOP_K} AS INT) AS top_k,
+           COUNT(*) AS hits,
+           (SELECT COUNT(*) FROM bf) AS total_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+                 (SELECT COUNT(*) FROM bf), 6) AS recall
+    FROM cand c JOIN bf ON c.query_id = bf.query_id
+                       AND c.neighbor_id = bf.neighbor_id
+    GROUP BY c.n_probe
 """
 
 # per-cell k-means outputs aren't SQL-derivable; the gate row checks the

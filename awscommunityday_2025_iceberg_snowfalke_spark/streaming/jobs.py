@@ -498,8 +498,114 @@ def streaming_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics made OBSERVABLE — the one Structured
+    Streaming behavior ``availableNow``-over-one-batch can't exercise: a
+    row arriving after the watermark has passed its window is DROPPED
+    from the aggregation. Every other streaming entry here processes all
+    input before the watermark first advances, so nothing is ever late;
+    this entry forces a genuine drop with a THREE-micro-batch feed
+    (``maxFilesPerTrigger=1``, file mtimes pin the order):
+
+    - batches 1+2 = the on-time bulk (``ts >= 2024-01-08``, split at
+      Jan 25) → the watermark advances to max(ts) − 1 day (≈ Jan 30);
+    - batch 3 = the stragglers (``ts < 2024-01-08``) — whole days behind
+      the watermark, so the windowed aggregation discards them
+      (``numRowsDroppedByWatermark`` = |stragglers|, probed below).
+
+    Two on-time batches, not one, because the input-side late filter
+    applies the watermark with a one-batch lag (measured on 4.1: with
+    the stragglers as batch 2, eviction already used the advanced
+    watermark but the input filter still passed the late rows); the lag
+    is Spark's documented cross-run watermark semantics — the filter
+    uses the watermark as of the previous COMPLETED batch's planning.
+
+    Output = final per-day counts (update-mode memory sink; counts are
+    monotone, so MAX per window is the final state). The oracle pins the
+    semantic: counts equal a batch aggregation OVER THE ON-TIME ROWS
+    ONLY — if the late rows leaked into the result, every straggler day
+    would appear and the hash would mismatch. At 100 TB this is the
+    correctness contract that bounds streaming state: without the
+    watermark every day ever seen stays in state forever; with it, state
+    is O(days inside the lateness horizon) and late rows are an
+    auditable drop (Spark exposes the same trade in
+    ``observedMetrics``/``numRowsDroppedByWatermark``)."""
+    import os
+    import shutil
+
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-08 00:00:00"))
+    feed_dir = tempfile.mkdtemp(prefix="late_feed_")
+    staging = tempfile.mkdtemp(prefix="late_stage_")
+
+    def _land(df: DataFrame, name: str, mtime: float) -> None:
+        d = os.path.join(staging, name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(feed_dir, f"{name}.parquet")
+        shutil.move(os.path.join(d, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    # mtimes 100 s apart: the file source processes oldest-first, so the
+    # on-time bulk fills micro-batches 1-2 and the stragglers are batch 3
+    mid = F.to_timestamp(F.lit("2024-01-25 00:00:00"))
+    _land(
+        ev.filter((F.col("ts") >= cut) & (F.col("ts") < mid)),
+        "b0_ontime",
+        1_700_000_000.0,
+    )
+    _land(ev.filter(F.col("ts") >= mid), "b1_ontime", 1_700_000_100.0)
+    _land(ev.filter(F.col("ts") < cut), "b2_late", 1_700_000_200.0)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = f"stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the counter sees PARTIAL aggregates (the map-side combine runs
+    # before the stateful operator), so it counts late (window ×
+    # input-partition) rows, not raw straggler rows — nonzero is the
+    # contract; the day-absence assert below pins the full semantic
+    dropped = sum(
+        o["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for o in p["stateOperators"]
+    )
+    assert dropped > 0, "watermark drop counter never fired"
+    out = spark.table(qname)
+    final = (
+        out.groupBy("w")
+        .agg(F.max("n").alias("events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("event_date"),
+            "events",
+        )
+    )
+    # hard in-engine pin: had the stragglers NOT been dropped, pre-cut
+    # days would be present and this would raise before the oracle runs
+    leaked = final.filter(F.col("event_date") < "2024-01-08").count()
+    assert leaked == 0, f"watermark failed to drop late rows ({leaked} days)"
+    return final
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
+    "streaming_watermark_late_drop": streaming_watermark_late_drop,
     "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_wap_publish": streaming_wap_publish,
     "streaming_cdc_latest_events": streaming_cdc_latest_events,
@@ -594,5 +700,15 @@ ORACLE = {
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
                COUNT(*) AS events
         FROM events GROUP BY 1
+    """,
+    # late stragglers (ts < the cut) arrive in micro-batch 2, AFTER the
+    # watermark advanced past their windows — the result must equal a
+    # batch aggregation over the ON-TIME rows only
+    "streaming_watermark_late_drop": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               COUNT(*) AS events
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 1
     """,
 }

@@ -743,3 +743,41 @@ def test_pack_placement_consistent_with_fill_report(spark):
         assert m == (PACK_BUDGET if b < last else m), (b, m)
         if b < last:
             assert m == PACK_BUDGET, (b, m)
+
+
+def test_opq_allocation_balanced_and_recall_floor(spark):
+    """The OPQ variance-balanced allocation must be a true permutation
+    (every dim assigned exactly once), snake-balanced (each subspace gets
+    exactly PQ_SUB dims, one per variance band), and the permuted
+    pipeline must hold the same recall floor as plain PQ with every
+    returned pair's exact cosine agreeing with brute force."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+    from conftest import SF_DIR
+
+    rows = similarity.embedding_opq_permutation(spark, SF_DIR).collect()
+    assert len(rows) == similarity.DIM
+    assert {r["pos"] for r in rows} == set(range(similarity.DIM))
+    assert {r["var_rank"] for r in rows} == set(range(similarity.DIM))
+    per_m = {}
+    for r in rows:
+        per_m.setdefault(r["subspace"], []).append(r)
+    assert set(per_m) == set(range(similarity.PQ_M))
+    for m, rs in per_m.items():
+        assert len(rs) == similarity.PQ_SUB, (m, len(rs))
+        # one dim per variance band: slots are 0..PQ_SUB-1 exactly once
+        assert sorted(r["slot"] for r in rs) == list(range(similarity.PQ_SUB))
+    # variance ordering: rank 0 is the max-variance dim
+    by_rank = sorted(rows, key=lambda r: r["var_rank"])
+    vars_ = [r["dim_var"] for r in by_rank]
+    assert vars_ == sorted(vars_, reverse=True)
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.knn_bruteforce_cosine(spark, SF_DIR).collect()
+    }
+    opq_rows = similarity.ann_ivf_opq_cosine(spark, SF_DIR).collect()
+    opq = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in opq_rows}
+    recall = len(set(bf) & set(opq)) / len(bf)
+    assert recall >= 0.25, f"OPQ recall {recall:.2f} below floor"
+    for key in set(bf) & set(opq):
+        assert opq[key] == bf[key], (key, opq[key], bf[key])

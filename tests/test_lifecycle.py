@@ -429,3 +429,140 @@ def test_changelog_exact_across_mor_delete(spark, events, tmp_path):
     assert t.changelog(2, 3, keys=["event_id"]).count() == 0, (
         "compaction must not re-report tombstoned rows"
     )
+
+
+def test_changelog_append_then_mor_delete_nets_out(spark, events, tmp_path):
+    """ADVICE r9: keys appended AND MOR-deleted inside the changelog
+    interval are dead at v_to and must NOT emit as inserts — an
+    incremental consumer applying the changelog must land in v_to's
+    exact state. Re-inserts AFTER the delete (seq > delete seq) must
+    still surface as inserts."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = events.filter(F.col("event_id") < 100)
+    t.append(base, n_files=2)                             # v1
+    batch = events.filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 105)
+    )
+    assert batch.count() == 5
+    t.append(batch, n_files=1)                            # v2: +5 rows
+    t.delete_where_mor(batch.select("event_id"), ["event_id"])  # v3
+    assert t.read().count() == base.count()               # the 5 are gone
+
+    ch = t.changelog(1, 3, keys=["event_id"]).collect()
+    assert ch == [], (
+        "appended-then-MOR-deleted keys must net out of the changelog; "
+        f"got {[(r['change_type'], r['event_id']) for r in ch]}"
+    )
+
+    # consumer-state check across the full history: replaying
+    # changelog(1, v) onto v1 must reproduce read(version=v)
+    reins = events.filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 103)
+    )
+    t.append(reins, n_files=1)                            # v4: re-insert 3
+    ch2 = t.changelog(1, 4, keys=["event_id"])
+    got = {
+        r["change_type"]: r["n"]
+        for r in ch2.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"insert": 3}, got
+    ids = {r["event_id"] for r in ch2.select("event_id").collect()}
+    assert ids == {100, 101, 102}
+
+
+def test_changelog_delete_of_preexisting_key_single_emission(
+    spark, events, tmp_path
+):
+    """A key live at v_from, tombstoned inside the interval, emits exactly
+    ONE delete row — including when a rewrite ALSO moved its file in the
+    interval (the full-outer side and the MOR pre-image side must not
+    both report it)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = events.filter(F.col("event_id") < 100)
+    t.append(base, n_files=2)                             # v1
+    doomed = base.filter(F.col("event_id") % 9 == 0).select("event_id")
+    n_doomed = doomed.count()
+
+    # plain MOR delete (files unchanged): one delete per key
+    t.delete_where_mor(doomed, ["event_id"])              # v2
+    ch = t.changelog(1, 2, keys=["event_id"])
+    assert ch.count() == n_doomed
+    assert ch.select("change_type").distinct().collect()[0][0] == "delete"
+
+    # rewrite + delete in the SAME interval: still one delete per key
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(base, n_files=2)                            # v1
+    t2.compact(target_files=1)                            # v2: files move
+    t2.delete_where_mor(doomed, ["event_id"])             # v3
+    ch2 = t2.changelog(1, 3, keys=["event_id"]).collect()
+    assert len(ch2) == n_doomed, (
+        f"expected {n_doomed} single-emission deletes, got {len(ch2)}"
+    )
+    assert {r["change_type"] for r in ch2} == {"delete"}
+    assert {r["event_id"] for r in ch2} == {
+        r["event_id"] for r in doomed.collect()
+    }
+
+
+def test_rewrite_vs_mor_delete_conflict_raises(spark, events, tmp_path):
+    """ADVICE r9: a rewrite computed against base must NOT commit over a
+    concurrent merge-on-read delete — the rewrite read base's live rows,
+    so committing it with empty delete_files would resurrect the
+    concurrently deleted keys. Iceberg's rewrite validation fails on new
+    delete files; so must ours."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        CommitConflict,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base_df = events.filter(F.col("event_id") < 10)
+    t.append(base_df, n_files=2)                          # v1 (10 rows)
+
+    base = t.current_version
+    rewritten = t._write_files(t.read(version=base), 1)   # rewrite computed...
+    doomed = base_df.filter(F.col("event_id") < 3).select("event_id")
+    SnapshotTable(spark, str(tmp_path / "t")).delete_where_mor(
+        doomed, ["event_id"]
+    )                                                     # ...delete lands v2
+    with pytest.raises(CommitConflict):
+        t._commit_rewrite(base, rewritten, "compact")
+    assert t.read().count() == 7, "deleted rows must stay deleted"
+
+    # the caller's documented recovery: re-read and re-run the rewrite
+    t.compact(target_files=1)
+    assert t.read().count() == 7
+    assert t._manifest(t.current_version)["delete_files"] == []
+
+
+def test_mv_refresh_partitions_removes_emptied_partition(
+    spark, events, tmp_path
+):
+    """ADVICE r9: a requested partition whose rebuild yields ZERO rows
+    (all source rows for that day deleted upstream) must be REMOVED from
+    the MV — dynamic partition overwrite alone leaves the stale directory
+    behind and the MV would retain deleted data."""
+    src = events.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    state = {"dropped": None}
+
+    def build(spark_, _sf):
+        df = src
+        if state["dropped"]:
+            df = df.filter(F.col("event_date") != state["dropped"])
+        return df.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+
+    mv = MaterializedView("t", build, str(tmp_path), partition_col="event_date")
+    mv.refresh(spark, SF_DIR)
+    assert os.path.isdir(os.path.join(mv.path, "event_date=2024-01-10"))
+
+    state["dropped"] = "2024-01-10"  # upstream deletes the whole day
+    mv.refresh_partitions(spark, SF_DIR, ["2024-01-10"])
+
+    assert not os.path.isdir(os.path.join(mv.path, "event_date=2024-01-10")), (
+        "emptied partition directory must be removed"
+    )
+    days = {str(r[0]) for r in mv.read(spark).select("event_date").collect()}
+    assert "2024-01-10" not in days
+    # incremental result == full rebuild (the MV invariant)
+    assert mv.read(spark).count() == build(spark, None).count()

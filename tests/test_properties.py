@@ -685,3 +685,53 @@ def test_translate_object_construct_and_timestamp(spark):
     )
     got = spark.sql(keyed).collect()[0]["o"].asDict()
     assert got == {"a": 1, "b": "x"}
+
+
+def test_translate_flatten_nested_parens_and_loud_failures(spark):
+    """ADVICE r9: FLATTEN input expressions containing parentheses must
+    translate intact (the old [^)]+ regex truncated at the inner ')'),
+    and untranslatable shapes must raise instead of silently emitting
+    malformed Spark SQL."""
+    import pytest as _pytest
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.dialect import translate
+
+    # nested call in the input expression
+    sql = translate(
+        "SELECT f.value FROM t, LATERAL FLATTEN(input => split(x, ',')) f"
+    )
+    assert "LATERAL VIEW explode(split(x, ',')) f AS value" in sql
+    assert "FLATTEN" not in sql.upper()
+
+    # executes end-to-end, incl. a paren inside a string literal
+    spark.sql("SELECT 'a,b,c' AS x").createOrReplaceTempView("t_flat")
+    rows = spark.sql(
+        translate(
+            "SELECT f.value AS v FROM t_flat, "
+            "LATERAL FLATTEN(input => split(concat(x, ',(d)'), ',')) f"
+        )
+    ).collect()
+    assert [r["v"] for r in rows] == ["a", "b", "c", "(d)"]
+
+    # AS-alias form
+    sql2 = translate(
+        "SELECT f.value FROM t, LATERAL FLATTEN(input => arr) AS f"
+    )
+    assert "explode(arr) f AS value" in sql2
+
+    # named options → loud failure, not mistranslation
+    with _pytest.raises(ValueError, match="named options"):
+        translate(
+            "SELECT * FROM t, LATERAL FLATTEN(input => arr, OUTER => TRUE) f"
+        )
+    # missing alias → loud failure
+    with _pytest.raises(ValueError, match="alias"):
+        translate(
+            "SELECT * FROM t, LATERAL FLATTEN(input => arr) WHERE 1=1"
+        )
+    # non-input-arg form → loud failure
+    with _pytest.raises(ValueError):
+        translate("SELECT * FROM t, LATERAL FLATTEN(arr) f")
+    # unsupported placement (TABLE(FLATTEN(...))) → loud failure
+    with _pytest.raises(ValueError, match="cannot translate"):
+        translate("SELECT * FROM TABLE(FLATTEN(input => arr)) f")
