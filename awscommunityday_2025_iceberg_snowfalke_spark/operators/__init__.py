@@ -70,78 +70,82 @@ def _modules():
 # green); r7 sampled the 16 post-r6 additions + the entire r4-vintage
 # relational/snowsql/tpch tail (47/50 — quality_filter_funnel and the
 # quota pair were driver-red on cross-engine numeric fragility).
-# r9 (this rotation) front-loads, per VERDICT r8 ask 1, the entries with
-# NO driver CORRECTNESS row yet plus the stalest vintage:
-# (a) the THIRTY round-9 additions (exact-substring dedup family ×3,
-#     IVF-PQ family ×3, streaming MERGE upsert, Gopher rules, bigram LM,
-#     b-bit minhash, range search, MMR, DSIR selection, length outliers,
-#     BPE encode, temperature reweight, GROUPING SETS, Kneser-Ney,
-#     vocab OOV + coverage curve, negative sampling, snapshot changelog,
-#     pHash Hamming pairs, approx top-k, truncation recall, method
-#     agreement, partition evolution, FLATTEN, WAP, MOR deletes);
-# (b) two entries CHANGED this round whose driver rows predate the
-#     change (minhash_lsh_pairs' integer predicate; the dsir shared-core
-#     refactor — doc_domain_mixture's change was plan-only, its r7 value
-#     evidence stands);
-# (c) the eighteen r8 extension additions, judge-certified in r8 but
-#     never driver-sampled (COVERAGE.md's r9 queue);
-# the eighteen r5-vintage + seven r6-vintage stale rows all queue for
-# r10 (list in COVERAGE.md).
-# 30 + 2 + 18 = 50 exactly (test_registry pins the arithmetic).
+# r10 (this rotation) front-loads:
+# (a) the ELEVEN entries with NO driver CORRECTNESS row — six r10
+#     additions (OPQ allocation family ×3, hybrid RRF search, snapshot
+#     branches/tags, streaming watermark late-drop) and five late-r9
+#     additions that landed after r9's final rotation
+#     (streaming_wap_publish, mv_changelog_refresh, pack_docs_placement,
+#     doc_token_chunks, quality_method_agreement);
+# (b) seven entries CHANGED this round whose r9 driver rows predate the
+#     change: snapshot_changelog + mor_delete_events (changelog now
+#     applies v_to's tombstones to the added side; rewrite-vs-MOR-delete
+#     conflicts), snowsql_flatten_event_types (FLATTEN balanced-paren
+#     scanner), wap_publish_audit (orphan GC now scans branch manifests),
+#     and the IVF-PQ trio (_pq_topk grew the subidx hook — behavior-
+#     identical by default, re-certify anyway);
+# (c) the EIGHTEEN r5-vintage rows (COVERAGE.md's r10 queue);
+# (d) FOURTEEN r6-vintage rows — the seven sources/streaming/governance/
+#     MV spine entries named in COVERAGE.md's r10 queue plus the seven
+#     next-stalest r6 rows.
+# 11 + 7 + 18 + 14 = 50 exactly (test_registry pins the arithmetic).
+# Remaining r6 vintage (~36) + the r7 relational/snowsql/tpch tail queue
+# for r11 (list in COVERAGE.md).
 _GATE_FRONT = (
-    # (a) round-9 additions
-    "dedup_exact_substrings",
-    "dedup_substring_removal_report",
-    "benchmark_contamination_substrings",
+    # (a) never driver-sampled
+    "embedding_opq_permutation",
+    "ann_ivf_opq_cosine",
+    "ann_ivf_opq_recall_report",
+    "hybrid_search_rrf",
+    "snapshot_branch_tag",
+    "streaming_watermark_late_drop",
+    "streaming_wap_publish",
+    "mv_changelog_refresh",
+    "pack_docs_placement",
+    "doc_token_chunks",
+    "quality_method_agreement",
+    # (b) changed this round — driver rows predate the change
+    "snapshot_changelog",
+    "mor_delete_events",
+    "snowsql_flatten_event_types",
+    "wap_publish_audit",
     "ann_ivf_pq_cosine",
     "ann_ivf_pq_recall_report",
     "embedding_pq_codes",
-    "streaming_merge_upsert",
-    "gopher_quality_rules",
-    "bigram_logprob_score",
-    "minhash_b_bit_accuracy",
-    "ann_range_search_cosine",
-    "mmr_diverse_topk",
-    "dsir_select_threshold",
-    "doc_length_outliers",
-    "bpe_encode_fixed_merges",
-    "domain_temperature_reweight",
-    "grouping_sets_type_dow",
-    "kneser_ney_bigram_score",
-    "vocab_oov_rate",
-    "snapshot_changelog",
-    "multimodal_phash_hamming_pairs",
-    "approx_topk_users",
-    "embedding_truncation_recall",
-    "dedup_method_agreement",
-    "vocab_coverage_curve",
-    "negative_sampling_weights",
-    "partition_evolution_scan",
-    "snowsql_flatten_event_types",
-    "wap_publish_audit",
-    "mor_delete_events",
-    # (b) changed this round — driver rows predate the change
-    "minhash_lsh_pairs",
-    "dsir_importance_weights",
-    # (c) r8 extension additions, never driver-sampled
-    "dedup_editdist_verify",
-    "minhash_estimate_accuracy",
-    "dedup_keep_best_quality",
-    "jaccard_threshold_sweep",
-    "source_overlap_matrix",
-    "pmi_collocations",
-    "doc_lang_confusion",
-    "source_quality_report",
-    "lang_char_entropy",
-    "doc_length_histogram",
-    "bpe_first_merges",
-    "epoch_shard_assignment",
-    "knn_graph_degree_stats",
-    "event_percent_rank",
-    "cdc_scd2_user_value",
-    "pseudonymized_join_audit",
-    "streaming_cdc_latest_events",
-    "unpivot_user_event_values",
+    # (c) r5-vintage
+    "cdc_latest_events",
+    "word_doc_frequency_topk",
+    "doc_top_terms",
+    "purchasers_without_errors",
+    "purchasers_with_signup",
+    "hourly_gapfill",
+    "training_export_manifest",
+    "asof_purchase_signup",
+    "purchases_within_hour_of_signup",
+    "multimodal_ingest",
+    "multimodal_audio_chunks",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "lifecycle_snapshot_counts",
+    "merge_upsert_events",
+    "zorder_clustering_report",
+    "schema_evolution_read",
+    "file_skipping_report",
+    # (d) r6-vintage spine + next-stalest
+    "pyds_snapshot_scan",
+    "mv_daily_user_stats",
+    "dynamic_table_user_engagement",
+    "streaming_event_counts",
+    "small_file_lifecycle_report",
+    "query_history",
+    "masked_profiles",
+    "masked_profiles_admin",
+    "csv_roundtrip_profiles",
+    "hot_tier_ctas",
+    "partition_pruned_scan",
+    "clustering_skipping_report",
+    "streaming_user_sessions",
+    "streaming_daily_windows",
 )
 
 

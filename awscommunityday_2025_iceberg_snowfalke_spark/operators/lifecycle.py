@@ -390,6 +390,157 @@ class SnapshotTable:
         the aborted batch is collected)."""
         os.remove(self._staged_path(wap_id))
 
+    # -- branches & tags (Iceberg refs) ---------------------------------------
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.path, "snapshots", f"tag-{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """TAG: an immutable named pointer to a snapshot (Iceberg:
+        ``ALTER TABLE t CREATE TAG name [AS OF VERSION v]``) — the
+        audit/repro primitive ('what exactly did the Q3 model train
+        on?'). Metadata-only: one tiny JSON, zero data I/O."""
+        v = version if version is not None else self.current_version
+        self._manifest(v)  # must exist
+        tmp = self._tag_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": v, "timestamp": time.time()}, fh)
+        os.rename(tmp, self._tag_path(name))
+        return v
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Read the snapshot a tag pins (Iceberg: ``VERSION AS OF 'name'``).
+        Tagged versions survive unrelated main commits by construction."""
+        with open(self._tag_path(name)) as fh:
+            return self.read(version=json.load(fh)["version"])
+
+    def _branch_files(self, name: str) -> list[str]:
+        d = os.path.join(self.path, "snapshots")
+        pre = f"branch-{name}-v"
+        return sorted(
+            (f for f in os.listdir(d) if f.startswith(pre) and f.endswith(".json")),
+            key=lambda f: int(f[len(pre) : -5]),
+        )
+
+    def branch_version(self, name: str) -> int:
+        snaps = self._branch_files(name)
+        if not snaps:
+            raise ValueError(f"no branch {name!r}")
+        return int(snaps[-1][len(f"branch-{name}-v") : -5])
+
+    def _branch_manifest(self, name: str, version: int) -> dict:
+        p = os.path.join(
+            self.path, "snapshots", f"branch-{name}-v{version}.json"
+        )
+        with open(p) as fh:
+            return json.load(fh)
+
+    def create_branch(self, name: str, version: int | None = None) -> None:
+        """BRANCH: a named, independently-writable snapshot lineage
+        (Iceberg: ``ALTER TABLE t CREATE BRANCH name``) seeded from a
+        main snapshot — the isolation primitive behind the audit-branch /
+        ``spark.wap.branch`` ingestion pattern: writers land on the
+        branch, validation reads the branch, main's readers never see a
+        row until :meth:`fast_forward`. Creation is metadata-only (the
+        branch's v1 manifest references the seed snapshot's files)."""
+        v = version if version is not None else self.current_version
+        m = (
+            self._manifest(v)
+            if v
+            else {"files": [], "file_seqs": {}, "delete_files": []}
+        )
+        bm = {
+            "version": 1,
+            "operation": "branch.create",
+            "base_main_version": v,
+            "timestamp": time.time(),
+            "files": m.get("files", []),
+            "file_seqs": m.get("file_seqs", {}),
+            "delete_files": m.get("delete_files", []),
+        }
+        snap_dir = os.path.join(self.path, "snapshots")
+        tmp = os.path.join(snap_dir, f".branch-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(bm, fh)
+        try:
+            os.link(tmp, os.path.join(snap_dir, f"branch-{name}-v1.json"))
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+
+    def append_to_branch(
+        self, name: str, df: DataFrame, n_files: int | None = None
+    ) -> int:
+        """Append to a branch (Iceberg: ``writeTo(t).append()`` with the
+        session's write branch set): same CAS re-base loop as ``append``,
+        against the branch's own manifest chain — main is untouched."""
+        added = self._write_files(df, n_files)
+        snap_dir = os.path.join(self.path, "snapshots")
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.branch_version(name)
+            m = self._branch_manifest(name, base)
+            bm = {
+                "version": base + 1,
+                "operation": "branch.append",
+                "base_main_version": m["base_main_version"],
+                "timestamp": time.time(),
+                "files": m["files"] + added,
+                "file_seqs": m.get("file_seqs", {}),
+                "delete_files": m.get("delete_files", []),
+            }
+            tmp = os.path.join(snap_dir, f".branch-{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(bm, fh)
+            try:
+                os.link(
+                    tmp,
+                    os.path.join(snap_dir, f"branch-{name}-v{base + 1}.json"),
+                )
+                return base + 1
+            except FileExistsError:
+                continue  # another branch writer won; re-base
+            finally:
+                os.unlink(tmp)
+        raise RuntimeError("append_to_branch: commit retries exhausted")
+
+    def read_branch(self, name: str) -> DataFrame:
+        """Read a branch head (Iceberg: ``VERSION AS OF 'name'`` /
+        ``option("branch", name)``)."""
+        m = self._branch_manifest(name, self.branch_version(name))
+        return self._read_scoped(m, m["files"])
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch to main (Iceberg: ``CALL system.fast_forward
+        ('t', 'main', name)``): main's pointer advances to the branch
+        head in ONE metadata-only CAS commit — zero data I/O, the same
+        publish economics as WAP. Requires main to still be at the
+        branch's base (Iceberg's ancestor requirement); raises
+        :class:`CommitConflict` otherwise — the caller rebases the
+        branch or merges explicitly. Net-new branch files take the new
+        main version as their data sequence number (they are committed
+        to main BY this commit), so later MOR deletes scope correctly."""
+        head = self._branch_manifest(name, self.branch_version(name))
+        base = head["base_main_version"]
+        cur = self.current_version
+        if cur != base:
+            raise CommitConflict(
+                f"fast_forward({name!r}): main moved v{base} → v{cur} since "
+                "the branch was created; main is not an ancestor of the "
+                "branch head — rebase the branch and retry"
+            )
+        if self._try_commit(
+            cur + 1,
+            head["files"],
+            f"fast_forward.{name}",
+            delete_files=head.get("delete_files", []),
+            prev_seqs=head.get("file_seqs", {}),
+        ):
+            return cur + 1
+        raise CommitConflict(
+            f"fast_forward({name!r}): lost the commit race for v{cur + 1}; "
+            "main is no longer at the branch base — rebase and retry"
+        )
+
     def append(self, df: DataFrame, n_files: int | None = None) -> int:
         """T1: atomic concurrent-safe append (Iceberg: ``writeTo(t)
         .append()``). Data files are written once; the manifest commit is a
@@ -667,18 +818,23 @@ class SnapshotTable:
 
     def remove_orphan_files(self) -> list[str]:
         """T7 (Iceberg: ``CALL system.remove_orphan_files``): delete data
-        files referenced by no live snapshot AND no in-flight staged WAP
-        manifest (so GC is safe to run while a write-audit-publish batch
-        is still under audit)."""
+        files referenced by no live snapshot, no in-flight staged WAP
+        manifest, and no BRANCH manifest (so GC is safe to run while a
+        write-audit-publish batch is under audit or a branch is still
+        unpublished)."""
         live: set[str] = set()
         for m in self.history():
             live.update(m["files"])
             live.update(d["file"] for d in m.get("delete_files", []))
         snap_dir = os.path.join(self.path, "snapshots")
         for f in os.listdir(snap_dir):
-            if f.startswith("staged-") and f.endswith(".json"):
+            if f.endswith(".json") and (
+                f.startswith("staged-") or f.startswith("branch-")
+            ):
                 with open(os.path.join(snap_dir, f)) as fh:
-                    live.update(json.load(fh)["files"])
+                    bm = json.load(fh)
+                live.update(bm["files"])
+                live.update(d["file"] for d in bm.get("delete_files", []))
         removed = []
         data_dir = os.path.join(self.path, "data")
         for f in os.listdir(data_dir):
@@ -1113,8 +1269,61 @@ def mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BRANCHES & TAGS end-to-end — the ref surface behind the
+    audit-branch ingestion pattern (``spark.wap.branch``) and
+    reproducibility pins:
+
+    - v1 = cold events on main; ``create_tag('prod-baseline')`` pins it
+      forever (metadata-only);
+    - ``create_branch('audit')`` + ``append_to_branch`` lands the hot
+      batch ON THE BRANCH: main's readers still see exactly the cold
+      rows (isolation asserted in-engine);
+    - ``fast_forward('audit')`` publishes the branch to main in one
+      metadata-only CAS commit (Iceberg: ``CALL system.fast_forward``),
+      conflict-checked against main having moved;
+    - the tag STILL reads the v1 state after publication.
+
+    Output = per-(view, event_type) counts/sums for the three read
+    surfaces — tag (cold only), branch head and post-publish main (both
+    cold+hot) — which the oracle pins full-value. History is pinned to
+    append + fast_forward. Scale: every ref operation here is O(manifest)
+    metadata work; only the branch append writes data files, once."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    cold, hot = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+    tbl = make_table(spark, "brtag_")
+    tbl.append(cold, n_files=4)  # v1
+    tbl.create_tag("prod-baseline")
+    tbl.create_branch("audit")
+    tbl.append_to_branch("audit", hot, n_files=4)
+    # isolation: the branch write must be invisible to main
+    n_cold = cold.count()
+    assert tbl.read().count() == n_cold, "branch write leaked into main"
+    assert tbl.read_branch("audit").count() > n_cold
+    v = tbl.fast_forward("audit")  # v2, metadata-only
+    assert v == 2
+    ops = [m["operation"] for m in tbl.history()]
+    assert ops == ["append", "fast_forward.audit"], ops
+    # the tag still pins the pre-publish state
+    views = [
+        ("tag_baseline", tbl.read_tag("prod-baseline")),
+        ("branch_audit", tbl.read_branch("audit")),
+        ("main_after_ff", tbl.read()),
+    ]
+    out = None
+    for label, df in views:
+        part = df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_sum("value", 2).alias("sum_value"),
+        ).select(F.lit(label).alias("view"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
+    "snapshot_branch_tag": snapshot_branch_tag,
     "merge_upsert_events": merge_upsert_events,
     "snapshot_changelog": snapshot_changelog,
     "wap_publish_audit": wap_publish_audit,
@@ -1214,6 +1423,21 @@ def _zorder_oracle_sql() -> str:
 
 ORACLE = {
     "zorder_clustering_report": _zorder_oracle_sql(),
+    # tag pins the cold snapshot; branch head and fast-forwarded main both
+    # read cold+hot = the full events table
+    "snapshot_branch_tag": f"""
+        SELECT 'tag_baseline' AS view, event_type,
+               COUNT(*) AS n_events, {det_sum_sql("value", 2)} AS sum_value
+        FROM events WHERE ts < {_TS7} GROUP BY event_type
+        UNION ALL
+        SELECT 'branch_audit', event_type,
+               COUNT(*), {det_sum_sql("value", 2)}
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'main_after_ff', event_type,
+               COUNT(*), {det_sum_sql("value", 2)}
+        FROM events GROUP BY event_type
+    """,
     "merge_upsert_events": f"""
         WITH src AS (
             SELECT event_id, event_type, value * 2 AS value

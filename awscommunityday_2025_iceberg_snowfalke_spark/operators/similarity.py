@@ -1504,6 +1504,88 @@ def ann_ivf_opq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hybrid search: BM25 × vector fusion (Reciprocal Rank Fusion) ------------
+RRF_K = 60  # the canonical RRF constant (Cormack, Clarke, Buettcher 2009)
+RRF_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the production search shape every vector store
+    ships (Elasticsearch/Vespa/Weaviate 'hybrid'): a LEXICAL ranking
+    (BM25 over the query terms, :func:`~.textstats.doc_bm25_search`) and
+    a VECTOR ranking (cosine against the query embedding, here doc 0's
+    vector as the pseudo-query) fused by Reciprocal Rank Fusion:
+    score(d) = Σ_r 1/(RRF_K + rank_r(d)) over the rankings that retrieved
+    d. RRF needs no score calibration between the two systems — only
+    ranks — which is why it is the default fusion everywhere.
+
+    Scale shape: each leg is already top-``BM25_TOPK`` bounded (BM25 ends
+    in TakeOrderedAndProject; the vector leg broadcasts the 1-row query,
+    scores map-side, and takes top-k the same way), so the fusion is a
+    full-outer join of two ≤k-row relations — driver-light, corpus-scan
+    cost = one BM25 pass + one embedding pass. Ranks inside each bounded
+    leg use a row_number window over ≤k rows (single-partition is the
+    point, not a smell). Determinism: both legs tie-break on doc_id ASC;
+    1/(K+rank) is exact IEEE division on both engines; the two addends
+    sum in fixed textual order."""
+    from .textstats import BM25_TOPK, doc_bm25_search
+
+    lex = doc_bm25_search(spark, sf_dir)  # ≤ BM25_TOPK rows, ordered
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("q")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _as_double("embedding").alias("e"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            (
+                _dot(F.col("q"), F.col("e"))
+                / (_norm(F.col("q")) * _norm(F.col("e")))
+            ).alias("cos"),
+        )
+    )
+    top_vec = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(BM25_TOPK)
+    w_vec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))  # ≤ k rows
+    vec_r = top_vec.select(
+        "doc_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+
+    fused = lex_r.join(vec_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf_raw", 8).alias("rrf_score"),
+        )
+    )
+
+
 # --- Lloyd's k-means (IVF coarse-quantizer training) -------------------------
 KMEANS_K = 8
 KMEANS_ITERS = 4
@@ -1882,6 +1964,7 @@ QUERIES = {
     "embedding_opq_permutation": embedding_opq_permutation,
     "ann_ivf_opq_cosine": ann_ivf_opq_cosine,
     "ann_ivf_opq_recall_report": ann_ivf_opq_recall_report,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 
@@ -2664,6 +2747,42 @@ ORACLE["ann_ivf_opq_recall_report"] = f"""
     FROM cand c JOIN bf ON c.query_id = bf.query_id
                        AND c.neighbor_id = bf.neighbor_id
     GROUP BY c.n_probe
+"""
+
+# RRF fusion: both legs' rankings reproduced exactly (BM25 oracle reused
+# verbatim; cosine leg = the knn oracle's device), fused with the same
+# fixed-order IEEE arithmetic as the Spark expression
+from .textstats import BM25_TOPK as _BM25_TOPK  # noqa: E402
+from .textstats import ORACLE as _TXT_ORACLE  # noqa: E402
+
+ORACLE["hybrid_search_rrf"] = f"""
+    WITH lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+        FROM ({_TXT_ORACLE["doc_bm25_search"]})
+    ),
+    vec AS (
+        SELECT doc_id, rn AS vec_rank FROM (
+            SELECT c.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_DUCK_COS.format(a="c.embedding", b="q.embedding")} DESC,
+                                c.vec_id ASC
+                   ) AS rn
+            FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+            WHERE c.vec_id <> 0
+        ) WHERE rn <= {_BM25_TOPK}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               CAST(l.lex_rank AS INT) AS lex_rank,
+               CAST(v.vec_rank AS INT) AS vec_rank,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0.0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + v.vec_rank),
+                              0.0) AS rrf_raw
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf_raw, 8) AS rrf_score
+    FROM fused ORDER BY rrf_raw DESC, doc_id ASC LIMIT {RRF_TOPK}
 """
 
 # per-cell k-means outputs aren't SQL-derivable; the gate row checks the

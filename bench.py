@@ -167,6 +167,9 @@ HEADLINE = [
     "mmr_diverse_topk",       # MMR diversified re-rank (applyInPandas greedy)
     "bpe_encode_fixed_merges",  # frozen-merge BPE encode (map-only codegen)
     "kneser_ney_bigram_score",  # KN bigram LM (continuation-count backoff)
+    "mor_delete_events",        # lifecycle-WRITE class: MOR delete + compact
+    "ann_ivf_opq_cosine",       # OPQ-allocated IVF-PQ (permuted-gather ADC)
+    "hybrid_search_rrf",        # BM25 × vector fusion (RRF)
 ]
 
 

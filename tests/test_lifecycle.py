@@ -566,3 +566,49 @@ def test_mv_refresh_partitions_removes_emptied_partition(
     assert "2024-01-10" not in days
     # incremental result == full rebuild (the MV invariant)
     assert mv.read(spark).count() == build(spark, None).count()
+
+
+def test_branch_tag_isolation_ff_and_gc(spark, events, tmp_path):
+    """Branches & tags: a tag pins its snapshot across later commits; a
+    branch takes writes invisibly to main; fast_forward publishes
+    metadata-only; fast_forward conflicts when main moved; unpublished
+    branch files survive orphan GC."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        CommitConflict,
+    )
+
+    cold = events.filter(F.col("event_id") % 2 == 0)
+    hot = events.filter(F.col("event_id") % 2 == 1)
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(cold, n_files=2)                       # v1
+    t.create_tag("baseline")
+    t.create_branch("audit")
+    t.append_to_branch("audit", hot, n_files=2)
+    assert t.read().count() == cold.count()         # isolation
+    assert t.read_branch("audit").count() == events.count()
+    # unpublished branch files are GC-live
+    assert t.remove_orphan_files() == []
+    assert t.read_branch("audit").count() == events.count()
+
+    v = t.fast_forward("audit")                     # metadata-only publish
+    assert v == 2
+    assert t.read().count() == events.count()
+    assert t.read_tag("baseline").count() == cold.count()  # tag still pins v1
+    assert [m["operation"] for m in t.history()] == [
+        "append",
+        "fast_forward.audit",
+    ]
+
+    # duplicate branch name must refuse
+    with pytest.raises(ValueError):
+        t.create_branch("audit")
+
+    # fast_forward after main moved: ancestor check must conflict
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(cold, n_files=2)                      # v1
+    t2.create_branch("b")
+    t2.append_to_branch("b", hot, n_files=1)
+    t2.append(hot.limit(10), n_files=1)             # main moves to v2
+    with pytest.raises(CommitConflict):
+        t2.fast_forward("b")

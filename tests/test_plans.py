@@ -554,3 +554,30 @@ def test_token_chunks_generator_no_shuffle(spark):
     assert shuffle_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" in plan and "Join" not in plan
+
+
+def test_hybrid_rrf_legs_bounded(spark):
+    """Hybrid RRF: the vector leg must take its top-k via
+    TakeOrderedAndProject (heap, no global sort of the corpus) with the
+    1-row query BROADCAST, and the fusion join runs over two ≤k-row
+    relations — no corpus-sized exchange may feed the final sort."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+
+    df = similarity.hybrid_search_rrf(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must be heap-based"
+    assert plan.count("Sort ") <= 2, plan  # rank windows over <=k rows only
+    rows = df.collect()
+    assert 0 < len(rows) <= similarity.RRF_TOPK
+    for r in rows:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (similarity.RRF_K + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (similarity.RRF_K + r["vec_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-8, r
+    # fused-in-both must outrank single-leg at equal ranks: verify the
+    # ordering is by the recomputed score
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -23,7 +23,11 @@ from awscommunityday_2025_iceberg_snowfalke_spark.operators import (
 # backticked snake_case identifiers in COVERAGE.md that are legitimately
 # NOT registry entries (helper functions, schema columns, Spark APIs)
 _COVERAGE_NON_ENTRIES = {
+    "append_to_branch",  # SnapshotTable branch method
     "approx_top_k",  # pyspark.sql function API
+    "create_branch",  # SnapshotTable branch method
+    "create_tag",  # SnapshotTable tag method
+    "fast_forward",  # SnapshotTable publish method
     "ext_user_events",  # temp-view name in the external-scan narrative
     "gopher_ok",  # composite flag column of gopher_quality_rules
     "kmeans_ivf_cells",  # helper behind kmeans_ivf_train

@@ -106,6 +106,10 @@ DOC_QUERIES = [
     "embedding_pq_codes",    # map-only PQ encode artifact
     "gopher_quality_rules",  # map-side rules + doc-keyed repetition joins
     "bigram_logprob_score",  # bigram explode + keyed dict join + decimal fold
+    # round-10 additions
+    "embedding_opq_permutation",  # d-group variance agg + d-row window
+    "ann_ivf_opq_cosine",    # permuted-gather ADC (same budget as PQ)
+    "hybrid_search_rrf",     # BM25 pass + broadcast-query pass, ≤k fusion
 ]
 
 
