@@ -606,19 +606,39 @@ class SnapshotTable:
             raise ValueError("empty table")
         return self._read_scoped(m, m["files"])
 
-    def _read_scoped(self, m: dict, files: list[str]) -> DataFrame:
+    def _read_scoped(
+        self, m: dict, files: list[str], keep_meta: bool = False
+    ) -> DataFrame:
         """Live rows of snapshot-manifest ``m`` restricted to ``files``,
-        with sequence-scoped tombstone application (see ``read``)."""
+        with sequence-scoped tombstone application (see ``read``).
+        ``keep_meta=True`` retains the ``(_df_file, _df_pos)`` provenance
+        columns (file name + row index) on the output — the position-
+        delete writer and the changelog's positional pre-image pass need
+        them."""
         paths = [os.path.join(self.path, "data", f) for f in files]
         dels = m.get("delete_files", [])
+
+        def _with_meta(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_df_file"),
+                F.col("_metadata.row_index").alias("_df_pos"),
+                "*",
+            )
+
         if not dels:
-            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        # merge-on-read with SEQUENCE SCOPING (Iceberg v2): an equality
-        # delete applies only to data files whose seq <= the delete's seq
-        # — rows re-inserted AFTER the delete survive. Files are grouped
-        # by their applicable-delete signature (bounded by 2^|deletes|,
-        # in practice a handful), each group anti-joins its deletes, and
-        # the groups union back together.
+            raw = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            return _with_meta(raw) if keep_meta else raw
+        # merge-on-read with SEQUENCE SCOPING (Iceberg v2): a delete
+        # applies only to data files whose seq <= the delete's seq — rows
+        # re-inserted AFTER the delete survive. Files are grouped by
+        # their applicable-delete signature (bounded by 2^|deletes|, in
+        # practice a handful); each group applies its deletes — EQUALITY
+        # tombstones anti-join by key, POSITION tombstones anti-join on
+        # (file, row_index) via the parquet _metadata columns (positions
+        # are stable because data files are immutable) — and the groups
+        # union back together.
         seqs = m.get("file_seqs", {})
         groups: dict[tuple, list[str]] = {}
         for f in files:
@@ -630,14 +650,33 @@ class SnapshotTable:
             groups.setdefault(sig, []).append(f)
         out = None
         for sig, fs in groups.items():
+            needs_pos = keep_meta or any(
+                dels[i].get("kind") == "pos" for i in sig
+            )
             part = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, "data", f) for f in fs]
             )
+            if needs_pos:
+                part = _with_meta(part)
             for i in sig:
                 keys = self.spark.read.parquet(
                     os.path.join(self.path, "data", dels[i]["file"])
                 )
-                part = part.join(keys, dels[i]["key_cols"], "left_anti")
+                if dels[i].get("kind") == "pos":
+                    tomb = keys.select(
+                        F.col("file").alias("_t_file"),
+                        F.col("pos").alias("_t_pos"),
+                    )
+                    part = part.join(
+                        tomb,
+                        (part["_df_file"] == tomb["_t_file"])
+                        & (part["_df_pos"] == tomb["_t_pos"]),
+                        "left_anti",
+                    )
+                else:
+                    part = part.join(keys, dels[i]["key_cols"], "left_anti")
+            if needs_pos and not keep_meta:
+                part = part.drop("_df_file", "_df_pos")
             out = part if out is None else out.unionByName(
                 part, allowMissingColumns=True
             )
@@ -671,6 +710,45 @@ class SnapshotTable:
             ):
                 return base + 1
         raise RuntimeError("delete_where_mor: commit retries exhausted")
+
+    def delete_where_positional(self, predicate) -> int:
+        """MERGE-ON-READ POSITION DELETE (Iceberg v2's second delete
+        encoding, the one copy-on-write MERGE/UPDATE rewrites produce):
+        resolve the doomed rows' (data file, row index) pairs with ONE
+        scan of the live table — Spark's ``_metadata.file_path`` /
+        ``_metadata.row_index`` columns ARE the position vocabulary,
+        stable because data files are immutable — write them as a
+        position-delete file, and commit a manifest that keeps every
+        data file. Readers anti-join on (file, pos) instead of keys
+        (``_read_scoped``), which is why engines prefer position deletes
+        when the match set is already known from a scan: the read-side
+        join needs no key columns and never collides with a re-inserted
+        key (positions are file-scoped by construction — built-in
+        sequence scoping). ``compact()`` materializes and clears them
+        exactly like equality deletes. Cost: O(|matches|) tombstone I/O,
+        zero data rewrite."""
+        base = self.current_version
+        m = self._manifest(base)
+        live = self._read_scoped(m, m["files"], keep_meta=True)
+        positions = live.filter(predicate).select(
+            F.col("_df_file").alias("file"), F.col("_df_pos").alias("pos")
+        )
+        added = self._write_files(positions, 1)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version
+            m = self._manifest(base) if base else {"files": []}
+            dels = list(m.get("delete_files", [])) + [
+                {"file": f, "kind": "pos", "seq": base + 1} for f in added
+            ]
+            if self._try_commit(
+                base + 1,
+                m["files"],
+                "delete.pos",
+                delete_files=dels,
+                prev_seqs=m.get("file_seqs", {}),
+            ):
+                return base + 1
+        raise RuntimeError("delete_where_positional: commit retries exhausted")
 
     def changelog(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
         """Row-level CHANGELOG between two snapshots (Iceberg's changelog
@@ -734,9 +812,26 @@ class SnapshotTable:
                 kdf = self.spark.read.parquet(
                     os.path.join(self.path, "data", d["file"])
                 )
-                hit = self._read_scoped(mf, src).join(
-                    kdf, d["key_cols"], "left_semi"
-                ).select(ct("delete").alias("change_type"), "*")
+                if d.get("kind") == "pos":
+                    live = self._read_scoped(mf, src, keep_meta=True)
+                    tomb = kdf.select(
+                        F.col("file").alias("_t_file"),
+                        F.col("pos").alias("_t_pos"),
+                    )
+                    hit = (
+                        live.join(
+                            tomb,
+                            (live["_df_file"] == tomb["_t_file"])
+                            & (live["_df_pos"] == tomb["_t_pos"]),
+                            "left_semi",
+                        )
+                        .drop("_df_file", "_df_pos")
+                        .select(ct("delete").alias("change_type"), "*")
+                    )
+                else:
+                    hit = self._read_scoped(mf, src).join(
+                        kdf, d["key_cols"], "left_semi"
+                    ).select(ct("delete").alias("change_type"), "*")
                 mor_rows = hit if mor_rows is None else mor_rows.unionByName(hit)
 
         def _with_mor(df: DataFrame) -> DataFrame:
@@ -1321,9 +1416,43 @@ def snapshot_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def mor_position_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR POSITION deletes end-to-end — the same narrative as
+    :func:`mor_delete_events` under Iceberg v2's OTHER delete encoding:
+    v2 deletes every ``error`` event by (data file, row index) resolved
+    from one live scan (``_metadata`` columns), no key columns on the
+    read path and no data rewrite; v3 ``compact()`` materializes and
+    clears. Position deletes are what MERGE/UPDATE write when the
+    matching scan already knows exactly which rows die; equality deletes
+    are the O(|keys|) path when it doesn't. Both encodings must land the
+    identical table state — this report's row counts are hash-equal to
+    the equality twin's, and the changelog across the delete commit
+    emits the same full pre-images (test-pinned)."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "morpos_")
+    tbl.append(ev, n_files=8)
+    tbl.delete_where_positional(F.col("event_type") == "error")
+    tbl.compact(target_files=2)
+    rows = []
+    for v in (1, 2, 3):
+        m = tbl._manifest(v)
+        rows.append(
+            (
+                v,
+                m["operation"],
+                tbl.read(version=v).count(),
+                len(m.get("delete_files", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, operation string, row_count long, n_delete_files int"
+    )
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "snapshot_branch_tag": snapshot_branch_tag,
+    "mor_position_delete_events": mor_position_delete_events,
     "merge_upsert_events": merge_upsert_events,
     "snapshot_changelog": snapshot_changelog,
     "wap_publish_audit": wap_publish_audit,
@@ -1469,6 +1598,18 @@ ORACLE = {
                0 AS n_delete_files
         UNION ALL
         SELECT 2, 'delete.mor',
+               (SELECT COUNT(*) FROM events WHERE event_type <> 'error'), 1
+        UNION ALL
+        SELECT 3, 'compact',
+               (SELECT COUNT(*) FROM events WHERE event_type <> 'error'), 0
+    """,
+    # the position-delete twin must land the identical table state
+    "mor_position_delete_events": f"""
+        SELECT 1 AS version, 'append' AS operation,
+               (SELECT COUNT(*) FROM events) AS row_count,
+               0 AS n_delete_files
+        UNION ALL
+        SELECT 2, 'delete.pos',
                (SELECT COUNT(*) FROM events WHERE event_type <> 'error'), 1
         UNION ALL
         SELECT 3, 'compact',

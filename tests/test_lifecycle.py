@@ -612,3 +612,57 @@ def test_branch_tag_isolation_ff_and_gc(spark, events, tmp_path):
     t2.append(hot.limit(10), n_files=1)             # main moves to v2
     with pytest.raises(CommitConflict):
         t2.fast_forward("b")
+
+
+def test_position_delete_semantics(spark, events, tmp_path):
+    """Position deletes (Iceberg v2's second encoding): rows die by
+    (file, row_index), not key — so a key re-APPENDED after the delete
+    survives trivially (new file, new positions), time travel still sees
+    the pre-delete rows, compact materializes + clears, the changelog
+    emits exact full pre-images, and the final state is row-identical to
+    the equality-delete twin."""
+    base = events.filter(F.col("event_id") < 200)
+    doomed_pred = F.col("event_type") == "error"
+    n_doomed = base.filter(doomed_pred).count()
+    assert n_doomed > 0
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(base, n_files=3)                        # v1
+    t.delete_where_positional(doomed_pred)           # v2
+    assert t.read().count() == base.count() - n_doomed
+    assert t.read(version=1).count() == base.count()  # time travel intact
+    survivors = {r["event_id"] for r in t.read().select("event_id").collect()}
+    dead = {r["event_id"] for r in base.filter(doomed_pred).select("event_id").collect()}
+    assert not (survivors & dead)
+
+    # changelog across the position-delete commit: exact pre-images
+    ch = t.changelog(1, 2, keys=["event_id"]).collect()
+    assert len(ch) == n_doomed
+    assert {r["change_type"] for r in ch} == {"delete"}
+    assert all(r["event_type"] == "error" for r in ch)
+
+    # re-append one deleted key AFTER the delete: new positions, survives
+    reins = base.filter(doomed_pred).limit(1)
+    t.append(reins, n_files=1)                       # v3
+    assert t.read().count() == base.count() - n_doomed + 1
+
+    t.compact(target_files=1)                        # v4 materializes
+    assert t._manifest(t.current_version)["delete_files"] == []
+    assert t.read().count() == base.count() - n_doomed + 1
+
+    # equality twin lands the identical pre-reinsert state
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(base, n_files=3)
+    t2.delete_where_mor(
+        base.filter(doomed_pred).select("event_id"), ["event_id"]
+    )
+    eq_rows = sorted(
+        (r["event_id"], r["event_type"]) for r in t2.read().collect()
+    )
+    t3 = SnapshotTable(spark, str(tmp_path / "t3"))
+    t3.append(base, n_files=3)
+    t3.delete_where_positional(doomed_pred)
+    pos_rows = sorted(
+        (r["event_id"], r["event_type"]) for r in t3.read().collect()
+    )
+    assert eq_rows == pos_rows
