@@ -588,6 +588,63 @@ class SnapshotTable:
             base, self._write_files(merged, n_files), "merge"
         )
 
+    def merge_mor(
+        self, source: DataFrame, keys: list[str], n_files: int | None = None
+    ) -> int:
+        """MERGE INTO upsert, MERGE-ON-READ mode (Iceberg v2
+        ``write.merge.mode=merge-on-read``): instead of rewriting the
+        whole table (:meth:`merge`, copy-on-write), ONE commit
+
+        - POSITION-DELETES the matched target rows — their (file,
+          row_index) pairs come from one live scan semi-joined to the
+          source keys, the exact match set a MERGE's join already
+          computes — and
+        - APPENDS the full source (updated rows + new inserts) as new
+          data files.
+
+        Cost is O(|source| + |matches|) tombstone/data I/O versus
+        copy-on-write's O(|table|) rewrite — the reason MOR is the
+        high-frequency-upsert mode; reads pay the (file,pos) anti-join
+        until ``compact()`` materializes. The appended files take the
+        commit's sequence number (> the tombstone's target files), so
+        the new row versions are untouched by the delete by position
+        construction alone. Semantics are identical to :meth:`merge`
+        (oracle hash-equal, test-pinned)."""
+        base = self.current_version
+        m = self._manifest(base)
+        live = self._read_scoped(m, m["files"], keep_meta=True)
+        doomed = live.join(
+            F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+        ).select(
+            F.col("_df_file").alias("file"), F.col("_df_pos").alias("pos")
+        )
+        tomb = self._write_files(doomed, 1)
+        added = self._write_files(source, n_files)
+        resolve_files = set(m["files"])
+        for _ in range(_MAX_COMMIT_RETRIES):
+            cur = self.current_version
+            m = self._manifest(cur) if cur else {"files": []}
+            if not resolve_files <= set(m["files"]):
+                # a concurrent rewrite replaced files our position
+                # tombstone references — committing would silently miss
+                # the moved rows (Iceberg: MERGE validation failure)
+                raise CommitConflict(
+                    "merge_mor: concurrent rewrite invalidated the resolved "
+                    "positions; re-read and retry"
+                )
+            dels = list(m.get("delete_files", [])) + [
+                {"file": f, "kind": "pos", "seq": cur + 1} for f in tomb
+            ]
+            if self._try_commit(
+                cur + 1,
+                m["files"] + added,
+                "merge.mor",
+                delete_files=dels,
+                prev_seqs=m.get("file_seqs", {}),
+            ):
+                return cur + 1
+        raise RuntimeError("merge_mor: commit retries exhausted")
+
     # -- reads ---------------------------------------------------------------
     def read(
         self, version: int | None = None, as_of: float | None = None
@@ -875,6 +932,27 @@ class SnapshotTable:
             .unionByName(_rows("update_preimage", "r", both & (pa != pr)))
         )
 
+    def rollback_to(self, version: int) -> int:
+        """ROLLBACK (Iceberg: ``CALL system.rollback_to_snapshot``): a NEW
+        commit whose content is snapshot ``version``'s manifest verbatim —
+        history is append-only (the bad commits stay visible to time
+        travel and audits; their files stay referenced until
+        ``expire_snapshots``), but readers are back on the old state
+        instantly. Metadata-only: zero data I/O, the incident-response
+        primitive after a bad write lands."""
+        m = self._manifest(version)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            cur = self.current_version
+            if self._try_commit(
+                cur + 1,
+                m["files"],
+                f"rollback.v{version}",
+                delete_files=m.get("delete_files", []),
+                prev_seqs=m.get("file_seqs", {}),
+            ):
+                return cur + 1
+        raise RuntimeError("rollback_to: commit retries exhausted")
+
     # -- maintenance ---------------------------------------------------------
     def compact(
         self, target_files: int = 1, sort_by: list[str] | None = None
@@ -979,6 +1057,43 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.merge(source, keys=["event_id"], n_files=8)
     assert [m["operation"] for m in tbl.history()] == ["append", "merge"]
+    return (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_sum("value", 2).alias("sum_value"),
+        )
+    )
+
+
+def merge_upsert_mor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ twin of :func:`merge_upsert_events`: the SAME
+    upsert (source doubles ``value`` from 2024-01-20 on; pre-cutoff rows
+    update, post-cutoff rows insert) executed as ONE ``merge.mor``
+    commit — position-delete the matched rows + append the source —
+    instead of a full-table copy-on-write rewrite. O(|source| +
+    |matches|) I/O versus O(|table|); reads pay the (file, pos)
+    anti-join until compaction. The oracle is the copy-on-write oracle
+    verbatim: the two merge modes MUST be observationally identical."""
+    ev = load(spark, sf_dir, "events")
+    cold_cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    src_cut = F.to_timestamp(F.lit(_MERGE_CUT))
+    tbl = make_table(spark, "mergemor_")
+    tbl.append(ev.filter(F.col("ts") < cold_cut), n_files=8)
+    n_cold_files = len(tbl.files())
+    source = ev.filter(F.col("ts") >= src_cut).withColumn(
+        "value", F.col("value") * 2
+    )
+    tbl.merge_mor(source, keys=["event_id"], n_files=4)
+    assert [m["operation"] for m in tbl.history()] == ["append", "merge.mor"]
+    m = tbl._manifest(2)
+    # MOR economics, pinned: every cold data file survives un-rewritten
+    assert set(tbl._manifest(1)["files"]) <= set(m["files"]), (
+        "merge.mor must not rewrite existing data files"
+    )
+    assert len(m["files"]) > n_cold_files  # source appended as new files
+    assert len(m["delete_files"]) == 1  # one position tombstone
     return (
         tbl.read()
         .groupBy("event_type")
@@ -1449,10 +1564,45 @@ def mor_position_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_rollback_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK end-to-end: v1 = cold events; v2 = a bad batch lands
+    (hot rows with corrupted negative values); v3 = ``rollback_to(1)`` —
+    a metadata-only commit that restores v1's content while keeping the
+    bad commit fully auditable via time travel. The report pins
+    per-version row counts + the corrupted-row count visible at each
+    version: v3 must read exactly like v1 (zero corrupted rows) while v2
+    remains queryable for the post-mortem."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    tbl = make_table(spark, "rollback_")
+    tbl.append(ev.filter(F.col("ts") < cut), n_files=4)  # v1
+    bad = ev.filter(F.col("ts") >= cut).withColumn("value", -F.col("value"))
+    tbl.append(bad, n_files=2)                           # v2: bad batch
+    v = tbl.rollback_to(1)                               # v3: metadata-only
+    assert v == 3
+    ops = [m["operation"] for m in tbl.history()]
+    assert ops == ["append", "append", "rollback.v1"], ops
+    rows = []
+    for ver in (1, 2, 3):
+        df = tbl.read(version=ver)
+        rows.append(
+            (
+                ver,
+                df.count(),
+                df.filter(F.col("value") < 0).count(),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, row_count long, corrupted_rows long"
+    )
+
+
 QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "snapshot_branch_tag": snapshot_branch_tag,
     "mor_position_delete_events": mor_position_delete_events,
+    "merge_upsert_mor_events": merge_upsert_mor_events,
+    "snapshot_rollback_events": snapshot_rollback_events,
     "merge_upsert_events": merge_upsert_events,
     "snapshot_changelog": snapshot_changelog,
     "wap_publish_audit": wap_publish_audit,
@@ -1603,6 +1753,25 @@ ORACLE = {
         SELECT 3, 'compact',
                (SELECT COUNT(*) FROM events WHERE event_type <> 'error'), 0
     """,
+    # rollback restores v1's read exactly; the bad v2 stays auditable
+    "snapshot_rollback_events": f"""
+        SELECT 1 AS version,
+               (SELECT COUNT(*) FROM events WHERE ts < {_TS7}) AS row_count,
+               (SELECT COUNT(*) FROM events
+                WHERE ts < {_TS7} AND value < 0) AS corrupted_rows
+        UNION ALL
+        SELECT 2, (SELECT COUNT(*) FROM events),
+               (SELECT COUNT(*) FROM events
+                WHERE (ts < {_TS7} AND value < 0)
+                   OR (ts >= {_TS7} AND -value < 0))
+        UNION ALL
+        SELECT 3,
+               (SELECT COUNT(*) FROM events WHERE ts < {_TS7}),
+               (SELECT COUNT(*) FROM events
+                WHERE ts < {_TS7} AND value < 0)
+    """,
+    # the MOR merge must be observationally identical to copy-on-write
+    # (same oracle text assigned below, after the dict literal)
     # the position-delete twin must land the identical table state
     "mor_position_delete_events": f"""
         SELECT 1 AS version, 'append' AS operation,
@@ -1713,3 +1882,5 @@ ORACLE = {
         FROM events GROUP BY user_agent
     """,
 }
+
+ORACLE["merge_upsert_mor_events"] = ORACLE["merge_upsert_events"]

@@ -442,6 +442,84 @@ def domain_temperature_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_BUDGET = 1_000_000  # tokens in the planned training mixture
+
+
+def token_budget_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIXTURE PLAN itself — the integer artifact a training run
+    actually consumes: given per-source token counts and the α=0.5
+    temperature weights (:func:`domain_temperature_reweight` computes
+    the same q_s), apportion a fixed ``MIXTURE_BUDGET`` of training
+    tokens across sources with LARGEST-REMAINDER (Hamilton) rounding —
+    floor every quota, then hand the leftover tokens to the largest
+    fractional parts — so the integer budgets sum to the budget EXACTLY
+    (Σ floor + remainder distribution; an all-floors or all-rounds plan
+    drifts by up to |sources| tokens and desyncs shard manifests). Also
+    reports each source's implied epochs-over-available (the >1.0 rows
+    are the up-sampled low-resource domains — the mT5 trade-off made
+    concrete).
+
+    Determinism: weights are IEEE sqrt (correctly rounded), the weight
+    sum goes through DECIMAL(28,16), quotas divide identical doubles,
+    and the remainder ranking orders by (fractional part DESC, source
+    ASC) over a |sources|-row relation — every tie-breakable surface is
+    pinned on both engines. Scale: one map-combinable per-source agg; the
+    plan itself is |sources| rows of integer arithmetic at any corpus
+    size."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    per_src = stage(
+        docs.select("source", n_tok.alias("n")).groupBy("source").agg(
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    weighted = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "w_dec", F.sqrt(p).cast("decimal(28,16)")
+    )
+    wsum = weighted.agg(F.sum("w_dec").alias("w_sum"))
+    quota = (
+        F.lit(float(MIXTURE_BUDGET))
+        * (F.col("w_dec").cast("double") / F.col("w_sum").cast("double"))
+    )
+    quotas = weighted.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_tokens",
+        quota.alias("quota"),
+        F.floor(quota).cast("long").alias("base"),
+        (quota - F.floor(quota)).alias("frac"),
+    )
+    short = F.lit(MIXTURE_BUDGET) - F.sum("base").over(
+        Window.partitionBy()
+    )  # |sources|-row relation: the unpartitioned window is the point
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("frac"), F.asc("source"))
+    )
+    return (
+        quotas.withColumn("_short", short)
+        .withColumn("_rk", rk)
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)
+            ).alias("token_budget"),
+            F.round(
+                (
+                    F.col("base")
+                    + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)
+                ).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs_over_available"),
+        )
+    )
+
+
 # --- CDC latest-per-key compaction -------------------------------------------
 def cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat events as a change stream keyed by user_id: latest state per
@@ -748,6 +826,7 @@ QUERIES = {
     "cdc_scd2_user_value": cdc_scd2_user_value,
     "doc_domain_mixture": doc_domain_mixture,
     "domain_temperature_reweight": domain_temperature_reweight,
+    "token_budget_mixture_plan": token_budget_mixture_plan,
     "word_doc_frequency_topk": word_doc_frequency_topk,
     "doc_top_terms": doc_top_terms,
     "purchasers_without_errors": purchasers_without_errors,
@@ -892,6 +971,47 @@ ORACLE = {
                      / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
                    AS uniform_reweight
         FROM per_src CROSS JOIN tot
+    """,
+    "token_budget_mixture_plan": rf"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(SUM(len(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        t -> t <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per_src),
+        weighted AS (
+            SELECT source, n_tokens,
+                   CAST(sqrt(CAST(n_tokens AS DOUBLE) / total_tokens)
+                        AS DECIMAL(28,16)) AS w_dec
+            FROM per_src CROSS JOIN tot
+        ),
+        ws AS (SELECT SUM(w_dec) AS w_sum FROM weighted),
+        quotas AS (
+            SELECT source, n_tokens,
+                   CAST({MIXTURE_BUDGET} AS DOUBLE)
+                       * (CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE))
+                       AS quota
+            FROM weighted CROSS JOIN ws
+        ),
+        based AS (
+            SELECT source, n_tokens, quota,
+                   CAST(FLOOR(quota) AS BIGINT) AS base,
+                   quota - FLOOR(quota) AS frac
+            FROM quotas
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC) AS rk,
+                   {MIXTURE_BUDGET} - SUM(base) OVER () AS short
+            FROM based
+        )
+        SELECT source, n_tokens,
+               base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS token_budget,
+               ROUND(CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                          AS DOUBLE) / n_tokens, 6) AS epochs_over_available
+        FROM ranked
     """,
     "domain_temperature_reweight": r"""
         WITH per_src AS (

@@ -666,3 +666,93 @@ def test_position_delete_semantics(spark, events, tmp_path):
         (r["event_id"], r["event_type"]) for r in t3.read().collect()
     )
     assert eq_rows == pos_rows
+
+
+def test_merge_mor_economics_and_changelog(spark, events, tmp_path):
+    """merge_mor: one commit position-deletes the matched rows and
+    appends the source — no existing file rewritten, final state equals
+    the copy-on-write merge, changelog accounts delete(pre-image) +
+    insert(post-image) for matches and plain inserts for new keys, and a
+    concurrent rewrite invalidating the resolved positions conflicts."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        CommitConflict,
+    )
+
+    base = events.filter(F.col("event_id") < 100)
+    src = events.filter(
+        (F.col("event_id") >= 50) & (F.col("event_id") < 120)
+    ).withColumn("value", F.col("value") + 1000)
+    n_matched = 50   # ids 50..99
+    n_inserted = 20  # ids 100..119
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(base, n_files=3)                        # v1
+    v1_files = set(t._manifest(1)["files"])
+    t.merge_mor(src, keys=["event_id"], n_files=2)   # v2
+    assert v1_files <= set(t._manifest(2)["files"])  # nothing rewritten
+    assert t.read().count() == 120
+    got = {r["event_id"]: r["value"] for r in t.read().collect()}
+    for r in src.collect():
+        assert got[r["event_id"]] == r["value"]      # source wins on match
+
+    # copy-on-write twin: identical observable state
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(base, n_files=3)
+    t2.merge(src, keys=["event_id"], n_files=2)
+    assert sorted((r["event_id"], r["value"]) for r in t.read().collect()) == \
+           sorted((r["event_id"], r["value"]) for r in t2.read().collect())
+
+    ch = t.changelog(1, 2, keys=["event_id"])
+    counts = {
+        r["change_type"]: r["n"]
+        for r in ch.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {
+        "insert": n_matched + n_inserted,
+        "delete": n_matched,
+    }, counts
+
+    t.compact(target_files=1)                        # materialize
+    assert t._manifest(t.current_version)["delete_files"] == []
+    assert t.read().count() == 120
+
+    # concurrent rewrite between resolve and commit → conflict
+    t3 = SnapshotTable(spark, str(tmp_path / "t3"))
+    t3.append(base, n_files=3)
+    orig = t3._try_commit
+    def racing(version, files, operation, **kw):
+        # sneak a compact in just before merge_mor's first commit attempt
+        if operation == "merge.mor" and not hasattr(racing, "done"):
+            racing.done = True
+            SnapshotTable(spark, str(tmp_path / "t3")).compact(target_files=1)
+        return orig(version, files, operation, **kw)
+    t3._try_commit = racing
+    with pytest.raises(CommitConflict):
+        t3.merge_mor(src, keys=["event_id"], n_files=1)
+
+
+def test_rollback_restores_and_keeps_history(spark, events, tmp_path):
+    """rollback_to(v) is a NEW metadata-only commit restoring v's
+    content: current read == v1, the bad v2 stays time-travelable, no
+    data file is written, and a later append builds on the restored
+    state."""
+    cold = events.filter(F.col("event_id") % 2 == 0)
+    bad = events.filter(F.col("event_id") % 2 == 1).withColumn(
+        "value", -F.col("value")
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(cold, n_files=2)              # v1
+    t.append(bad, n_files=2)               # v2
+    n_data_files = len(os.listdir(os.path.join(t.path, "data")))
+    v = t.rollback_to(1)                   # v3
+    assert v == 3
+    assert len(os.listdir(os.path.join(t.path, "data"))) == n_data_files
+    assert t.read().count() == cold.count()
+    assert t.read().filter(F.col("value") < 0).count() == \
+        cold.filter(F.col("value") < 0).count()
+    assert t.read(version=2).count() == events.count()  # audit intact
+    t.append(bad.withColumn("value", -F.col("value")), n_files=1)  # v4
+    assert t.read().count() == events.count()
+    assert t._manifest(3)["files"] == t._manifest(1)["files"]

@@ -735,3 +735,38 @@ def test_translate_flatten_nested_parens_and_loud_failures(spark):
     # unsupported placement (TABLE(FLATTEN(...))) → loud failure
     with _pytest.raises(ValueError, match="cannot translate"):
         translate("SELECT * FROM TABLE(FLATTEN(input => arr)) f")
+
+
+def test_token_budget_mixture_plan_exact_apportionment(spark):
+    """Largest-remainder apportionment: integer budgets must sum to the
+    budget EXACTLY, each budget within 1 of its real-valued quota, and
+    the +1 tokens must go to the largest fractional parts."""
+    import math
+    import os as _os
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import pipeline
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = pipeline.token_budget_mixture_plan(spark, sf_dir).collect()
+    assert sum(r["token_budget"] for r in rows) == pipeline.MIXTURE_BUDGET
+    # python reference replay
+    toks = {r["source"]: r["n_tokens"] for r in rows}
+    w = {s: math.sqrt(n / sum(toks.values())) for s, n in toks.items()}
+    # decimal(28,16) per-term rounding then exact sum, as both engines do
+    from decimal import Decimal
+
+    wq = {s: Decimal(v).quantize(Decimal("1e-16")) for s, v in w.items()}
+    sw = float(sum(wq.values()))
+    quota = {s: pipeline.MIXTURE_BUDGET * (float(wq[s]) / sw) for s in toks}
+    base = {s: math.floor(q) for s, q in quota.items()}
+    short = pipeline.MIXTURE_BUDGET - sum(base.values())
+    order = sorted(toks, key=lambda s: (-(quota[s] - base[s]), s))
+    expect = {
+        s: base[s] + (1 if i < short else 0) for i, s in enumerate(order)
+    }
+    got = {r["source"]: r["token_budget"] for r in rows}
+    assert got == expect
+    for r in rows:
+        assert abs(r["token_budget"] - quota[r["source"]]) < 1.0

@@ -35,6 +35,8 @@ _COVERAGE_NON_ENTRIES = {
     "read_staged",  # SnapshotTable WAP method
     "refresh_incremental",  # MaterializedView method
     "refresh_partitions",  # MaterializedView method
+    "rollback_to",  # SnapshotTable method
+    "rollback_to_snapshot",  # Iceberg procedure name in prose
     "session_window",  # pyspark.sql.functions API
     "user_profiles",  # reference table name
 }
