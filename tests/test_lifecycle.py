@@ -756,3 +756,94 @@ def test_rollback_restores_and_keeps_history(spark, events, tmp_path):
     t.append(bad.withColumn("value", -F.col("value")), n_files=1)  # v4
     assert t.read().count() == events.count()
     assert t._manifest(3)["files"] == t._manifest(1)["files"]
+
+
+def test_changelog_replay_reproduces_final_state(spark, events, tmp_path):
+    """THE changelog contract, end to end: for a randomized (seeded)
+    sequence of commits — appends, re-inserts, equality MOR deletes,
+    position deletes, copy-on-write merges, compactions — replaying
+    changelog(v1, vN) onto the v1 state must land EXACTLY read(vN).
+    An incremental consumer is precisely this replay; any
+    classification bug (the r9 ADVICE item) breaks it."""
+    import random
+
+    base_rows = [
+        (r["event_id"], r["event_type"], r["value"])
+        for r in events.filter(F.col("event_id") < 80)
+        .select("event_id", "event_type", "value")
+        .collect()
+    ]
+    schema = "event_id long, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = SnapshotTable(spark, str(tmp_path / f"t{seed}"))
+        state = {k: (k, et, v) for k, et, v in base_rows}
+        t.append(mk(list(state.values())), n_files=2)  # v1
+        dead: set[int] = set()
+        next_id = 1000
+        for _ in range(6):
+            op = rng.choice(["append", "reinsert", "del_eq", "del_pos",
+                             "merge", "compact"])
+            if op == "append":
+                rows = [(next_id + i, "new", float(i)) for i in range(5)]
+                next_id += 5
+                t.append(mk(rows), n_files=1)
+            elif op == "reinsert" and dead:
+                ks = rng.sample(sorted(dead), min(3, len(dead)))
+                rows = [(k, "revived", 9.9) for k in ks]
+                dead -= set(ks)
+                t.append(mk(rows), n_files=1)
+            elif op == "del_eq":
+                live = sorted(
+                    r["event_id"] for r in t.read().select("event_id").collect()
+                )
+                ks = rng.sample(live, min(7, len(live)))
+                dead |= set(ks)
+                t.delete_where_mor(
+                    mk([(k, "x", 0.0) for k in ks]).select("event_id"),
+                    ["event_id"],
+                )
+            elif op == "del_pos":
+                live = sorted(
+                    r["event_id"] for r in t.read().select("event_id").collect()
+                )
+                ks = set(rng.sample(live, min(5, len(live))))
+                dead |= ks
+                t.delete_where_positional(
+                    F.col("event_id").isin(*ks) if ks else F.lit(False)
+                )
+            elif op == "merge":
+                live = sorted(
+                    r["event_id"] for r in t.read().select("event_id").collect()
+                )
+                ks = rng.sample(live, min(6, len(live)))
+                rows = [(k, "merged", 7.7) for k in ks] + [
+                    (next_id, "merged_new", 7.7)
+                ]
+                next_id += 1
+                t.merge(mk(rows), keys=["event_id"], n_files=2)
+            else:
+                t.compact(target_files=rng.choice([1, 3]))
+
+        v_to = t.current_version
+        ch = t.changelog(1, v_to, keys=["event_id"]).collect()
+        replay = {k: (k, et, v) for k, et, v in base_rows}
+        for r in ch:
+            if r["change_type"] in ("delete", "update_preimage"):
+                replay.pop(r["event_id"], None)
+        for r in ch:
+            if r["change_type"] in ("insert", "update_postimage"):
+                replay[r["event_id"]] = (
+                    r["event_id"], r["event_type"], r["value"]
+                )
+        final = sorted(
+            (r["event_id"], r["event_type"], r["value"])
+            for r in t.read().select("event_id", "event_type", "value").collect()
+        )
+        assert final == sorted(replay.values()), (
+            f"seed {seed}: replayed state diverges from read(v{v_to})"
+        )
