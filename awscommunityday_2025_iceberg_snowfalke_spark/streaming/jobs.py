@@ -603,9 +603,71 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     return final
 
 
+def streaming_interval_join_purchase_signup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM JOIN with event-time bounds — the last major
+    Structured Streaming operator class this corpus lacked: purchases
+    and signups arrive as two independent streams; each purchase joins
+    signups of the same user within [s_ts, s_ts + 1 hour). Both sides
+    carry watermarks and the join condition carries the time band, which
+    is exactly what lets Spark BOUND THE JOIN STATE: a buffered signup
+    can be dropped once the purchase-side watermark passes s_ts + 1 hour
+    (without the band + watermarks, each side buffers the other's entire
+    history forever — the stream-stream join scale trap). Inner join in
+    append mode: matches emit as soon as both sides arrive; the oracle
+    is the batch interval-join twin (`purchases_within_hour_of_signup`)
+    VERBATIM — micro-batched arrival must not change the answer."""
+    import os
+
+    ev = load(spark, sf_dir, "events")
+    feed = tempfile.mkdtemp(prefix="ssj_feed_")
+    p_dir, s_dir = os.path.join(feed, "p"), os.path.join(feed, "s")
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).coalesce(2).write.mode("overwrite").parquet(p_dir)
+    ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    ).coalesce(2).write.mode("overwrite").parquet(s_dir)
+
+    p_schema = spark.read.parquet(p_dir).schema
+    s_schema = spark.read.parquet(s_dir).schema
+    purchases = (
+        spark.readStream.schema(p_schema)
+        .parquet(p_dir)
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        spark.readStream.schema(s_schema)
+        .parquet(s_dir)
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _run_to_memory(joined, mode="append")
+    return out.select(
+        "purchase_event_id",
+        F.col("p_user").alias("user_id"),
+        "signup_event_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+    )
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
     "streaming_watermark_late_drop": streaming_watermark_late_drop,
+    "streaming_interval_join_purchase_signup": (
+        streaming_interval_join_purchase_signup
+    ),
     "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_wap_publish": streaming_wap_publish,
     "streaming_cdc_latest_events": streaming_cdc_latest_events,
@@ -621,6 +683,7 @@ QUERIES = {
 from ..functions import det_sum_sql  # noqa: E402
 from ..operators.lifecycle import ORACLE as _LC_ORACLE  # noqa: E402
 from ..operators.relational import ORACLE as _REL_ORACLE  # noqa: E402
+from ..operators.temporal import ORACLE as _TMP_ORACLE  # noqa: E402
 
 _DS2 = det_sum_sql("value", 2)
 
@@ -628,6 +691,10 @@ ORACLE = {
     # four streaming MERGE micro-batches must land the exact final table
     # state the batch twin's single MERGE lands (keys unique ⇒ invariant)
     "streaming_merge_upsert": _LC_ORACLE["merge_upsert_events"],
+    # micro-batched arrival must not change the interval-join answer
+    "streaming_interval_join_purchase_signup": (
+        _TMP_ORACLE["purchases_within_hour_of_signup"]
+    ),
     # 4 published clean batches + 1 aborted poison batch ⇒ final state is
     # exactly a hot+cold append: the full events table
     "streaming_wap_publish": f"""
