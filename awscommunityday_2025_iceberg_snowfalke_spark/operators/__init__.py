@@ -71,11 +71,11 @@ def _modules():
 # relational/snowsql/tpch tail (47/50 — quality_filter_funnel and the
 # quota pair were driver-red on cross-engine numeric fragility).
 # r10 (this rotation) front-loads:
-# (a) the SIXTEEN entries with NO driver CORRECTNESS row — eleven r10
+# (a) the SEVENTEEN entries with NO driver CORRECTNESS row — twelve r10
 #     additions (OPQ allocation family ×3, hybrid RRF search, snapshot
 #     branches/tags, MOR position deletes, MOR merge, rollback, mixture
-#     plan, streaming watermark late-drop, stream-stream interval join)
-#     and five late-r9
+#     plan, streaming watermark late-drop, stream-stream interval join,
+#     substring-removal transform) and five late-r9
 #     additions that landed after r9's final rotation
 #     (streaming_wap_publish, mv_changelog_refresh, pack_docs_placement,
 #     doc_token_chunks, quality_method_agreement);
@@ -87,10 +87,10 @@ def _modules():
 #     and the IVF-PQ trio (_pq_topk grew the subidx hook — behavior-
 #     identical by default, re-certify anyway);
 # (c) the EIGHTEEN r5-vintage rows (COVERAGE.md's r10 queue);
-# (d) NINE r6-vintage rows — the seven sources/streaming/governance/
-#     MV spine entries named in COVERAGE.md's r10 queue plus the two
-#     next-stalest r6 rows.
-# 16 + 7 + 18 + 9 = 50 exactly (test_registry pins the arithmetic).
+# (d) EIGHT r6-vintage rows — the seven sources/streaming/governance/
+#     MV spine entries named in COVERAGE.md's r10 queue plus the
+#     next-stalest r6 row.
+# 17 + 7 + 18 + 8 = 50 exactly (test_registry pins the arithmetic).
 # Remaining r6 vintage (~36) + the r7 relational/snowsql/tpch tail queue
 # for r11 (list in COVERAGE.md).
 _GATE_FRONT = (
@@ -106,6 +106,7 @@ _GATE_FRONT = (
     "token_budget_mixture_plan",
     "streaming_watermark_late_drop",
     "streaming_interval_join_purchase_signup",
+    "dedup_substring_removed_text",
     "streaming_wap_publish",
     "mv_changelog_refresh",
     "pack_docs_placement",
@@ -147,7 +148,6 @@ _GATE_FRONT = (
     "query_history",
     "masked_profiles",
     "masked_profiles_admin",
-    "csv_roundtrip_profiles",
 )
 
 

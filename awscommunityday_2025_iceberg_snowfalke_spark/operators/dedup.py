@@ -522,6 +522,75 @@ def dedup_substring_removal_report(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def dedup_substring_removed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al removal TRANSFORM itself — the step the report
+    (:func:`dedup_substring_removal_report`) only accounts for: every
+    token inside a maximal ≥50-token duplicated span is CUT and the
+    document is rebuilt from the survivors. This is the pass that
+    actually changes the training corpus; ExactSubstr's own pipeline
+    ends exactly here.
+
+    Shape: tokens posexplode map-side (positions align with the window
+    digests by construction — same lower+whitespace tokenization);
+    doomed tokens leave via ONE doc_id-keyed LEFT ANTI join against the
+    span table (equi key + range residual — the span side is a few rows
+    per affected doc, so the residual never explodes the key group);
+    reconstruction is a per-doc sort-free ``array_sort(collect_list)``
+    over (pos, token) structs — the whole doc must meet in one group to
+    be re-joined, the irreducible cost of producing text output.
+    Reconstruction canonicalizes whitespace (single spaces, lowercase —
+    the tokenization the span digests were computed over); byte-exact
+    original-text surgery would need char offsets, which the token
+    windows deliberately do not carry. A doc fully covered by spans
+    rebuilds to the empty string (left-join + coalesce)."""
+    docs = load(spark, sf_dir, "documents")
+    spans = dedup_exact_substrings(spark, sf_dir).select(
+        "doc_id",
+        "span_start",
+        (F.col("span_start") + F.col("span_tokens")).alias("span_end"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    kept = toks.alias("t").join(
+        spans.alias("s"),
+        (F.col("t.doc_id") == F.col("s.doc_id"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") < F.col("s.span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_clean"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long")
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_tokens_clean"), F.lit(0)).alias(
+                "n_tokens_clean"
+            ),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("n_tokens_clean"), F.lit(0))
+            ).alias("removed_tokens"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def benchmark_contamination_substrings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1595,6 +1664,7 @@ QUERIES = {
     "doc_duplicate_ngram_spans": doc_duplicate_ngram_spans,
     "dedup_exact_substrings": dedup_exact_substrings,
     "dedup_substring_removal_report": dedup_substring_removal_report,
+    "dedup_substring_removed_text": dedup_substring_removed_text,
     "benchmark_contamination_substrings": benchmark_contamination_substrings,
     "dedup_lines_report": dedup_lines_report,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
@@ -2144,6 +2214,40 @@ ORACLE["dedup_exact_substrings"] = rf"""
            CAST(MAX(pos) - MIN(pos) + {SUBSTR_WINDOW} AS INT) AS span_tokens,
            COUNT(*) AS n_dup_windows
     FROM isl GROUP BY doc_id, g
+"""
+
+ORACLE["dedup_substring_removed_text"] = rf"""
+    WITH spans AS ({ORACLE["dedup_exact_substrings"]}),
+    tok_base AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT) + 1] AS tok
+        FROM tok_base, UNNEST(range(len(t))) AS u(i)
+    ),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM toks tk
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tk.doc_id
+              AND tk.pos >= s.span_start
+              AND tk.pos < s.span_start + s.span_tokens
+        )
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS n_tokens_clean,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+           CAST(len(b.t) - COALESCE(r.n_tokens_clean, 0) AS BIGINT)
+               AS removed_tokens,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tok_base b LEFT JOIN reb r ON b.doc_id = r.doc_id
 """
 
 from .textstats import _duck_ratio6 as _tduck_ratio6  # noqa: E402

@@ -932,6 +932,28 @@ class SnapshotTable:
             .unionByName(_rows("update_preimage", "r", both & (pa != pr)))
         )
 
+    def refs(self) -> list[dict]:
+        """The ``refs`` metadata table (Iceberg: ``<tbl>.refs``): every
+        named ref — main, tags, branches — with its kind and the
+        snapshot/branch-version it points at. Metadata-only."""
+        out = [{"name": "main", "kind": "branch", "version": self.current_version}]
+        snap_dir = os.path.join(self.path, "snapshots")
+        branches = set()
+        for f in sorted(os.listdir(snap_dir)):
+            if f.startswith("tag-") and f.endswith(".json"):
+                with open(os.path.join(snap_dir, f)) as fh:
+                    t = json.load(fh)
+                out.append(
+                    {"name": t["name"], "kind": "tag", "version": t["version"]}
+                )
+            elif f.startswith("branch-") and f.endswith(".json"):
+                branches.add(f[len("branch-") : f.rindex("-v")])
+        for b in sorted(branches):
+            out.append(
+                {"name": b, "kind": "branch", "version": self.branch_version(b)}
+            )
+        return out
+
     def rollback_to(self, version: int) -> int:
         """ROLLBACK (Iceberg: ``CALL system.rollback_to_snapshot``): a NEW
         commit whose content is snapshot ``version``'s manifest verbatim —

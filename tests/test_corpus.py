@@ -781,3 +781,42 @@ def test_opq_allocation_balanced_and_recall_floor(spark):
     assert recall >= 0.25, f"OPQ recall {recall:.2f} below floor"
     for key in set(bf) & set(opq):
         assert opq[key] == bf[key], (key, opq[key], bf[key])
+
+
+def test_dedup_substring_removed_text_surgery(spark, tmp_path):
+    """The removal TRANSFORM on the same known span geometry: doomed
+    tokens are cut exactly (shared span gone from both docs, both
+    occurrences of the self-repeated span gone), survivors keep their
+    order, the unique doc round-trips verbatim under the canonical
+    whitespace, and token accounting matches the span table."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        dedup_substring_removed_text,
+    )
+
+    shared = " ".join(f"shared{i}" for i in range(60))
+    inner = " ".join(f"inner{i}" for i in range(50))
+    docs = [
+        (0, " ".join(f"pre{i}" for i in range(10)) + " " + shared),
+        (1, shared + " " + " ".join(f"post{i}" for i in range(20))),
+        (2, inner + " gapa gapb gapc gapd gape " + inner),
+        (3, " ".join(f"solo{i}" for i in range(60))),
+    ]
+    spark.createDataFrame(
+        [(i, "en", "crawlA", t, len(t)) for i, t in docs],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in dedup_substring_removed_text(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["text_clean"] == " ".join(f"pre{i}" for i in range(10))
+    assert (got[0]["n_tokens"], got[0]["n_tokens_clean"],
+            got[0]["removed_tokens"]) == (70, 10, 60)
+    assert got[1]["text_clean"] == " ".join(f"post{i}" for i in range(20))
+    assert got[1]["removed_tokens"] == 60
+    assert got[2]["text_clean"] == "gapa gapb gapc gapd gape"
+    assert got[2]["removed_tokens"] == 100
+    # the unique doc is untouched (canonical whitespace == original here)
+    assert got[3]["text_clean"] == docs[3][1]
+    assert got[3]["removed_tokens"] == 0

@@ -600,6 +600,14 @@ def test_branch_tag_isolation_ff_and_gc(spark, events, tmp_path):
         "fast_forward.audit",
     ]
 
+    # refs metadata table lists main + the tag + the branch
+    refs = {(r["name"], r["kind"], r["version"]) for r in t.refs()}
+    assert refs == {
+        ("main", "branch", 2),
+        ("baseline", "tag", 1),
+        ("audit", "branch", 2),
+    }, refs
+
     # duplicate branch name must refuse
     with pytest.raises(ValueError):
         t.create_branch("audit")
