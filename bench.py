@@ -170,6 +170,9 @@ HEADLINE = [
     "mor_delete_events",        # lifecycle-WRITE class: MOR delete + compact
     "ann_ivf_opq_cosine",       # OPQ-allocated IVF-PQ (permuted-gather ADC)
     "hybrid_search_rrf",        # BM25 × vector fusion (RRF)
+    "merge_upsert_events",      # MERGE, copy-on-write (O(|table|) rewrite)
+    "merge_upsert_mor_events",  # MERGE, merge-on-read (O(|source|+|matches|))
+    "dedup_substring_removed_text",  # Lee-et-al span-removal rewrite
 ]
 
 
