@@ -770,3 +770,78 @@ def test_token_budget_mixture_plan_exact_apportionment(spark):
     assert got == expect
     for r in rows:
         assert abs(r["token_budget"] - quota[r["source"]]) < 1.0
+
+
+def test_flatten_scanner_balanced_paren_property():
+    """Property: for ANY nested function-call expression (random depth,
+    string literals containing parens and doubled quotes), the FLATTEN
+    scanner extracts the input expression verbatim and never truncates
+    at an inner ')'."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.dialect import translate
+
+    atom = st.sampled_from(["x", "y", "col1", "'a,b'", "'(lit)'", "'it''s'"])
+
+    def call(children):
+        return st.builds(
+            lambda name, args: f"{name}({', '.join(args)})",
+            st.sampled_from(["split", "concat", "coalesce", "substr"]),
+            st.lists(children, min_size=1, max_size=3),
+        )
+
+    expr = st.recursive(atom, call, max_leaves=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(expr)
+    def check(e):
+        sql = translate(
+            f"SELECT f.value FROM t, LATERAL FLATTEN(input => {e}) f"
+        )
+        assert f"LATERAL VIEW explode({e}) f AS value" in sql, (e, sql)
+        assert "FLATTEN" not in sql.upper()
+
+    check()
+
+
+def test_largest_remainder_apportionment_property():
+    """Property of the mixture-plan rounding (pure python replay of the
+    engine arithmetic): for random positive count vectors, the integer
+    budgets sum to the budget exactly and each sits within 1 of its
+    real-valued quota."""
+    import math
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    BUDGET = 1_000_000
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=10**9), min_size=1,
+                 max_size=25)
+    )
+    def check(counts):
+        total = sum(counts)
+        wq = [
+            Decimal(math.sqrt(c / total)).quantize(Decimal("1e-16"))
+            for c in counts
+        ]
+        sw = float(sum(wq))
+        quota = [BUDGET * (float(w) / sw) for w in wq]
+        base = [math.floor(q) for q in quota]
+        short = BUDGET - sum(base)
+        assert 0 <= short <= len(counts)
+        order = sorted(
+            range(len(counts)), key=lambda i: (-(quota[i] - base[i]), i)
+        )
+        budget = list(base)
+        for i in order[:short]:
+            budget[i] += 1
+        assert sum(budget) == BUDGET
+        for b, q in zip(budget, quota):
+            assert abs(b - q) < 1.0
+
+    check()
