@@ -71,11 +71,12 @@ def _modules():
 # relational/snowsql/tpch tail (47/50 — quality_filter_funnel and the
 # quota pair were driver-red on cross-engine numeric fragility).
 # r10 (this rotation) front-loads:
-# (a) the SEVENTEEN entries with NO driver CORRECTNESS row — twelve r10
-#     additions (OPQ allocation family ×3, hybrid RRF search, snapshot
-#     branches/tags, MOR position deletes, MOR merge, rollback, mixture
-#     plan, streaming watermark late-drop, stream-stream interval join,
-#     substring-removal transform) and five late-r9
+# (a) the NINETEEN entries with NO driver CORRECTNESS row — fourteen
+#     r10 additions (OPQ allocation family ×3, hybrid RRF search,
+#     snapshot branches/tags, MOR position deletes, MOR merge, rollback,
+#     mixture plan, streaming watermark late-drop, stream-stream
+#     interval join, substring-removal transform, dup-graph triangle
+#     census, embedding drift report) and five late-r9
 #     additions that landed after r9's final rotation
 #     (streaming_wap_publish, mv_changelog_refresh, pack_docs_placement,
 #     doc_token_chunks, quality_method_agreement);
@@ -86,11 +87,12 @@ def _modules():
 #     scanner), wap_publish_audit (orphan GC now scans branch manifests),
 #     and the IVF-PQ trio (_pq_topk grew the subidx hook — behavior-
 #     identical by default, re-certify anyway);
-# (c) the EIGHTEEN r5-vintage rows (COVERAGE.md's r10 queue);
-# (d) EIGHT r6-vintage rows — the seven sources/streaming/governance/
-#     MV spine entries named in COVERAGE.md's r10 queue plus the
-#     next-stalest r6 row.
-# 17 + 7 + 18 + 8 = 50 exactly (test_registry pins the arithmetic).
+# (c) SEVENTEEN r5-vintage rows (COVERAGE.md's r10 queue minus
+#     multimodal_resize, displaced by the late additions — its family
+#     siblings stay and the local gate certifies it every round);
+# (d) SEVEN r6-vintage rows — the sources/streaming/governance/MV spine
+#     entries named in COVERAGE.md's r10 queue.
+# 19 + 7 + 17 + 7 = 50 exactly (test_registry pins the arithmetic).
 # Remaining r6 vintage (~36) + the r7 relational/snowsql/tpch tail queue
 # for r11 (list in COVERAGE.md).
 _GATE_FRONT = (
@@ -107,6 +109,8 @@ _GATE_FRONT = (
     "streaming_watermark_late_drop",
     "streaming_interval_join_purchase_signup",
     "dedup_substring_removed_text",
+    "dedup_graph_triangle_stats",
+    "embedding_drift_report",
     "streaming_wap_publish",
     "mv_changelog_refresh",
     "pack_docs_placement",
@@ -133,7 +137,6 @@ _GATE_FRONT = (
     "multimodal_ingest",
     "multimodal_audio_chunks",
     "multimodal_frame_sample",
-    "multimodal_resize",
     "lifecycle_snapshot_counts",
     "merge_upsert_events",
     "zorder_clustering_report",
@@ -147,7 +150,6 @@ _GATE_FRONT = (
     "small_file_lifecycle_report",
     "query_history",
     "masked_profiles",
-    "masked_profiles_admin",
 )
 
 

@@ -888,6 +888,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified duplicate-pair graph — the
+    cluster-shape diagnostic behind the connected-components pass: a
+    triangle-dense graph means tight duplicate CLUSTERS (mirrors,
+    re-posts — CC components are cliquish and survivorship keeps one of
+    many), while a triangle-free graph of long CHAINS means borderline
+    near-dup drift, where transitive closure over-merges and the
+    threshold wants raising. Reports nodes/edges/triangles/wedges and
+    the global clustering coefficient 3·triangles / wedges.
+
+    Shape: the classic distributed triangle enumeration over the
+    ORIENTED edge list (doc_a < doc_b by construction, so each triangle
+    is counted exactly once as a<b<c): one edge-edge join builds wedges,
+    one semi-join closes them — both keyed joins over the bounded
+    verified-pair graph (≪ corpus; the banding physics already paid for
+    it), never corpus rows. Degrees/wedges are one combinable agg;
+    every output is integer except the display-only coefficient."""
+    e = stage(minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"))
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nw = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a")
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("e3.doc_a") == F.col("e1.doc_a"))
+        & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        nw.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
 def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The threshold-tuning curve for the LSH pipeline: candidate pairs
     bucketed by exact-Jaccard DECILE (⌊10·shared/union⌋, computed in
@@ -1670,6 +1728,7 @@ QUERIES = {
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "jaccard_threshold_sweep": jaccard_threshold_sweep,
+    "dedup_graph_triangle_stats": dedup_graph_triangle_stats,
     "minhash_estimate_accuracy": minhash_estimate_accuracy,
     "minhash_b_bit_accuracy": minhash_b_bit_accuracy,
     "dedup_editdist_verify": dedup_editdist_verify,
@@ -2214,6 +2273,31 @@ ORACLE["dedup_exact_substrings"] = rf"""
            CAST(MAX(pos) - MIN(pos) + {SUBSTR_WINDOW} AS INT) AS span_tokens,
            COUNT(*) AS n_dup_windows
     FROM isl GROUP BY doc_id, g
+"""
+
+ORACLE["dedup_graph_triangle_stats"] = f"""
+    WITH mh AS ({_duck_minhash_sql()}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM mh),
+    deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT SUM(d * (d - 1)) // 2 FROM deg) AS BIGINT)
+               AS n_wedges,
+           CASE WHEN (SELECT SUM(d * (d - 1)) // 2 FROM deg) > 0
+                THEN ROUND(CAST(3 AS DOUBLE) * (SELECT n FROM tri)
+                           / ((SELECT SUM(d * (d - 1)) // 2 FROM deg)), 6)
+                ELSE 0.0 END AS clustering_coeff
 """
 
 ORACLE["dedup_substring_removed_text"] = rf"""

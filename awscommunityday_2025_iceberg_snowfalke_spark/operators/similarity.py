@@ -1508,6 +1508,41 @@ def ann_ivf_opq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT monitoring — the production check a vector
+    pipeline runs when the upstream encoder or crawl mix changes: split
+    the corpus into the standing half and the arriving half (vec_id
+    parity is the deterministic stand-in for crawl generations), compute
+    each half's per-dimension decimal-exact mean, and report the
+    per-dimension shift. A drifted encoder shows up as large shifts on
+    the high-variance dimensions long before recall degrades; IVF/PQ
+    stores re-train their quantizers off exactly this signal.
+
+    Shape: ONE posexplode pass with conditional decimal sums (map-side
+    combinable to d groups) — the `embedding_dim_stats` budget, two
+    filters cheaper than two passes. All means are the decimal-sum
+    device (bit-identical across engines); shift is a subtraction of
+    identical doubles, ROUND display-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_old"),
+        F.posexplode(_as_double("embedding")).alias("pos", "v"),
+    )
+
+    def _mean(flag):
+        return F.sum(
+            F.when(flag, F.col("v")).cast("decimal(28,12)")
+        ).cast("double") / F.count(F.when(flag, F.lit(1)))
+
+    m_old = _mean(F.col("is_old"))
+    m_new = _mean(~F.col("is_old"))
+    return comp.groupBy("pos").agg(
+        F.round(m_old, 8).alias("mean_old"),
+        F.round(m_new, 8).alias("mean_new"),
+        F.round(F.abs(m_old - m_new), 8).alias("abs_shift"),
+    )
+
+
 # --- hybrid search: BM25 × vector fusion (Reciprocal Rank Fusion) ------------
 RRF_K = 60  # the canonical RRF constant (Cormack, Clarke, Buettcher 2009)
 RRF_TOPK = 10
@@ -1969,6 +2004,7 @@ QUERIES = {
     "ann_ivf_opq_cosine": ann_ivf_opq_cosine,
     "ann_ivf_opq_recall_report": ann_ivf_opq_recall_report,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "embedding_drift_report": embedding_drift_report,
 }
 
 
@@ -2787,6 +2823,30 @@ ORACLE["hybrid_search_rrf"] = f"""
     )
     SELECT doc_id, lex_rank, vec_rank, ROUND(rrf_raw, 8) AS rrf_score
     FROM fused ORDER BY rrf_raw DESC, doc_id ASC LIMIT {RRF_TOPK}
+"""
+
+ORACLE["embedding_drift_report"] = """
+    WITH comp AS (
+        SELECT (vec_id % 2 = 0) AS is_old, i AS pos, e[i + 1] AS v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+             UNNEST(range(len(e))) AS u(i)
+    )
+    SELECT CAST(pos AS INT) AS pos,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12)))
+                          FILTER (WHERE is_old) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE is_old), 8) AS mean_old,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12)))
+                          FILTER (WHERE NOT is_old) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE NOT is_old), 8) AS mean_new,
+           ROUND(ABS(
+               CAST(SUM(CAST(v AS DECIMAL(28,12)))
+                        FILTER (WHERE is_old) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE is_old)
+               - CAST(SUM(CAST(v AS DECIMAL(28,12)))
+                          FILTER (WHERE NOT is_old) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE NOT is_old)), 8) AS abs_shift
+    FROM comp GROUP BY pos
 """
 
 # per-cell k-means outputs aren't SQL-derivable; the gate row checks the
