@@ -68,7 +68,13 @@ _OBJ_KEYED_RE = re.compile(r"\bOBJECT_CONSTRUCT\s*\(", re.IGNORECASE)
 # missing alias, non-comma-join placement) raise instead of silently
 # mistranslating.
 _FLATTEN_START_RE = re.compile(r",\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
-_FLATTEN_LEFTOVER_RE = re.compile(r"\bFLATTEN\s*\(", re.IGNORECASE)
+# leftover guard: only the TABLE-FUNCTION uses of FLATTEN the shim cannot
+# translate — bare `flatten(arr2d)` is Spark's ordinary scalar array
+# function and must pass through untouched
+_FLATTEN_LEFTOVER_RE = re.compile(
+    r"(?:\bLATERAL\s+FLATTEN\s*\(|\bTABLE\s*\(\s*FLATTEN\s*\()",
+    re.IGNORECASE,
+)
 _FLATTEN_INPUT_RE = re.compile(r"input\s*=>\s*", re.IGNORECASE)
 _FLATTEN_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(?P<alias>\w+)", re.IGNORECASE)
 # tokens that can follow the FLATTEN(...) close-paren when the alias was

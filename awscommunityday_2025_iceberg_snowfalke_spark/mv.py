@@ -102,23 +102,34 @@ class MaterializedView:
             raise ValueError("partition refresh needs a partition_col")
         if not values:
             return []
-        fresh = self.build(spark, sf_dir).filter(
-            F.col(self.partition_col).isin(values)
+        # cached: the present-values collect AND the overwrite both consume
+        # the rebuild — uncached, the expensive MV build would execute twice
+        fresh = (
+            self.build(spark, sf_dir)
+            .filter(F.col(self.partition_col).isin(values))
+            .persist()
         )
-        present = {
-            str(r[0])
-            for r in fresh.select(self.partition_col).distinct().collect()
-        }
-        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         try:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            present = {
+                str(r[0])
+                for r in fresh.select(self.partition_col).distinct().collect()
+            }
+            old_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode"
             )
-            fresh.write.mode("overwrite").partitionBy(
-                self.partition_col
-            ).parquet(self.path)
+            try:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                fresh.write.mode("overwrite").partitionBy(
+                    self.partition_col
+                ).parquet(self.path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old_mode
+                )
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+            fresh.unpersist()
         import shutil
 
         for v in values:

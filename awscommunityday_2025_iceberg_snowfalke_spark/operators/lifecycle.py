@@ -401,10 +401,18 @@ class SnapshotTable:
         on?'). Metadata-only: one tiny JSON, zero data I/O."""
         v = version if version is not None else self.current_version
         self._manifest(v)  # must exist
-        tmp = self._tag_path(name) + ".tmp"
+        tmp = self._tag_path(name) + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"name": name, "version": v, "timestamp": time.time()}, fh)
-        os.rename(tmp, self._tag_path(name))
+        try:
+            # exclusive create: a tag is IMMUTABLE — re-tagging an existing
+            # name must refuse (Iceberg: CREATE TAG fails on a live name),
+            # same os.link discipline as the commit CAS
+            os.link(tmp, self._tag_path(name))
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
         return v
 
     def read_tag(self, name: str) -> DataFrame:
@@ -479,13 +487,23 @@ class SnapshotTable:
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.branch_version(name)
             m = self._branch_manifest(name, base)
+            # branch-appended files take sequence number base_main + k for
+            # the branch's k-th append — strictly ABOVE every tombstone
+            # inherited from the seed snapshot (seq <= base_main), so a
+            # key re-inserted on the branch after a main-side delete
+            # survives branch reads (Iceberg v2 semantics), and the seqs
+            # ride through fast_forward's prev_seqs untouched
+            new_seq = m["base_main_version"] + base
             bm = {
                 "version": base + 1,
                 "operation": "branch.append",
                 "base_main_version": m["base_main_version"],
                 "timestamp": time.time(),
                 "files": m["files"] + added,
-                "file_seqs": m.get("file_seqs", {}),
+                "file_seqs": {
+                    **m.get("file_seqs", {}),
+                    **{f: new_seq for f in added},
+                },
                 "delete_files": m.get("delete_files", []),
             }
             tmp = os.path.join(snap_dir, f".branch-{uuid.uuid4().hex[:8]}.tmp")
@@ -1003,10 +1021,27 @@ class SnapshotTable:
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
-        """T6 (Iceberg: ``CALL system.expire_snapshots``)."""
+        """T6 (Iceberg: ``CALL system.expire_snapshots``). Snapshots
+        pinned by a TAG or serving as a live branch's base are RETAINED
+        regardless of age — expiring them would break ``read_tag`` and
+        orphan-GC the tagged data files (Iceberg's expiry honors refs
+        the same way); drop the ref first to release the snapshot."""
+        protected: set[int] = set()
+        snap_dir = os.path.join(self.path, "snapshots")
+        for f in os.listdir(snap_dir):
+            if not f.endswith(".json"):
+                continue
+            if f.startswith("tag-"):
+                with open(os.path.join(snap_dir, f)) as fh:
+                    protected.add(json.load(fh)["version"])
+            elif f.startswith("branch-") and f.endswith("-v1.json"):
+                with open(os.path.join(snap_dir, f)) as fh:
+                    protected.add(json.load(fh)["base_main_version"])
         snaps = self._snapshot_files()
         expired = []
         for f in snaps[:-keep_last] if keep_last else snaps:
+            if int(f[1:-5]) in protected:
+                continue
             os.remove(os.path.join(self.path, "snapshots", f))
             expired.append(int(f[1:-5]))
         return expired

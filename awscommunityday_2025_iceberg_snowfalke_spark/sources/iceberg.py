@@ -256,3 +256,59 @@ class IcebergTable:
             f"older_than => TIMESTAMP '9999-12-31 00:00:00', "
             f"retain_last => {keep_last})"
         )
+
+    # --- surface the jar-gated adapter maps to Iceberg SQL/procedures when
+    # it can run (no jar on this image — see SCALE.md's closure note); the
+    # r10 SnapshotTable additions below are declared explicitly so a
+    # configured-backend run fails LOUDLY with the Iceberg equivalent
+    # named, never with a bare AttributeError
+    def _unmapped(self, op: str, equivalent: str):
+        raise NotImplementedError(
+            f"IcebergTable.{op} is not implemented by the jar-gated "
+            f"adapter (environment-blocked: no iceberg-spark-runtime jar "
+            f"on this image); on a real runtime use {equivalent}"
+        )
+
+    def create_tag(self, name: str, version: int | None = None):
+        self._unmapped("create_tag", "ALTER TABLE t CREATE TAG")
+
+    def read_tag(self, name: str):
+        self._unmapped("read_tag", "SELECT ... VERSION AS OF '<tag>'")
+
+    def create_branch(self, name: str, version: int | None = None):
+        self._unmapped("create_branch", "ALTER TABLE t CREATE BRANCH")
+
+    def append_to_branch(self, name, df, n_files=None):
+        self._unmapped(
+            "append_to_branch", "writeTo(t).option('branch', name).append()"
+        )
+
+    def read_branch(self, name: str):
+        self._unmapped("read_branch", "SELECT ... VERSION AS OF '<branch>'")
+
+    def fast_forward(self, name: str):
+        self._unmapped("fast_forward", "CALL system.fast_forward")
+
+    def refs(self):
+        self._unmapped("refs", "SELECT * FROM t.refs")
+
+    def delete_where_mor(self, keys, key_cols):
+        self._unmapped(
+            "delete_where_mor",
+            "DELETE FROM t WHERE ... with write.delete.mode=merge-on-read",
+        )
+
+    def delete_where_positional(self, predicate):
+        self._unmapped(
+            "delete_where_positional",
+            "DELETE FROM t WHERE ... (position deletes are Iceberg's "
+            "default MOR delete encoding from MERGE/UPDATE)",
+        )
+
+    def merge_mor(self, source, keys, n_files=None):
+        self._unmapped(
+            "merge_mor", "MERGE INTO with write.merge.mode=merge-on-read"
+        )
+
+    def rollback_to(self, version: int):
+        self._unmapped("rollback_to", "CALL system.rollback_to_snapshot")

@@ -628,11 +628,16 @@ def streaming_interval_join_purchase_signup(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
     ).coalesce(2).write.mode("overwrite").parquet(p_dir)
-    ev.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_event_id"),
-        F.col("user_id").alias("s_user"),
-        F.col("ts").alias("s_ts"),
-    ).coalesce(2).write.mode("overwrite").parquet(s_dir)
+    # the signup feed carries the CANONICAL deduped signup relation —
+    # one row per (user_id, ts), max event_id wins — exactly the batch
+    # twin's _dedup_signups and the oracle's GROUP BY: a raw feed would
+    # diverge from the oracle the day the data grows a (user_id, ts)
+    # signup tie (none exist in the testdata today; latent ≠ safe)
+    ev.filter(F.col("event_type") == "signup").groupBy(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    ).agg(F.max("event_id").alias("signup_event_id")).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(s_dir)
 
     p_schema = spark.read.parquet(p_dir).schema
     s_schema = spark.read.parquet(s_dir).schema

