@@ -11,8 +11,15 @@ files, exactly Iceberg's metadata→manifest→data layering in miniature:
 - read(version=… / as_of=…)  → time travel                  [T4]
 - schema evolution via mergeSchema reads                     [T3]
 - compact()  → rewrite_data_files equivalent                 [T5]
-- expire_snapshots / remove_orphan_files                     [T6/T7]
-- files()/history()  → metadata tables                       [T9/T10]
+- expire_snapshots / remove_orphan_files (ref-aware)         [T6/T7]
+- files()/history()/refs()  → metadata tables                [T9/T10]
+- merge / merge_mor  → MERGE INTO, copy-on-write and merge-on-read
+- delete_where_mor / delete_where_positional  → Iceberg v2 equality and
+  position delete encodings (sequence-scoped reads)
+- changelog()  → incremental row-level change scan between snapshots
+- stage_append/read_staged/publish_staged/abort_staged  → WAP
+- create_tag/create_branch/append_to_branch/fast_forward  → refs
+- rollback_to()  → rollback_to_snapshot
 
 On a real cluster with the Iceberg runtime, every call here maps 1:1 to an
 Iceberg DDL/procedure (documented per-method); the interface is the
