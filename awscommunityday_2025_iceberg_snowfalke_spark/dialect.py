@@ -56,6 +56,12 @@ _OBJ_STAR_RE = re.compile(
     r"\bOBJECT_CONSTRUCT\s*\(\s*\*\s*\)", re.IGNORECASE
 )
 _OBJ_KEYED_RE = re.compile(r"\bOBJECT_CONSTRUCT\s*\(", re.IGNORECASE)
+# IFF(cond, a, b) — Snowflake's ternary — is Spark's if(cond, a, b); the
+# other worksheet staples need NO rewrite on Spark 4: DATEADD/DATEDIFF
+# with a unit argument, LISTAGG [DISTINCT] ... WITHIN GROUP, NVL/NVL2,
+# TO_VARCHAR(expr, fmt) all parse natively (exercised by
+# snowsql_iff_dateadd_span)
+_IFF_RE = re.compile(r"\bIFF\s*\(", re.IGNORECASE)
 # `, LATERAL FLATTEN(input => expr) f` — Snowflake's table function for
 # exploding arrays/objects — maps to Spark's LATERAL VIEW explode. Spark's
 # generator alias takes the output column name directly, so `f.value`
@@ -186,6 +192,7 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
         )
     sql = _OBJ_STAR_RE.sub("struct(*)", sql)
     sql = _OBJ_KEYED_RE.sub("named_struct(", sql)
+    sql = _IFF_RE.sub("if(", sql)
     sql = _rewrite_flatten(sql)
     m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
     if not m or "QUALIFY" not in sql.upper():

@@ -100,6 +100,25 @@ SNOW_SQL = {
         FROM per_user, LATERAL FLATTEN(input => per_user.types) f
         GROUP BY f.value
     """,
+    # the remaining Snowflake worksheet staples in one query: IFF (the
+    # shim's one rewrite → if()), unit-style DATEADD/DATEDIFF, LISTAGG
+    # DISTINCT ... WITHIN GROUP, NVL, TO_VARCHAR(ts, fmt) — everything
+    # but IFF parses NATIVELY in Spark 4, which is the point this entry
+    # pins: the dialect shim stays one regex, not a SQL parser
+    "snowsql_iff_dateadd_span": """
+        SELECT
+            event_type,
+            COUNT(*) AS n_events,
+            SUM(IFF(NVL(value, 0) >= 50, 1, 0)) AS n_hi,
+            LISTAGG(DISTINCT IFF(NVL(value, 0) >= 50, 'hi', 'lo'), ',')
+                WITHIN GROUP (ORDER BY IFF(NVL(value, 0) >= 50, 'hi', 'lo'))
+                AS bands,
+            DATEDIFF(day, MIN(timestamp), MAX(timestamp)) AS span_days,
+            TO_VARCHAR(MIN(DATEADD(day, 7, timestamp)),
+                       'yyyy-MM-dd HH:mm:ss') AS first_plus_week
+        FROM ext_user_events
+        GROUP BY event_type
+    """,
 }
 
 
@@ -168,5 +187,21 @@ ORACLE = {
     "snowsql_flatten_event_types": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "snowsql_iff_dateadd_span": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN COALESCE(value, 0) >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+               string_agg(DISTINCT CASE WHEN COALESCE(value, 0) >= 50
+                                        THEN 'hi' ELSE 'lo' END, ','
+                          ORDER BY CASE WHEN COALESCE(value, 0) >= 50
+                                        THEN 'hi' ELSE 'lo' END) AS bands,
+               CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT)
+                   AS span_days,
+               STRFTIME(MIN(ts + INTERVAL 7 DAY), '%Y-%m-%d %H:%M:%S')
+                   AS first_plus_week
+        FROM events
+        GROUP BY event_type
     """,
 }
