@@ -71,13 +71,13 @@ def _modules():
 # relational/snowsql/tpch tail (47/50 — quality_filter_funnel and the
 # quota pair were driver-red on cross-engine numeric fragility).
 # r10 (this rotation) front-loads:
-# (a) the TWENTY entries with NO driver CORRECTNESS row — fifteen
+# (a) the TWENTY-ONE entries with NO driver CORRECTNESS row — sixteen
 #     r10 additions (OPQ allocation family ×3, hybrid RRF search,
 #     snapshot branches/tags, MOR position deletes, MOR merge, rollback,
 #     mixture plan, streaming watermark late-drop, stream-stream
 #     interval join, substring-removal transform, dup-graph triangle
 #     census, embedding drift report, the IFF/DATEADD/LISTAGG worksheet
-#     entry) and five late-r9
+#     entry, the LEFT OUTER stream-stream join) and five late-r9
 #     additions that landed after r9's final rotation
 #     (streaming_wap_publish, mv_changelog_refresh, pack_docs_placement,
 #     doc_token_chunks, quality_method_agreement);
@@ -88,13 +88,13 @@ def _modules():
 #     scanner), wap_publish_audit (orphan GC now scans branch manifests),
 #     and the IVF-PQ trio (_pq_topk grew the subidx hook — behavior-
 #     identical by default, re-certify anyway);
-# (c) SIXTEEN r5-vintage rows (COVERAGE.md's r10 queue minus
-#     multimodal_resize and multimodal_frame_sample, displaced by the
-#     late additions — family siblings stay and the local gate certifies
-#     both every round);
+# (c) FIFTEEN r5-vintage rows (COVERAGE.md's r10 queue minus the three
+#     multimodal rows resize/frame_sample/audio_chunks, displaced by the
+#     late additions — multimodal_ingest stays and the local gate
+#     certifies all of them every round);
 # (d) SEVEN r6-vintage rows — the sources/streaming/governance/MV spine
 #     entries named in COVERAGE.md's r10 queue.
-# 20 + 7 + 16 + 7 = 50 exactly (test_registry pins the arithmetic).
+# 21 + 7 + 15 + 7 = 50 exactly (test_registry pins the arithmetic).
 # Remaining r6 vintage (~36) + the r7 relational/snowsql/tpch tail queue
 # for r11 (list in COVERAGE.md).
 _GATE_FRONT = (
@@ -114,6 +114,7 @@ _GATE_FRONT = (
     "dedup_graph_triangle_stats",
     "embedding_drift_report",
     "snowsql_iff_dateadd_span",
+    "streaming_interval_join_left_outer",
     "streaming_wap_publish",
     "mv_changelog_refresh",
     "pack_docs_placement",
@@ -138,7 +139,6 @@ _GATE_FRONT = (
     "asof_purchase_signup",
     "purchases_within_hour_of_signup",
     "multimodal_ingest",
-    "multimodal_audio_chunks",
     "lifecycle_snapshot_counts",
     "merge_upsert_events",
     "zorder_clustering_report",

@@ -603,6 +603,101 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     return final
 
 
+def _interval_join_feed(
+    spark: SparkSession, sf_dir: str, sentinels: bool = False
+) -> tuple:
+    """Stage the two interval-join feeds: purchases and the CANONICAL
+    deduped signup relation — one row per (user_id, ts), max event_id
+    wins — exactly the batch twin's ``_dedup_signups`` and the oracle's
+    GROUP BY (a raw feed would diverge from the oracle the day the data
+    grows a (user_id, ts) signup tie; none exist in the testdata today,
+    latent ≠ safe). With ``sentinels=True`` each side gets a second,
+    later file holding ONE far-future marker row (ids < 0, filtered from
+    output): processed as its own micro-batch, it advances both
+    watermarks past every real row — the flush signal the OUTER join
+    needs to emit its unmatched rows."""
+    import os
+    import shutil
+
+    ev = load(spark, sf_dir, "events")
+    feed = tempfile.mkdtemp(prefix="ssj_feed_")
+    p_dir, s_dir = os.path.join(feed, "p"), os.path.join(feed, "s")
+    os.makedirs(p_dir)
+    os.makedirs(s_dir)
+    staging = tempfile.mkdtemp(prefix="ssj_stage_")
+
+    def _land(df: DataFrame, d: str, name: str, mtime: float) -> None:
+        t = os.path.join(staging, name + os.path.basename(d))
+        df.coalesce(1).write.mode("overwrite").parquet(t)
+        part = next(f for f in os.listdir(t) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.move(os.path.join(t, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    _land(purchases, p_dir, "b0", 1_700_000_000.0)
+    _land(signups, s_dir, "b0", 1_700_000_000.0)
+    if sentinels:
+        sent_p = spark.createDataFrame(
+            [(-1, -1)], "purchase_event_id long, p_user long"
+        ).select(
+            "purchase_event_id",
+            "p_user",
+            F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("p_ts"),
+        )
+        # a different far-future instant so the two sentinels never join
+        sent_s = spark.createDataFrame(
+            [(-1, -1)], "s_user long, signup_event_id long"
+        ).select(
+            "s_user",
+            F.to_timestamp(F.lit("2031-01-01 00:00:00")).alias("s_ts"),
+            "signup_event_id",
+        )
+        _land(sent_p, p_dir, "b1", 1_700_000_100.0)
+        _land(sent_s, s_dir, "b1", 1_700_000_100.0)
+    return p_dir, s_dir
+
+
+def _interval_join_streams(
+    spark: SparkSession, p_dir: str, s_dir: str, per_file: bool
+) -> tuple:
+    reader_p = spark.readStream.schema(spark.read.parquet(p_dir).schema)
+    reader_s = spark.readStream.schema(spark.read.parquet(s_dir).schema)
+    if per_file:
+        reader_p = reader_p.option("maxFilesPerTrigger", 1)
+        reader_s = reader_s.option("maxFilesPerTrigger", 1)
+    return (
+        reader_p.parquet(p_dir).withWatermark("p_ts", "1 hour"),
+        reader_s.parquet(s_dir).withWatermark("s_ts", "1 hour"),
+    )
+
+
+_SSJ_COND = (
+    lambda: (F.col("p_user") == F.col("s_user"))
+    & (F.col("p_ts") >= F.col("s_ts"))
+    & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+)
+
+
+def _ssj_select(out: DataFrame) -> DataFrame:
+    return out.select(
+        "purchase_event_id",
+        F.col("p_user").alias("user_id"),
+        "signup_event_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+    )
+
+
 def streaming_interval_join_purchase_signup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -618,53 +713,40 @@ def streaming_interval_join_purchase_signup(
     append mode: matches emit as soon as both sides arrive; the oracle
     is the batch interval-join twin (`purchases_within_hour_of_signup`)
     VERBATIM — micro-batched arrival must not change the answer."""
-    import os
+    p_dir, s_dir = _interval_join_feed(spark, sf_dir)
+    purchases, signups = _interval_join_streams(
+        spark, p_dir, s_dir, per_file=False
+    )
+    joined = purchases.join(signups, _SSJ_COND())
+    return _ssj_select(_run_to_memory(joined, mode="append"))
 
-    ev = load(spark, sf_dir, "events")
-    feed = tempfile.mkdtemp(prefix="ssj_feed_")
-    p_dir, s_dir = os.path.join(feed, "p"), os.path.join(feed, "s")
-    ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_event_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-    ).coalesce(2).write.mode("overwrite").parquet(p_dir)
-    # the signup feed carries the CANONICAL deduped signup relation —
-    # one row per (user_id, ts), max event_id wins — exactly the batch
-    # twin's _dedup_signups and the oracle's GROUP BY: a raw feed would
-    # diverge from the oracle the day the data grows a (user_id, ts)
-    # signup tie (none exist in the testdata today; latent ≠ safe)
-    ev.filter(F.col("event_type") == "signup").groupBy(
-        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
-    ).agg(F.max("event_id").alias("signup_event_id")).coalesce(2).write.mode(
-        "overwrite"
-    ).parquet(s_dir)
 
-    p_schema = spark.read.parquet(p_dir).schema
-    s_schema = spark.read.parquet(s_dir).schema
-    purchases = (
-        spark.readStream.schema(p_schema)
-        .parquet(p_dir)
-        .withWatermark("p_ts", "1 hour")
+def streaming_interval_join_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics that make the
+    watermark+band LOAD-BEARING rather than merely state-saving: an
+    unmatched purchase can only emit its NULL-signup row once the
+    signup-side watermark proves no matching signup (s_ts ≤ p_ts, within
+    the band) can still arrive. Topology: micro-batch 1 carries the real
+    rows of both streams; micro-batch 2 carries one far-future SENTINEL
+    per side (ids < 0, filtered from output), advancing both watermarks
+    past every real row so the held-back outer rows flush — plus Spark's
+    no-data final batch completing the eviction. Without the sentinels
+    the query ends with the unmatched rows silently stuck in state: the
+    production lesson this entry pins is that OUTER stream-stream
+    results are only as complete as the watermark you advance. Oracle =
+    the batch LEFT JOIN twin; matched rows are hash-identical to the
+    inner entry's."""
+    p_dir, s_dir = _interval_join_feed(spark, sf_dir, sentinels=True)
+    purchases, signups = _interval_join_streams(
+        spark, p_dir, s_dir, per_file=True
     )
-    signups = (
-        spark.readStream.schema(s_schema)
-        .parquet(s_dir)
-        .withWatermark("s_ts", "1 hour")
+    joined = purchases.join(signups, _SSJ_COND(), "left_outer")
+    out = _run_to_memory(joined, mode="append").filter(
+        F.col("purchase_event_id") >= 0
     )
-    joined = purchases.join(
-        signups,
-        (F.col("p_user") == F.col("s_user"))
-        & (F.col("p_ts") >= F.col("s_ts"))
-        & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
-    )
-    out = _run_to_memory(joined, mode="append")
-    return out.select(
-        "purchase_event_id",
-        F.col("p_user").alias("user_id"),
-        "signup_event_id",
-        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
-    )
+    return _ssj_select(out)
 
 
 QUERIES = {
@@ -673,6 +755,7 @@ QUERIES = {
     "streaming_interval_join_purchase_signup": (
         streaming_interval_join_purchase_signup
     ),
+    "streaming_interval_join_left_outer": streaming_interval_join_left_outer,
     "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_wap_publish": streaming_wap_publish,
     "streaming_cdc_latest_events": streaming_cdc_latest_events,
@@ -700,6 +783,23 @@ ORACLE = {
     "streaming_interval_join_purchase_signup": (
         _TMP_ORACLE["purchases_within_hour_of_signup"]
     ),
+    # the outer variant: every purchase appears — matched rows identical
+    # to the inner entry, unmatched with NULL signup columns
+    "streaming_interval_join_left_outer": """
+        SELECT p.event_id AS purchase_event_id,
+               p.user_id,
+               s.signup_event_id,
+               STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               STRFTIME(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS signup_event_id
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY user_id, ts) s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.ts
+         AND p.ts < s.ts + INTERVAL 1 HOUR
+    """,
     # 4 published clean batches + 1 aborted poison batch ⇒ final state is
     # exactly a hot+cold append: the full events table
     "streaming_wap_publish": f"""
