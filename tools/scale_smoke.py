@@ -110,6 +110,9 @@ DOC_QUERIES = [
     "embedding_opq_permutation",  # d-group variance agg + d-row window
     "ann_ivf_opq_cosine",    # permuted-gather ADC (same budget as PQ)
     "hybrid_search_rrf",     # BM25 pass + broadcast-query pass, ≤k fusion
+    "dedup_substring_removed_text",  # span-cut rewrite: anti join + rebuild
+    "dedup_graph_triangle_stats",    # pair-graph joins, bounded output
+    "token_budget_mixture_plan",     # per-source agg + |sources|-row plan
 ]
 
 
