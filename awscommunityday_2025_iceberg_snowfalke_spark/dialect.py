@@ -92,6 +92,22 @@ _SQL_CLAUSE_WORDS = {
 }
 
 
+def _sub_outside_literals(pattern: re.Pattern, repl: str, sql: str) -> str:
+    """``pattern.sub(repl, ...)`` applied only OUTSIDE single-quoted string
+    literals — the same literal-skipping discipline as ``_scan_balanced``,
+    so ``SELECT 'IFF(x)'`` keeps its literal intact instead of becoming
+    ``'if(x)'``. Splits on literals (doubled '' quote-escapes stay inside
+    one literal chunk by the regex's greedy inner loop) and rewrites only
+    the code segments."""
+    out, pos = [], 0
+    for m in re.finditer(r"'(?:[^']|'')*'", sql):
+        out.append(pattern.sub(repl, sql[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pattern.sub(repl, sql[pos:]))
+    return "".join(out)
+
+
 def _scan_balanced(sql: str, start: int) -> int:
     """Return the index just past the ')' closing the '(' that precedes
     ``start``, skipping parens inside single-quoted string literals
@@ -185,14 +201,18 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
     drop-null semantics are required, build a map and filter entries:
     ``map_filter(map(k1, v1, …), (k, v) -> v IS NOT NULL)``.
     """
+    # every token rewrite is literal-aware (ADVICE r10): 'IFF(x)' inside a
+    # quoted string must survive, matching the FLATTEN scanner's discipline
     if anchor_date:
-        sql = _CURRENT_DATE_RE.sub(f"DATE '{anchor_date}'", sql)
-        sql = _CURRENT_TS_RE.sub(
-            f"TIMESTAMP '{anchor_date} 00:00:00'", sql
+        sql = _sub_outside_literals(
+            _CURRENT_DATE_RE, f"DATE '{anchor_date}'", sql
         )
-    sql = _OBJ_STAR_RE.sub("struct(*)", sql)
-    sql = _OBJ_KEYED_RE.sub("named_struct(", sql)
-    sql = _IFF_RE.sub("if(", sql)
+        sql = _sub_outside_literals(
+            _CURRENT_TS_RE, f"TIMESTAMP '{anchor_date} 00:00:00'", sql
+        )
+    sql = _sub_outside_literals(_OBJ_STAR_RE, "struct(*)", sql)
+    sql = _sub_outside_literals(_OBJ_KEYED_RE, "named_struct(", sql)
+    sql = _sub_outside_literals(_IFF_RE, "if(", sql)
     sql = _rewrite_flatten(sql)
     m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
     if not m or "QUALIFY" not in sql.upper():

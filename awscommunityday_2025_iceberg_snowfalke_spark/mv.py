@@ -18,11 +18,20 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _unescape_partition(s: str) -> str:
+    """Inverse of Spark/Hive's ``escapePathName`` (%XX percent-decoding;
+    only ASCII specials are ever escaped, so single-byte chr() is exact)."""
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
 
 
 class MaterializedView:
@@ -132,11 +141,19 @@ class MaterializedView:
             fresh.unpersist()
         import shutil
 
-        for v in values:
-            if str(v) not in present:
-                pdir = os.path.join(self.path, f"{self.partition_col}={v}")
-                if os.path.isdir(pdir):
-                    shutil.rmtree(pdir)
+        # Spark percent-escapes special characters in partition directory
+        # names (space, ':', '/', '%', ... via Hive's escapePathName), so a
+        # raw f"{col}={v}" path would miss an emptied partition whose value
+        # carries one and leave its stale files behind. List the col=* dirs
+        # that actually exist and compare UNESCAPED values instead.
+        doomed = {str(v) for v in values} - present
+        prefix = f"{self.partition_col}="
+        for d in os.listdir(self.path):
+            if not d.startswith(prefix):
+                continue
+            raw = d[len(prefix):]
+            if _unescape_partition(raw) in doomed:
+                shutil.rmtree(os.path.join(self.path, d))
         self._stamp(sf_dir)
         return values
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -429,12 +430,17 @@ class SnapshotTable:
             return self.read(version=json.load(fh)["version"])
 
     def _branch_files(self, name: str) -> list[str]:
+        # anchored match, not a raw startswith prefix: with branches 'rel'
+        # and 'rel-v2', the prefix scan for 'rel' would pick up
+        # 'branch-rel-v2-v1.json' and int('2-v1') would raise
         d = os.path.join(self.path, "snapshots")
-        pre = f"branch-{name}-v"
-        return sorted(
-            (f for f in os.listdir(d) if f.startswith(pre) and f.endswith(".json")),
-            key=lambda f: int(f[len(pre) : -5]),
-        )
+        pat = re.compile(rf"branch-{re.escape(name)}-v(\d+)\.json")
+        hits = [
+            (int(m.group(1)), f)
+            for f in os.listdir(d)
+            if (m := pat.fullmatch(f))
+        ]
+        return [f for _, f in sorted(hits)]
 
     def branch_version(self, name: str) -> int:
         snaps = self._branch_files(name)
@@ -816,9 +822,20 @@ class SnapshotTable:
             F.col("_df_file").alias("file"), F.col("_df_pos").alias("pos")
         )
         added = self._write_files(positions, 1)
+        # capture the file set the positions were resolved against: a
+        # concurrent compact()/merge that rewrites any of these files
+        # makes the (file,pos) tombstones dangle — every doomed row would
+        # silently survive. Iceberg's position-delete commit validation
+        # fails on rewritten files; merge_mor raises in the same race.
+        resolve_files = set(m["files"])
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version
             m = self._manifest(base) if base else {"files": []}
+            if not resolve_files <= set(m["files"]):
+                raise CommitConflict(
+                    "delete_where_positional: concurrent rewrite invalidated "
+                    "the resolved positions; re-read and retry"
+                )
             dels = list(m.get("delete_files", [])) + [
                 {"file": f, "kind": "pos", "seq": base + 1} for f in added
             ]

@@ -900,3 +900,87 @@ def test_branch_reinsert_after_main_delete_and_ref_protection(
         True for _ in ()
     )  # GC never touches tag-referenced files (history keeps v1)
     assert t2.read_tag("baseline").count() == 50
+
+
+def test_positional_delete_vs_concurrent_rewrite_conflict(
+    spark, events, tmp_path
+):
+    """ADVICE r10: delete_where_positional resolves (file, pos) pairs
+    against one manifest; if a compact() commits between resolution and
+    the CAS commit, the tombstones reference files no longer in the
+    manifest and every doomed row silently survives. Must raise
+    CommitConflict (mirroring merge_mor's validation), not commit."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        CommitConflict,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events.filter(F.col("event_id") < 20), n_files=4)  # v1: 20 rows
+
+    orig_try = t._try_commit
+    state = {"raced": False}
+
+    def racing_commit(version, files, op, **kw):
+        # a concurrent compaction lands right before our first CAS attempt
+        if not state["raced"] and op == "delete.pos":
+            state["raced"] = True
+            SnapshotTable(spark, t.path).compact(target_files=1)
+        return orig_try(version, files, op, **kw)
+
+    t._try_commit = racing_commit
+    with pytest.raises(CommitConflict):
+        t.delete_where_positional(F.col("event_id") < 6)
+    assert state["raced"]
+    # nothing committed: all 20 rows still live, no dangling tombstones
+    t2 = SnapshotTable(spark, t.path)
+    assert t2.read().count() == 20
+    assert t2._manifest(t2.current_version).get("delete_files", []) == []
+    # documented recovery: re-resolve against the new manifest and retry
+    t2.delete_where_positional(F.col("event_id") < 6)
+    assert t2.read().count() == 14
+
+
+def test_branch_name_prefix_collision(spark, events, tmp_path):
+    """ADVICE r10: branch 'rel' must not pick up files of branch 'rel-v2'
+    (raw prefix scan parsed int('2-v1') → ValueError, broke
+    branch_version/read_branch/refs)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events.filter(F.col("event_id") < 10), n_files=2)
+    t.create_branch("rel")
+    t.create_branch("rel-v2")
+    t.append_to_branch("rel-v2", events.filter(F.col("event_id") >= 90))
+    assert t.branch_version("rel") == 1
+    assert t.branch_version("rel-v2") == 2
+    assert t.read_branch("rel").count() == 10
+    names = {r["name"] for r in t.refs() if r["kind"] == "branch"}
+    assert {"rel", "rel-v2"} <= names
+
+
+def test_mv_emptied_partition_removed_despite_escaping(spark, tmp_path):
+    """ADVICE r10: Spark percent-escapes special chars in partition dir
+    names (e.g. ':' → '%3A'); the emptied-partition cleanup must compare
+    UNESCAPED values, else a stale dir like k=a%3Ab survives."""
+    state = {"dropped": None}
+
+    def build(spark_, _sf):
+        rows = [("a:b", 1), ("plain", 2)]
+        if state["dropped"]:
+            rows = [r for r in rows if r[0] != state["dropped"]]
+        return spark_.createDataFrame(rows, "k string, n int")
+
+    mv = MaterializedView("esc", build, str(tmp_path), partition_col="k")
+    mv.refresh(spark, SF_DIR)
+    escaped = [
+        d for d in os.listdir(mv.path)
+        if d.startswith("k=") and "%" in d
+    ]
+    assert escaped, "precondition: Spark escaped the ':' in the dir name"
+
+    state["dropped"] = "a:b"
+    mv.refresh_partitions(spark, SF_DIR, ["a:b"])
+    assert not any(
+        d.startswith("k=") and "%" in d for d in os.listdir(mv.path)
+    ), "escaped-value partition dir must be removed once emptied"
+    assert {str(r[0]) for r in mv.read(spark).select("k").collect()} == {
+        "plain"
+    }

@@ -848,3 +848,24 @@ def test_largest_remainder_apportionment_property():
             assert abs(b - q) < 1.0
 
     check()
+
+
+def test_translate_iff_inside_string_literal_survives():
+    """ADVICE r10: token rewrites (IFF/OBJECT_CONSTRUCT/CURRENT_DATE) must
+    not fire inside single-quoted literals — only the FLATTEN scanner was
+    quote-aware before."""
+    sql = "SELECT 'IFF(x)' AS lit, IFF(a > 1, 'CURRENT_DATE', b) AS v FROM t"
+    out = translate(sql)
+    assert "'IFF(x)'" in out, "literal must survive untouched"
+    assert "'CURRENT_DATE'" in out, "literal must survive untouched"
+    assert "if(a > 1" in out, "real IFF call must still rewrite"
+    # doubled-quote escape stays one literal
+    sql2 = "SELECT 'it''s IFF(y)' AS lit, IFF(c, 1, 2) AS v FROM t"
+    out2 = translate(sql2)
+    assert "it''s IFF(y)" in out2
+    assert "if(c, 1, 2)" in out2
+    # OBJECT_CONSTRUCT in a literal survives too
+    sql3 = "SELECT 'OBJECT_CONSTRUCT(*)' AS lit, OBJECT_CONSTRUCT(*) AS o FROM t"
+    out3 = translate(sql3)
+    assert "'OBJECT_CONSTRUCT(*)'" in out3
+    assert "struct(*) AS o" in out3
