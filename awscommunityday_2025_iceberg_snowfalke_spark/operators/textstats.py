@@ -1498,6 +1498,123 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- iterative BPE training (N merge rounds) ---------------------------------
+BPE_TRAIN_ROUNDS = 8
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — the loop
+    ``bpe_first_merges`` is iteration 1 of, run for ``BPE_TRAIN_ROUNDS``
+    rounds to produce the merge table ``bpe_encode_fixed_merges`` applies
+    as a frozen artifact (trained at sf0.01, the trainer output equals
+    ``BPE_MERGES`` exactly — test-pinned, closing the tokenizer-training
+    loop end-to-end). Each round: corpus-wide adjacent symbol-pair
+    counts, argmax with (count DESC, a, b) lexical tiebreak, apply the
+    merge, repeat.
+
+    Scale shape: ONE corpus pass builds the (word, freq) dictionary —
+    Sennrich's trick: all subsequent rounds run over the DISTINCT-word
+    relation, Heaps-sublinear in corpus size (at 100 TB the word table
+    is millions of rows, not trillions of tokens). The dictionary is
+    persisted once; round k's pair count is a map-side explode over it +
+    one bounded agg, and the argmax is LIMIT 1 (TakeOrderedAndProject,
+    never a global sort). The merge application is the same two-pass
+    codegen `replace` device as the encoder (boundary-sharing chains
+    close in two passes, pinned by the encoder's Python-greedy test);
+    round k's expression chain carries k replaces — no re-materialization
+    between rounds. Per-round driver traffic is ONE row (the argmax),
+    the kmeans-centroid precedent. Output: the bounded N-row merge
+    table (rank, a, b, pair_count) — integers and strings only."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    wf = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        # spaced symbolization ' h e l l o ' — the encoder's exact device
+        s = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+        merges = []
+        for _ in range(BPE_TRAIN_ROUNDS):
+            arr = F.split(F.trim(s), " ")
+            pair = F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("a"),
+                        F.element_at(arr, i + 1).alias("b"),
+                    ),
+                )
+            )
+            best = (
+                wf.filter(F.size(arr) >= 2)
+                .select("freq", pair.alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((len(merges) + 1, a, b, cnt))
+            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            s = F.replace(F.replace(s, pat, rep), pat, rep)
+    finally:
+        wf.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, a string, b string, pair_count bigint"
+    )
+
+
+def _duck_bpe_train_oracle() -> str:
+    """DuckDB twin of ``bpe_train_merges``: the N-round trainer unrolled
+    into nested CTEs — each round is (pair count over the word-frequency
+    relation) → (1-row argmax) → (merge applied via the same two-pass
+    replace), generated from the SAME round count so the engines can
+    never drift."""
+    parts = [
+        r"""WITH w0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+               COUNT(*) AS freq
+        FROM (
+            SELECT unnest(list_filter(string_split(
+                regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                w -> w <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    )"""
+    ]
+    for k in range(BPE_TRAIN_ROUNDS):
+        parts.append(f""",
+    p{k} AS (
+        SELECT u.a AS a, u.b AS b, SUM(freq) AS cnt FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(arr)),
+                          i -> {{'a': arr[CAST(i AS INT)],
+                                 'b': arr[CAST(i AS INT) + 1]}})) AS u
+            FROM (SELECT freq, string_split(trim(s), ' ') AS arr FROM w{k})
+            WHERE len(arr) >= 2
+        ) GROUP BY u.a, u.b
+    ),
+    r{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{k + 1} AS (
+        SELECT replace(replace(s, m.pat, m.rep), m.pat, m.rep) AS s, freq
+        FROM w{k}, (SELECT ' ' || a || ' ' || b || ' ' AS pat,
+                           ' ' || a || b || ' ' AS rep FROM r{k}) m
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k + 1} AS merge_rank, a, b, CAST(cnt AS BIGINT) "
+        f"AS pair_count FROM r{k}"
+        for k in range(BPE_TRAIN_ROUNDS)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
 # --- FastText-style linear quality classifier (inference) -------------------
 QC_BUCKETS = 2048
 # sigmoid banding WITHOUT evaluating exp(): sigmoid is monotone in the
@@ -1609,6 +1726,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
+    "bpe_train_merges": bpe_train_merges,
     "doc_bm25_search": doc_bm25_search,
     "pmi_collocations": pmi_collocations,
     "doc_lang_confusion": doc_lang_confusion,
@@ -2411,3 +2529,5 @@ ORACLE["quality_classifier_score"] = rf"""
            CAST(lbl AS INT) AS label_quality_ok
     FROM s
 """
+
+ORACLE["bpe_train_merges"] = _duck_bpe_train_oracle()

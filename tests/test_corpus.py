@@ -847,3 +847,78 @@ def test_quality_classifier_separates_and_bands_monotone(spark):
     by_logit = sorted(rows, key=lambda r: r["logit6"])
     bands = [r["prob_band"] for r in by_logit]
     assert bands == sorted(bands), "prob_band must be monotone in logit"
+
+
+def _python_bpe_train(texts, rounds):
+    """Reference greedy BPE trainer (tokenwise, no string-replace device)."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z ]", " ", t.lower()).split(" "):
+            if w:
+                wf[w] += 1
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(rounds):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((len(merges) + 1, a, b, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_greedy_replay(spark):
+    """The distributed trainer (word-frequency relation + two-pass replace
+    merges) must reproduce the tokenwise greedy reference exactly —
+    ranks, pairs, and selection-time counts."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_TRAIN_ROUNDS,
+        bpe_train_merges,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    texts = [r[0] for r in load(spark, SF_DIR, "documents").select("text").collect()]
+    expect = _python_bpe_train(texts, BPE_TRAIN_ROUNDS)
+    got = [
+        (r["merge_rank"], r["a"], r["b"], r["pair_count"])
+        for r in bpe_train_merges(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_frozen_artifact_is_trainer_output(spark):
+    """Close the tokenizer loop: the frozen BPE_MERGES artifact the
+    encoder applies must be EXACTLY what the trainer learns on the
+    corpus it was trained on (sf0.01) — merge order included."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_MERGES,
+        bpe_train_merges,
+    )
+
+    got = [
+        (r["a"], r["b"])
+        for r in sorted(
+            bpe_train_merges(spark, "/root/testdata/sf0.01").collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    assert tuple(got) == BPE_MERGES
