@@ -195,6 +195,74 @@ class SnapshotTable:
         return self.spark.read.parquet(*paths)
 
     # -- commits -------------------------------------------------------------
+    # -- manifest-file layer (Iceberg: manifest list → manifest files) -------
+    def _manifest_dir(self) -> str:
+        d = os.path.join(self.path, "snapshots", "manifests")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _write_manifest_file(self, version: int, entries: list[str]) -> str:
+        name = f"m{version}-{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(self._manifest_dir(), name), "w") as fh:
+            json.dump({"entries": entries}, fh)
+        return name
+
+    def manifest_entries(self, name: str) -> list[str]:
+        """Data-file entries of one physical manifest file (one planning
+        GET in Iceberg terms)."""
+        with open(os.path.join(self._manifest_dir(), name)) as fh:
+            return json.load(fh)["entries"]
+
+    def manifest_list(self, version: int | None = None) -> list[dict]:
+        """The snapshot's manifest list (Iceberg: ``<tbl>.manifests``):
+        one row per physical manifest file with entry count and bytes."""
+        version = version or self.current_version
+        out = []
+        for name in self._manifest(version).get("manifests", []):
+            p = os.path.join(self._manifest_dir(), name)
+            out.append(
+                {
+                    "manifest": name,
+                    "entries": len(self.manifest_entries(name)),
+                    "bytes": os.path.getsize(p),
+                }
+            )
+        return out
+
+    def planning_gets(self, version: int | None = None) -> int:
+        """Metadata GETs a scan of this snapshot must issue before any
+        data read: 1 for the snapshot/manifest-list + 1 per manifest file
+        — the reference's planning-I/O pathology metric
+        (aws-community-builders-presentation.md:247-258: 43,203 GETs)."""
+        version = version or self.current_version
+        return 1 + len(self._manifest(version).get("manifests", []))
+
+    def _carry_manifests(
+        self, version: int, files: list[str]
+    ) -> list[str]:
+        """Manifest refs for a commit of ``files`` at ``version``: prior
+        manifests carry forward pruned of fully-dead refs (every entry
+        rewritten away), plus ONE new manifest file for the entries this
+        commit introduces — Iceberg's append behavior, and exactly the
+        mechanism that accrues 525,600 manifests/yr under 10-min
+        micro-batch commits (P:233-243) until ``rewrite_manifests``."""
+        prev = (
+            self._manifest(version - 1) if version > 1 else {"files": []}
+        )
+        live = set(files)
+        carried = [
+            name
+            for name in prev.get("manifests", [])
+            if any(e in live for e in self.manifest_entries(name))
+        ]
+        prev_files = set(prev["files"])
+        new_files = [f for f in files if f not in prev_files]
+        if new_files:
+            carried = carried + [
+                self._write_manifest_file(version, new_files)
+            ]
+        return carried
+
     def _try_commit(
         self,
         version: int,
@@ -202,14 +270,25 @@ class SnapshotTable:
         operation: str,
         delete_files: list[dict] | None = None,
         prev_seqs: dict[str, int] | None = None,
+        manifests: list[str] | None = None,
     ) -> bool:
         """Compare-and-swap commit attempt: exclusively create
         ``v<version>.json``. ``os.link`` (unlike ``os.rename``) fails with
         FileExistsError when the target exists, so of two writers racing to
         commit the same version exactly one wins — the filesystem is the
         arbiter, same role as Iceberg's atomic catalog pointer swap
-        (P:205-224). The loser re-bases and retries (see ``append``)."""
+        (P:205-224). The loser re-bases and retries (see ``append``).
+        ``manifests`` overrides the derived manifest-file refs (the
+        ``rewrite_manifests`` path); a losing attempt's freshly written
+        manifest file is unlinked immediately (Iceberg leaves such
+        orphans to GC; we know the attempt lost, so clean up inline)."""
         prev_seqs = prev_seqs or {}
+        own_manifest: str | None = None
+        if manifests is None:
+            manifests = self._carry_manifests(version, files)
+            own_manifest = next(
+                (n for n in manifests if n.startswith(f"m{version}-")), None
+            )
         manifest = {
             "version": version,
             "operation": operation,
@@ -220,6 +299,7 @@ class SnapshotTable:
             # to files with seq <= the delete's seq
             "file_seqs": {f: prev_seqs.get(f, version) for f in files},
             "delete_files": delete_files or [],
+            "manifests": manifests,
         }
         snap_dir = os.path.join(self.path, "snapshots")
         tmp = os.path.join(snap_dir, f".commit-{uuid.uuid4().hex[:8]}.tmp")
@@ -229,9 +309,46 @@ class SnapshotTable:
             os.link(tmp, os.path.join(snap_dir, f"v{version}.json"))
             return True
         except FileExistsError:
+            if own_manifest is not None:
+                os.unlink(os.path.join(self._manifest_dir(), own_manifest))
             return False
         finally:
             os.unlink(tmp)
+
+    def rewrite_manifests(self, target_manifests: int = 1) -> int:
+        """Metadata-only manifest compaction (Iceberg: ``CALL
+        system.rewrite_manifests``) — the cure for the reference's
+        metadata pathology that data-file compaction does NOT fix:
+        10-minute Firehose commits accrue ≈525,600 manifests ≈ 78 GB/yr
+        (aws-community-builders-presentation.md:233-243) and query
+        planning pays one GET per manifest (P:247-258 — 43,203 GETs).
+        Coalesces the live data-file entries into ``target_manifests``
+        balanced manifest files and commits — the data-file list,
+        sequence numbers, and tombstones are carried byte-identical, so
+        reads are unchanged (test-pinned); only planning I/O shrinks.
+        CAS loop: a concurrent append re-bases and regroups (its new
+        files are included on retry), never lost."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version
+            m = self._manifest(base)
+            files = m["files"]
+            n = max(1, min(target_manifests, len(files) or 1))
+            groups = [files[i::n] for i in range(n) if files[i::n]]
+            refs = [
+                self._write_manifest_file(base + 1, g) for g in groups
+            ]
+            if self._try_commit(
+                base + 1,
+                files,
+                "rewrite_manifests",
+                delete_files=m.get("delete_files", []),
+                prev_seqs=m.get("file_seqs", {}),
+                manifests=refs,
+            ):
+                return base + 1
+            for r in refs:  # lost the race: clean our orphaned manifests
+                os.unlink(os.path.join(self._manifest_dir(), r))
+        raise RuntimeError("rewrite_manifests: commit retries exhausted")
 
     def _commit(self, files: list[str], operation: str) -> int:
         """Commit a complete file list (the overwrite path, whose result
@@ -1095,6 +1212,18 @@ class SnapshotTable:
             if f not in live:
                 os.remove(os.path.join(data_dir, f))
                 removed.append(f)
+        # manifest-file GC: physical manifests referenced by no live main
+        # snapshot (lost CAS attempts are cleaned inline; expiry leaves
+        # these behind exactly like data files)
+        live_manifests: set[str] = set()
+        for m in self.history():
+            live_manifests.update(m.get("manifests", []))
+        mdir = os.path.join(snap_dir, "manifests")
+        if os.path.isdir(mdir):
+            for f in os.listdir(mdir):
+                if f not in live_manifests:
+                    os.remove(os.path.join(mdir, f))
+                    removed.append(os.path.join("manifests", f))
         return removed
 
 
@@ -1678,7 +1807,73 @@ def snapshot_rollback_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's METADATA pathology, cured by manifest rewrite —
+    not data compaction: 10-minute Firehose commits accrue ≈525,600
+    manifests ≈ 78 GB/yr (aws-community-builders-presentation.md:233-243)
+    and planning pays one GET per manifest (P:247-258 — 43,203 GETs per
+    query plan). Builds the micro-batch scenario (12 appends of 2 files
+    each — GEN:83-110's small-file cadence), then ``rewrite_manifests``:
+    a METADATA-ONLY commit coalescing 12 manifest files into 1 while the
+    24 data files, sequence numbers, and tombstones carry byte-identical
+    (asserted in-engine: the file list is unchanged). Report: per phase,
+    commit/data-file/manifest counts, the planning-GET count, and the
+    full row count + value sum proving reads are untouched. Planning
+    I/O drops 13 → 2 GETs — the 6.5× at 12 commits that is the 525,600×
+    story at a year of micro-batches."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "manifesttbl_")
+    for k in range(12):
+        tbl.append(ev.filter(F.col("event_id") % 12 == k), n_files=2)
+    before = {
+        "commits": tbl.current_version,
+        "files": sorted(tbl._manifest(tbl.current_version)["files"]),
+        "manifests": len(tbl.manifest_list()),
+        "gets": tbl.planning_gets(),
+    }
+    tbl.rewrite_manifests(target_manifests=1)
+    after_files = sorted(tbl._manifest(tbl.current_version)["files"])
+    assert after_files == before["files"], (
+        "rewrite_manifests must be metadata-only: data files unchanged"
+    )
+    assert [m["operation"] for m in tbl.history()][-1] == "rewrite_manifests"
+    agg = (
+        tbl.read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            det_sum("value", 2).alias("s"),
+        )
+        .collect()[0]
+    )
+    rows = [
+        (
+            "before",
+            before["commits"],
+            len(before["files"]),
+            before["manifests"],
+            before["gets"],
+            int(agg["n"]),
+            float(agg["s"]),
+        ),
+        (
+            "after",
+            tbl.current_version,
+            len(after_files),
+            len(tbl.manifest_list()),
+            tbl.planning_gets(),
+            int(agg["n"]),
+            float(agg["s"]),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase string, n_commits int, n_data_files int, n_manifests int, "
+        "planning_gets int, row_count long, sum_value double",
+    )
+
+
 QUERIES = {
+    "manifest_lifecycle_report": manifest_lifecycle_report,
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "snapshot_branch_tag": snapshot_branch_tag,
     "mor_position_delete_events": mor_position_delete_events,
@@ -1965,3 +2160,20 @@ ORACLE = {
 }
 
 ORACLE["merge_upsert_mor_events"] = ORACLE["merge_upsert_events"]
+
+# before: 12 appends × 2 files → 12 manifests, 13 planning GETs; after:
+# rewrite_manifests(1) → 1 manifest, 2 GETs; data files and every read
+# unchanged (same row_count/sum_value on both rows — the metadata-only
+# proof the Spark side also asserts in-engine)
+ORACLE["manifest_lifecycle_report"] = f"""
+    WITH agg AS (
+        SELECT COUNT(*) AS row_count,
+               {det_sum_sql("value", 2)} AS sum_value
+        FROM events
+    )
+    SELECT 'before' AS phase, 12 AS n_commits, 24 AS n_data_files,
+           12 AS n_manifests, 13 AS planning_gets, row_count, sum_value
+    FROM agg
+    UNION ALL
+    SELECT 'after', 13, 24, 1, 2, row_count, sum_value FROM agg
+"""

@@ -312,3 +312,18 @@ class IcebergTable:
 
     def rollback_to(self, version: int):
         self._unmapped("rollback_to", "CALL system.rollback_to_snapshot")
+
+    def rewrite_manifests(self, target_manifests: int = 1):
+        self._unmapped("rewrite_manifests", "CALL system.rewrite_manifests")
+
+    def manifest_list(self, version: int | None = None):
+        self._unmapped(
+            "manifest_list", "SELECT * FROM <tbl>.manifests"
+        )
+
+    def planning_gets(self, version: int | None = None):
+        self._unmapped(
+            "planning_gets",
+            "COUNT(*) + 1 over <tbl>.manifests (one GET per manifest "
+            "file plus the manifest list)",
+        )

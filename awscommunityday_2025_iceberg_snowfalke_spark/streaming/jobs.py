@@ -749,6 +749,42 @@ def streaming_interval_join_left_outer(
     return _ssj_select(out)
 
 
+def streaming_interval_join_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream join — completing the interval-join
+    family (inner at jobs.py:~701, LEFT OUTER above): BOTH sides'
+    unmatched rows emit, each gated by the OTHER side's watermark — an
+    unmatched purchase needs the signup watermark past its band, an
+    unmatched signup needs the purchase watermark past s_ts + 1 hour
+    (the band's upper bound) before Spark can prove no purchase will
+    ever land inside it. Same sentinel topology as the LEFT OUTER entry
+    (micro-batch 2 = one far-future sentinel per side at DIFFERENT
+    instants so the sentinels never join each other; both filtered from
+    output), pinning that outer completeness on EITHER side is exactly
+    as good as the watermark you advance on the opposite side. State
+    stays bounded by the band + watermarks precisely as in the inner
+    join — full outer adds no state, only null-emission bookkeeping.
+    Oracle = the batch FULL OUTER twin; matched rows hash-identical to
+    the inner entry's."""
+    p_dir, s_dir = _interval_join_feed(spark, sf_dir, sentinels=True)
+    purchases, signups = _interval_join_streams(
+        spark, p_dir, s_dir, per_file=True
+    )
+    joined = purchases.join(signups, _SSJ_COND(), "full_outer")
+    out = _run_to_memory(joined, mode="append").filter(
+        (F.col("purchase_event_id").isNull() | (F.col("purchase_event_id") >= 0))
+        & (F.col("signup_event_id").isNull() | (F.col("signup_event_id") >= 0))
+    )
+    return out.select(
+        "purchase_event_id",
+        F.coalesce(F.col("p_user"), F.col("s_user")).alias("user_id"),
+        "signup_event_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+    )
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
     "streaming_watermark_late_drop": streaming_watermark_late_drop,
@@ -756,6 +792,7 @@ QUERIES = {
         streaming_interval_join_purchase_signup
     ),
     "streaming_interval_join_left_outer": streaming_interval_join_left_outer,
+    "streaming_interval_join_full_outer": streaming_interval_join_full_outer,
     "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_wap_publish": streaming_wap_publish,
     "streaming_cdc_latest_events": streaming_cdc_latest_events,
@@ -794,6 +831,24 @@ ORACLE = {
         FROM (SELECT event_id, user_id, ts FROM events
               WHERE event_type = 'purchase') p
         LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS signup_event_id
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY user_id, ts) s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.ts
+         AND p.ts < s.ts + INTERVAL 1 HOUR
+    """,
+    # the full-outer variant: every purchase AND every signup appears;
+    # matched rows identical to the inner entry, unmatched rows NULL on
+    # the absent side
+    "streaming_interval_join_full_outer": """
+        SELECT p.event_id AS purchase_event_id,
+               COALESCE(p.user_id, s.user_id) AS user_id,
+               s.signup_event_id,
+               STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               STRFTIME(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT user_id, ts, MAX(event_id) AS signup_event_id
                    FROM events WHERE event_type = 'signup'
                    GROUP BY user_id, ts) s
           ON p.user_id = s.user_id

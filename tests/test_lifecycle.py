@@ -138,7 +138,9 @@ def test_expire_and_orphan_gc(spark, events, tmp_path):
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [1]
     removed = t.remove_orphan_files()
-    assert len(removed) == 8  # the 8 pre-compaction files are orphans
+    # the 8 pre-compaction data files + the expired append's manifest file
+    assert len([r for r in removed if not r.startswith("manifests/")]) == 8
+    assert len([r for r in removed if r.startswith("manifests/")]) == 1
     data_dir = os.path.join(t.path, "data")
     assert len(os.listdir(data_dir)) == 1
     assert t.read().count() == events.count()
@@ -984,3 +986,90 @@ def test_mv_emptied_partition_removed_despite_escaping(spark, tmp_path):
     assert {str(r[0]) for r in mv.read(spark).select("k").collect()} == {
         "plain"
     }
+
+
+def test_rewrite_manifests_metadata_only_and_planning_io(
+    spark, events, tmp_path
+):
+    """Manifest compaction (Iceberg CALL system.rewrite_manifests): the
+    micro-batch pathology (P:233-243) accrues one manifest per commit;
+    rewrite coalesces them in a METADATA-ONLY commit — identical data
+    files (byte-identical reads), planning GETs collapse."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for k in range(6):
+        t.append(events.filter(F.col("event_id") % 6 == k), n_files=2)
+    assert len(t.manifest_list()) == 6
+    assert t.planning_gets() == 7
+    files_before = sorted(t._manifest(t.current_version)["files"])
+    mtimes = {
+        f: os.path.getmtime(os.path.join(t.path, "data", f))
+        for f in files_before
+    }
+    n_before = t.read().count()
+
+    v = t.rewrite_manifests(target_manifests=1)
+    assert v == 7
+    assert sorted(t._manifest(v)["files"]) == files_before
+    assert len(t.manifest_list()) == 1
+    assert t.planning_gets() == 2
+    # manifest entries still cover exactly the live files
+    entries = sorted(t.manifest_entries(t._manifest(v)["manifests"][0]))
+    assert entries == files_before
+    assert t.read().count() == n_before
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(t.path, "data", f)) == mt, (
+            "rewrite_manifests must not touch data files"
+        )
+    # a later append adds ONE new manifest on top of the coalesced one
+    t.append(events.limit(5), n_files=1)
+    assert len(t.manifest_list()) == 2
+
+
+def test_rewrite_manifests_rebases_over_concurrent_append(
+    spark, events, tmp_path
+):
+    """A concurrent append landing mid-rewrite must not be lost: the CAS
+    loop re-bases and the regrouped manifests include the new files."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events.filter(F.col("event_id") < 30), n_files=3)
+    t.append(events.filter((F.col("event_id") >= 30) & (F.col("event_id") < 60)), n_files=3)
+
+    orig_try = t._try_commit
+    state = {"raced": False}
+
+    def racing(version, files, op, **kw):
+        if not state["raced"] and op == "rewrite_manifests":
+            state["raced"] = True
+            SnapshotTable(spark, t.path).append(
+                events.filter(F.col("event_id") >= 60), n_files=2
+            )
+        return orig_try(version, files, op, **kw)
+
+    t._try_commit = racing
+    t.rewrite_manifests(target_manifests=1)
+    assert state["raced"]
+    t2 = SnapshotTable(spark, t.path)
+    assert t2.read().count() == events.count(), "concurrent append kept"
+    # the rewrite re-based: coalesced manifests cover ALL live files
+    m = t2._manifest(t2.current_version)
+    assert m["operation"] == "rewrite_manifests"
+    covered = sorted(
+        e for n in m["manifests"] for e in t2.manifest_entries(n)
+    )
+    assert covered == sorted(m["files"])
+
+
+def test_manifest_gc_after_expiry(spark, events, tmp_path):
+    """Manifest files of expired snapshots are orphans; GC removes them
+    while every manifest referenced by a live snapshot survives."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for k in range(4):
+        t.append(events.filter(F.col("event_id") % 4 == k), n_files=1)
+    t.rewrite_manifests(target_manifests=1)
+    mdir = os.path.join(t.path, "snapshots", "manifests")
+    assert len(os.listdir(mdir)) == 5  # 4 per-append + 1 coalesced
+    t.expire_snapshots(keep_last=1)
+    removed = t.remove_orphan_files()
+    assert any(r.startswith("manifests/") for r in removed)
+    assert len(os.listdir(mdir)) == 1  # only the coalesced one is live
+    assert t.read().count() == events.count()
