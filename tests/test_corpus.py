@@ -922,3 +922,78 @@ def test_bpe_frozen_artifact_is_trainer_output(spark):
         )
     ]
     assert tuple(got) == BPE_MERGES
+
+
+def test_opq_rotation_numpy_replay_and_recall(spark):
+    """Replay the OPQ-P rotation in plain numpy from the raw parquet
+    (covariance → eigh → greedy eigenvalue allocation, canonical signs)
+    and require the operator's rotation to match; then verify the gate
+    entry's measured claims directly: rotation orthonormal, allocated
+    eigenvalues conserve the decimal trace, rot recall ≥ alloc recall."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        N_PROBE,
+        PQ_M,
+        PQ_SUB,
+        _opq_rotation,
+        _opq_subidx,
+        _pq_topk,
+        knn_bruteforce_cosine,
+    )
+
+    R, lam_alloc, logp = _opq_rotation(spark, SF_DIR)
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    X = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+    n, d = X.shape
+    mu = X.mean(axis=0)
+    cov = (X.T @ X) / n - np.outer(mu, mu)
+    lam, V = np.linalg.eigh(cov)
+    order = np.argsort(-lam)
+    lam, V = lam[order], V[:, order]
+    for j in range(d):
+        i = int(np.argmax(np.abs(V[:, j])))
+        if V[i, j] < 0:
+            V[:, j] = -V[:, j]
+    buckets = [[] for _ in range(PQ_M)]
+    lp = [0.0] * PQ_M
+    for i in range(d):
+        m = min(
+            (m for m in range(PQ_M) if len(buckets[m]) < PQ_SUB),
+            key=lambda m: (lp[m], m),
+        )
+        buckets[m].append(i)
+        lp[m] += float(np.log(max(lam[i], 1e-12)))
+    perm = [i for m in range(PQ_M) for i in buckets[m]]
+    R_ref = V[:, perm]
+    # operator covariance comes through 6-dp gram/decimal means — allow
+    # the resulting eigenbasis a small tolerance, but same allocation
+    assert R.shape == (d, d)
+    assert np.abs(R.T @ R - np.eye(d)).max() < 1e-9
+    assert np.abs(np.abs((R * R_ref).sum(axis=0)) - 1.0).max() < 1e-3, (
+        "each rotation column must match the replayed eigenvector "
+        "(up to the 6-dp gram rounding)"
+    )
+    assert abs(float(lam_alloc.sum()) - float(lam.sum())) < 1e-3
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce_cosine(spark, SF_DIR)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+
+    def recall(df):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+        return len(got & bf) / len(bf)
+
+    r_rot = recall(_pq_topk(spark, SF_DIR, N_PROBE, rot=R))
+    r_alloc = recall(
+        _pq_topk(spark, SF_DIR, N_PROBE, subidx=_opq_subidx(spark, SF_DIR))
+    )
+    assert r_rot >= r_alloc, (r_rot, r_alloc)
