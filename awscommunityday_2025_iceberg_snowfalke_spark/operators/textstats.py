@@ -1650,14 +1650,29 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit 0). Docs with zero tokens have no features and drop out
     (both engines identically).
 
-    Scale shape (100 TB): the feature stream is ONE staged corpus pass
-    (model build + scoring both consume it); the model is a ≤QC_BUCKETS-
-    row dictionary that broadcasts at any corpus size; scoring is
-    explode → broadcast hash-join → per-doc decimal sum — map-side
-    except the one doc-keyed agg. The only collect is two scalar totals.
-    Inference with real offline weights deletes the build half and is
-    strictly cheaper."""
-    docs = load(spark, sf_dir, "documents")
+    Scale shape (100 TB): the exploded feature stream (≈6× the token
+    stream — each token plus its trigrams) is reduced IN THE SAME PASS
+    to the (doc, bucket, count) matrix — the map-side partial agg
+    collapses repeats before anything shuffles or stages, and counts
+    make the math exactly equal: Σ_occurrences w = Σ_buckets cnt·w,
+    integer×decimal exact. The expensive map (explode + per-feature
+    hash) must actually parallelize: the single-file local fixture
+    serialized it onto one core until the explicit doc_id spread below
+    (measured 18.2 s → 2.6 s at sf0.1; a many-file real corpus gets the
+    same spread from the scan itself). The model is a ≤QC_BUCKETS-row
+    dictionary that broadcasts at any corpus size; scoring is one
+    broadcast hash-join + per-doc decimal sum. The only collect is two
+    scalar totals. Inference with real offline weights deletes the
+    build half and is strictly cheaper."""
+    # the feature explode + per-feature hash is the expensive map of this
+    # operator (~6 subword features per token); a real corpus arrives as
+    # many files and parallelizes by itself, but the local single-file
+    # fixture would otherwise run the whole pass on ONE core (measured
+    # 12× wall at sf0.1) — spread the docs across the executor threads
+    # before fanning out
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = _toks()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
@@ -1675,20 +1690,33 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
         lambda i: padded.substr(i, F.lit(3)),
     )
-    feats = tok.select(
-        "doc_id",
-        "lang",
-        "lbl",
-        F.explode(F.concat(F.array(F.col("tok")), tris)).alias("t"),
-    ).withColumn("bkt", F.expr(_SPARK_TH) % QC_BUCKETS)
+    feats = (
+        tok.select(
+            "doc_id",
+            "lang",
+            "lbl",
+            F.explode(F.concat(F.array(F.col("tok")), tris)).alias("t"),
+        )
+        .withColumn("bkt", F.expr(_SPARK_TH) % QC_BUCKETS)
+        .groupBy("doc_id", "lang", "lbl", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     feats = stage(feats)  # consumed twice: weight build + scoring join
     counts = feats.groupBy("bkt").agg(
-        (F.count(F.lit(1)) - F.sum("lbl")).alias("neg_c"),
-        F.sum("lbl").alias("pos_c"),
+        F.sum(F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)).alias(
+            "neg_c"
+        ),
+        F.sum(F.when(F.col("lbl") == 1, F.col("cnt")).otherwise(0)).alias(
+            "pos_c"
+        ),
     )
     tot = feats.agg(
-        (F.count(F.lit(1)) - F.sum("lbl")).alias("n_neg"),
-        F.sum("lbl").alias("n_pos"),
+        F.sum(F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)).alias(
+            "n_neg"
+        ),
+        F.sum(F.when(F.col("lbl") == 1, F.col("cnt")).otherwise(0)).alias(
+            "n_pos"
+        ),
     ).collect()[0]
     n_neg, n_pos = int(tot["n_neg"]), int(tot["n_pos"])
     w = F.log(
@@ -1701,8 +1729,14 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(F.broadcast(weights), "bkt")
         .groupBy("doc_id", "lang", "lbl")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum(F.col("w").cast("decimal(28,16)")).alias("ws"),
+            F.sum("cnt").alias("n_feats"),
+            # cnt as DECIMAL(9,0): 9+28+1 = 38 keeps the product inside
+            # Spark's decimal cap at full 16-dp scale (a raw bigint
+            # multiplicand would trigger silent scale loss at p=49)
+            F.sum(
+                F.col("cnt").cast("decimal(9,0)")
+                * F.col("w").cast("decimal(28,16)")
+            ).alias("ws"),
         )
     )
     band = None
@@ -2501,14 +2535,20 @@ ORACLE["quality_classifier_score"] = rf"""
         FROM (SELECT doc_id, lang, lbl, tok, '<' || tok || '>' AS pt FROM tk)
     ),
     b AS (
-        SELECT doc_id, lang, lbl, {_DUCK_TH} % {QC_BUCKETS} AS bkt FROM f
+        SELECT doc_id, lang, lbl, {_DUCK_TH} % {QC_BUCKETS} AS bkt,
+               COUNT(*) AS cnt
+        FROM f GROUP BY doc_id, lang, lbl, bkt
     ),
     counts AS (
-        SELECT bkt, COUNT(*) - SUM(lbl) AS neg_c, SUM(lbl) AS pos_c
+        SELECT bkt,
+               SUM(CASE WHEN lbl = 0 THEN cnt ELSE 0 END) AS neg_c,
+               SUM(CASE WHEN lbl = 1 THEN cnt ELSE 0 END) AS pos_c
         FROM b GROUP BY bkt
     ),
     tot AS (
-        SELECT COUNT(*) - SUM(lbl) AS n_neg, SUM(lbl) AS n_pos FROM b
+        SELECT SUM(CASE WHEN lbl = 0 THEN cnt ELSE 0 END) AS n_neg,
+               SUM(CASE WHEN lbl = 1 THEN cnt ELSE 0 END) AS n_pos
+        FROM b
     ),
     w AS (
         SELECT bkt,
@@ -2517,8 +2557,10 @@ ORACLE["quality_classifier_score"] = rf"""
         FROM counts CROSS JOIN tot
     ),
     s AS (
-        SELECT b.doc_id, b.lang, b.lbl, COUNT(*) AS n_feats,
-               SUM(CAST(w.w AS DECIMAL(28,16))) AS ws
+        SELECT b.doc_id, b.lang, b.lbl,
+               CAST(SUM(b.cnt) AS BIGINT) AS n_feats,
+               SUM(CAST(b.cnt AS DECIMAL(9,0))
+                   * CAST(w.w AS DECIMAL(28,16))) AS ws
         FROM b JOIN w USING (bkt)
         GROUP BY b.doc_id, b.lang, b.lbl
     )

@@ -154,7 +154,6 @@ HEADLINE = [
     "curation_pipeline",    # normalize→filter→dedup→sample fused pass
     "hll_user_rollup",      # mergeable-sketch daily layer + union total
     "semantic_dedup",       # SemDeDup (primary = per-cell Arrow dgemm)
-    "semantic_dedup_fold",  # same semantics, expression-fold contrast (3.5x slower)
     "dsir_importance_weights",  # hashed-ngram importance reweighting
     "quota_sample_tokens_budget_skewsafe",  # hash-bucket-pruned quota fill
     "simhash64_hamming_pairs_wide",  # de-saturated 64-bit pairing, 16-bit bands
@@ -173,11 +172,46 @@ HEADLINE = [
     "merge_upsert_events",      # MERGE, copy-on-write (O(|table|) rewrite)
     "merge_upsert_mor_events",  # MERGE, merge-on-read (O(|source|+|matches|))
     "dedup_substring_removed_text",  # Lee-et-al span-removal rewrite
+    "quality_classifier_score",  # fastText-style NB classifier inference
+    "bpe_train_merges",          # iterative BPE training (8 merge rounds)
+    "manifest_lifecycle_report", # manifest rewrite: planning-I/O 13→2 GETs
+    "ann_ivf_opq_rot_cosine",    # full OPQ-P: learned rotation + eigen alloc
 ]
+# retired from the headline in r11 (kept registered + oracle-gated):
+# semantic_dedup_fold — the intentional 4× HOF-interpretation contrast of
+# the Arrow-dgemm primary; its story lives in SCALE.md, its 4.7 s
+# (contended) was a third of the headline tail for zero added signal.
+
+
+def _calibrate() -> float:
+    """Fixed-work single-thread calibration loop (~0.3 s on an idle box):
+    5 passes of a 4M-element numpy sqrt/multiply chain — elementwise numpy
+    is single-threaded, so the wall-clock of CONSTANT work measures how
+    much CPU the host is actually giving one thread. Timed at suite start
+    AND end and recorded in the artifact: when the committed bench drifts
+    uniformly on untouched plans (r8 +10%, r10 +37%) while idle-box reruns
+    don't, these two numbers (plus the loadavg pair) let the artifact
+    itself prove host contention instead of reading as a regression."""
+    import numpy as np
+
+    x = np.arange(4_000_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(5):
+        acc += float(np.sqrt(x * 1.0000001 + acc).sum())
+    return round(time.perf_counter() - t0, 4)
+
+
+def _load_1m() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start, calib_start = _load_1m(), _calibrate()
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
@@ -279,6 +313,15 @@ def main() -> None:
         # jitter is run-to-run system noise, not block accumulation)
 
     total = round(sum(timings.values()), 3)
+    # host-condition evidence (see _calibrate): loadavg + fixed-work
+    # calibration at suite start and end make the artifact self-labeling
+    load_end, calib_end = _load_1m(), _calibrate()
+    host = {
+        "load_1m_start": load_start,
+        "load_1m_end": load_end,
+        "calibration_sec_start": calib_start,
+        "calibration_sec_end": calib_end,
+    }
     # full per-query engine-metrics report (RPT:286-329 parity artifact)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_report.json"),
@@ -289,6 +332,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "total_sec": total,
                 "env": _engine_versions(),
+                "host": host,
                 "queries": report,
             },
             fh,
@@ -306,6 +350,8 @@ def main() -> None:
         # observability gap behind the r7 local-green/driver-red episode
         # (the parity_probe_* gate entries are the per-class complement)
         "env": _engine_versions(),
+        "load": {"start_1m": load_start, "end_1m": load_end},
+        "calibration": {"start_sec": calib_start, "end_sec": calib_end},
     }
     if errors:
         line["errors"] = errors

@@ -592,4 +592,6 @@ def test_quality_classifier_broadcast_and_bounded_shuffles(spark):
 
     df = textstats.quality_classifier_score(spark, SF_DIR)
     assert has_broadcast_join(df), "weight dictionary must broadcast"
-    assert shuffle_count(df) <= 2
+    # 3 = the deliberate doc_id scan-spread + bucket-weight agg + per-doc
+    # scoring agg; nothing else may shuffle
+    assert shuffle_count(df) <= 3

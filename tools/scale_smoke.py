@@ -113,6 +113,10 @@ DOC_QUERIES = [
     "dedup_substring_removed_text",  # span-cut rewrite: anti join + rebuild
     "dedup_graph_triangle_stats",    # pair-graph joins, bounded output
     "token_budget_mixture_plan",     # per-source agg + |sources|-row plan
+    # round-11 additions
+    "quality_classifier_score",  # feature explode → (doc,bkt) agg + b-join
+    "bpe_train_merges",          # 8 argmax rounds over the word-freq dict
+    "ann_ivf_opq_rot_cosine",    # gram + eigh + two PQ probes (invariants)
 ]
 
 
