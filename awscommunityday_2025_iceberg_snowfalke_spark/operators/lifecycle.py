@@ -70,20 +70,24 @@ class CommitConflict(RuntimeError):
     ValidationException from rewrite_data_files / MERGE conflict)."""
 
 
-def make_table(spark: SparkSession, prefix: str):
+def make_table(spark: SparkSession, prefix: str, stats_col: str | None = None):
     """Backend factory for the lifecycle fixture tables: a real Iceberg
     catalog table when the flag-gated runtime is present
     (sources/iceberg.py, ``SPARK_GRAFT_ICEBERG_JAR``), else the
     parquet-native snapshot layer. Both expose the same append/read/
     time-travel/history/files/file_stats/plan_scan surface, so every
-    lifecycle query name runs unchanged against either backend."""
+    lifecycle query name runs unchanged against either backend.
+    ``stats_col`` requests per-entry manifest column stats (Iceberg
+    tables always carry these; the adapter ignores the arg)."""
     from ..sources import iceberg as _ice
 
     if _ice.enabled(spark):
         return _ice.IcebergTable(
             spark, f"{prefix.rstrip('_')}_{uuid.uuid4().hex[:8]}"
         )
-    return SnapshotTable(spark, tempfile.mkdtemp(prefix=prefix))
+    return SnapshotTable(
+        spark, tempfile.mkdtemp(prefix=prefix), stats_col=stats_col
+    )
 
 
 class SnapshotTable:
@@ -92,12 +96,22 @@ class SnapshotTable:
     atomic commit point (os.rename), mirroring Iceberg's pointer swap
     (P:205-224)."""
 
-    def __init__(self, spark: SparkSession | None, path: str):
+    def __init__(
+        self,
+        spark: SparkSession | None,
+        path: str,
+        stats_col: str | None = None,
+    ):
         """``spark`` may be None for metadata-only use (manifest/footer
         walks) — e.g. from the Python DataSource planner, which runs
-        without a session handle."""
+        without a session handle. ``stats_col``: when set, every manifest
+        file this table writes records per-entry min/max of that column
+        (Iceberg writers carry column stats into manifests at commit
+        time), enabling :meth:`plan_scan_manifests` — scan planning that
+        never opens a data-file footer."""
         self.spark = spark
         self.path = path
+        self.stats_col = stats_col
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         # Spark's default INT96 timestamps carry NO footer min/max stats —
@@ -201,10 +215,48 @@ class SnapshotTable:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def _entry_minmax(self, file: str):
+        """Footer min/max of ``stats_col`` for one data file, JSON-ready
+        (timestamps → tz-normalized ISO strings, which compare
+        lexicographically exactly like the instants they encode)."""
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(
+            os.path.join(self.path, "data", file)
+        ).metadata
+        if self.stats_col not in md.schema.names:
+            return None
+        idx = md.schema.names.index(self.stats_col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        lo, hi = _aware_utc(min(mins)), _aware_utc(max(maxs))
+        if isinstance(lo, _dt.datetime):
+            return [lo.isoformat(), hi.isoformat()]
+        return [lo, hi]
+
     def _write_manifest_file(self, version: int, entries: list[str]) -> str:
         name = f"m{version}-{uuid.uuid4().hex[:8]}.json"
+        doc: dict = {"entries": entries}
+        if self.stats_col:
+            # Iceberg writers carry per-file column stats into the
+            # manifest at commit time — one footer read per NEW file
+            # here buys footer-free scan planning forever after
+            stats = {}
+            for e in entries:
+                mm = self._entry_minmax(e)
+                if mm is not None:
+                    stats[e] = mm
+            doc["stats_col"] = self.stats_col
+            doc["stats"] = stats
         with open(os.path.join(self._manifest_dir(), name), "w") as fh:
-            json.dump({"entries": entries}, fh)
+            json.dump(doc, fh)
         return name
 
     def manifest_entries(self, name: str) -> list[str]:
@@ -314,6 +366,56 @@ class SnapshotTable:
             return False
         finally:
             os.unlink(tmp)
+
+    def plan_scan_manifests(self, lo, hi, version: int | None = None) -> dict:
+        """Scan planning from MANIFEST stats alone (Iceberg's actual
+        planning path): 1 GET for the manifest list + 1 per manifest
+        file, ZERO data-file footer reads — versus :meth:`plan_scan`'s
+        1 + |files| GETs walking footers. Two pruning levels, both
+        exact: a manifest whose aggregate [min,max] misses [lo,hi] is
+        skipped whole (its entries never even considered — the level
+        that makes time-ordered ingest prune almost everything), then
+        surviving manifests prune per-entry. Entries without stats are
+        conservatively read. ``lo``/``hi`` must be in the stats'
+        serialized form (ISO strings for timestamps)."""
+        version = version or self.current_version
+        m = self._manifest(version)
+        live = set(m["files"])
+        gets = 1
+        read: list[str] = []
+        manifests = m.get("manifests", [])
+        skipped_manifests = 0
+        for name in manifests:
+            gets += 1
+            with open(os.path.join(self._manifest_dir(), name)) as fh:
+                doc = json.load(fh)
+            ent = [e for e in doc["entries"] if e in live]
+            if not ent:
+                continue
+            stats = doc.get("stats", {})
+            mins = [stats[e][0] for e in ent if e in stats]
+            maxs = [stats[e][1] for e in ent if e in stats]
+            if (
+                len(mins) == len(ent)
+                and mins
+                and (max(maxs) < lo or min(mins) > hi)
+            ):
+                skipped_manifests += 1
+                continue
+            for e in ent:
+                s = stats.get(e)
+                if s is not None and (s[1] < lo or s[0] > hi):
+                    continue
+                read.append(e)
+        return {
+            "files_total": len(m["files"]),
+            "files_read": read,
+            "manifests_total": len(manifests),
+            "manifests_skipped": skipped_manifests,
+            "planning_gets": gets,
+            # what the same plan costs walking data-file footers instead
+            "footer_path_gets": 1 + len(m["files"]),
+        }
 
     def rewrite_manifests(self, target_manifests: int = 1) -> int:
         """Metadata-only manifest compaction (Iceberg: ``CALL
@@ -1872,8 +1974,81 @@ def manifest_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MPRUNE_LO = "2024-01-07T00:00:00+00:00"
+_MPRUNE_HI = "2024-01-09T23:59:59.999999+00:00"
+
+
+def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-LEVEL scan planning — the layer that actually cures the
+    reference's 43,203-planning-GET pathology (aws-community-builders-
+    presentation.md:247-258): with per-entry column stats carried into
+    manifest files at commit time (``stats_col``, what Iceberg writers
+    do), planning a time-window query reads the manifest list + manifest
+    files ONLY — zero data-file footer opens — and prunes at two exact
+    levels: whole manifests whose aggregate range misses the window
+    (time-ordered ingest makes this the common case: 9 of 10 skipped
+    here), then per-entry within survivors. Scenario: 10 day-range
+    appends × 2 files (time-ordered micro-batch ingest), a 3-day window
+    query, then ``rewrite_manifests(1)``: planning GETs 11 → 2 while
+    the footer-walking path (``plan_scan``) would pay 21 either way;
+    both phases read the identical 2 files and the identical window
+    rows (the oracle's real COUNT cross-check)."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "manifestprune_", stats_col="ts")
+    for k in range(10):
+        d = F.dayofmonth("ts")
+        tbl.append(
+            ev.filter((d >= 3 * k + 1) & (d <= 3 * k + 3)), n_files=2
+        )
+    lo, hi = _MPRUNE_LO, _MPRUNE_HI
+
+    def _phase(name):
+        plan = tbl.plan_scan_manifests(lo, hi)
+        rows = (
+            tbl.read_files(plan["files_read"])
+            .filter(
+                (F.col("ts") >= F.to_timestamp(F.lit("2024-01-07 00:00:00")))
+                & (F.col("ts") < F.to_timestamp(F.lit("2024-01-10 00:00:00")))
+            )
+            .count()
+        )
+        return (
+            name,
+            plan["files_total"],
+            len(plan["files_read"]),
+            plan["manifests_total"],
+            plan["manifests_skipped"],
+            plan["planning_gets"],
+            plan["footer_path_gets"],
+            int(rows),
+        ), set(plan["files_read"])
+
+    before, files_before = _phase("per_commit_manifests")
+    tbl.rewrite_manifests(target_manifests=1)
+    after, files_after = _phase("after_rewrite")
+    assert files_before == files_after, (
+        "manifest rewrite must not change the planned file set"
+    )
+    # the manifest path must agree with the footer-walking planner
+    foot = tbl.plan_scan(
+        "ts",
+        __import__("datetime").datetime.fromisoformat(lo),
+        __import__("datetime").datetime.fromisoformat(hi),
+    )
+    assert set(foot["files_read"]) == files_after, (
+        "manifest-stats planning must equal footer-stats planning"
+    )
+    return spark.createDataFrame(
+        [before, after],
+        "phase string, files_total int, files_read int, manifests_total int,"
+        " manifests_skipped int, planning_gets int, footer_path_gets int,"
+        " window_rows long",
+    )
+
+
 QUERIES = {
     "manifest_lifecycle_report": manifest_lifecycle_report,
+    "manifest_pruning_report": manifest_pruning_report,
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "snapshot_branch_tag": snapshot_branch_tag,
     "mor_position_delete_events": mor_position_delete_events,
@@ -2176,4 +2351,22 @@ ORACLE["manifest_lifecycle_report"] = f"""
     FROM agg
     UNION ALL
     SELECT 'after', 13, 24, 1, 2, row_count, sum_value FROM agg
+"""
+
+# 10 day-range appends × 2 files; the days-7..9 window overlaps exactly one
+# append (manifest) → 9 of 10 manifests skipped whole, 2 of 20 files read,
+# planning GETs 11 → 2 after rewrite_manifests(1) while the footer path
+# stays 21; window_rows is the real COUNT cross-check on the pruned read
+ORACLE["manifest_pruning_report"] = """
+    WITH w AS (
+        SELECT COUNT(*) AS window_rows FROM events
+        WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+    )
+    SELECT 'per_commit_manifests' AS phase, 20 AS files_total,
+           2 AS files_read, 10 AS manifests_total, 9 AS manifests_skipped,
+           11 AS planning_gets, 21 AS footer_path_gets, window_rows
+    FROM w
+    UNION ALL
+    SELECT 'after_rewrite', 20, 2, 1, 0, 2, 21, window_rows FROM w
 """

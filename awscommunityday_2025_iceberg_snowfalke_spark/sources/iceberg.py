@@ -327,3 +327,10 @@ class IcebergTable:
             "COUNT(*) + 1 over <tbl>.manifests (one GET per manifest "
             "file plus the manifest list)",
         )
+
+    def plan_scan_manifests(self, lo, hi, version: int | None = None):
+        self._unmapped(
+            "plan_scan_manifests",
+            "Iceberg's own scan planning (manifest-list + manifest "
+            "column stats; SparkScanBuilder does this automatically)",
+        )

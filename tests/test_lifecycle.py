@@ -1073,3 +1073,42 @@ def test_manifest_gc_after_expiry(spark, events, tmp_path):
     assert any(r.startswith("manifests/") for r in removed)
     assert len(os.listdir(mdir)) == 1  # only the coalesced one is live
     assert t.read().count() == events.count()
+
+
+def test_manifest_stats_pruning_exact_and_conservative(
+    spark, events, tmp_path
+):
+    """plan_scan_manifests: footer-free planning — manifest-level skip is
+    exact on time-ranged appends; entries without stats (schema-evolved
+    file lacking the stats column) are read conservatively."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_col="ts")
+    day = F.dayofmonth("ts")
+    t.append(events.filter(day <= 10), n_files=2)
+    t.append(events.filter((day > 10) & (day <= 20)), n_files=2)
+    t.append(events.filter(day > 20), n_files=2)
+    lo, hi = "2024-01-12T00:00:00+00:00", "2024-01-15T23:59:59+00:00"
+    plan = t.plan_scan_manifests(lo, hi)
+    assert plan["manifests_skipped"] == 2
+    assert len(plan["files_read"]) == 2
+    assert plan["planning_gets"] == 4  # list + 3 manifests
+    assert plan["footer_path_gets"] == 7  # list + 6 files
+    # exact agreement with the footer-walking planner
+    import datetime as dt
+
+    foot = t.plan_scan(
+        "ts", dt.datetime.fromisoformat(lo), dt.datetime.fromisoformat(hi)
+    )
+    assert set(foot["files_read"]) == set(plan["files_read"])
+
+    # schema-evolved append WITHOUT the stats column: no stats recorded,
+    # entry must be conservatively read whatever the window
+    t.append(
+        events.filter(day == 1).select("event_id", "user_id"), n_files=1
+    )
+    plan2 = t.plan_scan_manifests(lo, hi)
+    assert len(plan2["files_read"]) == 3
+    # rewrite carries stats: same plan, 2 GETs
+    t.rewrite_manifests(target_manifests=1)
+    plan3 = t.plan_scan_manifests(lo, hi)
+    assert set(plan3["files_read"]) == set(plan2["files_read"])
+    assert plan3["planning_gets"] == 2

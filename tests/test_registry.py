@@ -34,7 +34,9 @@ _COVERAGE_NON_ENTRIES = {
     "l_commitdate",  # TPC-H column the driver schema lacks
     "read_staged",  # SnapshotTable WAP method
     "refresh_incremental",  # MaterializedView method
+    "plan_scan_manifests",  # SnapshotTable planning method
     "refresh_partitions",  # MaterializedView method
+    "stats_col",  # SnapshotTable constructor arg
     "rollback_to",  # SnapshotTable method
     "rollback_to_snapshot",  # Iceberg procedure name in prose
     "session_window",  # pyspark.sql.functions API
