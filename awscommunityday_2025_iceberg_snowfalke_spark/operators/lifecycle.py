@@ -269,6 +269,8 @@ class SnapshotTable:
         """The snapshot's manifest list (Iceberg: ``<tbl>.manifests``):
         one row per physical manifest file with entry count and bytes."""
         version = version or self.current_version
+        if version == 0:  # empty table: no snapshot yet (files() parity)
+            return []
         out = []
         for name in self._manifest(version).get("manifests", []):
             p = os.path.join(self._manifest_dir(), name)
@@ -287,6 +289,8 @@ class SnapshotTable:
         — the reference's planning-I/O pathology metric
         (aws-community-builders-presentation.md:247-258: 43,203 GETs)."""
         version = version or self.current_version
+        if version == 0:  # empty table: the one pointer read
+            return 1
         return 1 + len(self._manifest(version).get("manifests", []))
 
     def _carry_manifests(
@@ -379,6 +383,15 @@ class SnapshotTable:
         conservatively read. ``lo``/``hi`` must be in the stats'
         serialized form (ISO strings for timestamps)."""
         version = version or self.current_version
+        if version == 0:  # empty table (files() parity)
+            return {
+                "files_total": 0,
+                "files_read": [],
+                "manifests_total": 0,
+                "manifests_skipped": 0,
+                "planning_gets": 1,
+                "footer_path_gets": 1,
+            }
         m = self._manifest(version)
         live = set(m["files"])
         gets = 1
@@ -1296,9 +1309,11 @@ class SnapshotTable:
         write-audit-publish batch is under audit or a branch is still
         unpublished)."""
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for m in self.history():
             live.update(m["files"])
             live.update(d["file"] for d in m.get("delete_files", []))
+            live_manifests.update(m.get("manifests", []))
         snap_dir = os.path.join(self.path, "snapshots")
         for f in os.listdir(snap_dir):
             if f.endswith(".json") and (
@@ -1316,10 +1331,8 @@ class SnapshotTable:
                 removed.append(f)
         # manifest-file GC: physical manifests referenced by no live main
         # snapshot (lost CAS attempts are cleaned inline; expiry leaves
-        # these behind exactly like data files)
-        live_manifests: set[str] = set()
-        for m in self.history():
-            live_manifests.update(m.get("manifests", []))
+        # these behind exactly like data files) — live_manifests was
+        # collected in the single history() walk above
         mdir = os.path.join(snap_dir, "manifests")
         if os.path.isdir(mdir):
             for f in os.listdir(mdir):

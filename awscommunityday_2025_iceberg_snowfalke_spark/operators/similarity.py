@@ -1525,7 +1525,7 @@ def ann_ivf_opq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OPQ: true learned rotation (OPQ-P, eigenvalue allocation) ---------------
-def _opq_rotation(spark: SparkSession, sf_dir: str):
+def _opq_rotation(spark: SparkSession, sf_dir: str, _mu_n=None):
     """The PARAMETRIC OPQ rotation (Ge, He, Ke, Sun 2013 §4, OPQ-P):
     eigendecompose the corpus covariance, then allocate eigen-dimensions
     to the ``PQ_M`` subspaces balancing the PRODUCT of eigenvalues per
@@ -1547,20 +1547,27 @@ def _opq_rotation(spark: SparkSession, sf_dir: str):
     the replay test is stable."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings")
-    comp = emb.select(F.posexplode(_as_double("embedding")).alias("pos", "v"))
-    mean = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
-        "v"
-    )
-    per_dim = comp.groupBy("pos").agg(
-        F.count("v").alias("n"), mean.alias("mean")
-    )
-    rows = per_dim.collect()
-    d = len(rows)
-    n = int(rows[0]["n"])
-    mu = np.zeros(d)
-    for r in rows:
-        mu[int(r["pos"])] = float(r["mean"])
+    if _mu_n is not None:
+        mu, n = _mu_n
+        mu = np.asarray(mu, dtype=np.float64)
+        d = len(mu)
+    else:
+        emb = load(spark, sf_dir, "embeddings")
+        comp = emb.select(
+            F.posexplode(_as_double("embedding")).alias("pos", "v")
+        )
+        mean = F.sum(
+            F.col("v").cast("decimal(28,12)")
+        ).cast("double") / F.count("v")
+        per_dim = comp.groupBy("pos").agg(
+            F.count("v").alias("n"), mean.alias("mean")
+        )
+        rows = per_dim.collect()
+        d = len(rows)
+        n = int(rows[0]["n"])
+        mu = np.zeros(d)
+        for r in rows:
+            mu[int(r["pos"])] = float(r["mean"])
     G = np.zeros((d, d))
     for r in embedding_gram_matrix(spark, sf_dir).collect():
         G[int(r["i"]), int(r["j"])] = G[int(r["j"]), int(r["i"])] = float(
@@ -1610,10 +1617,9 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.62 vs 0.60 at n_probe=4 on the sf0.01 testdata)."""
     import numpy as np
 
-    R, lam_alloc, _ = _opq_rotation(spark, sf_dir)
-    d = R.shape[0]
-    rot_ok = bool(np.abs(R.T @ R - np.eye(d)).max() < 1e-9)
-
+    # ONE per-dimension pass serves the trace cross-check AND the
+    # rotation's mean vector (r11 self-review: the entry previously ran
+    # this posexplode aggregation twice and _pq_topk twice)
     emb = load(spark, sf_dir, "embeddings")
     comp = emb.select(F.posexplode(_as_double("embedding")).alias("pos", "v"))
     mean = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
@@ -1622,18 +1628,29 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_sq = F.sum(
         (F.col("v") * F.col("v")).cast("decimal(28,12)")
     ).cast("double") / F.count("v")
-    per_dim = comp.groupBy("pos").agg(
-        F.count("v").alias("n"),
-        F.greatest(mean_sq - mean * mean, F.lit(0.0)).alias("var"),
+    per_dim = stage(  # d rows, consumed twice (mu collect + trace agg)
+        comp.groupBy("pos").agg(
+            F.count("v").alias("n"),
+            mean.alias("mean"),
+            F.greatest(mean_sq - mean * mean, F.lit(0.0)).alias("var"),
+        )
     )
-    trace_df = per_dim.agg(
-        F.count(F.lit(1)).cast("int").alias("dim"),
-        F.max("n").cast("long").alias("n_vectors"),
+    rows = per_dim.collect()
+    d = len(rows)
+    n = int(rows[0]["n"])
+    mu = np.zeros(d)
+    for r in rows:
+        mu[int(r["pos"])] = float(r["mean"])
+
+    R, lam_alloc, _ = _opq_rotation(spark, sf_dir, _mu_n=(mu, n))
+    rot_ok = bool(np.abs(R.T @ R - np.eye(d)).max() < 1e-9)
+
+    # the decimal-exact trace the oracle reproduces: same agg, same pass
+    trow = per_dim.agg(
         F.round(
             F.sum(F.col("var").cast("decimal(28,12)")).cast("double"), 6
         ).alias("trace_var"),
-    )
-    trow = trace_df.collect()[0]
+    ).collect()[0]
     # gram entries round at 6 dp → assembled eigen-sum can drift ~d·5e-7
     alloc_trace_ok = bool(
         abs(float(lam_alloc.sum()) - float(trow["trace_var"])) < 1e-3
@@ -1647,20 +1664,28 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _hits(df):
         return df.join(bf, ["query_id", "neighbor_id"]).count()
 
-    rot_topk = _pq_topk(spark, sf_dir, N_PROBE, rot=R)
+    # staged: consumed twice (completeness count + recall hits)
+    rot_topk = stage(_pq_topk(spark, sf_dir, N_PROBE, rot=R))
     n_rows = rot_topk.count()
     hits_rot = _hits(rot_topk)
     hits_alloc = _hits(
         _pq_topk(spark, sf_dir, N_PROBE, subidx=_opq_subidx(spark, sf_dir))
     )
-    return trace_df.select(
-        "dim",
-        "n_vectors",
-        "trace_var",
-        F.lit(rot_ok).alias("rot_orthonormal_ok"),
-        F.lit(alloc_trace_ok).alias("alloc_trace_ok"),
-        F.lit(bool(n_rows == total)).alias("topk_complete_ok"),
-        F.lit(bool(hits_rot >= hits_alloc)).alias("recall_ge_alloc_ok"),
+    return spark.createDataFrame(
+        [
+            (
+                d,
+                n,
+                float(trow["trace_var"]),
+                rot_ok,
+                alloc_trace_ok,
+                bool(n_rows == total),
+                bool(hits_rot >= hits_alloc),
+            )
+        ],
+        "dim int, n_vectors long, trace_var double,"
+        " rot_orthonormal_ok boolean, alloc_trace_ok boolean,"
+        " topk_complete_ok boolean, recall_ge_alloc_ok boolean",
     )
 
 

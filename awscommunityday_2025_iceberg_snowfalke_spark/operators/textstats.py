@@ -1518,11 +1518,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is millions of rows, not trillions of tokens). The dictionary is
     persisted once; round k's pair count is a map-side explode over it +
     one bounded agg, and the argmax is LIMIT 1 (TakeOrderedAndProject,
-    never a global sort). The merge application is the same two-pass
-    codegen `replace` device as the encoder (boundary-sharing chains
-    close in two passes, pinned by the encoder's Python-greedy test);
-    round k's expression chain carries k replaces — no re-materialization
-    between rounds. Per-round driver traffic is ONE row (the argmax),
+    never a global sort). The merge application is a
+    TOKENWISE greedy left-to-right array fold (``F.aggregate`` with a
+    (out, pending) struct accumulator) — NOT the encoder's two-pass
+    string-replace device: that device is exact for every a≠b merge
+    (the frozen artifact's case) but mis-pairs a==b merges over runs of
+    ≥4 tokens (in ' x x x x x x ' the second replace match's leading
+    space was consumed by the first, stranding tokens 3 and 6 where
+    greedy pairs (1,2)(3,4)(5,6) — caught by the r11 self-review; a
+    trainer must select such merges correctly on run-heavy text like
+    'soooo'). Round k's expression chain carries k folds — no
+    re-materialization between rounds. Per-round driver traffic is ONE row (the argmax),
     the kmeans-centroid precedent. Output: the bounded N-row merge
     table (rank, a, b, pair_count) — integers and strings only."""
     docs = load(spark, sf_dir, "documents")
@@ -1534,12 +1540,52 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .persist()
     )
+    def _merge_fold(arr, a: str, b: str):
+        """Tokenwise greedy application of one merge (a, b): exact BPE
+        semantics for every pair incl. a == b over repeated runs."""
+        ab, la, lb = F.lit(a + b), F.lit(a), F.lit(b)
+        init = F.struct(
+            F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+            F.lit("").alias("prev"),
+        )
+
+        def step(acc, x):
+            return (
+                F.when(
+                    (acc["prev"] == la) & (x == lb),
+                    F.struct(
+                        F.concat(acc["out"], F.array(ab)).alias("out"),
+                        F.lit("").alias("prev"),
+                    ),
+                )
+                .when(
+                    acc["prev"] == F.lit(""),
+                    F.struct(acc["out"].alias("out"), x.alias("prev")),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(
+                            acc["out"], F.array(acc["prev"])
+                        ).alias("out"),
+                        x.alias("prev"),
+                    )
+                )
+            )
+
+        def finish(acc):
+            return F.when(
+                acc["prev"] == F.lit(""), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+
+        return F.aggregate(arr, init, step, finish)
+
     try:
-        # spaced symbolization ' h e l l o ' — the encoder's exact device
-        s = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+        # char symbolization via the spaced device, split to an array
+        arr = F.split(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
+        )
         merges = []
         for _ in range(BPE_TRAIN_ROUNDS):
-            arr = F.split(F.trim(s), " ")
             pair = F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(arr) - 1),
@@ -1562,8 +1608,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
             merges.append((len(merges) + 1, a, b, cnt))
-            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-            s = F.replace(F.replace(s, pat, rep), pat, rep)
+            arr = _merge_fold(arr, a, b)
     finally:
         wf.unpersist()
     return spark.createDataFrame(
@@ -1574,12 +1619,33 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_bpe_train_oracle() -> str:
     """DuckDB twin of ``bpe_train_merges``: the N-round trainer unrolled
     into nested CTEs — each round is (pair count over the word-frequency
-    relation) → (1-row argmax) → (merge applied via the same two-pass
-    replace), generated from the SAME round count so the engines can
-    never drift."""
+    relation) → (1-row argmax) → (merge applied TOKENWISE via a
+    ``list_reduce`` fold whose accumulator encodes (emitted tokens,
+    pending token) as '<out>|<prev>' — symbols are [a-z] so '|' is
+    free), generated from the SAME round count so the engines can never
+    drift. The fold is the exact greedy semantics incl. a == b merges
+    over repeated runs (the case the string-replace device mis-pairs)."""
+    # fold step over acc='<out>|<prev>' (out = space-terminated tokens):
+    #   merge:   out + 'ab '      and prev := ''
+    #   no prev: prev := x
+    #   else:    out + prev + ' ' and prev := x
+    # finish: drop '|' and split — identical to the Spark struct fold
+    fold = (
+        "list_filter(string_split(replace("
+        "list_reduce(['|'] || arr, (acc, x) -> "
+        "CASE WHEN split_part(acc, '|', 2) = m.a AND x = m.b "
+        "THEN split_part(acc, '|', 1) || m.a || m.b || ' |' "
+        "WHEN split_part(acc, '|', 2) = '' "
+        "THEN split_part(acc, '|', 1) || '|' || x "
+        "ELSE split_part(acc, '|', 1) || split_part(acc, '|', 2) "
+        "|| ' |' || x END"
+        "), '|', ''), ' '), t -> t <> '')"
+    )
     parts = [
         r"""WITH w0 AS (
-        SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+        SELECT list_filter(string_split(trim(
+                   regexp_replace(w, '(.)', '\1 ', 'g')), ' '),
+                   t -> t <> '') AS arr,
                COUNT(*) AS freq
         FROM (
             SELECT unnest(list_filter(string_split(
@@ -1597,15 +1663,14 @@ def _duck_bpe_train_oracle() -> str:
                    unnest(list_transform(range(1, len(arr)),
                           i -> {{'a': arr[CAST(i AS INT)],
                                  'b': arr[CAST(i AS INT) + 1]}})) AS u
-            FROM (SELECT freq, string_split(trim(s), ' ') AS arr FROM w{k})
+            FROM w{k}
             WHERE len(arr) >= 2
         ) GROUP BY u.a, u.b
     ),
     r{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
     w{k + 1} AS (
-        SELECT replace(replace(s, m.pat, m.rep), m.pat, m.rep) AS s, freq
-        FROM w{k}, (SELECT ' ' || a || ' ' || b || ' ' AS pat,
-                           ' ' || a || b || ' ' AS rep FROM r{k}) m
+        SELECT {fold} AS arr, freq
+        FROM w{k}, (SELECT a, b FROM r{k}) m
     )""")
     sel = "\n    UNION ALL ".join(
         f"SELECT {k + 1} AS merge_rank, a, b, CAST(cnt AS BIGINT) "

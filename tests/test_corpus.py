@@ -1,6 +1,8 @@
 """Corpus-wide correctness: every oracle-backed query in the merged
 registry vs duckdb — the same gate the driver runs at sf0.01."""
 
+import os
+
 import pytest
 
 from awscommunityday_2025_iceberg_snowfalke_spark.operators import (
@@ -914,10 +916,11 @@ def test_bpe_frozen_artifact_is_trainer_output(spark):
         bpe_train_merges,
     )
 
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     got = [
         (r["a"], r["b"])
         for r in sorted(
-            bpe_train_merges(spark, "/root/testdata/sf0.01").collect(),
+            bpe_train_merges(spark, sf01).collect(),
             key=lambda r: r["merge_rank"],
         )
     ]
@@ -997,3 +1000,54 @@ def test_opq_rotation_numpy_replay_and_recall(spark):
         _pq_topk(spark, SF_DIR, N_PROBE, subidx=_opq_subidx(spark, SF_DIR))
     )
     assert r_rot >= r_alloc, (r_rot, r_alloc)
+
+
+def test_bpe_train_handles_same_symbol_runs(spark, tmp_path):
+    """r11 self-review regression: a merge with a == b over a run of ≥4
+    tokens must pair tokens greedily left-to-right — the two-pass
+    string-replace device mis-paired (1,2)(4,5) in 'x x x x x x',
+    stranding tokens 3 and 6; the tokenwise fold must match the plain
+    Python greedy reference on corpora that FORCE such merges, and the
+    DuckDB oracle must agree."""
+    import duckdb
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_TRAIN_ROUNDS,
+        ORACLE,
+        bpe_train_merges,
+    )
+
+    for i, texts in enumerate(
+        [
+            ["xxxxxx xxxx xx", "xxxxx"],
+            ["aaaaaaa baab", "abab ababab"],
+            ["soooo wellll", "sooo so ooo"],
+        ]
+    ):
+        d = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(
+            [(j, t, "en", "t", len(t)) for j, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars int",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        expect = _python_bpe_train(texts, BPE_TRAIN_ROUNDS)
+        got = [
+            (r["merge_rank"], r["a"], r["b"], r["pair_count"])
+            for r in sorted(
+                bpe_train_merges(spark, d).collect(),
+                key=lambda r: r["merge_rank"],
+            )
+        ]
+        assert got == expect, (i, got, expect)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        duck = [
+            (int(r[0]), r[1], r[2], int(r[3]))
+            for r in sorted(
+                con.execute(ORACLE["bpe_train_merges"]).fetchall()
+            )
+        ]
+        assert duck == expect, (i, duck, expect)
