@@ -73,10 +73,10 @@ def _modules():
 # r8/r9/r10 each sampled that round's additions + changed entries + the
 # stalest vintage (50/50 green each; COVERAGE.md has the full lists).
 # r11 (this rotation), per the r10 verdict's task 1 — the stale r6 spine:
-# (a) the SIX r11 additions (fastText-style quality classifier,
+# (a) the SEVEN r11 additions (fastText-style quality classifier,
 #     iterative BPE training, manifest rewrite report, manifest-stats
 #     pruning report, FULL OUTER stream-stream interval join, OPQ
-#     learned rotation);
+#     learned rotation, PPJoin prefix-filtered similarity join);
 # (b) four entries CHANGED this round whose r10 rows predate the change
 #     (ADVICE fixes): mor_position_delete_events (concurrent-rewrite
 #     commit validation), snapshot_branch_tag (anchored branch-file
@@ -89,13 +89,15 @@ def _modules():
 # (c) the THREE r5-vintage rows displaced by late r10 additions
 #     (multimodal_resize, multimodal_frame_sample,
 #     multimodal_audio_chunks);
-# (d) THIRTY-SEVEN r6-vintage rows — the relational/analytics spine
+# (d) THIRTY-SIX r6-vintage rows — the relational/analytics spine
 #     (COVERAGE.md's r11 queue) incl. masked_profiles_admin, the fourth
 #     displaced entry. Five r6 twins whose primary IS in this gate
 #     (top5_per_user_sql, cube_type_band, streaming_session_windows,
-#     streaming_daily_windows, mv_reagg) plus daily_counts (displaced by
-#     the late manifest_pruning_report) queue for r12 with the r7 tail.
-# 6 + 4 + 3 + 37 = 50 exactly (test_registry pins the arithmetic).
+#     streaming_daily_windows, mv_reagg) plus daily_counts and
+#     grouping_sets_type_or_day (displaced by the two late r11
+#     additions; the latter's arbitrary-set sibling
+#     grouping_sets_type_dow carries an r9 row) queue for r12.
+# 7 + 4 + 3 + 36 = 50 exactly (test_registry pins the arithmetic).
 _GATE_FRONT = (
     # (a) r11 additions (manifest_pruning_report landed late and
     # displaces daily_counts to the r12 queue, the r10 precedent)
@@ -105,6 +107,7 @@ _GATE_FRONT = (
     "manifest_pruning_report",
     "streaming_interval_join_full_outer",
     "ann_ivf_opq_rot_cosine",
+    "dedup_jaccard_prefix_filter",
     # (b) changed this round (ADVICE fixes) — r10 rows predate the change
     "mor_position_delete_events",
     "snapshot_branch_tag",
@@ -130,7 +133,6 @@ _GATE_FRONT = (
     "event_type_counts",
     "events_object_agg",
     "filtered_counts_7d",
-    "grouping_sets_type_or_day",
     "heavy_hitter_users",
     "hll_user_rollup",
     "hot_tier_ctas",

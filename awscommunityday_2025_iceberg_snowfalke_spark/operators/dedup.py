@@ -237,6 +237,135 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PPJoin: prefix-filtered set-similarity self-join ------------------------
+# the high-threshold near-dup regime (CCNet-style τ = 0.8). Exact rational
+# twin: keep iff shared·5 ≥ 4·union.
+PPJOIN_X = (4, 5)
+
+
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin set-similarity self-join (Xiao, Wang, Lin, Yu 2011; prefix
+    filter from Chaudhuri, Ganti, Kaushik 2006) at τ = 0.8 — the EXACT
+    lossless alternative to the DF-cap for the high-threshold regime,
+    and the algorithm that makes set-similarity joins feasible at 100 TB
+    without giving up recall:
+
+    - **prefix filter**: under a global canonical token order (df ASC,
+      hash ASC — rarest first), any pair with J ≥ τ must share a token
+      inside each side's first |d| − ⌈τ·|d|⌉ + 1 tokens, so ONLY those
+      prefixes are indexed. At τ = 0.8 that is ~20% of each set — and
+      because prefixes are the RAREST tokens, the stopword-head skew the
+      DF cap lossily truncates never enters the join at all (the hot
+      shingles sit at the suffix end of every sorted set).
+    - **size filter**: J ≥ τ forces max(|a|,|b|)·4 ≤ min(|a|,|b|)·5 —
+      applied inside the join condition, pure int64.
+    - **positional filter** (PPJoin's tightening): with ia/jb the
+      1-based positions of the first shared prefix token, the overlap
+      can't exceed 1 + min(|a|−ia, |b|−jb); keep only pairs where that
+      bound still allows shared·(4+5) ≥ 4·(|a|+|b|).
+
+    Surviving candidates are verified EXACTLY (full-set join, integer
+    cross-product keep predicate), so the result equals the brute
+    inverted-index join at τ = 0.8 verbatim — pinned by a unit test
+    that also measures the candidate-volume reduction (the entire
+    point). Shapes: one df-count agg over the memoized shingle index, a
+    per-doc sort of its OWN shingles (in-row, array_sort), the prefix
+    equi-join, one pair agg, and the candidate-bounded verify join —
+    never O(n²), no lossy cap anywhere."""
+    num, den = PPJOIN_X
+    sh = _shingles(spark, sf_dir)
+    cand = _ppjoin_candidates(spark, sf_dir)
+    # exact verify over the candidate-bounded full sets
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    shared = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sh_h") == F.col("sb.sh_h")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("shared")
+    return shared.filter(
+        F.col("shared") * den >= num * union
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("shared") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+def _ppjoin_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin candidate stage (prefix + size + positional filters) —
+    split out so the losslessness/volume test can measure exactly what
+    the verify stage pays."""
+    num, den = PPJOIN_X
+    sh = _shingles(spark, sf_dir)
+    df_counts = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_counts, "sh_h")
+    # per-doc canonical order + prefix slice, computed IN-ROW
+    # p = n − ceil(τ·n) + 1, ceil as pure integer div: (n·num + den−1) div den
+    prefix_len = (
+        F.col("n") - F.expr(f"(n * {num} + {den - 1}) div {den}") + F.lit(1)
+    )
+    pre = (
+        ranked.groupBy("doc_id", "n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("sh_h")))
+            ).alias("sorted_sh")
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.posexplode(F.slice(F.col("sorted_sh"), F.lit(1), prefix_len)),
+        )
+        .select(
+            "doc_id",
+            "n",
+            (F.col("pos") + 1).alias("pos"),  # 1-based prefix position
+            F.col("col.sh_h").alias("sh_h"),
+        )
+    )
+    pre = stage(pre)  # both sides of the prefix self-join
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: max·num ≤ min·den, as two int predicates
+            & (F.col("a.n") * num <= F.col("b.n") * den)
+            & (F.col("b.n") * num <= F.col("a.n") * den),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.min(F.col("a.pos")).alias("ia"),
+            F.min(F.col("b.pos")).alias("jb"),
+        )
+        # positional filter: overlap ≤ 1 + min(na−ia, nb−jb)
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+                )
+            )
+            * (num + den)
+            >= num * (F.col("na") + F.col("nb"))
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+    )
+    return cand
+
+
 # --- n-gram containment (asymmetric near-dup / subset detection) -------------
 CONTAINMENT_THRESHOLD = 0.5
 CONTAINMENT_X = (1, 2)  # exact rational: keep iff shared·2 ≥ 1·min(na, nb)
@@ -1717,6 +1846,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_incremental": dedup_incremental,
     "doc_duplicate_ngram_spans": doc_duplicate_ngram_spans,
@@ -2419,3 +2549,20 @@ def _method_agreement_oracle() -> str:
 
 
 ORACLE["dedup_method_agreement"] = _method_agreement_oracle()
+
+# PPJoin is LOSSLESS: the τ=0.8 result must equal the brute inverted-index
+# join with the τ=0.8 keep predicate verbatim (prefix/size/positional
+# filters only prune pairs that provably cannot reach τ)
+ORACLE["dedup_jaccard_prefix_filter"] = rf"""
+    WITH {_DUCK_SHINGLES},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n AS na, b.n AS nb, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+    FROM pairs
+    WHERE shared * {PPJOIN_X[1]} >= {PPJOIN_X[0]} * (na + nb - shared)
+"""

@@ -1051,3 +1051,41 @@ def test_bpe_train_handles_same_symbol_runs(spark, tmp_path):
             )
         ]
         assert duck == expect, (i, duck, expect)
+
+
+def test_ppjoin_lossless_and_prunes_candidates(spark, oracle):
+    """PPJoin must (a) equal the brute inverted-index join at τ=0.8
+    verbatim — the filters only prune provably-sub-τ pairs — and
+    (b) actually prune: its candidate set must be a strict subset of
+    the full index join's candidate pairs."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.dedup_jaccard_prefix_filter(spark, SF_DIR).collect()
+    }
+    brute = {
+        (int(a), int(b), float(j))
+        for a, b, j in oracle.execute(
+            dedup.ORACLE["dedup_jaccard_prefix_filter"]
+        ).fetchall()
+    }
+    assert got == brute
+    assert got, "fixture corpus must contain τ≥0.8 near-dup pairs"
+
+    n_cand = dedup._ppjoin_candidates(spark, SF_DIR).count()
+    n_full = oracle.execute(
+        f"""WITH {dedup._DUCK_SHINGLES}
+            SELECT COUNT(*) FROM (
+                SELECT DISTINCT a.doc_id, b.doc_id FROM sh a
+                JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id)"""
+    ).fetchone()[0]
+    assert n_cand < n_full, (n_cand, n_full)
+    # every confirmed pair is among the candidates (lossless by subset)
+    cand_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup._ppjoin_candidates(spark, SF_DIR).collect()
+    }
+    assert {(a, b) for a, b, _ in got} <= cand_pairs
+    # the point of the algorithm: candidate volume reduction is large
+    assert n_cand * 2 < n_full, f"only {n_full}/{n_cand} reduction"

@@ -117,6 +117,7 @@ DOC_QUERIES = [
     "quality_classifier_score",  # feature explode → (doc,bkt) agg + b-join
     "bpe_train_merges",          # 8 argmax rounds over the word-freq dict
     "ann_ivf_opq_rot_cosine",    # gram + eigh + two PQ probes (invariants)
+    "dedup_jaccard_prefix_filter",  # PPJoin prefix/size/positional filters
 ]
 
 
