@@ -73,10 +73,11 @@ def _modules():
 # r8/r9/r10 each sampled that round's additions + changed entries + the
 # stalest vintage (50/50 green each; COVERAGE.md has the full lists).
 # r11 (this rotation), per the r10 verdict's task 1 — the stale r6 spine:
-# (a) the SEVEN r11 additions (fastText-style quality classifier,
+# (a) the EIGHT r11 additions (fastText-style quality classifier,
 #     iterative BPE training, manifest rewrite report, manifest-stats
 #     pruning report, FULL OUTER stream-stream interval join, OPQ
-#     learned rotation, PPJoin prefix-filtered similarity join);
+#     learned rotation, PPJoin prefix-filtered similarity join,
+#     Iceberg-v3 deletion vectors);
 # (b) four entries CHANGED this round whose r10 rows predate the change
 #     (ADVICE fixes): mor_position_delete_events (concurrent-rewrite
 #     commit validation), snapshot_branch_tag (anchored branch-file
@@ -89,15 +90,16 @@ def _modules():
 # (c) the THREE r5-vintage rows displaced by late r10 additions
 #     (multimodal_resize, multimodal_frame_sample,
 #     multimodal_audio_chunks);
-# (d) THIRTY-SIX r6-vintage rows — the relational/analytics spine
+# (d) THIRTY-FIVE r6-vintage rows — the relational/analytics spine
 #     (COVERAGE.md's r11 queue) incl. masked_profiles_admin, the fourth
 #     displaced entry. Five r6 twins whose primary IS in this gate
 #     (top5_per_user_sql, cube_type_band, streaming_session_windows,
-#     streaming_daily_windows, mv_reagg) plus daily_counts and
-#     grouping_sets_type_or_day (displaced by the two late r11
-#     additions; the latter's arbitrary-set sibling
-#     grouping_sets_type_dow carries an r9 row) queue for r12.
-# 7 + 4 + 3 + 36 = 50 exactly (test_registry pins the arithmetic).
+#     streaming_daily_windows, mv_reagg) plus daily_counts,
+#     grouping_sets_type_or_day, and event_minmax (displaced by the
+#     three late r11 additions; their families stay sampled —
+#     grouping_sets_type_dow carries an r9 row, the agg spine keeps
+#     event_type_counts/daily_user_stats/filtered_counts_7d) queue for
+#     r12. 8 + 4 + 3 + 35 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
     # (a) r11 additions (manifest_pruning_report landed late and
     # displaces daily_counts to the r12 queue, the r10 precedent)
@@ -108,6 +110,7 @@ _GATE_FRONT = (
     "streaming_interval_join_full_outer",
     "ann_ivf_opq_rot_cosine",
     "dedup_jaccard_prefix_filter",
+    "dv_delete_events",
     # (b) changed this round (ADVICE fixes) — r10 rows predate the change
     "mor_position_delete_events",
     "snapshot_branch_tag",
@@ -128,7 +131,6 @@ _GATE_FRONT = (
     "daily_user_stats",
     "dq_expectations",
     "event_lead_ntile",
-    "event_minmax",
     "event_rank_dense",
     "event_type_counts",
     "events_object_agg",

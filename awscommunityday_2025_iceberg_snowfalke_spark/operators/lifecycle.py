@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions import det_sum, det_sum_sql
 from ..sources.registry import CUTOFF_7D, load
+from ..stage import stage
 
 
 def _aware_utc(v):
@@ -971,7 +972,7 @@ class SnapshotTable:
         out = None
         for sig, fs in groups.items():
             needs_pos = keep_meta or any(
-                dels[i].get("kind") == "pos" for i in sig
+                dels[i].get("kind") in ("pos", "dv") for i in sig
             )
             part = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, "data", f) for f in fs]
@@ -982,7 +983,10 @@ class SnapshotTable:
                 keys = self.spark.read.parquet(
                     os.path.join(self.path, "data", dels[i]["file"])
                 )
-                if dels[i].get("kind") == "pos":
+                if dels[i].get("kind") in ("pos", "dv"):
+                    # deletion vectors carry the same (file, pos) schema;
+                    # their invariant (ONE vector per data file, REPLACED
+                    # on new deletes) lives in the writer, not the reader
                     tomb = keys.select(
                         F.col("file").alias("_t_file"),
                         F.col("pos").alias("_t_pos"),
@@ -1081,6 +1085,121 @@ class SnapshotTable:
                 return base + 1
         raise RuntimeError("delete_where_positional: commit retries exhausted")
 
+    def delete_where_dv(self, predicate) -> int:
+        """MERGE-ON-READ delete with DELETION VECTORS (Iceberg **v3**'s
+        delete encoding, replacing v2's accumulating position-delete
+        files): at most ONE vector per data file, and a writer adding
+        deletes to a file must MERGE the file's previous vector — so the
+        read-side cost is one bitmap per file forever, instead of an
+        anti-join against every tombstone file ever committed (the v2
+        pathology this encoding was designed away from: a hot table
+        taking frequent row-level deletes accretes one delete file per
+        commit per touched data file until compaction). Positions are
+        resolved from one live scan exactly like
+        :meth:`delete_where_positional`; each affected data file then
+        gets ONE new vector file = previous vector ∪ new positions
+        (stored here as a (file, pos) parquet — the stand-in for the v3
+        Puffin roaring bitmap; same information, same read-side join),
+        and the commit REPLACES that file's old vector entry. Conflict
+        semantics are Iceberg's: a concurrent rewrite of a resolved file
+        or a concurrent vector write against the same data file raises
+        :class:`CommitConflict` (our merged vector was computed from a
+        stale one) — the caller re-reads and retries. ``compact()``
+        materializes and clears vectors like every other tombstone."""
+        base = self.current_version
+        m = self._manifest(base)
+        live = self._read_scoped(m, m["files"], keep_meta=True)
+        positions = stage(
+            live.filter(predicate).select(
+                F.col("_df_file").alias("file"),
+                F.col("_df_pos").alias("pos"),
+            )
+        )
+        targets = sorted(
+            r["file"] for r in positions.select("file").distinct().collect()
+        )
+        if not targets:
+            return base  # nothing matched: no commit (Iceberg no-ops too)
+        old_dv = {
+            d["target"]: d
+            for d in m.get("delete_files", [])
+            if d.get("kind") == "dv"
+        }
+        new_entries: dict[str, dict] = {}
+        for t in targets:
+            dv = positions.filter(F.col("file") == t)
+            if t in old_dv:  # v3 invariant: merge the previous vector
+                prev = self.spark.read.parquet(
+                    os.path.join(self.path, "data", old_dv[t]["file"])
+                )
+                dv = dv.unionByName(prev).distinct()
+            new_entries[t] = {
+                "file": self._write_files(dv, 1)[0],
+                "kind": "dv",
+                "target": t,
+                "seq": base + 1,
+            }
+        resolve_files = set(m["files"])
+        for _ in range(_MAX_COMMIT_RETRIES):
+            cur = self.current_version
+            m = self._manifest(cur) if cur else {"files": []}
+            if not resolve_files <= set(m["files"]):
+                raise CommitConflict(
+                    "delete_where_dv: concurrent rewrite invalidated the "
+                    "resolved positions; re-read and retry"
+                )
+            for t in targets:  # concurrent DV write on the same file?
+                cur_dv = next(
+                    (
+                        d
+                        for d in m.get("delete_files", [])
+                        if d.get("kind") == "dv" and d.get("target") == t
+                    ),
+                    None,
+                )
+                if (cur_dv or {}).get("file") != (
+                    old_dv.get(t) or {}
+                ).get("file"):
+                    raise CommitConflict(
+                        f"delete_where_dv: concurrent deletion vector on "
+                        f"{t!r}; our merged vector is stale — re-read and "
+                        "retry"
+                    )
+            dels = [
+                d
+                for d in m.get("delete_files", [])
+                if not (
+                    d.get("kind") == "dv" and d.get("target") in new_entries
+                )
+            ] + [new_entries[t] for t in targets]
+            if self._try_commit(
+                cur + 1,
+                m["files"],
+                "delete.dv",
+                delete_files=dels,
+                prev_seqs=m.get("file_seqs", {}),
+            ):
+                return cur + 1
+        raise RuntimeError("delete_where_dv: commit retries exhausted")
+
+    def delete_vectors(self, version: int | None = None) -> list[dict]:
+        """The snapshot's deletion-vector inventory: one row per vectored
+        data file with the vector's cardinality — the v3 invariant made
+        inspectable (``len == len({targets})``, never stacking)."""
+        version = version or self.current_version
+        m = self._manifest(version)
+        out = []
+        for d in m.get("delete_files", []):
+            if d.get("kind") != "dv":
+                continue
+            n = self.spark.read.parquet(
+                os.path.join(self.path, "data", d["file"])
+            ).count()
+            out.append(
+                {"target": d["target"], "vector": d["file"], "positions": n}
+            )
+        return out
+
     def changelog(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
         """Row-level CHANGELOG between two snapshots (Iceberg's changelog
         scan / Delta's table_changes): emits ``change_type`` ∈ {insert,
@@ -1143,7 +1262,11 @@ class SnapshotTable:
                 kdf = self.spark.read.parquet(
                     os.path.join(self.path, "data", d["file"])
                 )
-                if d.get("kind") == "pos":
+                if d.get("kind") in ("pos", "dv"):
+                    # for a REPLACED deletion vector the carried-over old
+                    # positions are already dead in v_from's live view, so
+                    # the pre-image join below yields rows for the NET-NEW
+                    # positions only — the diff falls out for free
                     live = self._read_scoped(mf, src, keep_meta=True)
                     tomb = kdf.select(
                         F.col("file").alias("_t_file"),
@@ -1889,6 +2012,58 @@ def mor_position_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dv_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg **v3 DELETION VECTORS** end-to-end — the encoding that
+    succeeds v2's position-delete files: two successive row-level delete
+    waves hit the SAME data files (v2 deletes every ``error`` event, v3
+    every ``click``), and the table must hold at most ONE vector per
+    data file throughout — the second wave MERGES each touched file's
+    previous vector instead of stacking another tombstone (v2 semantics
+    would leave two delete files per data file here; at one delete
+    commit per 10 minutes that's the reference's metadata pathology all
+    over again, on the delete side). ``dv_ok`` pins the invariant
+    in-engine per version: every delete entry is a vector, one per
+    distinct target, count == |touched files| — NOT wave1 + wave2
+    stacked. The changelog across the second wave emits pre-images for
+    the net-new positions only (carried-over old positions are already
+    dead in the from-version's live view — asserted). ``compact()``
+    materializes and clears the vectors. Row counts land the identical
+    table state the equality/positional twins land."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "dvtbl_")
+    tbl.append(ev, n_files=8)                                   # v1
+    tbl.delete_where_dv(F.col("event_type") == "error")         # v2
+    n_vec_after_1 = len(tbl.delete_vectors())
+    tbl.delete_where_dv(F.col("event_type") == "click")         # v3
+    # changelog across wave 2: net-new pre-images only
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    chg = tbl.changelog(2, 3, keys=["event_id"])
+    assert chg.filter(F.col("change_type") == "delete").count() == n_click
+    tbl.compact(target_files=2)                                 # v4
+    rows = []
+    for v in (1, 2, 3, 4):
+        m = tbl._manifest(v)
+        dels = m.get("delete_files", [])
+        dv_targets = {
+            d["target"] for d in dels if d.get("kind") == "dv"
+        }
+        dv_ok = all(d.get("kind") == "dv" for d in dels) and len(
+            dels
+        ) == len(dv_targets)
+        if v == 3:
+            # the v3 invariant bite: wave 2 touched files wave 1 already
+            # vectored, yet the vector count never exceeds |files|
+            dv_ok = dv_ok and len(dels) <= len(m["files"]) and len(
+                dels
+            ) >= n_vec_after_1
+        rows.append(
+            (v, m["operation"], tbl.read(version=v).count(), bool(dv_ok))
+        )
+    return spark.createDataFrame(
+        rows, "version int, operation string, row_count long, dv_ok boolean"
+    )
+
+
 def snapshot_rollback_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLBACK end-to-end: v1 = cold events; v2 = a bad batch lands
     (hot rows with corrupted negative values); v3 = ``rollback_to(1)`` —
@@ -2065,6 +2240,7 @@ QUERIES = {
     "lifecycle_snapshot_counts": lifecycle_snapshot_counts,
     "snapshot_branch_tag": snapshot_branch_tag,
     "mor_position_delete_events": mor_position_delete_events,
+    "dv_delete_events": dv_delete_events,
     "merge_upsert_mor_events": merge_upsert_mor_events,
     "snapshot_rollback_events": snapshot_rollback_events,
     "merge_upsert_events": merge_upsert_events,
@@ -2382,4 +2558,23 @@ ORACLE["manifest_pruning_report"] = """
     FROM w
     UNION ALL
     SELECT 'after_rewrite', 20, 2, 1, 0, 2, 21, window_rows FROM w
+"""
+
+# v1 = all events; v2 = minus errors (one vector per touched file);
+# v3 = minus errors+logouts (vectors MERGED, never stacked — dv_ok pins
+# it in-engine); v4 = compacted, vectors materialized and cleared
+ORACLE["dv_delete_events"] = """
+    SELECT 1 AS version, 'append' AS operation,
+           (SELECT COUNT(*) FROM events) AS row_count, TRUE AS dv_ok
+    UNION ALL
+    SELECT 2, 'delete.dv',
+           (SELECT COUNT(*) FROM events WHERE event_type <> 'error'), TRUE
+    UNION ALL
+    SELECT 3, 'delete.dv',
+           (SELECT COUNT(*) FROM events
+            WHERE event_type NOT IN ('error', 'click')), TRUE
+    UNION ALL
+    SELECT 4, 'compact',
+           (SELECT COUNT(*) FROM events
+            WHERE event_type NOT IN ('error', 'click')), TRUE
 """

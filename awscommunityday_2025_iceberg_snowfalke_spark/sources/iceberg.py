@@ -334,3 +334,17 @@ class IcebergTable:
             "Iceberg's own scan planning (manifest-list + manifest "
             "column stats; SparkScanBuilder does this automatically)",
         )
+
+    def delete_where_dv(self, predicate):
+        self._unmapped(
+            "delete_where_dv",
+            "DELETE FROM t WHERE ... on a format-version=3 table "
+            "(deletion vectors are v3's default row-level delete "
+            "encoding, stored in Puffin files)",
+        )
+
+    def delete_vectors(self, version: int | None = None):
+        self._unmapped(
+            "delete_vectors",
+            "SELECT * FROM <tbl>.position_deletes / the v3 DV metadata",
+        )

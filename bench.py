@@ -177,6 +177,7 @@ HEADLINE = [
     "manifest_lifecycle_report", # manifest rewrite: planning-I/O 13→2 GETs
     "ann_ivf_opq_rot_cosine",    # full OPQ-P: learned rotation + eigen alloc
     "dedup_jaccard_prefix_filter",  # PPJoin: prefix+size+positional filters
+    "dv_delete_events",          # Iceberg v3 deletion vectors (merged DVs)
 ]
 # retired from the headline in r11 (kept registered + oracle-gated):
 # semantic_dedup_fold — the intentional 4× HOF-interpretation contrast of

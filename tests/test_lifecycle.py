@@ -1112,3 +1112,62 @@ def test_manifest_stats_pruning_exact_and_conservative(
     plan3 = t.plan_scan_manifests(lo, hi)
     assert set(plan3["files_read"]) == set(plan2["files_read"])
     assert plan3["planning_gets"] == 2
+
+
+def test_deletion_vector_merge_and_conflicts(spark, events, tmp_path):
+    """Iceberg v3 deletion vectors: one vector per data file (second
+    wave MERGES, never stacks), reads exclude both waves, a concurrent
+    vector write on the same file raises CommitConflict (our merged
+    vector is stale), and compact materializes + clears."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        CommitConflict,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(events, n_files=4)
+    n_all = events.count()
+    n_err = events.filter(F.col("event_type") == "error").count()
+    n_clk = events.filter(F.col("event_type") == "click").count()
+
+    t.delete_where_dv(F.col("event_type") == "error")
+    v1 = {d["target"]: d["positions"] for d in t.delete_vectors()}
+    assert t.read().count() == n_all - n_err
+
+    t.delete_where_dv(F.col("event_type") == "click")
+    vecs = t.delete_vectors()
+    v2 = {d["target"]: d["positions"] for d in vecs}
+    # invariant: one vector per touched file, cardinalities MERGED
+    assert len(vecs) == len(v2)
+    for tgt, n in v1.items():
+        assert v2[tgt] >= n, "merge must carry the previous positions"
+    assert sum(v2.values()) == n_err + n_clk
+    assert t.read().count() == n_all - n_err - n_clk
+
+    # concurrent DV write on the same files: stale merged vector must
+    # conflict, not silently drop the other writer's deletes
+    orig_try = t._try_commit
+    state = {"raced": False}
+
+    def racing(version, files, op, **kw):
+        if not state["raced"] and op == "delete.dv":
+            state["raced"] = True
+            SnapshotTable(spark, t.path).delete_where_dv(
+                F.col("event_type") == "view"
+            )
+        return orig_try(version, files, op, **kw)
+
+    t._try_commit = racing
+    with pytest.raises(CommitConflict):
+        t.delete_where_dv(F.col("event_type") == "purchase")
+    assert state["raced"]
+    t2 = SnapshotTable(spark, t.path)
+    n_view = events.filter(F.col("event_type") == "view").count()
+    assert t2.read().count() == n_all - n_err - n_clk - n_view
+    # documented recovery: re-run against the current state
+    t2.delete_where_dv(F.col("event_type") == "purchase")
+    n_pur = events.filter(F.col("event_type") == "purchase").count()
+    assert t2.read().count() == n_all - n_err - n_clk - n_view - n_pur
+
+    t2.compact(target_files=1)
+    assert t2.delete_vectors() == []
+    assert t2.read().count() == n_all - n_err - n_clk - n_view - n_pur

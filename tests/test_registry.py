@@ -28,6 +28,7 @@ _COVERAGE_NON_ENTRIES = {
     "create_branch",  # SnapshotTable branch method
     "create_tag",  # SnapshotTable tag method
     "fast_forward",  # SnapshotTable publish method
+    "dv_ok",  # invariant column of dv_delete_events
     "ext_user_events",  # temp-view name in the external-scan narrative
     "gopher_ok",  # composite flag column of gopher_quality_rules
     "kmeans_ivf_cells",  # helper behind kmeans_ivf_train
