@@ -260,6 +260,23 @@ class SnapshotTable:
             json.dump(doc, fh)
         return name
 
+    def _manifest_summary(self, name: str):
+        """Aggregate [min, max] of one manifest's entry stats — the
+        Iceberg MANIFEST-LIST partition/column summary, carried in the
+        snapshot JSON so the planner can skip a whole manifest without
+        even opening it (one json read here, at commit time). None when
+        any entry lacks stats (conservative: the manifest must then be
+        opened)."""
+        with open(os.path.join(self._manifest_dir(), name)) as fh:
+            doc = json.load(fh)
+        stats = doc.get("stats", {})
+        if len(stats) != len(doc["entries"]) or not stats:
+            return None
+        return [
+            min(v[0] for v in stats.values()),
+            max(v[1] for v in stats.values()),
+        ]
+
     def manifest_entries(self, name: str) -> list[str]:
         """Data-file entries of one physical manifest file (one planning
         GET in Iceberg terms)."""
@@ -346,6 +363,21 @@ class SnapshotTable:
             own_manifest = next(
                 (n for n in manifests if n.startswith(f"m{version}-")), None
             )
+        # manifest-LIST summaries (Iceberg's partition/column summaries):
+        # carried refs copy the previous snapshot's summary; only NEW
+        # manifest files are opened — the planner then skips whole
+        # manifests from the snapshot read alone, zero manifest GETs
+        summaries: dict = {}
+        if self.stats_col and manifests:
+            prev_sum = (
+                self._manifest(version - 1).get("manifest_summaries", {})
+                if version > 1
+                else {}
+            )
+            for nm in manifests:
+                s = prev_sum.get(nm) or self._manifest_summary(nm)
+                if s is not None:
+                    summaries[nm] = s
         manifest = {
             "version": version,
             "operation": operation,
@@ -357,6 +389,7 @@ class SnapshotTable:
             "file_seqs": {f: prev_seqs.get(f, version) for f in files},
             "delete_files": delete_files or [],
             "manifests": manifests,
+            "manifest_summaries": summaries,
         }
         snap_dir = os.path.join(self.path, "snapshots")
         tmp = os.path.join(snap_dir, f".commit-{uuid.uuid4().hex[:8]}.tmp")
@@ -390,7 +423,9 @@ class SnapshotTable:
                 "files_read": [],
                 "manifests_total": 0,
                 "manifests_skipped": 0,
+                "skipped_by_summary": 0,
                 "planning_gets": 1,
+                "gets_without_summaries": 1,
                 "footer_path_gets": 1,
             }
         m = self._manifest(version)
@@ -398,8 +433,19 @@ class SnapshotTable:
         gets = 1
         read: list[str] = []
         manifests = m.get("manifests", [])
+        summaries = m.get("manifest_summaries", {})
         skipped_manifests = 0
+        skipped_by_summary = 0
         for name in manifests:
+            # level 0 — manifest-LIST summary: skip the whole manifest
+            # from the snapshot read alone, NO manifest GET at all
+            # (Iceberg's partition summaries; a summary exists only when
+            # every entry carried stats, so the skip is exact)
+            s = summaries.get(name)
+            if s is not None and (s[1] < lo or s[0] > hi):
+                skipped_manifests += 1
+                skipped_by_summary += 1
+                continue
             gets += 1
             with open(os.path.join(self._manifest_dir(), name)) as fh:
                 doc = json.load(fh)
@@ -417,8 +463,8 @@ class SnapshotTable:
                 skipped_manifests += 1
                 continue
             for e in ent:
-                s = stats.get(e)
-                if s is not None and (s[1] < lo or s[0] > hi):
+                st = stats.get(e)
+                if st is not None and (st[1] < lo or st[0] > hi):
                     continue
                 read.append(e)
         return {
@@ -426,8 +472,11 @@ class SnapshotTable:
             "files_read": read,
             "manifests_total": len(manifests),
             "manifests_skipped": skipped_manifests,
+            "skipped_by_summary": skipped_by_summary,
             "planning_gets": gets,
-            # what the same plan costs walking data-file footers instead
+            # the same plan without manifest-list summaries / walking
+            # data-file footers instead
+            "gets_without_summaries": 1 + len(manifests),
             "footer_path_gets": 1 + len(m["files"]),
         }
 
@@ -2172,15 +2221,19 @@ def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     presentation.md:247-258): with per-entry column stats carried into
     manifest files at commit time (``stats_col``, what Iceberg writers
     do), planning a time-window query reads the manifest list + manifest
-    files ONLY — zero data-file footer opens — and prunes at two exact
-    levels: whole manifests whose aggregate range misses the window
-    (time-ordered ingest makes this the common case: 9 of 10 skipped
-    here), then per-entry within survivors. Scenario: 10 day-range
-    appends × 2 files (time-ordered micro-batch ingest), a 3-day window
-    query, then ``rewrite_manifests(1)``: planning GETs 11 → 2 while
-    the footer-walking path (``plan_scan``) would pay 21 either way;
-    both phases read the identical 2 files and the identical window
-    rows (the oracle's real COUNT cross-check)."""
+    files ONLY — zero data-file footer opens — and prunes at THREE
+    exact levels: (0) manifest-LIST summaries carried in the snapshot
+    itself skip whole manifests with NO manifest GET at all (Iceberg's
+    partition summaries — 9 of 10 here, from one snapshot read), (1) a
+    surviving manifest's aggregate range, (2) per-entry stats.
+    Scenario: 10 day-range appends × 2 files (time-ordered micro-batch
+    ingest), a 3-day window query, then ``rewrite_manifests(1)``:
+    summaries hold planning at 2 GETs in BOTH phases (vs 11 without
+    summaries, vs the footer path's constant 21); what the rewrite buys
+    is the manifest-LIST length 10 → 1 — the 78 GB/yr metadata-size
+    axis, orthogonal to planning I/O. Both phases read the identical 2
+    files and the identical window rows (the oracle's real COUNT
+    cross-check)."""
     ev = load(spark, sf_dir, "events")
     tbl = make_table(spark, "manifestprune_", stats_col="ts")
     for k in range(10):
@@ -2206,7 +2259,9 @@ def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(plan["files_read"]),
             plan["manifests_total"],
             plan["manifests_skipped"],
+            plan["skipped_by_summary"],
             plan["planning_gets"],
+            plan["gets_without_summaries"],
             plan["footer_path_gets"],
             int(rows),
         ), set(plan["files_read"])
@@ -2229,8 +2284,8 @@ def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [before, after],
         "phase string, files_total int, files_read int, manifests_total int,"
-        " manifests_skipped int, planning_gets int, footer_path_gets int,"
-        " window_rows long",
+        " manifests_skipped int, skipped_by_summary int, planning_gets int,"
+        " gets_without_summaries int, footer_path_gets int, window_rows long",
     )
 
 
@@ -2546,6 +2601,10 @@ ORACLE["manifest_lifecycle_report"] = f"""
 # append (manifest) → 9 of 10 manifests skipped whole, 2 of 20 files read,
 # planning GETs 11 → 2 after rewrite_manifests(1) while the footer path
 # stays 21; window_rows is the real COUNT cross-check on the pruned read
+# summaries cut planning GETs to 2 even BEFORE the rewrite (9/10
+# manifests skipped from the manifest LIST alone, zero manifest opens);
+# rewrite_manifests then cuts the LIST length 10 -> 1 (the 78 GB/yr
+# metadata-size axis) while planning stays at 2 GETs
 ORACLE["manifest_pruning_report"] = """
     WITH w AS (
         SELECT COUNT(*) AS window_rows FROM events
@@ -2554,10 +2613,11 @@ ORACLE["manifest_pruning_report"] = """
     )
     SELECT 'per_commit_manifests' AS phase, 20 AS files_total,
            2 AS files_read, 10 AS manifests_total, 9 AS manifests_skipped,
-           11 AS planning_gets, 21 AS footer_path_gets, window_rows
+           9 AS skipped_by_summary, 2 AS planning_gets,
+           11 AS gets_without_summaries, 21 AS footer_path_gets, window_rows
     FROM w
     UNION ALL
-    SELECT 'after_rewrite', 20, 2, 1, 0, 2, 21, window_rows FROM w
+    SELECT 'after_rewrite', 20, 2, 1, 0, 0, 2, 2, 21, window_rows FROM w
 """
 
 # v1 = all events; v2 = minus errors (one vector per touched file);

@@ -1089,8 +1089,10 @@ def test_manifest_stats_pruning_exact_and_conservative(
     lo, hi = "2024-01-12T00:00:00+00:00", "2024-01-15T23:59:59+00:00"
     plan = t.plan_scan_manifests(lo, hi)
     assert plan["manifests_skipped"] == 2
+    assert plan["skipped_by_summary"] == 2  # never even opened
     assert len(plan["files_read"]) == 2
-    assert plan["planning_gets"] == 4  # list + 3 manifests
+    assert plan["planning_gets"] == 2  # list + the ONE surviving manifest
+    assert plan["gets_without_summaries"] == 4  # list + 3 manifests
     assert plan["footer_path_gets"] == 7  # list + 6 files
     # exact agreement with the footer-walking planner
     import datetime as dt
@@ -1107,6 +1109,8 @@ def test_manifest_stats_pruning_exact_and_conservative(
     )
     plan2 = t.plan_scan_manifests(lo, hi)
     assert len(plan2["files_read"]) == 3
+    # the stats-less manifest has no summary -> it must be OPENED
+    assert plan2["planning_gets"] == 3
     # rewrite carries stats: same plan, 2 GETs
     t.rewrite_manifests(target_manifests=1)
     plan3 = t.plan_scan_manifests(lo, hi)
