@@ -1690,6 +1690,91 @@ QC_BUCKETS = 2048
 QC_BAND_CUTS = ("-2.944439", "-1.098612", "0.000000", "1.098612", "2.944439")
 
 
+def _qc_features(docs: DataFrame) -> DataFrame:
+    """Hashed fastText feature matrix (doc_id, lang, lbl, bkt, cnt) for a
+    documents frame — word + boundary-padded char-trigram features, the
+    integer-rule label, and the map-side (doc, bucket) count reduction.
+    Shared by the batch classifier and the streaming ingest gate."""
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    lbl = (
+        (n_tokens >= 10)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 5 <= F.length("text"))
+    ).cast("long")
+    tok = docs.select(
+        "doc_id", "lang", lbl.alias("lbl"), F.explode(toks).alias("tok")
+    )
+    padded = F.concat(F.lit("<"), F.col("tok"), F.lit(">"))
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    return (
+        tok.select(
+            "doc_id",
+            "lang",
+            "lbl",
+            F.explode(F.concat(F.array(F.col("tok")), tris)).alias("t"),
+        )
+        .withColumn("bkt", F.expr(_SPARK_TH) % QC_BUCKETS)
+        .groupBy("doc_id", "lang", "lbl", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _qc_weights(feats: DataFrame) -> DataFrame:
+    """Naive-Bayes log-odds weight dictionary (≤QC_BUCKETS rows) trained
+    from a feature matrix — the deterministic stand-in for an
+    offline-trained linear model."""
+    counts = feats.groupBy("bkt").agg(
+        F.sum(F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)).alias(
+            "neg_c"
+        ),
+        F.sum(F.when(F.col("lbl") == 1, F.col("cnt")).otherwise(0)).alias(
+            "pos_c"
+        ),
+    )
+    tot = feats.agg(
+        F.sum(F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)).alias(
+            "n_neg"
+        ),
+        F.sum(F.when(F.col("lbl") == 1, F.col("cnt")).otherwise(0)).alias(
+            "n_pos"
+        ),
+    ).collect()[0]
+    n_neg, n_pos = int(tot["n_neg"]), int(tot["n_pos"])
+    w = F.log(
+        (F.col("pos_c") + 1).cast("double") / F.lit(float(n_pos + QC_BUCKETS))
+    ) - F.log(
+        (F.col("neg_c") + 1).cast("double") / F.lit(float(n_neg + QC_BUCKETS))
+    )
+    return counts.select("bkt", w.alias("w"))
+
+
+def _qc_scored(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """Per-doc decimal-exact logit sums: broadcast weight join + one
+    doc-keyed aggregation — INFERENCE, usable on any feature matrix
+    (the streaming gate scores each micro-batch through this exact
+    function with frozen weights)."""
+    return (
+        feats.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id", "lang", "lbl")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            # cnt as DECIMAL(9,0): 9+28+1 = 38 keeps the product inside
+            # Spark's decimal cap at full 16-dp scale (a raw bigint
+            # multiplicand would trigger silent scale loss at p=49)
+            F.sum(
+                F.col("cnt").cast("decimal(9,0)")
+                * F.col("w").cast("decimal(28,16)")
+            ).alias("ws"),
+        )
+    )
+
+
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastText-style linear quality-classifier INFERENCE — the
     CCNet/DCLM production quality gate: score(doc) =
@@ -1738,72 +1823,11 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = _toks()
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
-    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
-    lbl = (
-        (n_tokens >= 10)
-        & (n_stop * 20 >= n_tokens)
-        & (n_punct * 5 <= F.length("text"))
-    ).cast("long")
-    tok = docs.select(
-        "doc_id", "lang", lbl.alias("lbl"), F.explode(toks).alias("tok")
+    feats = stage(  # consumed twice: weight build + scoring join
+        _qc_features(docs)
     )
-    padded = F.concat(F.lit("<"), F.col("tok"), F.lit(">"))
-    tris = F.transform(
-        F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
-        lambda i: padded.substr(i, F.lit(3)),
-    )
-    feats = (
-        tok.select(
-            "doc_id",
-            "lang",
-            "lbl",
-            F.explode(F.concat(F.array(F.col("tok")), tris)).alias("t"),
-        )
-        .withColumn("bkt", F.expr(_SPARK_TH) % QC_BUCKETS)
-        .groupBy("doc_id", "lang", "lbl", "bkt")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    feats = stage(feats)  # consumed twice: weight build + scoring join
-    counts = feats.groupBy("bkt").agg(
-        F.sum(F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)).alias(
-            "neg_c"
-        ),
-        F.sum(F.when(F.col("lbl") == 1, F.col("cnt")).otherwise(0)).alias(
-            "pos_c"
-        ),
-    )
-    tot = feats.agg(
-        F.sum(F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)).alias(
-            "n_neg"
-        ),
-        F.sum(F.when(F.col("lbl") == 1, F.col("cnt")).otherwise(0)).alias(
-            "n_pos"
-        ),
-    ).collect()[0]
-    n_neg, n_pos = int(tot["n_neg"]), int(tot["n_pos"])
-    w = F.log(
-        (F.col("pos_c") + 1).cast("double") / F.lit(float(n_pos + QC_BUCKETS))
-    ) - F.log(
-        (F.col("neg_c") + 1).cast("double") / F.lit(float(n_neg + QC_BUCKETS))
-    )
-    weights = counts.select("bkt", w.alias("w"))
-    scored = (
-        feats.join(F.broadcast(weights), "bkt")
-        .groupBy("doc_id", "lang", "lbl")
-        .agg(
-            F.sum("cnt").alias("n_feats"),
-            # cnt as DECIMAL(9,0): 9+28+1 = 38 keeps the product inside
-            # Spark's decimal cap at full 16-dp scale (a raw bigint
-            # multiplicand would trigger silent scale loss at p=49)
-            F.sum(
-                F.col("cnt").cast("decimal(9,0)")
-                * F.col("w").cast("decimal(28,16)")
-            ).alias("ws"),
-        )
-    )
+    weights = _qc_weights(feats)
+    scored = _qc_scored(feats, weights)
     band = None
     for c in QC_BAND_CUTS:
         hit = (F.col("ws") > F.expr(f"CAST('{c}' AS DECIMAL(8,6))")).cast(
@@ -2578,7 +2602,10 @@ ORACLE["quality_method_agreement"] = _quality_agreement_oracle()
 _QC_BAND_SQL = " + ".join(
     f"CAST((ws > CAST('{c}' AS DECIMAL(8,6))) AS INT)" for c in QC_BAND_CUTS
 )
-ORACLE["quality_classifier_score"] = rf"""
+# shared CTE chain: label → tokens → features → buckets → weights →
+# per-doc decimal logit sums; the streaming gate's oracle reuses it with
+# a per-language rollup
+_QC_CTES = rf"""
     WITH lab AS (
         SELECT doc_id, lang, toks,
                CASE WHEN len(toks) >= 10
@@ -2629,6 +2656,9 @@ ORACLE["quality_classifier_score"] = rf"""
         FROM b JOIN w USING (bkt)
         GROUP BY b.doc_id, b.lang, b.lbl
     )
+"""
+
+ORACLE["quality_classifier_score"] = _QC_CTES + f"""
     SELECT doc_id, lang, n_feats,
            ROUND(CAST(ws AS DOUBLE), 6) AS logit6,
            CAST({_QC_BAND_SQL} AS INT) AS prob_band,

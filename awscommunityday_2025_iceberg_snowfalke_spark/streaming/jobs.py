@@ -3,6 +3,8 @@ driver-contract streaming queries."""
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -10,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
+from ..stage import stage as _stage
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,6 +752,85 @@ def streaming_interval_join_left_outer(
     return _ssj_select(out)
 
 
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier deployed as a STREAMING INGEST GATE — the
+    production curation shape: documents arrive as micro-batches and
+    each batch is scored against a FROZEN linear quality model before
+    anything lands (CCNet/DCLM run exactly this screen at the crawl
+    frontier). Weights are trained ONCE on the standing corpus
+    (``textstats._qc_weights`` — in production an offline artifact; here
+    the full corpus so the oracle can reproduce every score), then THREE
+    micro-batches (``maxFilesPerTrigger=1``, mtimes pin order) each run
+    the identical inference — feature explode → broadcast frozen
+    weights → per-doc decimal logit — inside ``foreachBatch``. The gate
+    is STATELESS (zero streaming state: a doc never spans batches, so
+    per-batch batch-semantics scoring is exact), which is what lets it
+    run at crawl throughput; per-language admit/reject counts accumulate
+    driver-side (≤|langs| rows per batch). Batching-invariance is the
+    pinned claim: three independent batch scorings must sum to exactly
+    the batch twin's per-language aggregate — the oracle is the batch
+    classifier rolled up by language."""
+    from ..operators import textstats as T
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    weights = _stage(T._qc_weights(_stage(T._qc_features(corpus))))
+
+    feed = tempfile.mkdtemp(prefix="qgate_feed_")
+    for k in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == k)
+        d = os.path.join(feed, f"b{k}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                src = os.path.join(d, f)
+                dst = os.path.join(feed, f"batch{k}.parquet")
+                shutil.move(src, dst)
+                os.utime(dst, (1_700_000_000.0 + k, 1_700_000_000.0 + k))
+        shutil.rmtree(d)
+
+    acc: dict[str, list[int]] = {}
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = T._qc_scored(T._qc_features(batch_df), weights)
+        admitted = (
+            F.col("ws") > F.expr("CAST('0' AS DECIMAL(8,6))")
+        ).cast("long")
+        for r in (
+            scored.groupBy("lang")
+            .agg(
+                F.sum(admitted).alias("adm"),
+                F.sum(1 - admitted).alias("rej"),
+            )
+            .collect()
+        ):
+            a = acc.setdefault(r["lang"], [0, 0])
+            a[0] += int(r["adm"])
+            a[1] += int(r["rej"])
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="qgate_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (lang, v[0], v[1]) for lang, v in sorted(acc.items())
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, admitted_docs long, rejected_docs long"
+    )
+
+
 def streaming_interval_join_full_outer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -793,6 +875,7 @@ QUERIES = {
     ),
     "streaming_interval_join_left_outer": streaming_interval_join_left_outer,
     "streaming_interval_join_full_outer": streaming_interval_join_full_outer,
+    "streaming_quality_gate": streaming_quality_gate,
     "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_wap_publish": streaming_wap_publish,
     "streaming_cdc_latest_events": streaming_cdc_latest_events,
@@ -812,10 +895,23 @@ from ..operators.temporal import ORACLE as _TMP_ORACLE  # noqa: E402
 
 _DS2 = det_sum_sql("value", 2)
 
+from ..operators.textstats import _QC_CTES as _QC  # noqa: E402
+
 ORACLE = {
     # four streaming MERGE micro-batches must land the exact final table
     # state the batch twin's single MERGE lands (keys unique ⇒ invariant)
     "streaming_merge_upsert": _LC_ORACLE["merge_upsert_events"],
+    # the stateless gate is batching-invariant: three micro-batch
+    # scorings under frozen weights must sum to the batch classifier's
+    # per-language rollup exactly
+    "streaming_quality_gate": _QC + """
+    SELECT lang,
+           CAST(SUM(CASE WHEN ws > CAST('0' AS DECIMAL(8,6))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS admitted_docs,
+           CAST(SUM(CASE WHEN ws > CAST('0' AS DECIMAL(8,6))
+                    THEN 0 ELSE 1 END) AS BIGINT) AS rejected_docs
+    FROM s GROUP BY lang
+    """,
     # micro-batched arrival must not change the interval-join answer
     "streaming_interval_join_purchase_signup": (
         _TMP_ORACLE["purchases_within_hour_of_signup"]

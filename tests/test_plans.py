@@ -595,3 +595,15 @@ def test_quality_classifier_broadcast_and_bounded_shuffles(spark):
     # 3 = the deliberate doc_id scan-spread + bucket-weight agg + per-doc
     # scoring agg; nothing else may shuffle
     assert shuffle_count(df) <= 3
+
+
+def test_ppjoin_no_cartesian_and_bounded_shuffles(spark):
+    """PPJoin: every join is an equi-join (prefix hash join, verify hash
+    joins) — no cartesian anywhere; exchanges stay bounded (df-count agg,
+    per-doc sort agg, prefix self-join, pair agg, verify joins + agg)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
+    df = dedup.dedup_jaccard_prefix_filter(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert shuffle_count(df) <= 8, shuffle_count(df)
