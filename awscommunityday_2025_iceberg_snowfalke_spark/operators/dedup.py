@@ -237,6 +237,101 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bloom-filter dedup screen (two-tier incremental ingest) -----------------
+BLOOM_K = 7           # hash functions
+BLOOM_WORDS = 64      # 32-bit words → 2048 bits: sized so the testdata
+#                       standing corpus produces a NONZERO, deterministic
+#                       false-positive count (the quantity the report is
+#                       about); production sizes m for the target FP rate
+BLOOM_BITS = BLOOM_WORDS * 32
+
+
+def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier incremental dedup with a BLOOM-FILTER pre-screen — the
+    RedPajama/CCNet production shape for new-crawl-vs-standing-corpus at
+    100 TB: the standing corpus's digest set is summarized into a
+    fixed-size bit array (here ``BLOOM_WORDS`` 32-bit words, built in ONE
+    digest pass with a bitwise-OR aggregation to ≤64 rows), and each
+    arriving doc checks its ``BLOOM_K`` bit positions against the
+    BROADCAST bitmap — docs with any bit clear are DEFINITELY new and
+    skip the exact join entirely; only the 'maybe' residue pays the
+    digest anti-join that confirms real duplicates and unmasks the
+    filter's false positives. The exact tier means the screen NEVER
+    changes the answer (admitted set == `dedup_incremental`'s) — it only
+    removes join traffic; the report quantifies exactly how much
+    (definitely-new vs maybe vs confirmed-dup vs false-positive per
+    language). Fully deterministic: bit positions come from the portable
+    md5 device over salt‖sha256(text), so the false-positive count is an
+    exact cross-engine integer, not a probability."""
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = int(lo) + int((int(hi) - int(lo)) * INCREMENTAL_SPLIT_FRAC)
+    digests = docs.select(
+        "doc_id", "lang", F.sha2("text", 256).alias("d")
+    )
+    corpus = stage(
+        digests.filter(F.col("doc_id") < split).select("d").distinct()
+    )
+    batch = digests.filter(F.col("doc_id") >= split)
+
+    salts = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    pos_h = _SPARK_H.format(expr="concat(cast(s as string), '|', d)")
+    positions = lambda df: (
+        df.select("*", F.explode(salts).alias("s"))
+        .withColumn("bitpos", F.expr(pos_h) % BLOOM_BITS)
+        .withColumn("word", F.expr("bitpos div 32").cast("int"))
+        .withColumn(
+            # shiftleft's Python wrapper wants a literal shift; the SQL
+            # form takes a column
+            "bit",
+            F.expr("shiftleft(cast(1 as bigint), cast(bitpos % 32 as int))"),
+        )
+    )
+    bloom = (
+        positions(corpus)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    checked = (
+        positions(batch)
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit"))
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("doc_id", "lang", "d")
+        .agg((F.min("hit") == 1).alias("maybe_dup"))
+    )
+    confirmed = (
+        checked.filter("maybe_dup")
+        .join(corpus.withColumnRenamed("d", "d2"),
+              F.col("d") == F.col("d2"), "left")
+        .select(
+            "doc_id", "lang",
+            F.lit(True).alias("maybe_dup"),
+            F.col("d2").isNotNull().alias("is_dup"),
+        )
+    )
+    screened = checked.filter(~F.col("maybe_dup")).select(
+        "doc_id", "lang",
+        F.lit(False).alias("maybe_dup"),
+        F.lit(False).alias("is_dup"),
+    )
+    allrows = confirmed.unionByName(screened)
+    return allrows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("batch_docs"),
+        F.sum((~F.col("maybe_dup")).cast("long")).alias("definitely_new"),
+        F.sum(F.col("maybe_dup").cast("long")).alias("maybe_dup"),
+        F.sum(F.col("is_dup").cast("long")).alias("confirmed_dup"),
+        F.sum(
+            (F.col("maybe_dup") & ~F.col("is_dup")).cast("long")
+        ).alias("false_positive"),
+    )
+
+
 # --- PPJoin: prefix-filtered set-similarity self-join ------------------------
 # the high-threshold near-dup regime (CCNet-style τ = 0.8). Exact rational
 # twin: keep iff shared·5 ≥ 4·union.
@@ -1847,6 +1942,7 @@ QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter,
+    "dedup_bloom_screen": dedup_bloom_screen,
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_incremental": dedup_incremental,
     "doc_duplicate_ngram_spans": doc_duplicate_ngram_spans,
@@ -2565,4 +2661,60 @@ ORACLE["dedup_jaccard_prefix_filter"] = rf"""
            ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
     FROM pairs
     WHERE shared * {PPJOIN_X[1]} >= {PPJOIN_X[0]} * (na + nb - shared)
+"""
+
+_DUCK_BLOOM_H = _DUCK_H.format(expr="concat(CAST(s AS VARCHAR), '|', d)")
+ORACLE["dedup_bloom_screen"] = f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    dg AS (
+        SELECT doc_id, lang, sha256(text) AS d,
+               (SELECT lo + CAST(FLOOR((hi - lo) * {INCREMENTAL_SPLIT_FRAC})
+                               AS BIGINT) FROM bounds) AS split
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT d FROM dg WHERE doc_id < split),
+    cpos AS (
+        SELECT {_DUCK_BLOOM_H} % {BLOOM_BITS} AS bitpos
+        FROM corpus, UNNEST(range({BLOOM_K})) AS u(s)
+    ),
+    bloom AS (
+        SELECT CAST(bitpos // 32 AS INT) AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(bitpos % 32 AS INT)) AS bits
+        FROM cpos GROUP BY 1
+    ),
+    bpos AS (
+        SELECT doc_id, lang, d,
+               {_DUCK_BLOOM_H} % {BLOOM_BITS} AS bitpos
+        FROM (SELECT doc_id, lang, d FROM dg WHERE doc_id >= split),
+             UNNEST(range({BLOOM_K})) AS u(s)
+    ),
+    chk AS (
+        SELECT doc_id, lang, d,
+               MIN(CASE WHEN (COALESCE(bits, 0)
+                              & (CAST(1 AS BIGINT)
+                                 << CAST(bitpos % 32 AS INT))) <> 0
+                        THEN 1 ELSE 0 END) = 1 AS maybe_dup
+        FROM bpos LEFT JOIN bloom
+          ON CAST(bpos.bitpos // 32 AS INT) = bloom.word
+        GROUP BY doc_id, lang, d
+    ),
+    labeled AS (
+        SELECT c.doc_id, c.lang, c.maybe_dup,
+               c.maybe_dup AND (x.d IS NOT NULL) AS is_dup
+        FROM chk c LEFT JOIN corpus x
+          ON c.maybe_dup AND c.d = x.d
+    )
+    SELECT lang,
+           COUNT(*) AS batch_docs,
+           CAST(SUM(CASE WHEN maybe_dup THEN 0 ELSE 1 END) AS BIGINT)
+               AS definitely_new,
+           CAST(SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS maybe_dup,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS confirmed_dup,
+           CAST(SUM(CASE WHEN maybe_dup AND NOT is_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS false_positive
+    FROM labeled GROUP BY lang
 """

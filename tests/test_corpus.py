@@ -1089,3 +1089,36 @@ def test_ppjoin_lossless_and_prunes_candidates(spark, oracle):
     assert {(a, b) for a, b, _ in got} <= cand_pairs
     # the point of the algorithm: candidate volume reduction is large
     assert n_cand * 2 < n_full, f"only {n_full}/{n_cand} reduction"
+
+
+def test_bloom_screen_no_false_negatives(spark, tmp_path):
+    """Bloom guarantee on a doctored corpus with PLANTED cross-split
+    duplicates: every actual duplicate must be flagged maybe_dup (a
+    bloom filter has no false negatives) and confirmed by the exact
+    tier; false positives are unmasked, never admitted as dups."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        dedup_bloom_screen,
+    )
+
+    texts = [f"standing document number {i} with unique text" for i in range(16)]
+    batch = [
+        texts[3],                       # planted dup of standing doc 3
+        "a genuinely new document one",
+        texts[7],                       # planted dup of standing doc 7
+        "a genuinely new document two",
+    ]
+    rows = [
+        (i, t, "en", "t", len(t)) for i, t in enumerate(texts + batch)
+    ]
+    d = str(tmp_path / "bloomcorpus")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    # split = 0 + floor(19 * 0.8) = 15 → batch = doc_id 15..19
+    # (standing doc 15 itself lands in the batch side: id range device)
+    got = {r["lang"]: r for r in dedup_bloom_screen(spark, d).collect()}
+    en = got["en"]
+    assert en["confirmed_dup"] == 2, en
+    assert en["false_positive"] == en["maybe_dup"] - en["confirmed_dup"]
+    assert en["definitely_new"] + en["maybe_dup"] == en["batch_docs"]
