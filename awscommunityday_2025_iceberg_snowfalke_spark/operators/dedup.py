@@ -246,6 +246,22 @@ BLOOM_WORDS = 64      # 32-bit words → 2048 bits: sized so the testdata
 BLOOM_BITS = BLOOM_WORDS * 32
 
 
+def _incremental_split(docs: DataFrame):
+    """Standing-corpus / incoming-batch split shared by
+    ``dedup_incremental`` and ``dedup_bloom_screen`` (one definition so
+    the two incremental entries can never disagree on which docs are
+    'standing'): digests below the 80%-of-id-range mark are the corpus
+    (distinct), the rest the batch."""
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = int(lo) + int((int(hi) - int(lo)) * INCREMENTAL_SPLIT_FRAC)
+    digests = docs.select(
+        "doc_id", "lang", F.sha2("text", 256).alias("d")
+    )
+    corpus = digests.filter(F.col("doc_id") < split).select("d").distinct()
+    batch = digests.filter(F.col("doc_id") >= split)
+    return corpus, batch
+
+
 def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier incremental dedup with a BLOOM-FILTER pre-screen — the
     RedPajama/CCNet production shape for new-crawl-vs-standing-corpus at
@@ -264,15 +280,8 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 device over salt‖sha256(text), so the false-positive count is an
     exact cross-engine integer, not a probability."""
     docs = load(spark, sf_dir, "documents")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    split = int(lo) + int((int(hi) - int(lo)) * INCREMENTAL_SPLIT_FRAC)
-    digests = docs.select(
-        "doc_id", "lang", F.sha2("text", 256).alias("d")
-    )
-    corpus = stage(
-        digests.filter(F.col("doc_id") < split).select("d").distinct()
-    )
-    batch = digests.filter(F.col("doc_id") >= split)
+    corpus, batch = _incremental_split(docs)
+    corpus = stage(corpus)
 
     salts = F.array(*[F.lit(i) for i in range(BLOOM_K)])
     pos_h = _SPARK_H.format(expr="concat(cast(s as string), '|', d)")
@@ -534,13 +543,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, never text; corpus side is scanned once for its digest
     projection and nothing else."""
     docs = load(spark, sf_dir, "documents")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    split = int(lo) + int((int(hi) - int(lo)) * INCREMENTAL_SPLIT_FRAC)
-    digests = docs.select(
-        "doc_id", "lang", F.sha2("text", 256).alias("h")
-    )
-    corpus = digests.filter(F.col("doc_id") < split).select("h").distinct()
-    batch = digests.filter(F.col("doc_id") >= split)
+    corpus, batch = _incremental_split(docs)
+    corpus = corpus.withColumnRenamed("d", "h")
+    batch = batch.withColumnRenamed("d", "h")
     fresh = batch.join(corpus, "h", "left_anti")
     admitted = (
         fresh.groupBy("h")

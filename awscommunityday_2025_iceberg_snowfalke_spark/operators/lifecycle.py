@@ -375,9 +375,14 @@ class SnapshotTable:
                 else {}
             )
             for nm in manifests:
-                s = prev_sum.get(nm) or self._manifest_summary(nm)
-                if s is not None:
-                    summaries[nm] = s
+                # the None verdict is cached too (stored as null): a
+                # stats-less manifest is summarized once, not re-opened
+                # on every future commit
+                summaries[nm] = (
+                    prev_sum[nm]
+                    if nm in prev_sum
+                    else self._manifest_summary(nm)
+                )
         manifest = {
             "version": version,
             "operation": operation,
@@ -407,15 +412,15 @@ class SnapshotTable:
 
     def plan_scan_manifests(self, lo, hi, version: int | None = None) -> dict:
         """Scan planning from MANIFEST stats alone (Iceberg's actual
-        planning path): 1 GET for the manifest list + 1 per manifest
-        file, ZERO data-file footer reads — versus :meth:`plan_scan`'s
-        1 + |files| GETs walking footers. Two pruning levels, both
-        exact: a manifest whose aggregate [min,max] misses [lo,hi] is
-        skipped whole (its entries never even considered — the level
-        that makes time-ordered ingest prune almost everything), then
-        surviving manifests prune per-entry. Entries without stats are
-        conservatively read. ``lo``/``hi`` must be in the stats'
-        serialized form (ISO strings for timestamps)."""
+        planning path): ZERO data-file footer reads — versus
+        :meth:`plan_scan`'s 1 + |files| GETs walking footers. THREE
+        pruning levels, all exact: (0) manifest-LIST summaries carried
+        in the snapshot skip whole manifests with NO manifest GET at
+        all (the level that makes time-ordered ingest plan in ~2 GETs);
+        (1) a surviving/unsummarized manifest's aggregate [min,max];
+        (2) per-entry stats. Entries (and manifests) without stats are
+        conservatively read/opened. ``lo``/``hi`` must be in the
+        stats' serialized form (ISO strings for timestamps)."""
         version = version or self.current_version
         if version == 0:  # empty table (files() parity)
             return {
@@ -1174,7 +1179,7 @@ class SnapshotTable:
             for d in m.get("delete_files", [])
             if d.get("kind") == "dv"
         }
-        new_entries: dict[str, dict] = {}
+        new_files: dict[str, str] = {}
         for t in targets:
             dv = positions.filter(F.col("file") == t)
             if t in old_dv:  # v3 invariant: merge the previous vector
@@ -1182,16 +1187,20 @@ class SnapshotTable:
                     os.path.join(self.path, "data", old_dv[t]["file"])
                 )
                 dv = dv.unionByName(prev).distinct()
-            new_entries[t] = {
-                "file": self._write_files(dv, 1)[0],
-                "kind": "dv",
-                "target": t,
-                "seq": base + 1,
-            }
+            new_files[t] = self._write_files(dv, 1)[0]
         resolve_files = set(m["files"])
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version
             m = self._manifest(cur) if cur else {"files": []}
+            # seq follows the ATTEMPTED commit version (recomputed per
+            # retry like every other tombstone writer): after a benign
+            # concurrent append the vector must carry the version that
+            # actually introduced it, or future seq-scoped reasoning
+            # mis-scopes it
+            new_entries = {
+                t: {"file": f, "kind": "dv", "target": t, "seq": cur + 1}
+                for t, f in new_files.items()
+            }
             if not resolve_files <= set(m["files"]):
                 raise CommitConflict(
                     "delete_where_dv: concurrent rewrite invalidated the "
@@ -2621,7 +2630,7 @@ ORACLE["manifest_pruning_report"] = """
 """
 
 # v1 = all events; v2 = minus errors (one vector per touched file);
-# v3 = minus errors+logouts (vectors MERGED, never stacked — dv_ok pins
+# v3 = minus errors+clicks (vectors MERGED, never stacked — dv_ok pins
 # it in-engine); v4 = compacted, vectors materialized and cleared
 ORACLE["dv_delete_events"] = """
     SELECT 1 AS version, 'append' AS operation,
