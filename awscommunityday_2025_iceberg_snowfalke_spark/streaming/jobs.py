@@ -752,6 +752,108 @@ def streaming_interval_join_left_outer(
     return _ssj_select(out)
 
 
+def tws_available() -> bool:
+    """Spark 4's state-v2 Python protocol (transformWithStateInPandas)
+    speaks protobuf to its stateful-processor driver worker; this image
+    ships no ``google.protobuf`` and has no egress to install one, so
+    the API is ENVIRONMENT-BLOCKED here (verified: the worker dies with
+    ImportError in StateMessage_pb2 — transcript in SCALE.md). The
+    operator below is complete and registers itself when the protocol
+    dependency exists; the applyInPandasWithState sessionization trio
+    covers the custom-stateful-operator class on this image."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_tws_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch EXACTLY-ONCE dedup on ``transformWithStateInPandas``
+    — Spark 4's state-v2 API (the ``StatefulProcessor`` successor to
+    ``applyInPandasWithState``, with named state variables, timers, and
+    an initial-state hook): the at-least-once delivery repair every
+    ingest pipeline runs in front of a lakehouse sink. Feed: two
+    micro-batches whose event sets OVERLAP (the middle third arrives in
+    both — a redelivered Kinesis shard), so the dedup is genuinely
+    CROSS-batch: per-``event_id`` ``ValueState`` remembers first
+    delivery and later redeliveries emit nothing. State is one boolean
+    per key inside the lateness/redelivery horizon — in production a
+    TTL clears it once the at-least-once window passes (TTL is
+    wall-clock and would break determinism here, so the entry pins the
+    semantics and documents the knob). Oracle = the batch aggregation
+    over DISTINCT events — micro-batched, redelivered arrival must not
+    change the answer."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas is environment-blocked on this "
+            "image: its state protocol requires google.protobuf, which "
+            "is not installed and cannot be (no egress). On a complete "
+            "image this entry registers itself automatically "
+            "(see tws_available)."
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = ev.count()
+    lo_third = ev.filter(F.col("event_id") % 3 <= 1)   # thirds 0,1
+    hi_third = ev.filter(F.col("event_id") % 3 >= 1)   # thirds 1,2 (overlap!)
+    feed = tempfile.mkdtemp(prefix="tws_feed_")
+    for k, part in enumerate((lo_third, hi_third)):
+        d = os.path.join(feed, f"b{k}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = os.path.join(feed, f"batch{k}.parquet")
+                shutil.move(os.path.join(d, f), dst)
+                os.utime(dst, (1_700_000_000.0 + k,) * 2)
+        shutil.rmtree(d)
+
+    class DedupFirstDelivery(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getValueState("seen", "flag byte")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.seen.exists():
+                return
+            self.seen.update((1,))
+            emitted = False
+            for pdf in rows:
+                if not emitted and len(pdf) > 0:
+                    yield pdf.iloc[:1]
+                    emitted = True
+
+        def close(self) -> None:
+            pass
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    deduped = stream.groupBy("event_id").transformWithStateInPandas(
+        statefulProcessor=DedupFirstDelivery(),
+        outputStructType="event_id long, event_type string, value double",
+        outputMode="Append",
+        timeMode="None",
+    )
+    out = _run_to_memory(deduped, mode="append")
+    assert out.count() == n, "exactly-once: every event exactly once"
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
 def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality classifier deployed as a STREAMING INGEST GATE — the
     production curation shape: documents arrive as micro-batches and
@@ -1035,3 +1137,14 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+
+if tws_available():  # pragma: no cover — environment-blocked on this image
+    QUERIES["streaming_tws_dedup"] = streaming_tws_dedup
+    # redelivered micro-batches must land the DISTINCT-events aggregate
+    ORACLE["streaming_tws_dedup"] = """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2)
+               AS sum_value
+    FROM events GROUP BY event_type
+    """
