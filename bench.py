@@ -177,8 +177,12 @@ HEADLINE = [
     "manifest_lifecycle_report", # manifest rewrite: planning-I/O 13→2 GETs
     "ann_ivf_opq_rot_cosine",    # full OPQ-P: learned rotation + eigen alloc
     "dedup_jaccard_prefix_filter",  # PPJoin: prefix+size+positional filters
-    "dv_delete_events",          # Iceberg v3 deletion vectors (merged DVs)
 ]
+# dv_delete_events stays registered + oracle-gated but OFF the headline:
+# it is a 4-commit write-path fixture (two DV waves with per-target vector
+# writes + changelog + 4 versioned reads ≈ 20 s) whose wall-clock is
+# commit I/O, not a plan property — mor_delete_events already represents
+# the lifecycle-write class at ~1.5 s (the semantic_dedup_fold precedent).
 # retired from the headline in r11 (kept registered + oracle-gated):
 # semantic_dedup_fold — the intentional 4× HOF-interpretation contrast of
 # the Arrow-dgemm primary; its story lives in SCALE.md, its 4.7 s

@@ -41,6 +41,7 @@ _COVERAGE_NON_ENTRIES = {
     "rollback_to",  # SnapshotTable method
     "rollback_to_snapshot",  # Iceberg procedure name in prose
     "session_window",  # pyspark.sql.functions API
+    "streaming_tws_dedup",  # environment-gated entry (registers when protobuf exists)
     "user_profiles",  # reference table name
 }
 
