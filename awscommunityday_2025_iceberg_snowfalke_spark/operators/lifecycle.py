@@ -71,7 +71,12 @@ class CommitConflict(RuntimeError):
     ValidationException from rewrite_data_files / MERGE conflict)."""
 
 
-def make_table(spark: SparkSession, prefix: str, stats_col: str | None = None):
+def make_table(
+    spark: SparkSession,
+    prefix: str,
+    stats_col: str | None = None,
+    stats_cols: tuple[str, ...] | None = None,
+):
     """Backend factory for the lifecycle fixture tables: a real Iceberg
     catalog table when the flag-gated runtime is present
     (sources/iceberg.py, ``SPARK_GRAFT_ICEBERG_JAR``), else the
@@ -87,7 +92,10 @@ def make_table(spark: SparkSession, prefix: str, stats_col: str | None = None):
             spark, f"{prefix.rstrip('_')}_{uuid.uuid4().hex[:8]}"
         )
     return SnapshotTable(
-        spark, tempfile.mkdtemp(prefix=prefix), stats_col=stats_col
+        spark,
+        tempfile.mkdtemp(prefix=prefix),
+        stats_col=stats_col,
+        stats_cols=stats_cols,
     )
 
 
@@ -102,19 +110,46 @@ class SnapshotTable:
         spark: SparkSession | None,
         path: str,
         stats_col: str | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
     ):
         """``spark`` may be None for metadata-only use (manifest/footer
         walks) — e.g. from the Python DataSource planner, which runs
-        without a session handle. ``stats_col``: when set, every manifest
-        file this table writes records per-entry min/max of that column
+        without a session handle. ``stats_cols`` (or the single-column
+        sugar ``stats_col``): when set, every manifest file this table
+        writes records per-entry min/max/null-count of those columns
         (Iceberg writers carry column stats into manifests at commit
-        time), enabling :meth:`plan_scan_manifests` — scan planning that
-        never opens a data-file footer."""
+        time; aws-community-builders-presentation.md:180-188 describes
+        per-column min/max/null stats), enabling
+        :meth:`plan_scan_manifests` — scan planning that never opens a
+        data-file footer.
+
+        The stats config is PERSISTED in ``<path>/snapshots/table.json``
+        on first construction (the table-metadata role of Iceberg's
+        ``metadata.json``): a second handle opened WITHOUT the config —
+        the concurrent-writer pattern — adopts it from disk, so every
+        writer carries stats and never silently commits stats-less
+        manifests that would degrade planning (r11 ADVICE). An explicit
+        config on this handle wins over the persisted one (it is not
+        rewritten — first writer fixes the table's stats schema)."""
         self.spark = spark
         self.path = path
-        self.stats_col = stats_col
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        cols: tuple[str, ...] = tuple(
+            stats_cols if stats_cols else ((stats_col,) if stats_col else ())
+        )
+        meta_path = os.path.join(path, "snapshots", "table.json")
+        if not cols and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                cols = tuple(json.load(fh).get("stats_cols", ()))
+        elif cols and not os.path.exists(meta_path):
+            # tmp + os.replace: a torn read can never observe half a JSON
+            tmp = meta_path + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"stats_cols": list(cols)}, fh)
+            os.replace(tmp, meta_path)
+        self.stats_cols = cols
+        self.stats_col = cols[0] if cols else None
         # Spark's default INT96 timestamps carry NO footer min/max stats —
         # write micros (what Iceberg mandates) so file skipping can work
         if spark is not None:
@@ -216,10 +251,13 @@ class SnapshotTable:
         os.makedirs(d, exist_ok=True)
         return d
 
-    def _entry_minmax(self, file: str):
-        """Footer min/max of ``stats_col`` for one data file, JSON-ready
+    def _entry_stats(self, file: str) -> dict:
+        """Footer min/max/null-count of every ``stats_cols`` column for
+        one data file — ONE footer read covers all columns. JSON-ready
         (timestamps → tz-normalized ISO strings, which compare
-        lexicographically exactly like the instants they encode)."""
+        lexicographically exactly like the instants they encode).
+        Columns absent from the file's schema or lacking row-group
+        stats are simply omitted (conservative downstream)."""
         import datetime as _dt
 
         import pyarrow.parquet as pq
@@ -227,55 +265,89 @@ class SnapshotTable:
         md = pq.ParquetFile(
             os.path.join(self.path, "data", file)
         ).metadata
-        if self.stats_col not in md.schema.names:
-            return None
-        idx = md.schema.names.index(self.stats_col)
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            mins.append(st.min)
-            maxs.append(st.max)
-        lo, hi = _aware_utc(min(mins)), _aware_utc(max(maxs))
-        if isinstance(lo, _dt.datetime):
-            return [lo.isoformat(), hi.isoformat()]
-        return [lo, hi]
+        out: dict = {}
+        for col in self.stats_cols:
+            if col not in md.schema.names:
+                continue
+            idx = md.schema.names.index(col)
+            mins, maxs, nulls = [], [], 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += st.null_count
+            if not ok or not mins:  # stat-less or zero-row-group file
+                continue
+            lo, hi = _aware_utc(min(mins)), _aware_utc(max(maxs))
+            if isinstance(lo, _dt.datetime):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            out[col] = [lo, hi, nulls]
+        return out
+
+    def _entry_minmax(self, file: str):
+        """[min, max] of the PRIMARY stats column (legacy single-column
+        surface; delegates to :meth:`_entry_stats`)."""
+        st = self._entry_stats(file).get(self.stats_col)
+        return None if st is None else st[:2]
 
     def _write_manifest_file(self, version: int, entries: list[str]) -> str:
         name = f"m{version}-{uuid.uuid4().hex[:8]}.json"
         doc: dict = {"entries": entries}
-        if self.stats_col:
+        if self.stats_cols:
             # Iceberg writers carry per-file column stats into the
             # manifest at commit time — one footer read per NEW file
-            # here buys footer-free scan planning forever after
-            stats = {}
+            # here buys footer-free scan planning forever after.
+            # ``stats`` keeps the legacy primary-column [min,max] shape;
+            # ``col_stats`` is the full column-keyed {col: [min,max,
+            # null_count]} map (P:180-188's per-column stats).
+            stats, col_stats = {}, {}
             for e in entries:
-                mm = self._entry_minmax(e)
-                if mm is not None:
-                    stats[e] = mm
+                es = self._entry_stats(e)
+                if es:
+                    col_stats[e] = es
+                if self.stats_col in es:
+                    stats[e] = es[self.stats_col][:2]
             doc["stats_col"] = self.stats_col
             doc["stats"] = stats
+            doc["stats_cols"] = list(self.stats_cols)
+            doc["col_stats"] = col_stats
         with open(os.path.join(self._manifest_dir(), name), "w") as fh:
             json.dump(doc, fh)
         return name
 
     def _manifest_summary(self, name: str):
-        """Aggregate [min, max] of one manifest's entry stats — the
-        Iceberg MANIFEST-LIST partition/column summary, carried in the
-        snapshot JSON so the planner can skip a whole manifest without
-        even opening it (one json read here, at commit time). None when
-        any entry lacks stats (conservative: the manifest must then be
-        opened)."""
+        """Per-column aggregate {col: [min, max, null_count]} of one
+        manifest's entry stats — the Iceberg MANIFEST-LIST partition
+        summary (manifest lists carry per-partition-field lower/upper
+        bounds + contains-null; for a table whose files are clustered on
+        the stats columns these column summaries ARE the partition
+        summaries), carried in the snapshot JSON so the planner can skip
+        a whole manifest without even opening it (one json read here, at
+        commit time). A column appears only when EVERY entry carried its
+        stats (conservative: otherwise the manifest must be opened for
+        that column); None when no column qualifies."""
         with open(os.path.join(self._manifest_dir(), name)) as fh:
             doc = json.load(fh)
-        stats = doc.get("stats", {})
-        if len(stats) != len(doc["entries"]) or not stats:
-            return None
-        return [
-            min(v[0] for v in stats.values()),
-            max(v[1] for v in stats.values()),
-        ]
+        ents = doc["entries"]
+        cs = doc.get("col_stats", {})
+        cols = doc.get("stats_cols") or (
+            [doc["stats_col"]] if doc.get("stats_col") else []
+        )
+        summary: dict = {}
+        for col in cols:
+            vals = [cs[e][col] for e in ents if e in cs and col in cs[e]]
+            if len(vals) != len(ents) or not vals:
+                continue
+            summary[col] = [
+                min(v[0] for v in vals),
+                max(v[1] for v in vals),
+                sum(v[2] for v in vals),
+            ]
+        return summary or None
 
     def manifest_entries(self, name: str) -> list[str]:
         """Data-file entries of one physical manifest file (one planning
@@ -410,17 +482,38 @@ class SnapshotTable:
         finally:
             os.unlink(tmp)
 
-    def plan_scan_manifests(self, lo, hi, version: int | None = None) -> dict:
+    def plan_scan_manifests(
+        self,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+        predicates: dict | None = None,
+    ) -> dict:
         """Scan planning from MANIFEST stats alone (Iceberg's actual
         planning path): ZERO data-file footer reads — versus
         :meth:`plan_scan`'s 1 + |files| GETs walking footers. THREE
-        pruning levels, all exact: (0) manifest-LIST summaries carried
-        in the snapshot skip whole manifests with NO manifest GET at
-        all (the level that makes time-ordered ingest plan in ~2 GETs);
-        (1) a surviving/unsummarized manifest's aggregate [min,max];
-        (2) per-entry stats. Entries (and manifests) without stats are
-        conservatively read/opened. ``lo``/``hi`` must be in the
-        stats' serialized form (ISO strings for timestamps)."""
+        pruning levels, all exact: (0) manifest-LIST partition/column
+        summaries carried in the snapshot skip whole manifests with NO
+        manifest GET at all (the level that makes time-ordered ingest
+        plan in ~2 GETs); (1) a surviving/unsummarized manifest's
+        per-column aggregate [min,max]; (2) per-entry stats. Entries
+        (and manifests) without stats for a predicate column are
+        conservatively read/opened on that column.
+
+        ``predicates`` is a conjunction {col: (lo, hi)} over any subset
+        of ``stats_cols`` — a file survives only if EVERY predicate
+        range overlaps its stats (range predicates never match NULL
+        rows and parquet min/max exclude nulls, so min/max pruning
+        stays exact for columns with nulls). ``lo``/``hi`` alone is
+        single-column sugar for {primary: (lo, hi)}. Bounds must be in
+        the stats' serialized form (ISO strings for timestamps)."""
+        preds = dict(predicates) if predicates else {self.stats_col: (lo, hi)}
+
+        def _disjoint(st, rng) -> bool:
+            # st: [min, max, ...]; rng: (lo, hi) — True when provably
+            # no row can match (exact skip)
+            return st is not None and (st[1] < rng[0] or st[0] > rng[1])
+
         version = version or self.current_version
         if version == 0:  # empty table (files() parity)
             return {
@@ -444,10 +537,15 @@ class SnapshotTable:
         for name in manifests:
             # level 0 — manifest-LIST summary: skip the whole manifest
             # from the snapshot read alone, NO manifest GET at all
-            # (Iceberg's partition summaries; a summary exists only when
-            # every entry carried stats, so the skip is exact)
+            # (Iceberg's partition summaries; a column summary exists
+            # only when every entry carried its stats, so the skip is
+            # exact). Legacy [lo, hi] list summaries = primary column.
             s = summaries.get(name)
-            if s is not None and (s[1] < lo or s[0] > hi):
+            if isinstance(s, list):
+                s = {self.stats_col: s}
+            if s is not None and any(
+                _disjoint(s.get(c), r) for c, r in preds.items()
+            ):
                 skipped_manifests += 1
                 skipped_by_summary += 1
                 continue
@@ -457,19 +555,32 @@ class SnapshotTable:
             ent = [e for e in doc["entries"] if e in live]
             if not ent:
                 continue
-            stats = doc.get("stats", {})
-            mins = [stats[e][0] for e in ent if e in stats]
-            maxs = [stats[e][1] for e in ent if e in stats]
-            if (
-                len(mins) == len(ent)
-                and mins
-                and (max(maxs) < lo or min(mins) > hi)
-            ):
+            cs = doc.get("col_stats")
+            if cs is None:  # legacy manifest: primary-column stats only
+                cs = {
+                    e: {doc.get("stats_col"): v + [0]}
+                    for e, v in doc.get("stats", {}).items()
+                }
+            # level 1 — manifest aggregate per predicate column (only
+            # exact when every live entry carries that column's stats)
+            skip = False
+            for c, r in preds.items():
+                vals = [cs[e][c] for e in ent if e in cs and c in cs[e]]
+                if len(vals) == len(ent) and vals:
+                    agg = [
+                        min(v[0] for v in vals),
+                        max(v[1] for v in vals),
+                    ]
+                    if _disjoint(agg, r):
+                        skip = True
+                        break
+            if skip:
                 skipped_manifests += 1
                 continue
+            # level 2 — per-entry stats, conjunction across columns
             for e in ent:
-                st = stats.get(e)
-                if st is not None and (st[1] < lo or st[0] > hi):
+                es = cs.get(e, {})
+                if any(_disjoint(es.get(c), r) for c, r in preds.items()):
                     continue
                 read.append(e)
         return {
@@ -2225,42 +2336,53 @@ _MPRUNE_HI = "2024-01-09T23:59:59.999999+00:00"
 
 
 def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MANIFEST-LEVEL scan planning — the layer that actually cures the
-    reference's 43,203-planning-GET pathology (aws-community-builders-
-    presentation.md:247-258): with per-entry column stats carried into
-    manifest files at commit time (``stats_col``, what Iceberg writers
-    do), planning a time-window query reads the manifest list + manifest
-    files ONLY — zero data-file footer opens — and prunes at THREE
-    exact levels: (0) manifest-LIST summaries carried in the snapshot
-    itself skip whole manifests with NO manifest GET at all (Iceberg's
-    partition summaries — 9 of 10 here, from one snapshot read), (1) a
-    surviving manifest's aggregate range, (2) per-entry stats.
-    Scenario: 10 day-range appends × 2 files (time-ordered micro-batch
-    ingest), a 3-day window query, then ``rewrite_manifests(1)``:
-    summaries hold planning at 2 GETs in BOTH phases (vs 11 without
-    summaries, vs the footer path's constant 21); what the rewrite buys
-    is the manifest-LIST length 10 → 1 — the 78 GB/yr metadata-size
-    axis, orthogonal to planning I/O. Both phases read the identical 2
-    files and the identical window rows (the oracle's real COUNT
-    cross-check)."""
+    """MULTI-COLUMN manifest scan planning — the layer that actually
+    cures the reference's 43,203-planning-GET pathology (aws-community-
+    builders-presentation.md:247-258): manifest files carry per-entry
+    min/max/null-count for EVERY stats column (P:180-188's per-column
+    stats) and the manifest LIST carries per-column partition summaries,
+    so planning reads the snapshot + surviving manifests ONLY — zero
+    data-file footer opens — and prunes at THREE exact levels: (0)
+    manifest-LIST summaries skip whole manifests with NO manifest GET,
+    (1) a surviving manifest's per-column aggregate range, (2)
+    per-entry stats under a conjunctive {col: range} predicate.
+    Scenario (micro-batch ingest clustered on BOTH dimensions): 5
+    day-range × 2 user-half appends × 2 files over
+    ``stats_cols=("ts", "user_id")``; then three plans: (a) ts-window
+    only — 8/10 manifests skipped from the LIST alone, 4 files read;
+    (b) ts-window AND lower-user-half — the SECOND stats column prunes
+    the upper-half manifest too, 9/10 skipped, 2 files, 2 GETs (vs 11
+    without summaries, vs the footer path's constant 21); (c) the same
+    conjunctive plan after ``rewrite_manifests(1)`` — the LIST shrinks
+    10 → 1 (the 78 GB/yr metadata-size axis) while per-entry stats
+    still hold the read at the same 2 files. Every phase's file set is
+    pinned equal to the footer-walking planner's per-column
+    intersection, and window_rows is the real COUNT cross-check on the
+    pruned read. The user split point is exact integer arithmetic
+    ((min+max+1) div 2) so both engines compute the identical bound."""
     ev = load(spark, sf_dir, "events")
-    tbl = make_table(spark, "manifestprune_", stats_col="ts")
-    for k in range(10):
-        d = F.dayofmonth("ts")
-        tbl.append(
-            ev.filter((d >= 3 * k + 1) & (d <= 3 * k + 3)), n_files=2
-        )
+    tbl = make_table(spark, "manifestprune_", stats_cols=("ts", "user_id"))
+    # bounded artifact: ONE row (the user-id extremes) drives the split
+    r = ev.agg(
+        F.min("user_id").alias("lo"), F.max("user_id").alias("hi")
+    ).collect()[0]
+    umin, split = int(r["lo"]), (int(r["lo"]) + int(r["hi"]) + 1) // 2
+    d = F.dayofmonth("ts")
+    for k in range(5):
+        rng = ev.filter((d >= 6 * k + 1) & (d <= 6 * k + 6))
+        tbl.append(rng.filter(F.col("user_id") < split), n_files=2)
+        tbl.append(rng.filter(F.col("user_id") >= split), n_files=2)
     lo, hi = _MPRUNE_LO, _MPRUNE_HI
+    ts_pred = {"ts": (lo, hi)}
+    both_pred = {"ts": (lo, hi), "user_id": (umin, split - 1)}
+    window = (
+        F.col("ts") >= F.to_timestamp(F.lit("2024-01-07 00:00:00"))
+    ) & (F.col("ts") < F.to_timestamp(F.lit("2024-01-10 00:00:00")))
 
-    def _phase(name):
-        plan = tbl.plan_scan_manifests(lo, hi)
+    def _phase(name, preds, row_filter):
+        plan = tbl.plan_scan_manifests(predicates=preds)
         rows = (
-            tbl.read_files(plan["files_read"])
-            .filter(
-                (F.col("ts") >= F.to_timestamp(F.lit("2024-01-07 00:00:00")))
-                & (F.col("ts") < F.to_timestamp(F.lit("2024-01-10 00:00:00")))
-            )
-            .count()
+            tbl.read_files(plan["files_read"]).filter(row_filter).count()
         )
         return (
             name,
@@ -2275,23 +2397,37 @@ def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(rows),
         ), set(plan["files_read"])
 
-    before, files_before = _phase("per_commit_manifests")
+    ts_only, files_ts = _phase("ts_only", ts_pred, window)
+    both, files_both = _phase(
+        "ts_and_user", both_pred, window & (F.col("user_id") < split)
+    )
     tbl.rewrite_manifests(target_manifests=1)
-    after, files_after = _phase("after_rewrite")
-    assert files_before == files_after, (
+    after, files_after = _phase(
+        "after_rewrite", both_pred, window & (F.col("user_id") < split)
+    )
+    assert files_both == files_after, (
         "manifest rewrite must not change the planned file set"
     )
-    # the manifest path must agree with the footer-walking planner
-    foot = tbl.plan_scan(
-        "ts",
-        __import__("datetime").datetime.fromisoformat(lo),
-        __import__("datetime").datetime.fromisoformat(hi),
+    # every manifest-stats plan must equal the footer-walking planner's
+    # per-column intersection (zero-footer path == footer path, exactly)
+    import datetime as _dt
+
+    foot_ts = set(
+        tbl.plan_scan(
+            "ts", _dt.datetime.fromisoformat(lo), _dt.datetime.fromisoformat(hi)
+        )["files_read"]
     )
-    assert set(foot["files_read"]) == files_after, (
-        "manifest-stats planning must equal footer-stats planning"
+    foot_user = set(
+        tbl.plan_scan("user_id", umin, split - 1)["files_read"]
+    )
+    assert files_ts == foot_ts, (
+        "manifest-stats planning must equal footer-stats planning (ts)"
+    )
+    assert files_both == (foot_ts & foot_user), (
+        "conjunctive manifest planning must equal the footer intersection"
     )
     return spark.createDataFrame(
-        [before, after],
+        [ts_only, both, after],
         "phase string, files_total int, files_read int, manifests_total int,"
         " manifests_skipped int, skipped_by_summary int, planning_gets int,"
         " gets_without_summaries int, footer_path_gets int, window_rows long",
@@ -2606,27 +2742,40 @@ ORACLE["manifest_lifecycle_report"] = f"""
     SELECT 'after', 13, 24, 1, 2, row_count, sum_value FROM agg
 """
 
-# 10 day-range appends × 2 files; the days-7..9 window overlaps exactly one
-# append (manifest) → 9 of 10 manifests skipped whole, 2 of 20 files read,
-# planning GETs 11 → 2 after rewrite_manifests(1) while the footer path
-# stays 21; window_rows is the real COUNT cross-check on the pruned read
-# summaries cut planning GETs to 2 even BEFORE the rewrite (9/10
-# manifests skipped from the manifest LIST alone, zero manifest opens);
-# rewrite_manifests then cuts the LIST length 10 -> 1 (the 78 GB/yr
-# metadata-size axis) while planning stays at 2 GETs
+# 5 day-range × 2 user-half appends × 2 files over stats_cols=(ts,
+# user_id); the days-7..9 window overlaps ONE day range (= 2 manifests,
+# one per user half). ts-only: 8/10 manifests skipped from the manifest
+# LIST alone (zero manifest opens), 4 files read, 3 GETs. Adding the
+# lower-user-half predicate prunes the upper-half manifest via the
+# SECOND stats column's summary: 9/10 skipped, 2 files, 2 GETs (vs 11
+# without summaries; the footer path stays a constant 21).
+# rewrite_manifests(1) then cuts the LIST length 10 -> 1 (the 78 GB/yr
+# metadata-size axis) while per-entry stats hold the read at the same 2
+# files. The user split is exact integer arithmetic on both engines.
 ORACLE["manifest_pruning_report"] = """
-    WITH w AS (
+    WITH s AS (
+        SELECT (MIN(user_id) + MAX(user_id) + 1) // 2 AS split FROM events
+    ),
+    w1 AS (
         SELECT COUNT(*) AS window_rows FROM events
         WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
           AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+    ),
+    w2 AS (
+        SELECT COUNT(*) AS window_rows FROM events, s
+        WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+          AND user_id < split
     )
-    SELECT 'per_commit_manifests' AS phase, 20 AS files_total,
-           2 AS files_read, 10 AS manifests_total, 9 AS manifests_skipped,
-           9 AS skipped_by_summary, 2 AS planning_gets,
+    SELECT 'ts_only' AS phase, 20 AS files_total, 4 AS files_read,
+           10 AS manifests_total, 8 AS manifests_skipped,
+           8 AS skipped_by_summary, 3 AS planning_gets,
            11 AS gets_without_summaries, 21 AS footer_path_gets, window_rows
-    FROM w
+    FROM w1
     UNION ALL
-    SELECT 'after_rewrite', 20, 2, 1, 0, 0, 2, 2, 21, window_rows FROM w
+    SELECT 'ts_and_user', 20, 2, 10, 9, 9, 2, 11, 21, window_rows FROM w2
+    UNION ALL
+    SELECT 'after_rewrite', 20, 2, 1, 0, 0, 2, 2, 21, window_rows FROM w2
 """
 
 # v1 = all events; v2 = minus errors (one vector per touched file);

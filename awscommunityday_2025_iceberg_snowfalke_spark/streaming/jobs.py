@@ -758,9 +758,17 @@ def tws_available() -> bool:
     ships no ``google.protobuf`` and has no egress to install one, so
     the API is ENVIRONMENT-BLOCKED here (verified: the worker dies with
     ImportError in StateMessage_pb2 — transcript in SCALE.md). The
-    operator below is complete and registers itself when the protocol
-    dependency exists; the applyInPandasWithState sessionization trio
+    operator below is complete, but because it has NEVER executed green
+    (the code path is untestable on this image), registration into the
+    driver gate additionally requires the explicit opt-in flag
+    ``SPARK_GRAFT_ENABLE_TWS=1`` — a protobuf-equipped image must first
+    run it green deliberately rather than silently admitting an untested
+    entry (r11 ADVICE). The applyInPandasWithState sessionization trio
     covers the custom-stateful-operator class on this image."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ENABLE_TWS") != "1":
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -889,8 +889,8 @@ def _python_bpe_train(texts, rounds):
 
 
 def test_bpe_train_matches_python_greedy_replay(spark):
-    """The distributed trainer (word-frequency relation + two-pass replace
-    merges) must reproduce the tokenwise greedy reference exactly —
+    """The distributed trainer (word-frequency relation + tokenwise greedy
+    fold merges) must reproduce the tokenwise greedy reference exactly —
     ranks, pairs, and selection-time counts."""
     from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
         BPE_TRAIN_ROUNDS,

@@ -1,9 +1,7 @@
 #!/usr/bin/env python
-"""Single-entry driver-mirror check: `python tools/drive_one.py name [name2 ...]`.
-
-Same type-sensitive comparator as tools/full_drive.py, but only for the
-named registry entries — the fast loop while building a new operator.
-"""
+"""Single-entry driver-mirror check: `python tools/drive_one.py name1 name2 ...`
+Same type-sensitive comparator as full_drive.py, filtered to the named
+entries (substring match allowed with a trailing '*')."""
 
 import os
 import sys
@@ -17,8 +15,8 @@ from tools.full_drive import _norm
 
 
 def main() -> None:
-    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names = sys.argv[1:]
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.session.timeZone", "UTC")
@@ -38,27 +36,27 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     qs, oracles = E.queries(), E.oracle_sql()
+    picked = [
+        n
+        for n in sorted(qs)
+        if any(
+            n == p or (p.endswith("*") and n.startswith(p[:-1]))
+            for p in names
+        )
+    ]
+    if not picked:
+        raise SystemExit(f"no entries match {names}")
     bad = []
-    for name in names:
-        if name not in qs:
-            bad.append((name, "MISSING from queries()"))
-            continue
-        try:
-            sdf = qs[name](spark, sf).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            bad.append((name, "SPARK ERR", str(exc)[:400]))
-            continue
+    for name in picked:
+        sdf = qs[name](spark, sf).toPandas()
         if name not in oracles:
-            print(f"{name}: rows-only ({len(sdf)} rows) — no oracle")
+            print(f"{name}: rows-only ({len(sdf)} rows)")
             continue
-        try:
-            odf = con.execute(oracles[name]).fetchdf()
-        except Exception as exc:  # noqa: BLE001
-            bad.append((name, "DUCK ERR", str(exc)[:400]))
-            continue
+        odf = con.execute(oracles[name]).fetchdf()
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
         if scols != ocols:
             bad.append((name, "schema", scols, ocols))
+            print(f"{name}: SCHEMA MISMATCH {scols} vs {ocols}")
             continue
         s = sorted(
             (tuple(_norm(v) for v in r) for r in sdf[scols].itertuples(index=False)),
@@ -70,11 +68,13 @@ def main() -> None:
         )
         if s != o:
             diff = [(a, b) for a, b in zip(s, o) if a != b][:3]
-            bad.append((name, "values", len(s), len(o), diff))
+            bad.append((name, "values"))
+            print(f"{name}: VALUE MISMATCH rows {len(s)} vs {len(o)}")
+            for a, b in diff:
+                print("  spark :", a)
+                print("  oracle:", b)
             continue
         print(f"{name}: OK ({len(s)} rows)")
-    for b in bad:
-        print("BAD:", b)
     if bad:
         raise SystemExit(1)
 
