@@ -450,16 +450,31 @@ def _ppjoin_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
+        # Xiao et al.'s positional filter, at FULL tightness (r11
+        # ADVICE): for the k-th shared prefix token (1-based, in
+        # canonical rank order) at positions (i, j), every common token
+        # ranked ≤ it lies inside BOTH prefixes (rank order == position
+        # order), so overlap ≤ k + min(na−i, nb−j) — valid for EVERY k,
+        # and the pair keeps the MINIMUM over its matches. Computed
+        # IN-ROW from the collected (tiny, prefix-only) match list:
+        # array_sort orders by ia == canonical rank, transform indexes
+        # k, array_min takes the tightest bound. No extra exchange vs
+        # the old min(ia)/min(jb) device, strictly fewer survivors.
         .agg(
-            F.min(F.col("a.pos")).alias("ia"),
-            F.min(F.col("b.pos")).alias("jb"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("a.pos").alias("ia"),
+                        F.col("b.pos").alias("jb"),
+                    )
+                )
+            ).alias("ms")
         )
-        # positional filter: overlap ≤ 1 + min(na−ia, nb−jb)
         .filter(
-            (
-                F.lit(1)
-                + F.least(
-                    F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+            F.array_min(
+                F.expr(
+                    "transform(ms, (m, k) ->"
+                    " k + 1 + least(na - m.ia, nb - m.jb))"
                 )
             )
             * (num + den)

@@ -1682,12 +1682,15 @@ def _duck_bpe_train_oracle() -> str:
 
 # --- FastText-style linear quality classifier (inference) -------------------
 QC_BUCKETS = 2048
-# sigmoid banding WITHOUT evaluating exp(): sigmoid is monotone in the
-# logit, so band j = #cutpoints below the EXACT decimal logit sum, with
-# cutpoints ln(p/(1-p)) for p in {.05,.25,.5,.75,.95} frozen as decimal
-# literals — an exact-decimal compare on both engines, no transcendental
-# in any compared value (the r7 ROUND(double) lesson)
-QC_BAND_CUTS = ("-2.944439", "-1.098612", "0.000000", "1.098612", "2.944439")
+# Score banding WITHOUT evaluating exp() OR ln(): the score is monotone
+# in the model's confidence, so band j = #cutpoints below the EXACT
+# integer score, with cutpoints frozen as INTEGER micro-unit literals —
+# a pure integer compare on both engines, no transcendental anywhere in
+# the pipeline (r11 ADVICE closed the last one: the ln() WEIGHTS are now
+# gone too, see _qc_weights). Cuts are the micro-unit images of the old
+# ln-odds deciles under w = tanh(logodds/2) scaling (≈ half for small
+# values), picked to keep the 6-band story.
+QC_BAND_CUTS = (-1472220, -549306, 0, 549306, 1472220)
 
 
 def _qc_features(docs: DataFrame) -> DataFrame:
@@ -1726,9 +1729,25 @@ def _qc_features(docs: DataFrame) -> DataFrame:
 
 
 def _qc_weights(feats: DataFrame) -> DataFrame:
-    """Naive-Bayes log-odds weight dictionary (≤QC_BUCKETS rows) trained
-    from a feature matrix — the deterministic stand-in for an
-    offline-trained linear model."""
+    """EXACTLY-RATIONAL likelihood-ratio weight dictionary (≤QC_BUCKETS
+    rows) trained from a feature matrix — the deterministic stand-in
+    for an offline-trained linear model. The r11 ADVICE found the last
+    transcendental in a compared value: NB ln-ratio weights computed
+    independently by F.log and DuckDB ln can diverge by an ulp and flip
+    a doc at a rounding boundary. Gone: the weight is now
+
+        w = (a − b) / (a + b),  a = p(f|pos), b = p(f|neg) (Laplace)
+
+    — i.e. tanh(logodds/2), the standard bounded odds surrogate: same
+    sign, monotone in the likelihood ratio, first-order equal to
+    logodds/2 near 1. Clearing denominators it is a ratio of two exact
+    integers, quantized to MICRO-UNITS by exact integer floor division
+    (A·10⁶ − A·10⁶ mod den) / den on non-negative operands — identical
+    on any engine, no doubles anywhere. Spark side runs it in
+    DECIMAL(38,0) so the count products stay exact at any corpus size
+    (long would overflow near 10⁹·10¹⁰); DuckDB's oracle twin uses
+    HUGEINT. Output column ``w6``: integer micro-weight in [−10⁶, 10⁶].
+    """
     counts = feats.groupBy("bkt").agg(
         F.sum(F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)).alias(
             "neg_c"
@@ -1746,31 +1765,36 @@ def _qc_weights(feats: DataFrame) -> DataFrame:
         ),
     ).collect()[0]
     n_neg, n_pos = int(tot["n_neg"]), int(tot["n_pos"])
-    w = F.log(
-        (F.col("pos_c") + 1).cast("double") / F.lit(float(n_pos + QC_BUCKETS))
-    ) - F.log(
-        (F.col("neg_c") + 1).cast("double") / F.lit(float(n_neg + QC_BUCKETS))
-    )
-    return counts.select("bkt", w.alias("w"))
+    # a/b with denominators cleared: an = (pos_c+1)·(n_neg+B),
+    # bn = (neg_c+1)·(n_pos+B); w = (an − bn)/(an + bn)
+    an = (F.col("pos_c") + 1).cast("decimal(19,0)") * F.lit(
+        n_neg + QC_BUCKETS
+    ).cast("decimal(19,0)")
+    bn = (F.col("neg_c") + 1).cast("decimal(19,0)") * F.lit(
+        n_pos + QC_BUCKETS
+    ).cast("decimal(19,0)")
+    num, den = an - bn, an + bn
+    big = F.abs(num) * F.lit(1_000_000).cast("decimal(7,0)")
+    # exact floor division on non-negative decimals: subtract the exact
+    # remainder first, so the engine's division rounds an exact integer
+    q = ((big - big % den) / den).cast("long")
+    w6 = F.when(num < 0, -q).otherwise(q)
+    return counts.select("bkt", w6.alias("w6"))
 
 
 def _qc_scored(feats: DataFrame, weights: DataFrame) -> DataFrame:
-    """Per-doc decimal-exact logit sums: broadcast weight join + one
+    """Per-doc INTEGER-exact score sums: broadcast weight join + one
     doc-keyed aggregation — INFERENCE, usable on any feature matrix
     (the streaming gate scores each micro-batch through this exact
-    function with frozen weights)."""
+    function with frozen weights). ``ws`` = Σ cnt·w6, a pure int64
+    (|w6| ≤ 10⁶ × per-doc feature count: a 10¹²-feature doc would be
+    needed to overflow)."""
     return (
         feats.join(F.broadcast(weights), "bkt")
         .groupBy("doc_id", "lang", "lbl")
         .agg(
             F.sum("cnt").alias("n_feats"),
-            # cnt as DECIMAL(9,0): 9+28+1 = 38 keeps the product inside
-            # Spark's decimal cap at full 16-dp scale (a raw bigint
-            # multiplicand would trigger silent scale loss at p=49)
-            F.sum(
-                F.col("cnt").cast("decimal(9,0)")
-                * F.col("w").cast("decimal(28,16)")
-            ).alias("ws"),
+            F.sum(F.col("cnt") * F.col("w6")).alias("ws"),
         )
     )
 
@@ -1782,22 +1806,28 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fastText's exact feature map: each token contributes itself plus
     the trigrams of '<tok>' — Joulin et al. 2016, Bojanowski et al.
     2017). Production weights come from an offline-trained model; the
-    deterministic stand-in here is the Naive-Bayes log-odds vector
-    trained against the corpus's own integer-rule quality label
-    (``text_quality``'s exact predicates) — NB log-odds over hashed BoW
-    IS a linear text classifier of the identical inference shape, the
-    same device ``dsir_importance_weights`` uses for its importance
-    model (textstats.py's hashed-BoW + broadcast-dictionary precedent).
+    deterministic stand-in here is the EXACTLY-RATIONAL likelihood-ratio
+    vector w = (p(f|pos) − p(f|neg)) / (p(f|pos) + p(f|neg)) — i.e.
+    tanh(NB-logodds/2), same sign and monotone in the likelihood ratio
+    — trained against the corpus's own integer-rule quality label
+    (``text_quality``'s exact predicates); a bounded-weight linear text
+    classifier of the identical inference shape, the same hashed-BoW +
+    broadcast-dictionary device ``dsir_importance_weights`` uses. The
+    rational form means the ENTIRE pipeline is integer arithmetic: no
+    ln(), no exp(), no double anywhere a value is compared (the r11
+    ADVICE item — NB ln-weights were the last transcendental; see
+    ``_qc_weights`` for the exact integer micro-unit quantization).
 
-    Output per doc: feature count, the logit (decimal-exact sum,
-    6-dp display), the sigmoid BAND (0-5 via exact decimal cutpoint
-    compares — see ``QC_BAND_CUTS``; sigmoid itself is monotone so the
-    band is the probability decile story without a cross-engine exp()),
-    the >0.5 prediction (logit > 0, exact), and the rule label it was
-    trained against (train agreement 0.78 vs a 0.62 base rate on this
-    corpus — the hashed-feature signal is real; weights are the
-    likelihood-ratio ln p(f|pos) − ln p(f|neg), equal-priors decision at
-    logit 0). Docs with zero tokens have no features and drop out
+    Output per doc: feature count, the score in units (the int64
+    micro-score ÷ 10⁶, 6-dp display — bit-deterministic: both engines
+    divide the identical integer), the confidence BAND (0-5 via pure
+    integer cutpoint compares — see ``QC_BAND_CUTS``; the score is
+    monotone in model confidence so the band is the probability-decile
+    story without any transcendental), the prediction (score > 0,
+    exact), and the rule label it was trained against (train agreement
+    0.79 vs a 0.62 base rate on this corpus — the hashed-feature signal
+    is real; equal-priors decision at score 0). Docs with zero tokens
+    have no features and drop out
     (both engines identically).
 
     Scale shape (100 TB): the exploded feature stream (≈6× the token
@@ -1830,19 +1860,17 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _qc_scored(feats, weights)
     band = None
     for c in QC_BAND_CUTS:
-        hit = (F.col("ws") > F.expr(f"CAST('{c}' AS DECIMAL(8,6))")).cast(
-            "int"
-        )
+        hit = (F.col("ws") > F.lit(c)).cast("int")
         band = hit if band is None else band + hit
+    # logit6: the integer micro-score displayed in units — both engines
+    # divide the IDENTICAL int64 by 10⁶ in IEEE double, bit-equal
     return scored.select(
         "doc_id",
         "lang",
         "n_feats",
-        F.round(F.col("ws").cast("double"), 6).alias("logit6"),
+        F.round(F.col("ws").cast("double") / 1e6, 6).alias("logit6"),
         band.alias("prob_band"),
-        (F.col("ws") > F.expr("CAST('0' AS DECIMAL(8,6))"))
-        .cast("int")
-        .alias("pred_quality"),
+        (F.col("ws") > 0).cast("int").alias("pred_quality"),
         F.col("lbl").cast("int").alias("label_quality_ok"),
     )
 
@@ -2600,10 +2628,10 @@ ORACLE["kneser_ney_bigram_score"] = rf"""
 ORACLE["quality_method_agreement"] = _quality_agreement_oracle()
 
 _QC_BAND_SQL = " + ".join(
-    f"CAST((ws > CAST('{c}' AS DECIMAL(8,6))) AS INT)" for c in QC_BAND_CUTS
+    f"CAST((ws > {c}) AS INT)" for c in QC_BAND_CUTS
 )
 # shared CTE chain: label → tokens → features → buckets → weights →
-# per-doc decimal logit sums; the streaming gate's oracle reuses it with
+# per-doc integer micro-score sums; the streaming gate's oracle reuses it
 # a per-language rollup
 _QC_CTES = rf"""
     WITH lab AS (
@@ -2644,15 +2672,19 @@ _QC_CTES = rf"""
     ),
     w AS (
         SELECT bkt,
-               ln((pos_c + 1.0) / (n_pos + {QC_BUCKETS}))
-             - ln((neg_c + 1.0) / (n_neg + {QC_BUCKETS})) AS w
-        FROM counts CROSS JOIN tot
+               CASE WHEN an < bn THEN -1 ELSE 1 END
+               * ((abs(an - bn) * 1000000) // (an + bn)) AS w6
+        FROM (SELECT bkt,
+                     CAST(pos_c + 1 AS HUGEINT)
+                         * (n_neg + {QC_BUCKETS}) AS an,
+                     CAST(neg_c + 1 AS HUGEINT)
+                         * (n_pos + {QC_BUCKETS}) AS bn
+              FROM counts CROSS JOIN tot)
     ),
     s AS (
         SELECT b.doc_id, b.lang, b.lbl,
                CAST(SUM(b.cnt) AS BIGINT) AS n_feats,
-               SUM(CAST(b.cnt AS DECIMAL(9,0))
-                   * CAST(w.w AS DECIMAL(28,16))) AS ws
+               CAST(SUM(b.cnt * w.w6) AS BIGINT) AS ws
         FROM b JOIN w USING (bkt)
         GROUP BY b.doc_id, b.lang, b.lbl
     )
@@ -2660,9 +2692,9 @@ _QC_CTES = rf"""
 
 ORACLE["quality_classifier_score"] = _QC_CTES + f"""
     SELECT doc_id, lang, n_feats,
-           ROUND(CAST(ws AS DOUBLE), 6) AS logit6,
+           ROUND(CAST(ws AS DOUBLE) / 1000000, 6) AS logit6,
            CAST({_QC_BAND_SQL} AS INT) AS prob_band,
-           CAST(ws > CAST('0' AS DECIMAL(8,6)) AS INT) AS pred_quality,
+           CAST(ws > 0 AS INT) AS pred_quality,
            CAST(lbl AS INT) AS label_quality_ok
     FROM s
 """

@@ -872,7 +872,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus so the oracle can reproduce every score), then THREE
     micro-batches (``maxFilesPerTrigger=1``, mtimes pin order) each run
     the identical inference — feature explode → broadcast frozen
-    weights → per-doc decimal logit — inside ``foreachBatch``. The gate
+    weights → per-doc integer micro-score — inside ``foreachBatch``. The gate
     is STATELESS (zero streaming state: a doc never spans batches, so
     per-batch batch-semantics scoring is exact), which is what lets it
     run at crawl throughput; per-language admit/reject counts accumulate
@@ -905,9 +905,8 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         scored = T._qc_scored(T._qc_features(batch_df), weights)
-        admitted = (
-            F.col("ws") > F.expr("CAST('0' AS DECIMAL(8,6))")
-        ).cast("long")
+        # ws is the integer micro-score (Σ cnt·w6) — pure int compare
+        admitted = (F.col("ws") > 0).cast("long")
         for r in (
             scored.groupBy("lang")
             .agg(
@@ -1016,10 +1015,10 @@ ORACLE = {
     # per-language rollup exactly
     "streaming_quality_gate": _QC + """
     SELECT lang,
-           CAST(SUM(CASE WHEN ws > CAST('0' AS DECIMAL(8,6))
-                    THEN 1 ELSE 0 END) AS BIGINT) AS admitted_docs,
-           CAST(SUM(CASE WHEN ws > CAST('0' AS DECIMAL(8,6))
-                    THEN 0 ELSE 1 END) AS BIGINT) AS rejected_docs
+           CAST(SUM(CASE WHEN ws > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS admitted_docs,
+           CAST(SUM(CASE WHEN ws > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS rejected_docs
     FROM s GROUP BY lang
     """,
     # micro-batched arrival must not change the interval-join answer
