@@ -935,6 +935,130 @@ def dedup_lines_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- paragraph-level dedup (CCNet's actual unit) -----------------------------
+PARA_TOKENS = 64  # fixed-width pseudo-paragraphs over the unbroken testdata
+
+
+def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, para) paragraph stream — CCNet's dedup unit
+    (Wenzek et al. 2020 splits on blank lines, hashes each paragraph,
+    and drops repeats corpus-wide). The testdata's text carries no
+    newlines, so paragraphs are fixed ``PARA_TOKENS``-token segments
+    (4× the LINE grain — the lines/paragraphs granularity ladder stays
+    distinct); real blank-line text swaps ONE expression
+    (``split(text, '\\n\\\\s*\\n')``) and the plan is unchanged."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        (F.size("toks") + PARA_TOKENS - 1)
+                        / F.lit(PARA_TOKENS),
+                        F.lit(1),
+                    ).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("toks"),
+                        (i - 1) * PARA_TOKENS + 1,
+                        PARA_TOKENS,
+                    ),
+                ),
+            )
+        ).alias("pos", "para"),
+    )
+
+
+def _paragraphs_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph stream with the corpus-wide first-occurrence-survives
+    flag: ONE window over 8-byte paragraph hashes ranked by (doc_id,
+    pos) — the shuffle carries digests + the bounded para text for the
+    rebuild, never re-reads the corpus. Shared by the report and the
+    removal transform."""
+    paras = _paragraphs(spark, sf_dir).select(
+        "doc_id",
+        "pos",
+        "para",
+        F.expr(_SPARK_H.format(expr="para")).alias("ph"),
+    )
+    w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+    return paras.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("long")
+    )
+
+
+def dedup_paragraphs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style PARAGRAPH-level dedup accounting, completing the
+    granularity ladder (corpus → doc → paragraph → line → substring):
+    each distinct paragraph survives only at its first corpus-wide
+    occurrence (lowest doc_id, then position); later copies are removed
+    — the grain CCNet actually dedups at before its LM quality buckets.
+    Per doc: paragraph totals plus the exact TOKEN attrition (what a
+    CCNet run publishes — paragraph counts alone hide that removed
+    paragraphs skew long). Shape: segment map-side, ONE window keyed on
+    the 8-byte paragraph hash, one doc-keyed rollup. At 100 TB the hot
+    hash keys are exactly the boilerplate paragraphs being removed —
+    bounded per-key state (rank-1 row), AQE skew split for the sort;
+    nothing driver-side."""
+    flagged = _paragraphs_flagged(spark, sf_dir)
+    ptoks = F.size(F.split(F.col("para"), " ")).cast("long")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("kept").alias("kept_paras"),
+        (F.count(F.lit(1)) - F.sum("kept")).alias("removed_paras"),
+        F.sum((1 - F.col("kept")) * ptoks).alias("removed_tokens"),
+    )
+
+
+def dedup_paragraphs_removed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paragraph-removal TRANSFORM itself — the pass that actually
+    rewrites the corpus (the report above only accounts for it): each
+    doc is rebuilt from its SURVIVING paragraphs in original order,
+    reusing ``dedup_substring_removed_text``'s reconstruction shape
+    (per-doc ``array_sort(collect_list(struct(pos, para)))`` — the whole
+    doc must meet in one group to be re-joined, the irreducible cost of
+    text output; whitespace canonicalized to the tokenization the
+    hashes were computed over). A doc whose every paragraph is a repeat
+    rebuilds to the empty string (the left-join + coalesce device)."""
+    docs = load(spark, sf_dir, "documents")
+    flagged = _paragraphs_flagged(spark, sf_dir)
+    rebuilt = (
+        flagged.filter(F.col("kept") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text_clean")
+        )
+    )
+    counts = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("kept").alias("kept_paras"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id")
+        .join(rebuilt, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_paras",
+            "kept_paras",
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 # --- dedup release reports ----------------------------------------------------
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-METHOD agreement matrix — which near-dup detectors find the
@@ -1971,6 +2095,8 @@ QUERIES = {
     "dedup_substring_removed_text": dedup_substring_removed_text,
     "benchmark_contamination_substrings": benchmark_contamination_substrings,
     "dedup_lines_report": dedup_lines_report,
+    "dedup_paragraphs_report": dedup_paragraphs_report,
+    "dedup_paragraphs_removed_text": dedup_paragraphs_removed_text,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "jaccard_threshold_sweep": jaccard_threshold_sweep,
@@ -2110,6 +2236,34 @@ _DUCK_LINE_EXPR = (
     f"CAST(i * {LINE_TOKENS} + {LINE_TOKENS} AS INT)], ' ')"
 )
 
+_DUCK_PARA_EXPR = (
+    f"array_to_string(toks[CAST(i * {PARA_TOKENS} + 1 AS INT):"
+    f"CAST(i * {PARA_TOKENS} + {PARA_TOKENS} AS INT)], ' ')"
+)
+
+# shared CTE chain for the paragraph family: segment → hash → the
+# corpus-wide first-occurrence flag (one window over 8-byte hashes)
+_DUCK_PARA_FLAGGED = rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, {_DUCK_PARA_EXPR} AS para,
+               {_DUCK_H.format(expr=_DUCK_PARA_EXPR)} AS ph
+        FROM t, UNNEST(range(GREATEST(
+            CAST(CEIL(len(toks) / CAST({PARA_TOKENS} AS DOUBLE)) AS BIGINT),
+            1))) AS u(i)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, para,
+               CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY ph ORDER BY doc_id, pos) = 1
+               THEN 1 ELSE 0 END AS kept
+        FROM paras
+    )
+"""
+
 
 ORACLE = {
     "dedup_exact": """
@@ -2175,6 +2329,21 @@ ORACLE = {
                COALESCE(ac.admitted_docs, 0) AS admitted_docs,
                bc.batch_docs - COALESCE(ac.admitted_docs, 0) AS rejected_docs
         FROM bc LEFT JOIN ac ON bc.lang = ac.lang
+    """,
+    "dedup_paragraphs_report": _DUCK_PARA_FLAGGED + """
+        SELECT doc_id, COUNT(*) AS n_paras,
+               CAST(SUM(kept) AS BIGINT) AS kept_paras,
+               CAST(COUNT(*) - SUM(kept) AS BIGINT) AS removed_paras,
+               CAST(SUM((1 - kept) * len(string_split(para, ' ')))
+                    AS BIGINT) AS removed_tokens
+        FROM flagged GROUP BY doc_id
+    """,
+    "dedup_paragraphs_removed_text": _DUCK_PARA_FLAGGED + """
+        SELECT doc_id, COUNT(*) AS n_paras,
+               CAST(SUM(kept) AS BIGINT) AS kept_paras,
+               COALESCE(string_agg(CASE WHEN kept = 1 THEN para END,
+                                   ' ' ORDER BY pos), '') AS text_clean
+        FROM flagged GROUP BY doc_id
     """,
     "dedup_lines_report": rf"""
         WITH t AS (

@@ -824,6 +824,54 @@ def test_dedup_substring_removed_text_surgery(spark, tmp_path):
     assert got[3]["removed_tokens"] == 0
 
 
+def test_dedup_paragraphs_first_occurrence_and_transform(spark, tmp_path):
+    """Paragraph dedup on a doctored corpus with PLANTED repeated
+    paragraphs: first corpus-wide occurrence survives (lowest doc_id,
+    then position — including within-doc repeats), the removal
+    transform rebuilds docs from survivors in order, and token
+    accounting is exact."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        PARA_TOKENS,
+        dedup_paragraphs_removed_text,
+        dedup_paragraphs_report,
+    )
+
+    pa = " ".join(f"dupa{i}" for i in range(PARA_TOKENS))
+    pb = " ".join(f"uniqb{i}" for i in range(PARA_TOKENS))
+    pc = " ".join(f"uniqc{i}" for i in range(PARA_TOKENS))
+    pd_ = " ".join(f"solo{i}" for i in range(30))
+    docs = [
+        (0, pa + " " + pb),  # A's first occurrence + unique B
+        (1, pa + " " + pc),  # A repeated across docs
+        (2, pa + " " + pa),  # A repeated twice more (within-doc too)
+        (3, pd_),  # unique short doc
+    ]
+    spark.createDataFrame(
+        [(i, "en", "crawlA", t, len(t)) for i, t in docs],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rep = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs_report(spark, str(tmp_path)).collect()
+    }
+    assert (rep[0]["n_paras"], rep[0]["kept_paras"], rep[0]["removed_tokens"]) == (2, 2, 0)
+    assert (rep[1]["kept_paras"], rep[1]["removed_paras"]) == (1, 1)
+    assert rep[1]["removed_tokens"] == PARA_TOKENS
+    assert (rep[2]["kept_paras"], rep[2]["removed_paras"]) == (0, 2)
+    assert rep[2]["removed_tokens"] == 2 * PARA_TOKENS
+    assert (rep[3]["n_paras"], rep[3]["kept_paras"]) == (1, 1)
+
+    txt = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs_removed_text(spark, str(tmp_path)).collect()
+    }
+    assert txt[0]["text_clean"] == pa + " " + pb
+    assert txt[1]["text_clean"] == pc
+    assert txt[2]["text_clean"] == ""  # fully-duplicated doc empties out
+    assert txt[3]["text_clean"] == pd_
+
+
 def test_quality_classifier_separates_and_bands_monotone(spark):
     """The NB-weighted hashed-feature classifier must actually classify:
     train agreement with its rule label clearly above the label base
