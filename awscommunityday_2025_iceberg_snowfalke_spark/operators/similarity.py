@@ -1724,6 +1724,140 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental IVF maintenance ---------------------------------------------
+def _assign_frozen(vectors: DataFrame, cent_rows: list) -> DataFrame:
+    """(vec_id, cell): map-only Arrow assignment of ``vectors`` against a
+    FROZEN centroid list (collected bounded k×d artifact) — the
+    :func:`_assigned_cells` kernel generalized to an explicit centroid
+    set, so an index can score vectors it was NOT trained on. Argmax
+    takes the first/lowest cell on ties (= the oracle's cos DESC, cell
+    ASC)."""
+    import numpy as np
+    import pandas as pd
+
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = np.linalg.norm(E, axis=1)
+            S = (E @ C.T) / (En[:, None] * Cn[None, :])
+            idx = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cells[idx],
+                }
+            )
+
+    return vectors.select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    ).mapInPandas(assign, "vec_id long, cell int")
+
+
+def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index maintenance — the batch-static store meets
+    the append-only pipeline: new embeddings arrive continuously, and
+    re-training the coarse quantizer per batch is neither affordable
+    nor desirable (cell ids must stay stable for the partitioned
+    store). The production protocol (FAISS/Milvus alike): assign the
+    arriving batch to the FROZEN existing centroids — a map-only pass,
+    the ``dedup_incremental`` standing-vs-arriving split device over
+    vectors — and monitor DRIFT; the index re-trains only when the
+    drift report says so. vec_id parity is the deterministic crawl-
+    generation stand-in (``embedding_drift_report``'s convention):
+    even = standing corpus the index was trained on, odd = arriving.
+
+    Per frozen cell the report carries the re-train decision inputs:
+    occupancy before/after (arrivals land where the frozen index puts
+    them), the AGREEMENT between frozen-index assignment and a full
+    re-train's assignment of the same arrivals (the quality cost of
+    not re-training, measured — a label-pure doctored fixture pins
+    agreement == 100% when cells don't move), the centroid shift a
+    re-train would apply (max per-dimension |Δ|, decimal-exact means
+    on both engines), and the integer-exact re-train trigger
+    (occupancy growth > 150% OR shift > 0.01 — the thresholds a real
+    deployment tunes; growth is the pure-integer cross-product compare
+    2·n_arrived > 3·n_standing).
+
+    Scale shape (100 TB): three map-only Arrow passes (standing
+    occupancy, arriving frozen-assign, arriving rebuilt-assign) — each
+    one matmul per batch against a broadcast k×d matrix in the UDF
+    closure; the centroid relations are k-row bounded artifacts
+    (collected only for the closures, the IVF-centroid precedent); the
+    drift join is k×d in-engine (zip_with, no collect); all counts are
+    map-side-combinable k-group aggs. Nothing scales with corpus rows
+    on the driver. In steady state only the arriving batch is scored —
+    the standing corpus is already partitioned by cell (the
+    ``ann_ivf_partitioned_probe`` store) and untouched."""
+    emb = load(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    cent_frozen = _centroids(standing)
+    cent_full = _centroids(emb)
+    frozen_rows = cent_frozen.orderBy("label").collect()  # bounded k×d
+    full_rows = cent_full.orderBy("label").collect()
+
+    s_occ = (
+        _assign_frozen(standing, frozen_rows)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_standing"))
+    )
+    a_frozen = _assign_frozen(arriving, frozen_rows)
+    a_full = _assign_frozen(arriving, full_rows).withColumnRenamed(
+        "cell", "cell_rebuilt"
+    )
+    a_cmp = (
+        a_frozen.join(a_full, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_arrived"),
+            F.sum(
+                (F.col("cell") == F.col("cell_rebuilt")).cast("long")
+            ).alias("n_agree_rebuild"),
+        )
+    )
+    shift = (
+        cent_frozen.alias("f")
+        .join(cent_full.alias("r"), "label")
+        .select(
+            F.col("label").alias("cell"),
+            F.round(
+                F.array_max(
+                    F.zip_with(
+                        F.col("f.centroid"),
+                        F.col("r.centroid"),
+                        lambda x, y: F.abs(x - y),
+                    )
+                ),
+                8,
+            ).alias("centroid_shift"),
+        )
+    )
+    out = (
+        shift.join(s_occ, "cell", "left_outer")
+        .join(a_cmp, "cell", "left_outer")
+        .select(
+            "cell",
+            F.coalesce("n_standing", F.lit(0)).alias("n_standing"),
+            F.coalesce("n_arrived", F.lit(0)).alias("n_arrived"),
+            F.coalesce("n_agree_rebuild", F.lit(0)).alias(
+                "n_agree_rebuild"
+            ),
+            "centroid_shift",
+        )
+    )
+    return out.withColumn(
+        "retrain",
+        (
+            (F.col("n_arrived") * 2 > F.col("n_standing") * 3)
+            | (F.col("centroid_shift") > 0.01)
+        ).cast("int"),
+    )
+
+
 # --- hybrid search: BM25 × vector fusion (Reciprocal Rank Fusion) ------------
 RRF_K = 60  # the canonical RRF constant (Cormack, Clarke, Buettcher 2009)
 RRF_TOPK = 10
@@ -2187,6 +2321,7 @@ QUERIES = {
     "ann_ivf_opq_recall_report": ann_ivf_opq_recall_report,
     "hybrid_search_rrf": hybrid_search_rrf,
     "embedding_drift_report": embedding_drift_report,
+    "ann_ivf_incremental_assign": ann_ivf_incremental_assign,
 }
 
 
@@ -2556,6 +2691,104 @@ ORACLE["embedding_pca_variance"] = """
            TRUE AS eig_sum_ok,
            TRUE AS eig_nonneg_ok
     FROM agg
+"""
+
+# standing = even vec_id, arriving = odd; frozen centroids trained on
+# standing only, rebuilt centroids on everything; every count, the
+# agreement, the decimal-exact max per-dim shift, and the integer
+# re-train trigger recomputed from scratch
+ORACLE["ann_ivf_incremental_assign"] = """
+    WITH src AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    old AS (SELECT * FROM src WHERE vec_id % 2 = 0),
+    arr AS (SELECT * FROM src WHERE vec_id % 2 = 1),
+    compf AS (
+        SELECT label, e[i + 1] AS v, i AS pos
+        FROM old, UNNEST(range(len(e))) AS u(i)
+    ),
+    centf AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+        FROM compf GROUP BY label, pos
+    ),
+    cf AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS centroid
+        FROM centf GROUP BY label
+    ),
+    compr AS (
+        SELECT label, e[i + 1] AS v, i AS pos
+        FROM src, UNNEST(range(len(e))) AS u(i)
+    ),
+    centr AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+        FROM compr GROUP BY label, pos
+    ),
+    cr AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS centroid
+        FROM centr GROUP BY label
+    ),
+    sassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT o.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o.vec_id
+                       ORDER BY list_cosine_similarity(o.e, c.centroid)
+                                DESC, c.cell ASC) AS rk
+            FROM old o CROSS JOIN cf c
+        ) WHERE rk = 1
+    ),
+    afrozen AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_cosine_similarity(n.e, c.centroid)
+                                DESC, c.cell ASC) AS rk
+            FROM arr n CROSS JOIN cf c
+        ) WHERE rk = 1
+    ),
+    arebuilt AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_cosine_similarity(n.e, c.centroid)
+                                DESC, c.cell ASC) AS rk
+            FROM arr n CROSS JOIN cr c
+        ) WHERE rk = 1
+    ),
+    occ AS (
+        SELECT cell, COUNT(*) AS n_standing FROM sassign GROUP BY cell
+    ),
+    acmp AS (
+        SELECT f.cell, COUNT(*) AS n_arrived,
+               CAST(SUM(CASE WHEN f.cell = r.cell THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree_rebuild
+        FROM afrozen f JOIN arebuilt r USING (vec_id)
+        GROUP BY f.cell
+    ),
+    shift AS (
+        SELECT f.cell,
+               ROUND(list_aggregate(
+                   list_transform(list_zip(f.centroid, r.centroid),
+                                  p -> abs(p[1] - p[2])), 'max'),
+                   8) AS centroid_shift
+        FROM cf f JOIN cr r USING (cell)
+    )
+    SELECT s.cell,
+           COALESCE(o.n_standing, 0) AS n_standing,
+           COALESCE(a.n_arrived, 0) AS n_arrived,
+           COALESCE(a.n_agree_rebuild, 0) AS n_agree_rebuild,
+           s.centroid_shift,
+           CAST((COALESCE(a.n_arrived, 0) * 2
+                     > COALESCE(o.n_standing, 0) * 3
+                 OR s.centroid_shift > 0.01) AS INT) AS retrain
+    FROM shift s
+    LEFT JOIN occ o USING (cell)
+    LEFT JOIN acmp a USING (cell)
 """
 
 ORACLE["semantic_dedup"] = f"""

@@ -824,6 +824,54 @@ def test_dedup_substring_removed_text_surgery(spark, tmp_path):
     assert got[3]["removed_tokens"] == 0
 
 
+def test_ann_ivf_incremental_unchanged_cells_agree(spark, tmp_path):
+    """Frozen-index invariant on a doctored corpus: arrivals land only
+    in clusters 0/1, so the full re-train's centroids for clusters 2/3
+    are built from the IDENTICAL member set → exactly zero shift; with
+    well-separated clusters every arrival's frozen assignment equals
+    the rebuild assignment (the quality cost of not re-training is
+    zero), and the re-train trigger fires only where occupancy grew."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        ann_ivf_incremental_assign,
+    )
+
+    def vec(cluster, jitter):
+        e = [0.0] * 8
+        e[cluster * 2] = 10.0
+        e[cluster * 2 + 1] = jitter
+        return e
+
+    rows = []
+    vid = 0
+    for cluster in range(4):  # standing: even vec_ids, all clusters
+        for j in range(3):
+            rows.append((vid, cluster, vec(cluster, 0.1 * j)))
+            vid += 2
+    vid = 1
+    for cluster in (0, 1):  # arriving: odd vec_ids, clusters 0/1 only
+        for j in range(4):
+            rows.append((vid, cluster, vec(cluster, 0.2 * j)))
+            vid += 2
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["cell"]: r
+        for r in ann_ivf_incremental_assign(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for c in (2, 3):  # untouched clusters: identical member set
+        assert got[c]["centroid_shift"] == 0.0
+        assert got[c]["n_arrived"] == 0
+        assert got[c]["retrain"] == 0
+    for c in (0, 1):  # grown clusters: full agreement, trigger fires
+        assert got[c]["n_arrived"] == 4
+        assert got[c]["n_agree_rebuild"] == 4
+        assert got[c]["n_standing"] == 3
+        assert got[c]["retrain"] == 1  # 4·2 > 3·3
+
+
 def test_dedup_paragraphs_first_occurrence_and_transform(spark, tmp_path):
     """Paragraph dedup on a doctored corpus with PLANTED repeated
     paragraphs: first corpus-wide occurrence survives (lowest doc_id,
