@@ -277,6 +277,12 @@ class SnapshotTable:
                 if st is None or not st.has_min_max:
                     ok = False
                     break
+                if st.null_count is None:
+                    # writer omitted null counts (pyarrow returns None,
+                    # not 0) — treat the column as stat-less for this
+                    # file: conservative, never a TypeError mid-commit
+                    ok = False
+                    break
                 mins.append(st.min)
                 maxs.append(st.max)
                 nulls += st.null_count
@@ -508,6 +514,16 @@ class SnapshotTable:
         single-column sugar for {primary: (lo, hi)}. Bounds must be in
         the stats' serialized form (ISO strings for timestamps)."""
         preds = dict(predicates) if predicates else {self.stats_col: (lo, hi)}
+        if any(
+            r is None or r[0] is None or r[1] is None for r in preds.values()
+        ):
+            # a (None, None) "range" would TypeError inside _disjoint on
+            # the first stats comparison — fail clearly at the API edge
+            # instead (half-open ranges are not supported either)
+            raise ValueError(
+                "plan_scan_manifests needs closed bounds: pass lo/hi or "
+                f"predicates with (lo, hi) per column; got {preds!r}"
+            )
 
         def _disjoint(st, rng) -> bool:
             # st: [min, max, ...]; rng: (lo, hi) — True when provably

@@ -940,7 +940,7 @@ def test_ann_ivf_incremental_unchanged_cells_agree(spark, tmp_path):
             vid += 2
     vid = 1
     for cluster in (0, 1):  # arriving: odd vec_ids, clusters 0/1 only
-        for j in range(4):
+        for j in range(5):  # 5 arrivals: occupancy growth fires (5·2 > 3·3)
             rows.append((vid, cluster, vec(cluster, 0.2 * j)))
             vid += 2
     spark.createDataFrame(
@@ -957,10 +957,13 @@ def test_ann_ivf_incremental_unchanged_cells_agree(spark, tmp_path):
         assert got[c]["n_arrived"] == 0
         assert got[c]["retrain"] == 0
     for c in (0, 1):  # grown clusters: full agreement, trigger fires
-        assert got[c]["n_arrived"] == 4
-        assert got[c]["n_agree_rebuild"] == 4
+        assert got[c]["n_arrived"] == 5
+        assert got[c]["n_agree_rebuild"] == 5
         assert got[c]["n_standing"] == 3
-        assert got[c]["retrain"] == 1  # 4·2 > 3·3
+        # BOTH trigger branches genuinely fire here: occupancy growth
+        # (5·2 = 10 > 3·3 = 9) and centroid shift (> 0.01)
+        assert got[c]["centroid_shift"] > 0.01
+        assert got[c]["retrain"] == 1
 
 
 def test_dedup_paragraphs_first_occurrence_and_transform(spark, tmp_path):

@@ -36,23 +36,34 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     qs, oracles = E.queries(), E.oracle_sql()
-    picked = [
-        n
-        for n in sorted(qs)
-        if any(
-            n == p or (p.endswith("*") and n.startswith(p[:-1]))
-            for p in names
-        )
-    ]
+    def _matches(n: str, p: str) -> bool:
+        return n == p or (p.endswith("*") and n.startswith(p[:-1]))
+
+    picked = [n for n in sorted(qs) if any(_matches(n, p) for p in names)]
+    unmatched = [p for p in names if not any(_matches(n, p) for n in qs)]
     if not picked:
         raise SystemExit(f"no entries match {names}")
     bad = []
+    for p in unmatched:
+        # a typo'd name must NOT look like a green run
+        bad.append((p, "no-such-entry"))
+        print(f"{p}: NO ENTRY MATCHES")
     for name in picked:
-        sdf = qs[name](spark, sf).toPandas()
+        try:
+            sdf = qs[name](spark, sf).toPandas()
+        except Exception as exc:  # keep driving the remaining names
+            bad.append((name, "error"))
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
         if name not in oracles:
             print(f"{name}: rows-only ({len(sdf)} rows)")
             continue
-        odf = con.execute(oracles[name]).fetchdf()
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:
+            bad.append((name, "oracle-error"))
+            print(f"{name}: ORACLE ERROR {type(exc).__name__}: {exc}")
+            continue
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
         if scols != ocols:
             bad.append((name, "schema", scols, ocols))
