@@ -121,6 +121,24 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Widen a CPU-bound scan to the session's full parallelism — only
+    when the scan itself can't.
+
+    Spark sizes input splits by BYTES (``files.maxPartitionBytes``,
+    row-group granularity), which under-parallelizes compute-heavy work
+    over small/few files: a 3-row-group table yields 3 map tasks no
+    matter how expensive the per-row expressions are (regex tokenize,
+    n-gram folds). The guard makes this a NO-OP exactly when it would
+    be wrong: at 100 TB the scan already yields thousands of splits
+    (>= defaultParallelism), so no full-data exchange is ever added; on
+    a small-file local run the round-robin repartition costs one tiny
+    exchange and buys cores× speedup on the map stage."""
+    n = df.rdd.getNumPartitions()
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if n < p else df
+
+
 def load_all(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load(spark, sf_dir, n) for n in (names or TABLES)}
 
