@@ -83,7 +83,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer (Jaccard self-join, minhash, sizes) keys on an 8-byte int
     instead of a ~30-byte string — smaller checkpoint, cheaper shuffles,
     codegen-friendly comparisons. The duckdb oracle applies the identical
-    md5-prefix hash, so results remain bit-for-bit reproducible."""
+    md5-prefix hash, so results remain bit-for-bit reproducible.
+
+    Memoized per (session, sf_dir); :func:`_shingles_of` is the
+    un-memoized core over any (doc_id, text) relation (the fused
+    curation pipeline shingles paragraph-rebuilt text through it)."""
     try:
         per_session = _SHINGLE_CACHE.setdefault(spark, {})
     except TypeError:
@@ -91,7 +95,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
-    docs = load(spark, sf_dir, "documents")
+    sh = _shingles_of(spark, load(spark, sf_dir, "documents"))
+    per_session[sf_dir] = sh
+    return sh
+
+
+def _shingles_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Core of :func:`_shingles` over an arbitrary (doc_id, text)
+    relation — same plan, no memoization."""
     # single-file inputs arrive as one partition; spread docs across cores
     # before the shingle explosion (at scale, many files make this a no-op
     # but the explicit spread keeps the plan robust to skewed file sizes)
@@ -145,16 +156,19 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n", F.expr(_SPARK_H.format(expr="shingle")).alias("sh_h")
         )
     )
-    per_session[sf_dir] = sh
     return sh
 
 
-_DUCK_SHINGLES = r"""
+def _duck_shingles_of(rel: str, textcol: str = "text") -> str:
+    """sh0/sh CTE fragment (no WITH) over any (doc_id, textcol)
+    relation — the oracle twin of :func:`_shingles_of`."""
+    return (
+        r"""
     sh0 AS (
         SELECT DISTINCT doc_id,
                toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
-        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-              FROM documents) t,
+        FROM (SELECT doc_id, string_split_regex(lower({textcol}), '\s+') AS toks
+              FROM {rel}) t,
              UNNEST(range(len(toks) - 2)) AS u(i)
         WHERE len(toks) >= 3
     ),
@@ -164,7 +178,14 @@ _DUCK_SHINGLES = r"""
                {duck_h} AS sh_h
         FROM sh0
     )
-""".replace("{duck_h}", _DUCK_H.format(expr="shingle"))
+"""
+        .replace("{duck_h}", _DUCK_H.format(expr="shingle"))
+        .replace("{rel}", rel)
+        .replace("{textcol}", textcol)
+    )
+
+
+_DUCK_SHINGLES = _duck_shingles_of("documents")
 
 
 # --- exact dedup (full text) ------------------------------------------------
@@ -262,30 +283,20 @@ def _incremental_split(docs: DataFrame):
     return corpus, batch
 
 
-def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-tier incremental dedup with a BLOOM-FILTER pre-screen — the
-    RedPajama/CCNet production shape for new-crawl-vs-standing-corpus at
-    100 TB: the standing corpus's digest set is summarized into a
-    fixed-size bit array (here ``BLOOM_WORDS`` 32-bit words, built in ONE
-    digest pass with a bitwise-OR aggregation to ≤64 rows), and each
-    arriving doc checks its ``BLOOM_K`` bit positions against the
-    BROADCAST bitmap — docs with any bit clear are DEFINITELY new and
-    skip the exact join entirely; only the 'maybe' residue pays the
-    digest anti-join that confirms real duplicates and unmasks the
-    filter's false positives. The exact tier means the screen NEVER
-    changes the answer (admitted set == `dedup_incremental`'s) — it only
-    removes join traffic; the report quantifies exactly how much
-    (definitely-new vs maybe vs confirmed-dup vs false-positive per
-    language). Fully deterministic: bit positions come from the portable
-    md5 device over salt‖sha256(text), so the false-positive count is an
-    exact cross-engine integer, not a probability."""
-    docs = load(spark, sf_dir, "documents")
-    corpus, batch = _incremental_split(docs)
-    corpus = stage(corpus)
-
+def _bloom_flags(
+    corpus: DataFrame, batch: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """The Bloom pre-screen + exact-confirm device over a standing
+    digest set (one column ``d``) and an arriving batch carrying
+    ``keys`` + ``d``: per batch row, ``maybe_dup`` (any of its BLOOM_K
+    bit positions set in the broadcast bitmap) and ``is_dup`` (exact
+    digest confirm, paid only by the 'maybe' residue). Extracted from
+    :func:`dedup_bloom_screen` so the fused curation pipeline reuses
+    the identical screen (answer-invariant: admitted set equals the
+    plain digest anti-join's)."""
     salts = F.array(*[F.lit(i) for i in range(BLOOM_K)])
     pos_h = _SPARK_H.format(expr="concat(cast(s as string), '|', d)")
-    positions = lambda df: (
+    positions = lambda df: (  # noqa: E731 — local plan fragment
         df.select("*", F.explode(salts).alias("s"))
         .withColumn("bitpos", F.expr(pos_h) % BLOOM_BITS)
         .withColumn("word", F.expr("bitpos div 32").cast("int"))
@@ -311,7 +322,7 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 != 0
             ).cast("int"),
         )
-        .groupBy("doc_id", "lang", "d")
+        .groupBy(*keys, "d")
         .agg((F.min("hit") == 1).alias("maybe_dup"))
     )
     confirmed = (
@@ -319,17 +330,40 @@ def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus.withColumnRenamed("d", "d2"),
               F.col("d") == F.col("d2"), "left")
         .select(
-            "doc_id", "lang",
+            *keys, "d",
             F.lit(True).alias("maybe_dup"),
             F.col("d2").isNotNull().alias("is_dup"),
         )
     )
     screened = checked.filter(~F.col("maybe_dup")).select(
-        "doc_id", "lang",
+        *keys, "d",
         F.lit(False).alias("maybe_dup"),
         F.lit(False).alias("is_dup"),
     )
-    allrows = confirmed.unionByName(screened)
+    return confirmed.unionByName(screened)
+
+
+def dedup_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier incremental dedup with a BLOOM-FILTER pre-screen — the
+    RedPajama/CCNet production shape for new-crawl-vs-standing-corpus at
+    100 TB: the standing corpus's digest set is summarized into a
+    fixed-size bit array (here ``BLOOM_WORDS`` 32-bit words, built in ONE
+    digest pass with a bitwise-OR aggregation to ≤64 rows), and each
+    arriving doc checks its ``BLOOM_K`` bit positions against the
+    BROADCAST bitmap — docs with any bit clear are DEFINITELY new and
+    skip the exact join entirely; only the 'maybe' residue pays the
+    digest anti-join that confirms real duplicates and unmasks the
+    filter's false positives. The exact tier means the screen NEVER
+    changes the answer (admitted set == `dedup_incremental`'s) — it only
+    removes join traffic; the report quantifies exactly how much
+    (definitely-new vs maybe vs confirmed-dup vs false-positive per
+    language). Fully deterministic: bit positions come from the portable
+    md5 device over salt‖sha256(text), so the false-positive count is an
+    exact cross-engine integer, not a probability."""
+    docs = load(spark, sf_dir, "documents")
+    corpus, batch = _incremental_split(docs)
+    corpus = stage(corpus)
+    allrows = _bloom_flags(corpus, batch, ("doc_id", "lang"))
     return allrows.groupBy("lang").agg(
         F.count(F.lit(1)).alias("batch_docs"),
         F.sum((~F.col("maybe_dup")).cast("long")).alias("definitely_new"),
@@ -377,20 +411,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, one pair agg, and the candidate-bounded verify join —
     never O(n²), no lossy cap anywhere."""
     num, den = PPJOIN_X
-    sh = _shingles(spark, sf_dir)
-    cand = _ppjoin_candidates(spark, sf_dir)
-    # exact verify over the candidate-bounded full sets
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    shared = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.sh_h") == F.col("sb.sh_h")),
-        )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared = _ppjoin_verified_of(_shingles(spark, sf_dir))
     union = F.col("na") + F.col("nb") - F.col("shared")
     return shared.filter(
         F.col("shared") * den >= num * union
@@ -401,12 +422,36 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppjoin_verified_of(sh: DataFrame) -> DataFrame:
+    """Candidates + exact verify over any shingle relation (doc_id, n,
+    sh_h): (doc_a, doc_b, na, nb, shared) for every candidate pair —
+    the τ filter itself stays with the caller so both the J-display
+    entry and the fused pipeline's drop-later-doc stage share it."""
+    cand = _ppjoin_candidates_of(sh)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sh_h") == F.col("sb.sh_h")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
 def _ppjoin_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PPJoin candidate stage (prefix + size + positional filters) —
+    """The PPJoin candidate stage over the memoized corpus shingles —
     split out so the losslessness/volume test can measure exactly what
     the verify stage pays."""
+    return _ppjoin_candidates_of(_shingles(spark, sf_dir))
+
+
+def _ppjoin_candidates_of(sh: DataFrame) -> DataFrame:
+    """The PPJoin candidate stage (prefix + size + positional filters)
+    over any shingle relation."""
     num, den = PPJOIN_X
-    sh = _shingles(spark, sf_dir)
     df_counts = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_counts, "sh_h")
     # per-doc canonical order + prefix slice, computed IN-ROW
@@ -1026,36 +1071,29 @@ def dedup_paragraphs_removed_text(spark: SparkSession, sf_dir: str) -> DataFrame
     doc must meet in one group to be re-joined, the irreducible cost of
     text output; whitespace canonicalized to the tokenization the
     hashes were computed over). A doc whose every paragraph is a repeat
-    rebuilds to the empty string (the left-join + coalesce device)."""
-    docs = load(spark, sf_dir, "documents")
+    rebuilds to the empty string (array_join over an empty filter).
+    ONE doc-keyed aggregation does counts AND the rebuild (r13: the
+    previous filter-groupBy + groupBy + two-join shape ran the paragraph
+    window twice and joined three relations for what one group holds —
+    the ``kept`` flag rides inside the collected struct and a
+    post-sort in-row filter drops the removed paragraphs)."""
     flagged = _paragraphs_flagged(spark, sf_dir)
-    rebuilt = (
-        flagged.filter(F.col("kept") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                    lambda s: s["para"],
+    rebuilt_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "para", "kept"))
                 ),
-                " ",
-            ).alias("text_clean")
-        )
+                lambda s: s["kept"] == 1,
+            ),
+            lambda s: s["para"],
+        ),
+        " ",
     )
-    counts = flagged.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_paras"),
         F.sum("kept").alias("kept_paras"),
-    )
-    return (
-        docs.select("doc_id")
-        .join(counts, "doc_id")
-        .join(rebuilt, "doc_id", "left_outer")
-        .select(
-            "doc_id",
-            "n_paras",
-            "kept_paras",
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-        )
+        rebuilt_text.alias("text_clean"),
     )
 
 
@@ -2853,6 +2891,54 @@ ORACLE["dedup_jaccard_prefix_filter"] = rf"""
 """
 
 _DUCK_BLOOM_H = _DUCK_H.format(expr="concat(CAST(s AS VARCHAR), '|', d)")
+
+
+def _duck_bloom_flag_ctes(rel: str) -> str:
+    """blbounds..blflags CTE fragment (no WITH) — the oracle twin of
+    :func:`_bloom_flags` + :func:`_incremental_split` over any
+    (doc_id, d) relation: per ARRIVING row (doc_id at-or-above the 80 %
+    split of the relation's own id range) the Bloom ``maybe_dup`` and
+    exact-confirmed ``is_dup`` flags."""
+    return f"""
+    blbounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM {rel}),
+    bldg AS (
+        SELECT doc_id, d,
+               (SELECT lo + CAST(FLOOR((hi - lo) * {INCREMENTAL_SPLIT_FRAC})
+                               AS BIGINT) FROM blbounds) AS split
+        FROM {rel}
+    ),
+    blcor AS (SELECT DISTINCT d FROM bldg WHERE doc_id < split),
+    blcpos AS (
+        SELECT {_DUCK_BLOOM_H} % {BLOOM_BITS} AS bitpos
+        FROM blcor, UNNEST(range({BLOOM_K})) AS u(s)
+    ),
+    blbloom AS (
+        SELECT CAST(bitpos // 32 AS INT) AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(bitpos % 32 AS INT)) AS bits
+        FROM blcpos GROUP BY 1
+    ),
+    blbpos AS (
+        SELECT doc_id, d, {_DUCK_BLOOM_H} % {BLOOM_BITS} AS bitpos
+        FROM (SELECT doc_id, d FROM bldg WHERE doc_id >= split),
+             UNNEST(range({BLOOM_K})) AS u(s)
+    ),
+    blchk AS (
+        SELECT doc_id, d,
+               MIN(CASE WHEN (COALESCE(bits, 0)
+                              & (CAST(1 AS BIGINT)
+                                 << CAST(bitpos % 32 AS INT))) <> 0
+                        THEN 1 ELSE 0 END) = 1 AS maybe_dup
+        FROM blbpos LEFT JOIN blbloom
+          ON CAST(blbpos.bitpos // 32 AS INT) = blbloom.word
+        GROUP BY doc_id, d
+    ),
+    blflags AS (
+        SELECT c.doc_id, c.d, c.maybe_dup,
+               c.maybe_dup AND (x.d IS NOT NULL) AS is_dup
+        FROM blchk c LEFT JOIN blcor x
+          ON c.maybe_dup AND c.d = x.d
+    )
+"""
 ORACLE["dedup_bloom_screen"] = f"""
     WITH bounds AS (
         SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.registry import load
+from ..sources.registry import load, spread
 from ..stage import stage
 
 SAMPLE_MOD = 5  # keep doc_id hash buckets ≡ 0 (deterministic ~20%)
@@ -266,7 +266,28 @@ def pack_docs_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized projection is consumed twice (shard totals + the in-shard
     # window); stage it to disk so the scan+tokenize runs once (stage.py)
     toks = stage(docs.select("doc_id", n_tok.alias("n_tokens")))
+    binned = _pack_bins(toks)
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _pack_bins(toks: DataFrame) -> DataFrame:
+    """Core of :func:`pack_docs_sequences` over any (doc_id, n_tokens)
+    relation: the two-level (range-shard + shard-offset) exclusive
+    running token sum, binned by ``PACK_BUDGET`` — (doc_id, n_tokens,
+    shard, bin_id). Shared with the fused curation pipeline's final
+    packing stage. Collects only the PACK_SHARDS shard totals."""
     lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty relation: zero bins, typed empty result
+        return (
+            toks.withColumn("shard", F.lit(0))
+            .withColumn("bin_id", F.lit(0).cast("long"))
+            .limit(0)
+        )
     span = int(hi) - int(lo) + 1
     n_shards = min(PACK_SHARDS, span)
     sharded = toks.withColumn(
@@ -293,13 +314,7 @@ def pack_docs_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # floor-division, NOT cast: duckdb CAST(double AS BIGINT) rounds while
     # Spark's cast truncates — floor() agrees in both engines
-    binned = sharded.withColumn("bin_id", F.floor(global_excl / PACK_BUDGET))
-    return binned.groupBy("bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("bin_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    return sharded.withColumn("bin_id", F.floor(global_excl / PACK_BUDGET))
 
 
 def pack_docs_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +490,25 @@ def token_budget_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_tokens"),
         )
     )
+    return _mixture_quotas(per_src).select(
+        "source",
+        "n_tokens",
+        "token_budget",
+        F.round(
+            F.col("token_budget").cast("double") / F.col("n_tokens"), 6
+        ).alias("epochs_over_available"),
+    )
+
+
+def _mixture_quotas(
+    per_src: DataFrame, budget: int = MIXTURE_BUDGET
+) -> DataFrame:
+    """Core of :func:`token_budget_mixture_plan` over any (source,
+    n_tokens) relation: (source, n_tokens, token_budget) with the α=0.5
+    temperature weights apportioned over ``budget`` by
+    largest-remainder rounding — shared with the fused curation
+    pipeline's admission stage (which passes its own smaller budget so
+    admission truncation is exercised at test scale)."""
     totals = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
     p = F.col("n_tokens").cast("double") / F.col("total_tokens")
     weighted = per_src.crossJoin(F.broadcast(totals)).withColumn(
@@ -482,7 +516,7 @@ def token_budget_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsum = weighted.agg(F.sum("w_dec").alias("w_sum"))
     quota = (
-        F.lit(float(MIXTURE_BUDGET))
+        F.lit(float(budget))
         * (F.col("w_dec").cast("double") / F.col("w_sum").cast("double"))
     )
     quotas = weighted.crossJoin(F.broadcast(wsum)).select(
@@ -492,7 +526,7 @@ def token_budget_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(quota).cast("long").alias("base"),
         (quota - F.floor(quota)).alias("frac"),
     )
-    short = F.lit(MIXTURE_BUDGET) - F.sum("base").over(
+    short = F.lit(budget) - F.sum("base").over(
         Window.partitionBy()
     )  # |sources|-row relation: the unpartitioned window is the point
     rk = F.row_number().over(
@@ -508,14 +542,6 @@ def token_budget_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("base")
                 + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)
             ).alias("token_budget"),
-            F.round(
-                (
-                    F.col("base")
-                    + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)
-                ).cast("double")
-                / F.col("n_tokens"),
-                6,
-            ).alias("epochs_over_available"),
         )
     )
 
@@ -713,6 +739,308 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+V2_MIX_BUDGET = 8192  # tokens: small enough that admission truncates
+# at test scale (the corpus-wide MIXTURE_BUDGET of 1M would admit every
+# survivor at sf0.01/sf0.1 and leave the quota window untested)
+
+
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION curation chain as ONE fused run with a per-stage
+    attrition report — the artifact a real training-data run ships
+    (r12 verdict tasks 2 + 7). Stages, in CCNet's actual order
+    (paragraph dedup BEFORE any quality scoring — Wenzek et al. 2020):
+
+      0 ``input``               the raw corpus.
+      1 ``paragraph_dedup``     corpus-wide first-occurrence paragraph
+                                dedup; every later stage runs on the
+                                REBUILT text (:func:`...dedup.
+                                dedup_paragraphs_removed_text`); docs
+                                rebuilt to nothing drop. detail =
+                                paragraphs removed.
+      2 ``exact_dedup_bloom``   keep-first exact dedup on the rebuilt-
+                                text digest, executed as the two-tier
+                                BLOOM-screened form (standing 80 % /
+                                arriving 20 % by id range, the
+                                ``_incremental_split`` device): arriving
+                                docs with any Bloom bit clear skip the
+                                confirm join entirely. ANSWER-INVARIANT
+                                vs the plain digest window (standing ids
+                                precede arriving ids, and the screen
+                                admits exactly the non-duplicates) — the
+                                oracle states the plain form, the plan
+                                pays the screened one. detail =
+                                definitely-new (docs that skipped the
+                                join: the screen's savings, exact).
+      3 ``ppjoin_neardup``      PPJoin set-similarity self-join at
+                                τ = 0.8 over rebuilt-text shingles
+                                (prefix + size + positional filters,
+                                exact verify — lossless); any doc
+                                near-dup to an EARLIER doc drops.
+                                detail = near-dup pairs.
+      4 ``classifier_gate``     fastText-style linear quality gate with
+                                FROZEN weights trained on the original
+                                corpus (production: offline-trained
+                                model applied at ingest — the
+                                ``streaming_quality_gate`` precedent);
+                                admit score > 0. detail = scoreable
+                                docs.
+      5 ``contamination_screen`` drop the held-out benchmark split
+                                itself plus any doc sharing a token
+                                8-gram with it (benchmark grams from
+                                ORIGINAL text — the eval set is frozen;
+                                doc grams from rebuilt text). detail =
+                                gram-contaminated docs dropped.
+      6 ``token_budget_mixture`` α = 0.5 temperature quotas apportioned
+                                over V2_MIX_BUDGET by largest-remainder
+                                (:func:`_mixture_quotas`), then per-
+                                source admission in deterministic hash
+                                order until each budget fills (exclusive
+                                running sum < budget). detail =
+                                MIXTURE_BUDGET.
+      7 ``packing``             two-level-cumsum sequence packing of the
+                                admitted docs into PACK_BUDGET-token
+                                bins (:func:`_pack_bins`). detail =
+                                bins produced.
+
+    Output: 8 rows (stage_rank, stage, docs_out, tokens_out, detail) —
+    bounded, fully value-checked against a single composed DuckDB
+    oracle built from the member oracles' own CTE fragments.
+
+    Scale shape: every stage is staged to parquet once and consumed by
+    (a) the next stage and (b) its own report row — the checkpoint-
+    between-stages layout of a real multi-day curation run; no stage's
+    work is ever recomputed through a downstream plan. Collects are the
+    member ops' own bounded artifacts only (two classifier totals,
+    PACK_SHARDS shard sums, one id-range row). Shuffle budget = the
+    member operators' documented budgets, each over a strictly smaller
+    survivor set than the last."""
+    from .dedup import (
+        INCREMENTAL_SPLIT_FRAC,
+        PPJOIN_X,
+        _bloom_flags,
+        _ppjoin_verified_of,
+        _shingles_of,
+        dedup_paragraphs_removed_text,
+    )
+    from .textstats import (
+        CONTAM_MOD,
+        CONTAM_N,
+        _qc_features,
+        _qc_scored,
+        _qc_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+
+    def ntok(col):
+        return F.size(
+            F.filter(
+                F.split(F.lower(F.col(col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        )
+
+    # -- stage 1: paragraph dedup (rebuild text from surviving paras) --
+    rebuilt = stage(dedup_paragraphs_removed_text(spark, sf_dir))
+    # token count rides as a COLUMN from here on: text never changes
+    # after the rebuild, so no later stage (or report row) re-tokenizes
+    s1 = stage(
+        docs.select("doc_id", "lang", "source")
+        .join(rebuilt, "doc_id")
+        .filter(F.col("kept_paras") > 0)
+        .select(
+            "doc_id", "lang", "source", "text_clean",
+            ntok("text_clean").alias("n"),
+        )
+    )
+    detail1 = rebuilt.agg(
+        F.sum(F.col("n_paras") - F.col("kept_paras"))
+        .cast("long")
+        .alias("detail")
+    )
+
+    # -- stage 2: Bloom-screened exact dedup (keep first per digest) --
+    dg = s1.withColumn("d", F.sha2("text_clean", 256))
+    lo, hi = dg.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = int(lo) + int((int(hi) - int(lo)) * INCREMENTAL_SPLIT_FRAC)
+    standing = dg.filter(F.col("doc_id") < split)
+    arriving = dg.filter(F.col("doc_id") >= split)
+    w_d = Window.partitionBy("d").orderBy("doc_id")
+    first_only = lambda df: (  # noqa: E731 — keep-first per digest
+        df.withColumn("_rn", F.row_number().over(w_d))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    flags = stage(
+        _bloom_flags(
+            stage(standing.select("d").distinct()),
+            arriving.select("doc_id", "d"),
+            ("doc_id",),
+        )
+    )
+    arr_new = arriving.join(
+        flags.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    s2 = stage(
+        first_only(standing).unionByName(first_only(arr_new)).drop("d")
+    )
+    detail2 = flags.agg(
+        F.sum((~F.col("maybe_dup")).cast("long")).alias("detail")
+    )
+
+    # -- stage 3: PPJoin near-dup drop (τ = 0.8, keep earliest doc) --
+    num, den = PPJOIN_X
+    verified = _ppjoin_verified_of(
+        _shingles_of(spark, s2.select("doc_id", F.col("text_clean").alias("text")))
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("shared")
+    pairs = stage(
+        verified.filter(F.col("shared") * den >= num * union_sz).select(
+            "doc_a", "doc_b"
+        )
+    )
+    s3 = stage(
+        s2.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    detail3 = pairs.agg(F.count(F.lit(1)).alias("detail"))
+
+    # -- stage 4: frozen classifier gate (train on ORIGINAL corpus) --
+    feats_train = stage(
+        _qc_features(
+            docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+    )
+    weights = _qc_weights(feats_train)
+    # the feature explode + per-feature hash is CPU-bound and s3's
+    # staged parquet re-reads as few splits — spread to all cores (the
+    # quality_classifier_score precedent; no-op on a many-file corpus)
+    scored = stage(
+        _qc_scored(
+            _qc_features(
+                spread(
+                    spark,
+                    s3.select(
+                        "doc_id", "lang", F.col("text_clean").alias("text")
+                    ),
+                )
+            ),
+            weights,
+        )
+    )
+    s4 = stage(
+        s3.join(
+            scored.filter(F.col("ws") > 0).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    detail4 = scored.agg(F.count(F.lit(1)).alias("detail"))
+
+    # -- stage 5: contamination screen (8-grams vs the held-out split) --
+    def grams8(df, textcol):
+        ts = F.filter(
+            F.split(F.lower(F.col(textcol)), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+        base = df.select("doc_id", ts.alias("ts")).filter(
+            F.size("ts") >= CONTAM_N
+        )
+        parts = ", ".join(
+            f"element_at(ts, i + {j})" for j in range(CONTAM_N)
+        )
+        return base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {CONTAM_N - 1}), "
+                    f"i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("g"),
+        )
+
+    bench = (  # one consumer (the broadcast): no staging needed
+        grams8(
+            spread(spark, docs.filter(F.col("doc_id") % CONTAM_MOD == 0)),
+            "text",
+        )
+        .select("g")
+        .distinct()
+    )
+    cand5 = s4.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    contam = stage(
+        grams8(spread(spark, cand5), "text_clean")
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    s5 = stage(cand5.join(contam, "doc_id", "left_anti"))
+    detail5 = contam.agg(F.count(F.lit(1)).alias("detail"))
+
+    # -- stage 6: token-budget mixture admission --
+    toks5 = s5.select("doc_id", "source", "n")  # trivial projection of
+    # the staged s5 parquet: both consumers rescan cheap columnar files
+    plan = _mixture_quotas(
+        toks5.groupBy("source").agg(F.sum("n").alias("n_tokens")),
+        V2_MIX_BUDGET,
+    ).select("source", "token_budget")
+    h = F.expr(_SPARK_H.format(expr="cast(doc_id as string)"))
+    wq = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s6 = stage(
+        toks5.withColumn("h", h)
+        .withColumn("prior", F.coalesce(F.sum("n").over(wq), F.lit(0)))
+        .join(F.broadcast(plan), "source")
+        .filter(F.col("prior") < F.col("token_budget"))
+        .select("doc_id", "source", "n")
+    )
+    detail6 = spark.range(1).select(
+        F.lit(V2_MIX_BUDGET).cast("long").alias("detail")
+    )
+
+    # -- stage 7: packing --
+    binned = _pack_bins(s6.select("doc_id", F.col("n").alias("n_tokens")))
+    detail7 = binned.agg(F.countDistinct("bin_id").alias("detail"))
+
+    # -- the attrition report --
+    def row(rank, name, src, tok_expr, detail_df):
+        agg = src.agg(
+            F.count(F.lit(1)).cast("long").alias("docs_out"),
+            F.coalesce(F.sum(tok_expr), F.lit(0))
+            .cast("long")
+            .alias("tokens_out"),
+        )
+        return agg.crossJoin(detail_df).select(
+            F.lit(rank).cast("int").alias("stage_rank"),
+            F.lit(name).alias("stage"),
+            "docs_out",
+            "tokens_out",
+            F.col("detail").cast("long").alias("detail"),
+        )
+
+    zero = spark.range(1).select(F.lit(0).cast("long").alias("detail"))
+    rows = [
+        row(0, "input", spread(spark, docs), ntok("text"), zero),
+        row(1, "paragraph_dedup", s1, F.col("n"), detail1),
+        row(2, "exact_dedup_bloom", s2, F.col("n"), detail2),
+        row(3, "ppjoin_neardup", s3, F.col("n"), detail3),
+        row(4, "classifier_gate", s4, F.col("n"), detail4),
+        row(5, "contamination_screen", s5, F.col("n"), detail5),
+        row(6, "token_budget_mixture", s6, F.col("n"), detail6),
+        row(7, "packing", s6, F.col("n"), detail7),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_rank")
+
+
 # --- end-of-pipeline export manifest -----------------------------------------
 def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The manifest a training run consumes: one row per surviving document
@@ -822,6 +1150,7 @@ QUERIES = {
     "pack_docs_sequences": pack_docs_sequences,
     "pack_docs_placement": pack_docs_placement,
     "curation_pipeline": curation_pipeline,
+    "curation_pipeline_v2": curation_pipeline_v2,
     "cdc_latest_events": cdc_latest_events,
     "cdc_scd2_user_value": cdc_scd2_user_value,
     "doc_domain_mixture": doc_domain_mixture,
@@ -1156,3 +1485,236 @@ ORACLE["quota_sample_tokens_budget_skewsafe"] = f"""
               FROM documents)
     ) WHERE prior_chars < {QUOTA_CHARS}
 """
+
+
+def _duck_curation_v2() -> str:
+    """The fused curation pipeline's oracle, composed from the member
+    oracles' own CTE fragments: paragraph flags (dedup._DUCK_PARA_FLAGGED),
+    the plain keep-first digest window stage 2 is answer-invariant to
+    (the Bloom flags fragment supplies only the definitely-new detail),
+    brute-force verified Jaccard pairs (PPJoin is lossless by
+    construction, test-pinned), the classifier training chain
+    (textstats._QC_CTES_BODY) + a scoring chain over rebuilt text, the
+    8-gram contamination screen, the largest-remainder mixture plan, the
+    per-source admission window, and the single-window packing twin of
+    the two-level cumsum."""
+    from .dedup import (
+        _DUCK_PARA_FLAGGED,
+        _duck_bloom_flag_ctes,
+        _duck_shingles_of,
+        PPJOIN_X,
+    )
+    from .textstats import (
+        _DUCK_8G,
+        _DUCK_TH,
+        _QC_CTES_BODY,
+        CONTAM_MOD,
+        CONTAM_N,
+        QC_BUCKETS,
+    )
+
+    num, den = PPJOIN_X
+    h_doc = _DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")
+    n_of = (
+        r"len(list_filter(string_split_regex(lower({c}), '\s+'), "
+        r"t -> t <> ''))"
+    )
+    return rf"""
+    {_DUCK_PARA_FLAGGED},
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_paras,
+               CAST(SUM(kept) AS BIGINT) AS kept_paras,
+               COALESCE(string_agg(CASE WHEN kept = 1 THEN para END,
+                                   ' ' ORDER BY pos), '') AS text_clean
+        FROM flagged GROUP BY doc_id
+    ),
+    s1 AS (
+        SELECT d.doc_id, d.lang, d.source, r.text_clean
+        FROM documents d JOIN rebuilt r USING (doc_id)
+        WHERE r.kept_paras > 0
+    ),
+    s1d AS (SELECT doc_id, lang, source, text_clean,
+                   sha256(text_clean) AS d
+            FROM s1),
+    {_duck_bloom_flag_ctes("s1d")},
+    s2 AS (
+        SELECT doc_id, lang, source, text_clean FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY d ORDER BY doc_id) AS rn
+            FROM s1d
+        ) WHERE rn = 1
+    ),
+    {_duck_shingles_of("s2", "text_clean")},
+    ppairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n AS na, b.n AS nb, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) * {den} >= {num} * (a.n + b.n - COUNT(*))
+    ),
+    s3 AS (SELECT * FROM s2
+           WHERE doc_id NOT IN (SELECT doc_b FROM ppairs)),
+    {_QC_CTES_BODY},
+    tk3 AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text_clean), '\s+'),
+                   t -> t <> '')) AS tok
+        FROM s3
+    ),
+    f3 AS (
+        SELECT doc_id,
+               unnest(list_concat([tok],
+                   list_transform(range(1, length(pt) - 1),
+                                  i -> substr(pt, CAST(i AS INT), 3)))) AS t
+        FROM (SELECT doc_id, tok, '<' || tok || '>' AS pt FROM tk3)
+    ),
+    b3 AS (
+        SELECT doc_id, {_DUCK_TH} % {QC_BUCKETS} AS bkt, COUNT(*) AS cnt
+        FROM f3 GROUP BY doc_id, bkt
+    ),
+    sc3 AS (
+        SELECT doc_id, CAST(SUM(cnt * w6) AS BIGINT) AS ws
+        FROM b3 JOIN w USING (bkt) GROUP BY doc_id
+    ),
+    s4 AS (
+        SELECT s3.* FROM s3 JOIN sc3 USING (doc_id) WHERE sc3.ws > 0
+    ),
+    bts AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS ts
+        FROM documents WHERE doc_id % {CONTAM_MOD} = 0
+    ),
+    bgrams AS (
+        SELECT DISTINCT unnest({_DUCK_8G}) AS g
+        FROM bts WHERE len(ts) >= {CONTAM_N}
+    ),
+    c5 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text_clean), '\s+'),
+                           t -> t <> '') AS ts
+        FROM s4 WHERE doc_id % {CONTAM_MOD} <> 0
+    ),
+    g5 AS (
+        SELECT doc_id, unnest({_DUCK_8G}) AS g
+        FROM c5 WHERE len(ts) >= {CONTAM_N}
+    ),
+    contam AS (SELECT DISTINCT doc_id FROM g5 JOIN bgrams USING (g)),
+    s5 AS (
+        SELECT * FROM s4
+        WHERE doc_id % {CONTAM_MOD} <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    s5tok AS (
+        SELECT doc_id, source,
+               CAST({n_of.format(c="text_clean")} AS BIGINT) AS n
+        FROM s5
+    ),
+    per_src6 AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM s5tok GROUP BY source
+    ),
+    tot6 AS (SELECT SUM(n_tokens) AS total_tokens FROM per_src6),
+    weighted6 AS (
+        SELECT source, n_tokens,
+               CAST(sqrt(CAST(n_tokens AS DOUBLE) / total_tokens)
+                    AS DECIMAL(28,16)) AS w_dec
+        FROM per_src6 CROSS JOIN tot6
+    ),
+    ws6 AS (SELECT SUM(w_dec) AS w_sum FROM weighted6),
+    quotas6 AS (
+        SELECT source, n_tokens,
+               CAST({V2_MIX_BUDGET} AS DOUBLE)
+                   * (CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE))
+                   AS quota
+        FROM weighted6 CROSS JOIN ws6
+    ),
+    based6 AS (
+        SELECT source, n_tokens, quota,
+               CAST(FLOOR(quota) AS BIGINT) AS base,
+               quota - FLOOR(quota) AS frac
+        FROM quotas6
+    ),
+    ranked6 AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC) AS rk,
+               {V2_MIX_BUDGET} - SUM(base) OVER () AS short
+        FROM based6
+    ),
+    plan6 AS (
+        SELECT source,
+               base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                   AS token_budget
+        FROM ranked6
+    ),
+    admit AS (
+        SELECT doc_id, source, n FROM (
+            SELECT doc_id, source, n, token_budget,
+                   COALESCE(SUM(n) OVER (
+                        PARTITION BY source ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prior
+            FROM (SELECT s5tok.*, {h_doc} AS h FROM s5tok)
+                 JOIN plan6 USING (source)
+        ) WHERE prior < token_budget
+    ),
+    binned AS (
+        SELECT doc_id, n,
+               CAST(FLOOR(COALESCE(SUM(n) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM admit
+    )
+    SELECT CAST(0 AS INT) AS stage_rank, 'input' AS stage,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS docs_out,
+           CAST((SELECT SUM({n_of.format(c="text")}) FROM documents)
+               AS BIGINT) AS tokens_out,
+           CAST(0 AS BIGINT) AS detail
+    UNION ALL
+    SELECT 1, 'paragraph_dedup',
+           (SELECT COUNT(*) FROM s1),
+           (SELECT CAST(SUM({n_of.format(c="text_clean")}) AS BIGINT)
+            FROM s1),
+           (SELECT CAST(SUM(n_paras - kept_paras) AS BIGINT) FROM rebuilt)
+    UNION ALL
+    SELECT 2, 'exact_dedup_bloom',
+           (SELECT COUNT(*) FROM s2),
+           (SELECT CAST(SUM({n_of.format(c="text_clean")}) AS BIGINT)
+            FROM s2),
+           (SELECT CAST(SUM(CASE WHEN maybe_dup THEN 0 ELSE 1 END)
+                        AS BIGINT) FROM blflags)
+    UNION ALL
+    SELECT 3, 'ppjoin_neardup',
+           (SELECT COUNT(*) FROM s3),
+           (SELECT CAST(SUM({n_of.format(c="text_clean")}) AS BIGINT)
+            FROM s3),
+           (SELECT COUNT(*) FROM ppairs)
+    UNION ALL
+    SELECT 4, 'classifier_gate',
+           (SELECT COUNT(*) FROM s4),
+           (SELECT CAST(SUM({n_of.format(c="text_clean")}) AS BIGINT)
+            FROM s4),
+           (SELECT COUNT(*) FROM sc3)
+    UNION ALL
+    SELECT 5, 'contamination_screen',
+           (SELECT COUNT(*) FROM s5),
+           (SELECT CAST(SUM({n_of.format(c="text_clean")}) AS BIGINT)
+            FROM s5),
+           (SELECT COUNT(*) FROM contam)
+    UNION ALL
+    SELECT 6, 'token_budget_mixture',
+           (SELECT COUNT(*) FROM admit),
+           (SELECT CAST(SUM(n) AS BIGINT) FROM admit),
+           CAST({V2_MIX_BUDGET} AS BIGINT)
+    UNION ALL
+    SELECT 7, 'packing',
+           (SELECT COUNT(*) FROM admit),
+           (SELECT CAST(SUM(n) AS BIGINT) FROM admit),
+           (SELECT COUNT(DISTINCT bin_id) FROM binned)
+    ORDER BY stage_rank
+"""
+
+
+ORACLE["curation_pipeline_v2"] = _duck_curation_v2()

@@ -2639,8 +2639,11 @@ _QC_BAND_SQL = " + ".join(
 # shared CTE chain: label → tokens → features → buckets → weights →
 # per-doc integer micro-score sums; the streaming gate's oracle reuses it
 # a per-language rollup
-_QC_CTES = rf"""
-    WITH lab AS (
+# body form (no WITH) so the fused curation-pipeline oracle can splice
+# the training chain into its own CTE list; _QC_CTES keeps the
+# standalone form the classifier entries use
+_QC_CTES_BODY = rf"""
+    lab AS (
         SELECT doc_id, lang, toks,
                CASE WHEN len(toks) >= 10
                      AND len(list_filter(toks,
@@ -2695,6 +2698,8 @@ _QC_CTES = rf"""
         GROUP BY b.doc_id, b.lang, b.lbl
     )
 """
+
+_QC_CTES = "WITH " + _QC_CTES_BODY
 
 ORACLE["quality_classifier_score"] = _QC_CTES + f"""
     SELECT doc_id, lang, n_feats,

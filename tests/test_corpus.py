@@ -1312,3 +1312,49 @@ def test_bloom_screen_no_false_negatives(spark, tmp_path):
     assert en["confirmed_dup"] == 2, en
     assert en["false_positive"] == en["maybe_dup"] - en["confirmed_dup"]
     assert en["definitely_new"] + en["maybe_dup"] == en["batch_docs"]
+
+
+def test_curation_pipeline_v2_attrition_invariants(spark):
+    """Structural contract of the fused curation pipeline: 8 stages in
+    order, docs/tokens monotone non-increasing through every filtering
+    stage, packing preserves the admitted set, mixture admission
+    respects the per-source budget semantics (tokens can only drop at
+    stage 6), and each stage's accounting is internally consistent
+    with its detail column. Value-level equality vs the composed
+    DuckDB oracle is covered by the registry gate; this pins the
+    semantic shape."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.pipeline import (
+        V2_MIX_BUDGET,
+        curation_pipeline_v2,
+    )
+
+    rows = curation_pipeline_v2(spark, SF_DIR).collect()
+    assert [r["stage_rank"] for r in rows] == list(range(8))
+    assert [r["stage"] for r in rows] == [
+        "input",
+        "paragraph_dedup",
+        "exact_dedup_bloom",
+        "ppjoin_neardup",
+        "classifier_gate",
+        "contamination_screen",
+        "token_budget_mixture",
+        "packing",
+    ]
+    by = {r["stage"]: r for r in rows}
+    # docs monotone non-increasing through the filtering stages
+    docs_seq = [r["docs_out"] for r in rows]
+    assert all(a >= b for a, b in zip(docs_seq[:-1], docs_seq[1:]))
+    # paragraph dedup can only remove tokens
+    assert by["paragraph_dedup"]["tokens_out"] <= by["input"]["tokens_out"]
+    assert by["paragraph_dedup"]["detail"] >= 0  # removed paragraphs
+    # packing reruns nothing: same docs/tokens as admission, >= 1 bin
+    assert by["packing"]["docs_out"] == by["token_budget_mixture"]["docs_out"]
+    assert (
+        by["packing"]["tokens_out"]
+        == by["token_budget_mixture"]["tokens_out"]
+    )
+    if by["packing"]["docs_out"] > 0:
+        assert by["packing"]["detail"] >= 1
+    assert by["token_budget_mixture"]["detail"] == V2_MIX_BUDGET
+    # classifier gate scored every candidate doc it saw
+    assert by["classifier_gate"]["detail"] == by["ppjoin_neardup"]["docs_out"]
