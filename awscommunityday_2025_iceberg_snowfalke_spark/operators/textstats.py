@@ -841,6 +841,29 @@ BPE_MERGES = (
     ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
 )
 
+# The production-depth artifact: bpe_train_merges_deep's own sf0.01
+# output (64 merges, checkpointed trainer) — test-pinned to the trainer
+# exactly like BPE_MERGES. Contains NO a==b merge (asserted in tests),
+# so the two-pass-replace encoder device is exact for it.
+BPE_MERGES_64 = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er"), ("a", "l"), ("al", "l"),
+    ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
+    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"),
+    ("d", "er"), ("e", "ctor"), ("or", "der"), ("v", "ector"),
+    ("in", "e"), ("l", "ine"), ("a", "b"), ("ab", "l"),
+    ("abl", "e"), ("at", "a"), ("d", "ata"), ("t", "able"),
+    ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"),
+    ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey"),
+)
+
 
 def bpe_encode_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING — apply the frozen 8-merge tokenizer artifact to every
@@ -865,13 +888,30 @@ def bpe_encode_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab would move to a broadcast trie inside an Arrow-batched
     `mapInPandas`, the multimodal-encoder shape — same plan, zero
     exchanges either way)."""
+    return _bpe_encode_report(spark, sf_dir, BPE_MERGES)
+
+
+def bpe_encode_merges64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under the PRODUCTION-DEPTH frozen artifact
+    (``BPE_MERGES_64`` — the checkpointed 64-round trainer's own sf0.01
+    output): same two-pass-replace device, 64 merges in priority order
+    (exact: the artifact contains no a==b merge), pinned against the
+    symbol-level Python greedy reference in tests. Re-certifies the
+    encoder at real tokenizer depth (r12 verdict task 3); still pure
+    map-side codegen string expressions — zero joins, zero shuffles."""
+    return _bpe_encode_report(spark, sf_dir, BPE_MERGES_64)
+
+
+def _bpe_encode_report(
+    spark: SparkSession, sf_dir: str, merges: tuple
+) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
     words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
 
     def _encode(w):
         s = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
-        for a, b in BPE_MERGES:
+        for a, b in merges:
             pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
             s = F.replace(F.replace(s, pat, rep), pat, rep)
         return F.size(F.split(F.trim(s), " "))
@@ -1534,9 +1574,61 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy pairs (1,2)(3,4)(5,6) — caught by the r11 self-review; a
     trainer must select such merges correctly on run-heavy text like
     'soooo'). Round k's expression chain carries k folds — no
-    re-materialization between rounds. Per-round driver traffic is ONE row (the argmax),
+    re-materialization between rounds at this depth (the deep trainer
+    below checkpoints; equality of the two forms is test-pinned).
+    Per-round driver traffic is ONE row (the argmax),
     the kmeans-centroid precedent. Output: the bounded N-row merge
     table (rank, a, b, pair_count) — integers and strings only."""
+    merges = _bpe_train(spark, sf_dir, BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        merges, "merge_rank int, a string, b string, pair_count bigint"
+    )
+
+
+BPE_TRAIN_ROUNDS_DEEP = 64  # production-depth trainer (r12 verdict task 3)
+BPE_CHECKPOINT_EVERY = 8  # re-materialize the token arrays every K rounds
+
+
+def bpe_train_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-DEPTH BPE trainer: ``BPE_TRAIN_ROUNDS_DEEP`` (64)
+    merge rounds with the token arrays CHECKPOINTED to parquet every
+    ``BPE_CHECKPOINT_EVERY`` rounds — the expression-chain-depth
+    trade-off named in :func:`bpe_train_merges`'s design, resolved: an
+    unbroken 64-fold chain re-evaluates up to 64 nested array folds per
+    pair-count pass (quadratic total work in rounds, and an
+    ever-deepening codegen tree); the checkpoint caps the live chain at
+    K folds, so per-round cost is flat and total work is linear in
+    rounds. Checkpoints also DROP exhausted words (arrays already
+    merged to < 2 tokens can never contribute a pair again — merging
+    only shrinks arrays), so the relation monotonically shrinks.
+    Checkpointed == chained is pinned by
+    ``tests/test_corpus.py::test_bpe_train_checkpoint_equals_chained``;
+    the DuckDB oracle unrolls the same 64 rounds. At 100 TB the
+    checkpointed relation is the Heaps-sublinear word dictionary, and
+    'checkpoint' is the same shared-filesystem staging every multi-day
+    trainer uses."""
+    merges = _bpe_train(
+        spark,
+        sf_dir,
+        BPE_TRAIN_ROUNDS_DEEP,
+        checkpoint_every=BPE_CHECKPOINT_EVERY,
+    )
+    return spark.createDataFrame(
+        merges, "merge_rank int, a string, b string, pair_count bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    checkpoint_every: int = 0,
+) -> list[tuple[int, str, str, int]]:
+    """Shared Sennrich trainer loop: ``rounds`` argmax-merge rounds over
+    the distinct-word frequency relation; ``checkpoint_every`` > 0
+    stages the folded token arrays to parquet every K rounds (resetting
+    the expression chain and dropping pair-exhausted words) — output
+    PROVABLY identical to the unbroken chain (test-pinned)."""
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
     words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
@@ -1590,8 +1682,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.split(
             F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
         )
-        merges = []
-        for _ in range(BPE_TRAIN_ROUNDS):
+        rel = wf
+        merges: list[tuple[int, str, str, int]] = []
+        for k in range(rounds):
             pair = F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(arr) - 1),
@@ -1602,7 +1695,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             best = (
-                wf.filter(F.size(arr) >= 2)
+                rel.filter(F.size(arr) >= 2)
                 .select("freq", pair.alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("freq").alias("cnt"))
@@ -1615,15 +1708,28 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
             merges.append((len(merges) + 1, a, b, cnt))
             arr = _merge_fold(arr, a, b)
+            if (
+                checkpoint_every
+                and (k + 1) % checkpoint_every == 0
+                and k + 1 < rounds
+            ):
+                # materialize the folded arrays, reset the chain; words
+                # already below 2 tokens can never pair again — drop
+                rel = stage(
+                    rel.filter(F.size(arr) >= 2).select(
+                        arr.alias("toks"), "freq"
+                    )
+                )
+                arr = F.col("toks")
     finally:
         wf.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank int, a string, b string, pair_count bigint"
-    )
+    return merges
 
 
-def _duck_bpe_train_oracle() -> str:
-    """DuckDB twin of ``bpe_train_merges``: the N-round trainer unrolled
+def _duck_bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """DuckDB twin of ``bpe_train_merges`` (and, at rounds=64, of the
+    checkpointed ``bpe_train_merges_deep`` — checkpointing is a pure
+    execution detail, the answer is the chain's): the N-round trainer unrolled
     into nested CTEs — each round is (pair count over the word-frequency
     relation) → (1-row argmax) → (merge applied TOKENWISE via a
     ``list_reduce`` fold whose accumulator encodes (emitted tokens,
@@ -1647,8 +1753,12 @@ def _duck_bpe_train_oracle() -> str:
         "|| ' |' || x END"
         "), '|', ''), ' '), t -> t <> '')"
     )
+    # AS MATERIALIZED: without it DuckDB inlines every CTE reference,
+    # so the 64-round union re-expands each round's whole prefix chain —
+    # O(rounds^2) parquet scans ("too many open files" at depth 64);
+    # materialization evaluates each round exactly once.
     parts = [
-        r"""WITH w0 AS (
+        r"""WITH w0 AS MATERIALIZED (
         SELECT list_filter(string_split(trim(
                    regexp_replace(w, '(.)', '\1 ', 'g')), ' '),
                    t -> t <> '') AS arr,
@@ -1661,9 +1771,9 @@ def _duck_bpe_train_oracle() -> str:
         ) GROUP BY w
     )"""
     ]
-    for k in range(BPE_TRAIN_ROUNDS):
+    for k in range(rounds):
         parts.append(f""",
-    p{k} AS (
+    p{k} AS MATERIALIZED (
         SELECT u.a AS a, u.b AS b, SUM(freq) AS cnt FROM (
             SELECT freq,
                    unnest(list_transform(range(1, len(arr)),
@@ -1673,15 +1783,15 @@ def _duck_bpe_train_oracle() -> str:
             WHERE len(arr) >= 2
         ) GROUP BY u.a, u.b
     ),
-    r{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
-    w{k + 1} AS (
+    r{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{k + 1} AS MATERIALIZED (
         SELECT {fold} AS arr, freq
         FROM w{k}, (SELECT a, b FROM r{k}) m
     )""")
     sel = "\n    UNION ALL ".join(
         f"SELECT {k + 1} AS merge_rank, a, b, CAST(cnt AS BIGINT) "
         f"AS pair_count FROM r{k}"
-        for k in range(BPE_TRAIN_ROUNDS)
+        for k in range(rounds)
     )
     return "".join(parts) + "\n    " + sel
 
@@ -1884,6 +1994,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_train_merges_deep": bpe_train_merges_deep,
     "doc_bm25_search": doc_bm25_search,
     "pmi_collocations": pmi_collocations,
     "doc_lang_confusion": doc_lang_confusion,
@@ -1898,6 +2009,7 @@ QUERIES = {
     "quality_method_agreement": quality_method_agreement,
     "bpe_first_merges": bpe_first_merges,
     "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
+    "bpe_encode_merges64": bpe_encode_merges64,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -2302,17 +2414,26 @@ ORACLE["dsir_importance_weights"] = rf"""
     GROUP BY b.doc_id
 """
 
-def _duck_bpe_encode(var: str) -> str:
-    """The DuckDB twin of ``_encode`` — generated from the SAME
-    ``BPE_MERGES`` tuple so the two engines can never drift."""
+def _duck_bpe_encode(var: str, merges: tuple = BPE_MERGES) -> str:
+    """The DuckDB twin of ``_encode`` — generated from the SAME merge
+    tuple so the two engines can never drift."""
     s = f"' ' || regexp_replace({var}, '(.)', '\\1 ', 'g')"
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         pat, rep = f"' {a} {b} '", f"' {a}{b} '"
         s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
     return f"len(string_split(trim({s}), ' '))"
 
 
-ORACLE["bpe_encode_fixed_merges"] = f"""
+def _duck_bpe_encode_report(merges: tuple) -> str:
+    """Oracle for the per-doc encode report. Two shapes, same values:
+    small merge tables inline the full replace chain inside
+    list_transform; deep tables (64 merges = 128 nested replaces)
+    exceed DuckDB's 128-deep binder recursion, so the chain is split
+    into CTE LEVELS of 8 merges each over the exploded word stream and
+    re-aggregated per doc — chunk boundaries don't change the result
+    (the replace chain is applied left-to-right either way)."""
+    if len(merges) <= 16:
+        return f"""
     WITH w AS (
         SELECT doc_id, lang,
                list_filter(string_split(
@@ -2326,13 +2447,63 @@ ORACLE["bpe_encode_fixed_merges"] = f"""
                CAST(list_sum(list_transform(words, w -> length(w)))
                     AS BIGINT) AS n_az_chars,
                CAST(list_sum(list_transform(words,
-                    w -> {_duck_bpe_encode("w")})) AS BIGINT) AS n_bpe_tokens
+                    w -> {_duck_bpe_encode("w", merges)}))
+                   AS BIGINT) AS n_bpe_tokens
         FROM w
     )
     SELECT doc_id, lang, n_words, n_az_chars, n_bpe_tokens,
            {_duck_ratio6("n_az_chars", "n_bpe_tokens")} AS chars_per_token
     FROM enc
 """
+    chunks = [merges[i : i + 8] for i in range(0, len(merges), 8)]
+    lvls = []
+    for idx, ch in enumerate(chunks):
+        e = (
+            r"(' ' || regexp_replace(wd, '(.)', '\1 ', 'g'))"
+            if idx == 0
+            else "s"
+        )
+        for a, b in ch:
+            pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+            e = f"replace(replace({e}, {pat}, {rep}), {pat}, {rep})"
+        lvls.append(
+            f"e{idx + 1} AS (SELECT doc_id, lang, lw, {e} AS s FROM e{idx})"
+        )
+    last = f"e{len(chunks)}"
+    lvl_sql = ",\n    ".join(lvls)
+    return f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                   w -> w <> '') AS words
+        FROM documents
+    ),
+    e0 AS (
+        SELECT doc_id, lang, length(wd) AS lw, wd
+        FROM (SELECT doc_id, lang, unnest(words) AS wd FROM w)
+    ),
+    {lvl_sql},
+    agg AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS INT) AS n_words,
+               CAST(SUM(lw) AS BIGINT) AS n_az_chars,
+               CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM {last} GROUP BY doc_id, lang
+    )
+    SELECT w.doc_id, w.lang,
+           COALESCE(a.n_words, 0) AS n_words,
+           a.n_az_chars, a.n_bpe_tokens,
+           CASE WHEN a.n_bpe_tokens IS NULL THEN NULL
+                ELSE {_duck_ratio6("a.n_az_chars", "a.n_bpe_tokens")}
+           END AS chars_per_token
+    FROM w LEFT JOIN agg a USING (doc_id, lang)
+"""
+
+
+ORACLE["bpe_encode_fixed_merges"] = _duck_bpe_encode_report(BPE_MERGES)
+ORACLE["bpe_encode_merges64"] = _duck_bpe_encode_report(BPE_MERGES_64)
 
 ORACLE["vocab_oov_rate"] = rf"""
     WITH toks AS (
@@ -2711,3 +2882,4 @@ ORACLE["quality_classifier_score"] = _QC_CTES + f"""
 """
 
 ORACLE["bpe_train_merges"] = _duck_bpe_train_oracle()
+ORACLE["bpe_train_merges_deep"] = _duck_bpe_train_oracle(BPE_TRAIN_ROUNDS_DEEP)

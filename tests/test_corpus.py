@@ -1358,3 +1358,101 @@ def test_curation_pipeline_v2_attrition_invariants(spark):
     assert by["token_budget_mixture"]["detail"] == V2_MIX_BUDGET
     # classifier gate scored every candidate doc it saw
     assert by["classifier_gate"]["detail"] == by["ppjoin_neardup"]["docs_out"]
+
+
+def test_bpe_train_checkpoint_equals_chained(spark):
+    """The deep trainer's parquet checkpoint every K rounds is a pure
+    execution detail: 16 rounds checkpointed every 4 must produce the
+    IDENTICAL merge table (ranks, pairs, selection-time counts) as the
+    unbroken 16-fold expression chain."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        _bpe_train,
+    )
+
+    chained = _bpe_train(spark, SF_DIR, 16, checkpoint_every=0)
+    ckpt = _bpe_train(spark, SF_DIR, 16, checkpoint_every=4)
+    assert ckpt == chained
+
+
+def test_bpe_deep_trainer_matches_python_greedy_replay(spark):
+    """The 64-round checkpointed trainer replays the Python greedy
+    reference exactly — the r12-verdict 'Done' criterion for trainer
+    depth."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_TRAIN_ROUNDS_DEEP,
+        bpe_train_merges_deep,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    texts = [
+        r[0] for r in load(spark, SF_DIR, "documents").select("text").collect()
+    ]
+    expect = _python_bpe_train(texts, BPE_TRAIN_ROUNDS_DEEP)
+    got = [
+        (r["merge_rank"], r["a"], r["b"], r["pair_count"])
+        for r in bpe_train_merges_deep(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_merges64_artifact_is_deep_trainer_output(spark):
+    """The frozen 64-merge artifact the deep encoder applies must be
+    EXACTLY what the deep trainer learns on its training corpus
+    (sf0.01), and must contain no a==b merge (the two-pass-replace
+    encoder device's precondition)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_MERGES_64,
+        BPE_TRAIN_ROUNDS_DEEP,
+        _bpe_train,
+    )
+
+    assert all(a != b for a, b in BPE_MERGES_64)
+    assert len(BPE_MERGES_64) == BPE_TRAIN_ROUNDS_DEEP
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    got = _bpe_train(
+        spark, sf01, BPE_TRAIN_ROUNDS_DEEP, checkpoint_every=8
+    )
+    assert tuple((a, b) for _, a, b, _ in got) == BPE_MERGES_64
+
+
+def test_bpe_encode_merges64_matches_python_reference(spark):
+    """The deep encoder (64 two-pass replaces) must equal the
+    symbol-level greedy reference over every word of the corpus — the
+    encoder re-certification at production tokenizer depth."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_MERGES_64,
+        bpe_encode_merges64,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    import re
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in BPE_MERGES_64:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_merges64(spark, SF_DIR).collect()
+    }
+    for doc_id, text in texts.items():
+        words = [
+            w for w in re.sub(r"[^a-z ]", " ", text.lower()).split(" ") if w
+        ]
+        assert got[doc_id] == sum(ref_encode(w) for w in words), doc_id
