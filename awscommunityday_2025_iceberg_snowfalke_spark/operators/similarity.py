@@ -773,6 +773,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2  # cells probed per query (defined before its first consumer)
+
+
 # --- cell-partitioned IVF store (probe = partition pruning) ------------------
 # (session, sf_dir) → path of the corpus written PARTITIONED BY CELL.
 _IVF_STORE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
@@ -816,10 +819,26 @@ def ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Results are identical to the map-only Arrow formulation: both share
     one oracle. At 100 TB this is the lowest-I/O probe shape — the scan
     touches |probed cells| / k of the corpus bytes before any compute."""
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings")
     cent_rows = _centroids(emb).orderBy("label").collect()
+    store = spark.read.parquet(_ivf_store(spark, sf_dir))
+    return _probe_store(spark, emb, store, cent_rows)
+
+
+def _probe_store(
+    spark: SparkSession,
+    emb: DataFrame,
+    store: DataFrame,
+    cent_rows: list,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """The probe half of :func:`ann_ivf_partitioned_probe` over ANY
+    cell-tagged store relation and ANY centroid artifact — driver-side
+    probe-cell selection (bounded: |queries| × k), cell-pruned scan,
+    broadcast probe join, exact sequential-fold cosine re-rank. Shared
+    by the full-index probe and the append-path probe."""
+    import numpy as np
+
     cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
     C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
@@ -834,14 +853,13 @@ def ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     qc = (Q @ C.T) / (Qn[:, None] * Cn[None, :])
     probe_rows = []
     for qi in range(len(q_ids)):
-        for ci in np.lexsort((cells, -qc[qi]))[:N_PROBE]:
+        for ci in np.lexsort((cells, -qc[qi]))[:n_probe]:
             probe_rows.append(
                 (int(q_ids[qi]), int(cells[ci]), [float(x) for x in Q[qi]])
             )
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int, q array<double>"
     )
-    store = spark.read.parquet(_ivf_store(spark, sf_dir))
     pruned = store.filter(
         F.col("cell").isin(sorted({c for _, c, _ in probe_rows}))
     )
@@ -873,7 +891,6 @@ def ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- IVF ANN (coarse-quantize → probe → exact re-rank) -----------------------
-N_PROBE = 2
 
 
 def _centroids(emb: DataFrame) -> DataFrame:
@@ -1955,13 +1972,16 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental IVF maintenance ---------------------------------------------
-def _assign_frozen(vectors: DataFrame, cent_rows: list) -> DataFrame:
-    """(vec_id, cell): map-only Arrow assignment of ``vectors`` against a
-    FROZEN centroid list (collected bounded k×d artifact) — the
-    :func:`_assigned_cells` kernel generalized to an explicit centroid
-    set, so an index can score vectors it was NOT trained on. Argmax
-    takes the first/lowest cell on ties (= the oracle's cos DESC, cell
-    ASC)."""
+def _assign_frozen(
+    vectors: DataFrame, cent_rows: list, with_embedding: bool = False
+) -> DataFrame:
+    """(vec_id, cell[, embedding]): map-only Arrow assignment of
+    ``vectors`` against a FROZEN centroid list (collected bounded k×d
+    artifact) — the :func:`_assigned_cells` kernel generalized to an
+    explicit centroid set, so an index can score vectors it was NOT
+    trained on. Argmax takes the first/lowest cell on ties (= the
+    oracle's cos DESC, cell ASC). ``with_embedding`` carries the vector
+    through for store writes (no join-back needed)."""
     import numpy as np
     import pandas as pd
 
@@ -1975,16 +1995,20 @@ def _assign_frozen(vectors: DataFrame, cent_rows: list) -> DataFrame:
             En = np.linalg.norm(E, axis=1)
             S = (E @ C.T) / (En[:, None] * Cn[None, :])
             idx = np.argmax(S, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": cells[idx],
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "cell": cells[idx],
+            }
+            if with_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
+    schema = "vec_id long, cell int"
+    if with_embedding:
+        schema += ", embedding array<double>"
     return vectors.select(
         "vec_id", _as_double("embedding").alias("embedding")
-    ).mapInPandas(assign, "vec_id long, cell int")
+    ).mapInPandas(assign, schema)
 
 
 def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2085,6 +2109,99 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_arrived") * 2 > F.col("n_standing") * 3)
             | (F.col("centroid_shift") > 0.01)
         ).cast("int"),
+    )
+
+
+def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSE the incremental-ANN loop (r12 verdict task 5):
+    :func:`ann_ivf_incremental_assign` DECIDES whether to re-train; this
+    entry executes the APPEND path that decision protects and measures
+    its query-visible cost. The arriving batch (odd vec_ids) is
+    frozen-assigned and physically APPENDED into the standing index's
+    cell-partitioned store (hive ``cell=`` layout, parquet
+    ``mode("append")`` — exactly how a FAISS/Milvus segment lands); a
+    probe query then sees standing + appended vectors through the same
+    partition-pruned read as :func:`ann_ivf_partitioned_probe`. The
+    comparison: that post-append probe vs a FULL REBUILD's probe
+    (centroids re-trained on the whole corpus, store re-assigned). Per
+    query: top-k size, rank-for-rank agreement, set agreement — plus
+    the drift report's global re-train verdict, so the row reads as
+    'the trigger said X and the append path's answer differed by Y'.
+    A doctored stable-cluster fixture pins the invariant: when the
+    trigger says NO re-train (no growth, no shift), the append path's
+    probe results EQUAL the rebuild's.
+
+    Scale shape: two map-only Arrow assignment passes (arriving-only in
+    steady state; the rebuild side exists to be measured against), one
+    parquet append of batch-sized files into existing cell directories
+    (no rewrite of standing data — the entire point), two
+    partition-pruned probes, and bounded driver artifacts (k×d
+    centroids, |queries|×d batch). The agreement join is top-k-bounded
+    rows per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    frozen_rows = _centroids(standing).orderBy("label").collect()
+    full_rows = _centroids(emb).orderBy("label").collect()
+
+    import uuid
+
+    path = os.path.join(
+        _session_root(spark), f"ivf_append_{uuid.uuid4().hex[:12]}"
+    )
+    _assign_frozen(standing, frozen_rows, with_embedding=True).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    # THE append: arriving batch lands in its frozen cells — new files
+    # in existing cell= directories, standing files untouched
+    _assign_frozen(arriving, frozen_rows, with_embedding=True).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+    appended_store = spark.read.parquet(path)
+    top_append = _probe_store(spark, emb, appended_store, frozen_rows)
+
+    rebuilt_store = _assign_frozen(emb, full_rows, with_embedding=True)
+    top_rebuild = _probe_store(spark, emb, rebuilt_store, full_rows)
+
+    any_retrain = ann_ivf_incremental_assign(spark, sf_dir).agg(
+        F.max("retrain").alias("any_retrain")
+    )
+    a = top_append.select(
+        "query_id", "rank", F.col("neighbor_id").alias("na")
+    )
+    b = top_rebuild.select(
+        "query_id", "rank", F.col("neighbor_id").alias("nb")
+    )
+    rank_agree = (
+        a.join(b, ["query_id", "rank"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum((F.col("na") == F.col("nb")).cast("long")).alias(
+                "n_rank_agree"
+            ),
+        )
+    )
+    set_agree = (
+        top_append.select("query_id", "neighbor_id")
+        .join(
+            top_rebuild.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_set_agree"))
+    )
+    return (
+        rank_agree.join(set_agree, "query_id", "left_outer")
+        .crossJoin(F.broadcast(any_retrain))
+        .select(
+            "query_id",
+            "n_topk",
+            "n_rank_agree",
+            F.coalesce("n_set_agree", F.lit(0)).alias("n_set_agree"),
+            F.col("any_retrain").cast("int").alias("any_retrain"),
+        )
+        .orderBy("query_id")
     )
 
 
@@ -2535,6 +2652,7 @@ QUERIES = {
     "semantic_dedup_fold": semantic_dedup_fold,
     "ann_ivf_cosine": ann_ivf_cosine,
     "ann_ivf_partitioned_probe": ann_ivf_partitioned_probe,
+    "ann_ivf_append_probe": ann_ivf_append_probe,
     "ann_ivf_recall_report": ann_ivf_recall_report,
     "ann_ivf_pq_cosine": ann_ivf_pq_cosine,
     "ann_ivf_pq_recall_report": ann_ivf_pq_recall_report,
@@ -3052,6 +3170,128 @@ ORACLE["ann_ivf_incremental_assign"] = """
     FROM shift s
     LEFT JOIN occ o USING (cell)
     LEFT JOIN acmp a USING (cell)
+"""
+
+ORACLE["ann_ivf_append_probe"] = f"""
+    WITH src AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    old AS (SELECT * FROM src WHERE vec_id % 2 = 0),
+    compf AS (
+        SELECT label, e[i + 1] AS v, i AS pos
+        FROM old, UNNEST(range(len(e))) AS u(i)
+    ),
+    centf AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+        FROM compf GROUP BY label, pos
+    ),
+    cf AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS centroid
+        FROM centf GROUP BY label
+    ),
+    compr AS (
+        SELECT label, e[i + 1] AS v, i AS pos
+        FROM src, UNNEST(range(len(e))) AS u(i)
+    ),
+    centr AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+        FROM compr GROUP BY label, pos
+    ),
+    cr AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS centroid
+        FROM centr GROUP BY label
+    ),
+    fscored AS (
+        SELECT s.vec_id, c.cell, s.e,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY list_cosine_similarity(s.e, c.centroid) DESC,
+                            c.cell ASC) AS rk
+        FROM src s CROSS JOIN cf c
+    ),
+    fassign AS (SELECT vec_id, cell, e FROM fscored WHERE rk = 1),
+    ftop AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.q, a.e) DESC,
+                                a.vec_id ASC) AS rank
+            FROM fassign a JOIN (
+                SELECT vec_id AS query_id, cell AS probe_cell, e AS q
+                FROM fscored
+                WHERE vec_id < {N_QUERIES} AND rk <= {N_PROBE}
+            ) p ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    gscored AS (
+        SELECT s.vec_id, c.cell, s.e,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY list_cosine_similarity(s.e, c.centroid) DESC,
+                            c.cell ASC) AS rk
+        FROM src s CROSS JOIN cr c
+    ),
+    gassign AS (SELECT vec_id, cell, e FROM gscored WHERE rk = 1),
+    gtop AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.q, a.e) DESC,
+                                a.vec_id ASC) AS rank
+            FROM gassign a JOIN (
+                SELECT vec_id AS query_id, cell AS probe_cell, e AS q
+                FROM gscored
+                WHERE vec_id < {N_QUERIES} AND rk <= {N_PROBE}
+            ) p ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    rk_agree AS (
+        SELECT a.query_id, COUNT(*) AS n_topk,
+               CAST(SUM(CASE WHEN a.neighbor_id = b.neighbor_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rank_agree
+        FROM ftop a JOIN gtop b
+          ON a.query_id = b.query_id AND a.rank = b.rank
+        GROUP BY a.query_id
+    ),
+    set_agree AS (
+        SELECT f.query_id, COUNT(*) AS n_set_agree
+        FROM ftop f JOIN gtop g
+          ON f.query_id = g.query_id AND f.neighbor_id = g.neighbor_id
+        GROUP BY f.query_id
+    ),
+    occ AS (
+        SELECT cell,
+               SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_standing,
+               SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_arrived
+        FROM fassign GROUP BY cell
+    ),
+    shift AS (
+        SELECT f.cell,
+               ROUND(list_aggregate(
+                   list_transform(list_zip(f.centroid, r.centroid),
+                                  p -> abs(p[1] - p[2])), 'max'),
+                   8) AS centroid_shift
+        FROM cf f JOIN cr r USING (cell)
+    ),
+    anyr AS (
+        SELECT MAX(CASE WHEN COALESCE(o.n_arrived, 0) * 2
+                             > COALESCE(o.n_standing, 0) * 3
+                         OR s.centroid_shift > 0.01
+                    THEN 1 ELSE 0 END) AS any_retrain
+        FROM shift s LEFT JOIN occ o USING (cell)
+    )
+    SELECT r.query_id, r.n_topk, r.n_rank_agree,
+           COALESCE(sa.n_set_agree, 0) AS n_set_agree,
+           CAST(anyr.any_retrain AS INT) AS any_retrain
+    FROM rk_agree r
+    LEFT JOIN set_agree sa USING (query_id)
+    CROSS JOIN anyr
+    ORDER BY r.query_id
 """
 
 ORACLE["semantic_dedup"] = f"""

@@ -966,6 +966,47 @@ def test_ann_ivf_incremental_unchanged_cells_agree(spark, tmp_path):
         assert got[c]["retrain"] == 1
 
 
+def test_ann_ivf_append_probe_no_retrain_equals_rebuild(spark, tmp_path):
+    """The invariant the re-train trigger protects, end-to-end: on a
+    doctored STABLE corpus (each cluster's single arrival sits exactly
+    at the standing centroid → zero shift, and 1·2 < 3·3 → no occupancy
+    growth) the trigger says NO re-train, and the append path's probe
+    results — arrivals frozen-assigned and parquet-appended into the
+    standing cell-partitioned store — EQUAL a full rebuild's probe,
+    rank for rank, for every query."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        ann_ivf_append_probe,
+    )
+
+    def vec(cluster, jitter):
+        e = [0.0] * 8
+        e[cluster * 2] = 10.0
+        e[cluster * 2 + 1] = jitter
+        return e
+
+    rows = []
+    vid = 0
+    for cluster in range(4):  # standing: even vec_ids, 3 per cluster
+        for j in range(3):
+            rows.append((vid, cluster, vec(cluster, 0.1 * j)))
+            vid += 2
+    for cluster in range(4):  # arriving: odd vec_ids, ONE per cluster,
+        # placed at the standing mean (jitter (0+0.1+0.2)/3 = 0.1) so the
+        # full re-train's centroid is unchanged: shift ~1e-17 ≤ 0.01
+        rows.append((2 * cluster + 1, cluster, vec(cluster, 0.1)))
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = ann_ivf_append_probe(spark, str(tmp_path)).collect()
+    assert len(got) == 5  # N_QUERIES
+    for r in got:
+        assert r["any_retrain"] == 0, r
+        assert r["n_topk"] > 0, r
+        assert r["n_rank_agree"] == r["n_topk"], r
+        assert r["n_set_agree"] == r["n_topk"], r
+
+
 def test_dedup_paragraphs_first_occurrence_and_transform(spark, tmp_path):
     """Paragraph dedup on a doctored corpus with PLANTED repeated
     paragraphs: first corpus-wide occurrence survives (lowest doc_id,
