@@ -59,6 +59,58 @@ def _aware_utc(v):
     return v
 
 
+def _footer_col_stats(md, idx):
+    """``[min, max, null_count, rows]`` of one column from a parquet
+    footer's row-group statistics — None when any row group lacks usable
+    stats (missing statistics object or writer-omitted null counts) or
+    the file is empty. All-NULL row groups (null_count == rows, no
+    min/max) are EXACT, not stat-less; a column all-NULL across the file
+    yields ``[None, None, n, n]`` — Iceberg's contains-only-null metrics
+    shape, prunable under IS NOT NULL and under any range predicate
+    (range predicates never match NULL rows). Timestamp bounds come back
+    tz-normalized via :func:`_aware_utc`, NOT ISO-serialized — callers
+    that persist them (manifest commit) serialize; callers that compare
+    them (the footer planners) compare instants."""
+    mins, maxs, nulls = [], [], 0
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        st = rgm.column(idx).statistics
+        if st is None or st.null_count is None:
+            return None  # stat-less / null counts omitted: conservative
+        if not st.has_min_max:
+            if st.null_count == rgm.num_rows:  # all-NULL row group: exact
+                nulls += st.null_count
+                continue
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+        nulls += st.null_count
+    if md.num_rows == 0:
+        return None  # zero-row file: nothing a predicate could prune on
+    if not mins:
+        return [None, None, nulls, md.num_rows]  # all-NULL column
+    return [_aware_utc(min(mins)), _aware_utc(max(maxs)), nulls, md.num_rows]
+
+
+def _agg_col_stats(vals: list) -> list:
+    """Aggregate per-entry column stats into one manifest-level stat of
+    the same shape. Bounds aggregate over entries that HAVE bounds
+    (all-NULL entries carry ``[None, None, …]`` and contribute no
+    bounds); null/row counts sum only when every entry carries them
+    (3- / 4-element shape), so a mixed legacy manifest degrades the
+    summary conservatively instead of fabricating counts."""
+    bounds = [v for v in vals if v[0] is not None]
+    out = [
+        min(v[0] for v in bounds) if bounds else None,
+        max(v[1] for v in bounds) if bounds else None,
+    ]
+    if all(len(v) >= 3 and v[2] is not None for v in vals):
+        out.append(sum(v[2] for v in vals))
+        if all(len(v) >= 4 and v[3] is not None for v in vals):
+            out.append(sum(v[3] for v in vals))
+    return out
+
+
 # CAS loops retry until they win a version; bound them so a pathological
 # filesystem (e.g. link() failing spuriously) surfaces as an error instead
 # of a hang. Far above any plausible contention (writers make progress:
@@ -202,23 +254,16 @@ class SnapshotTable:
             p = os.path.join(self.path, "data", f["file"])
             md = pq.ParquetFile(p).metadata
             idx = md.schema.names.index(column)
-            mins, maxs, nulls = [], [], 0
-            missing = False
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    missing = True
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-                nulls += st.null_count
+            st4 = _footer_col_stats(md, idx)
             out.append(
                 {
                     "file": f["file"],
-                    # stat-less files (e.g. INT96 legacy data) must be read
-                    "min": None if missing else _aware_utc(min(mins)),
-                    "max": None if missing else _aware_utc(max(maxs)),
-                    "null_count": None if missing else nulls,
+                    # stat-less files (e.g. INT96 legacy data) must be read;
+                    # all-NULL columns have no bounds but a KNOWN null count
+                    "min": None if st4 is None else st4[0],
+                    "max": None if st4 is None else st4[1],
+                    "null_count": None if st4 is None else st4[2],
+                    "rows": md.num_rows,
                 }
             )
         return out
@@ -226,13 +271,49 @@ class SnapshotTable:
     def plan_scan(self, column: str, lo, hi) -> dict:
         """Iceberg-style scan planning (aws-community-builders-
         presentation.md:247-258): walk file stats, keep files whose
-        [min,max] overlaps [lo,hi], skip the rest — before any data read."""
+        [min,max] overlaps [lo,hi], skip the rest — before any data read.
+        A file whose stats PROVE every value is NULL is skipped too:
+        range predicates never match NULL rows (exact, like Iceberg's
+        contains-only-null metrics evaluator)."""
         stats = self.file_stats(column)
-        read = [
-            s["file"]
-            for s in stats
-            if s["min"] is None or (s["max"] >= lo and s["min"] <= hi)
-        ]
+
+        def _may_match(s) -> bool:
+            if (
+                s["null_count"] is not None
+                and s["rows"]
+                and s["null_count"] == s["rows"]
+            ):
+                return False  # provably all-NULL: no row can be in range
+            if s["min"] is None:
+                return True  # stat-less: must read
+            return s["max"] >= lo and s["min"] <= hi
+
+        read = [s["file"] for s in stats if _may_match(s)]
+        return {
+            "files_total": len(stats),
+            "files_read": read,
+            "files_skipped": len(stats) - len(read),
+        }
+
+    def plan_scan_null(self, column: str, mode: str) -> dict:
+        """Footer-walking planner for NULL predicates (the pin target for
+        :meth:`plan_scan_manifests`'s null dimension): ``mode`` is
+        ``"is_null"`` (skip files whose stats prove ZERO nulls —
+        Iceberg's contains-null=false manifest flag) or ``"is_not_null"``
+        (skip files whose stats prove ALL rows are null — Iceberg's
+        contains-only-null). Unknown null counts are read conservatively."""
+        if mode not in ("is_null", "is_not_null"):
+            raise ValueError(f"mode must be is_null/is_not_null: {mode!r}")
+        stats = self.file_stats(column)
+
+        def _may_match(s) -> bool:
+            if s["null_count"] is None:
+                return True  # unknown: must read
+            if mode == "is_null":
+                return s["null_count"] > 0
+            return not (s["rows"] and s["null_count"] == s["rows"])
+
+        read = [s["file"] for s in stats if _may_match(s)]
         return {
             "files_total": len(stats),
             "files_read": read,
@@ -252,12 +333,17 @@ class SnapshotTable:
         return d
 
     def _entry_stats(self, file: str) -> dict:
-        """Footer min/max/null-count of every ``stats_cols`` column for
-        one data file — ONE footer read covers all columns. JSON-ready
-        (timestamps → tz-normalized ISO strings, which compare
-        lexicographically exactly like the instants they encode).
-        Columns absent from the file's schema or lacking row-group
-        stats are simply omitted (conservative downstream)."""
+        """Footer ``[min, max, null_count, rows]`` of every
+        ``stats_cols`` column for one data file — ONE footer read covers
+        all columns. JSON-ready (timestamps → tz-normalized ISO strings,
+        which compare lexicographically exactly like the instants they
+        encode). Columns absent from the file's schema or lacking
+        row-group stats are simply omitted (conservative downstream).
+        An all-NULL column is NOT stat-less: it carries
+        ``[None, None, n, n]`` — Iceberg's contains-only-null shape,
+        which lets IS NOT NULL (and any range predicate) prune the file
+        exactly. Manifests written before r13 carry 3-element
+        ``[min, max, null_count]`` stats; every consumer length-guards."""
         import datetime as _dt
 
         import pyarrow.parquet as pq
@@ -269,29 +355,13 @@ class SnapshotTable:
         for col in self.stats_cols:
             if col not in md.schema.names:
                 continue
-            idx = md.schema.names.index(col)
-            mins, maxs, nulls = [], [], 0
-            ok = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                if st.null_count is None:
-                    # writer omitted null counts (pyarrow returns None,
-                    # not 0) — treat the column as stat-less for this
-                    # file: conservative, never a TypeError mid-commit
-                    ok = False
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-                nulls += st.null_count
-            if not ok or not mins:  # stat-less or zero-row-group file
+            st4 = _footer_col_stats(md, md.schema.names.index(col))
+            if st4 is None:  # stat-less or zero-row file
                 continue
-            lo, hi = _aware_utc(min(mins)), _aware_utc(max(maxs))
+            lo, hi = st4[0], st4[1]
             if isinstance(lo, _dt.datetime):
                 lo, hi = lo.isoformat(), hi.isoformat()
-            out[col] = [lo, hi, nulls]
+            out[col] = [lo, hi, st4[2], st4[3]]
         return out
 
     def _entry_minmax(self, file: str):
@@ -348,11 +418,7 @@ class SnapshotTable:
             vals = [cs[e][col] for e in ents if e in cs and col in cs[e]]
             if len(vals) != len(ents) or not vals:
                 continue
-            summary[col] = [
-                min(v[0] for v in vals),
-                max(v[1] for v in vals),
-                sum(v[2] for v in vals),
-            ]
+            summary[col] = _agg_col_stats(vals)
         return summary or None
 
     def manifest_entries(self, name: str) -> list[str]:
@@ -506,29 +572,64 @@ class SnapshotTable:
         (and manifests) without stats for a predicate column are
         conservatively read/opened on that column.
 
-        ``predicates`` is a conjunction {col: (lo, hi)} over any subset
-        of ``stats_cols`` — a file survives only if EVERY predicate
-        range overlaps its stats (range predicates never match NULL
-        rows and parquet min/max exclude nulls, so min/max pruning
-        stays exact for columns with nulls). ``lo``/``hi`` alone is
+        ``predicates`` is a conjunction over any subset of
+        ``stats_cols`` — a file survives only if EVERY predicate can
+        match its stats. Each value is either a closed range ``(lo,
+        hi)`` (range predicates never match NULL rows and parquet
+        min/max exclude nulls, so min/max pruning stays exact for
+        columns with nulls; a provably all-NULL file is skipped too) or
+        one of the NULL predicates ``"is_null"`` / ``"is_not_null"``
+        (also accepted as SQL-spelled ``"IS NULL"`` / ``"IS NOT
+        NULL"``): ``is_null`` skips stats that prove ZERO nulls
+        (Iceberg's contains-null=false manifest-list flag) and
+        ``is_not_null`` skips stats that prove ALL rows are null
+        (contains-only-null) — the latter needs the 4-element r13 stats
+        shape carrying row counts, so pre-r13 manifests degrade to
+        conservative reads, never wrong skips. ``lo``/``hi`` alone is
         single-column sugar for {primary: (lo, hi)}. Bounds must be in
         the stats' serialized form (ISO strings for timestamps)."""
-        preds = dict(predicates) if predicates else {self.stats_col: (lo, hi)}
-        if any(
-            r is None or r[0] is None or r[1] is None for r in preds.values()
-        ):
-            # a (None, None) "range" would TypeError inside _disjoint on
-            # the first stats comparison — fail clearly at the API edge
-            # instead (half-open ranges are not supported either)
-            raise ValueError(
-                "plan_scan_manifests needs closed bounds: pass lo/hi or "
-                f"predicates with (lo, hi) per column; got {preds!r}"
-            )
+        raw = dict(predicates) if predicates else {self.stats_col: (lo, hi)}
+        preds: dict = {}
+        for c, r in raw.items():
+            if isinstance(r, str):
+                key = r.strip().lower().replace(" ", "_")
+                if key not in ("is_null", "is_not_null"):
+                    raise ValueError(
+                        f"unknown predicate {r!r} for {c!r}: expected a "
+                        "(lo, hi) range, 'is_null', or 'is_not_null'"
+                    )
+                preds[c] = key
+            elif r is None or r[0] is None or r[1] is None:
+                # a (None, None) "range" would TypeError inside _excludes
+                # on the first stats comparison — fail clearly at the API
+                # edge instead (half-open ranges are not supported either)
+                raise ValueError(
+                    "plan_scan_manifests needs closed bounds: pass lo/hi "
+                    f"or predicates with (lo, hi) per column; got {raw!r}"
+                )
+            else:
+                preds[c] = r
 
-        def _disjoint(st, rng) -> bool:
-            # st: [min, max, ...]; rng: (lo, hi) — True when provably
-            # no row can match (exact skip)
-            return st is not None and (st[1] < rng[0] or st[0] > rng[1])
+        def _excludes(st, pred) -> bool:
+            # st: [min, max(, null_count(, rows))] — True when the stats
+            # PROVE no row can match ``pred`` (exact skip)
+            if st is None:
+                return False
+            if pred == "is_null":
+                return len(st) >= 3 and st[2] == 0
+            if pred == "is_not_null":
+                return (
+                    len(st) >= 4
+                    and st[3] is not None
+                    and st[3] > 0
+                    and st[2] == st[3]
+                )
+            if st[0] is None or st[1] is None:
+                # bounds-less stats: the r13 all-NULL shape ([None, None,
+                # n, n]) can never match a range — exact skip; a legacy
+                # [None, None] unknown reads conservatively
+                return len(st) >= 3
+            return st[1] < pred[0] or st[0] > pred[1]
 
         version = version or self.current_version
         if version == 0:  # empty table (files() parity)
@@ -560,7 +661,7 @@ class SnapshotTable:
             if isinstance(s, list):
                 s = {self.stats_col: s}
             if s is not None and any(
-                _disjoint(s.get(c), r) for c, r in preds.items()
+                _excludes(s.get(c), r) for c, r in preds.items()
             ):
                 skipped_manifests += 1
                 skipped_by_summary += 1
@@ -572,9 +673,11 @@ class SnapshotTable:
             if not ent:
                 continue
             cs = doc.get("col_stats")
-            if cs is None:  # legacy manifest: primary-column stats only
+            if cs is None:  # legacy manifest: primary-column stats only,
+                # UNKNOWN null counts (None — never fabricate a zero,
+                # which would let is_null prune wrongly)
                 cs = {
-                    e: {doc.get("stats_col"): v + [0]}
+                    e: {doc.get("stats_col"): v + [None]}
                     for e, v in doc.get("stats", {}).items()
                 }
             # level 1 — manifest aggregate per predicate column (only
@@ -583,11 +686,7 @@ class SnapshotTable:
             for c, r in preds.items():
                 vals = [cs[e][c] for e in ent if e in cs and c in cs[e]]
                 if len(vals) == len(ent) and vals:
-                    agg = [
-                        min(v[0] for v in vals),
-                        max(v[1] for v in vals),
-                    ]
-                    if _disjoint(agg, r):
+                    if _excludes(_agg_col_stats(vals), r):
                         skip = True
                         break
             if skip:
@@ -596,7 +695,7 @@ class SnapshotTable:
             # level 2 — per-entry stats, conjunction across columns
             for e in ent:
                 es = cs.get(e, {})
-                if any(_disjoint(es.get(c), r) for c, r in preds.items()):
+                if any(_excludes(es.get(c), r) for c, r in preds.items()):
                     continue
                 read.append(e)
         return {
@@ -2368,16 +2467,30 @@ def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — 8/10 manifests skipped from the LIST alone, 4 files read;
     (b) ts-window AND lower-user-half — the SECOND stats column prunes
     the upper-half manifest too, 9/10 skipped, 2 files, 2 GETs (vs 11
-    without summaries, vs the footer path's constant 21); (c) the same
-    conjunctive plan after ``rewrite_manifests(1)`` — the LIST shrinks
-    10 → 1 (the 78 GB/yr metadata-size axis) while per-entry stats
-    still hold the read at the same 2 files. Every phase's file set is
-    pinned equal to the footer-walking planner's per-column
-    intersection, and window_rows is the real COUNT cross-check on the
-    pruned read. The user split point is exact integer arithmetic
-    ((min+max+1) div 2) so both engines compute the identical bound."""
-    ev = load(spark, sf_dir, "events")
-    tbl = make_table(spark, "manifestprune_", stats_cols=("ts", "user_id"))
+    without summaries, vs the footer path's constant 21); then the NULL
+    dimension (r12 verdict task 8) over ``promo_value`` — NULL for all
+    events after day 15, so appends 1-2 are null-free, append 3 mixed,
+    appends 4-5 all-NULL: (d) ``IS NOT NULL`` skips the two all-NULL
+    day-ranges from the manifest-LIST summaries alone (Iceberg's
+    contains-only-null — needs the r13 4-element stats carrying row
+    counts) and (e) ``IS NULL`` skips the two null-free ranges
+    (contains-null=false), each 4/10 manifests with zero manifest GETs;
+    (c) the conjunctive plan after ``rewrite_manifests(1)`` — the LIST
+    shrinks 10 → 1 (the 78 GB/yr metadata-size axis) while per-entry
+    stats still hold the read at the same 2 files. Every phase's file
+    set is pinned equal to the footer-walking planner's (range phases:
+    per-column intersection of :meth:`plan_scan`; null phases:
+    :meth:`plan_scan_null`), and window_rows is the real COUNT
+    cross-check on the pruned read. The user split point is exact
+    integer arithmetic ((min+max+1) div 2) so both engines compute the
+    identical bound."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "promo_value",
+        F.when(F.dayofmonth("ts") <= 15, F.col("value")),
+    )
+    tbl = make_table(
+        spark, "manifestprune_", stats_cols=("ts", "user_id", "promo_value")
+    )
     # bounded artifact: ONE row (the user-id extremes) drives the split
     r = ev.agg(
         F.min("user_id").alias("lo"), F.max("user_id").alias("hi")
@@ -2417,6 +2530,16 @@ def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, files_both = _phase(
         "ts_and_user", both_pred, window & (F.col("user_id") < split)
     )
+    promo_nn, files_nn = _phase(
+        "promo_not_null",
+        {"promo_value": "is_not_null"},
+        F.col("promo_value").isNotNull(),
+    )
+    promo_nl, files_nl = _phase(
+        "promo_null",
+        {"promo_value": "is_null"},
+        F.col("promo_value").isNull(),
+    )
     tbl.rewrite_manifests(target_manifests=1)
     after, files_after = _phase(
         "after_rewrite", both_pred, window & (F.col("user_id") < split)
@@ -2442,8 +2565,19 @@ def manifest_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert files_both == (foot_ts & foot_user), (
         "conjunctive manifest planning must equal the footer intersection"
     )
+    # null-predicate plans must equal the footer-walking null planner's
+    foot_nn = set(
+        tbl.plan_scan_null("promo_value", "is_not_null")["files_read"]
+    )
+    foot_nl = set(tbl.plan_scan_null("promo_value", "is_null")["files_read"])
+    assert files_nn == foot_nn, (
+        "IS NOT NULL manifest planning must equal footer null planning"
+    )
+    assert files_nl == foot_nl, (
+        "IS NULL manifest planning must equal footer null planning"
+    )
     return spark.createDataFrame(
-        [ts_only, both, after],
+        [ts_only, both, promo_nn, promo_nl, after],
         "phase string, files_total int, files_read int, manifests_total int,"
         " manifests_skipped int, skipped_by_summary int, planning_gets int,"
         " gets_without_summaries int, footer_path_gets int, window_rows long",
@@ -2782,6 +2916,14 @@ ORACLE["manifest_pruning_report"] = """
         WHERE ts >= TIMESTAMP '2024-01-07 00:00:00'
           AND ts <  TIMESTAMP '2024-01-10 00:00:00'
           AND user_id < split
+    ),
+    w3 AS (  -- promo_value IS NOT NULL == day-of-month <= 15
+        SELECT COUNT(*) AS window_rows FROM events
+        WHERE EXTRACT(day FROM ts) <= 15
+    ),
+    w4 AS (  -- promo_value IS NULL == day-of-month >= 16
+        SELECT COUNT(*) AS window_rows FROM events
+        WHERE EXTRACT(day FROM ts) >= 16
     )
     SELECT 'ts_only' AS phase, 20 AS files_total, 4 AS files_read,
            10 AS manifests_total, 8 AS manifests_skipped,
@@ -2790,6 +2932,10 @@ ORACLE["manifest_pruning_report"] = """
     FROM w1
     UNION ALL
     SELECT 'ts_and_user', 20, 2, 10, 9, 9, 2, 11, 21, window_rows FROM w2
+    UNION ALL
+    SELECT 'promo_not_null', 20, 12, 10, 4, 4, 7, 11, 21, window_rows FROM w3
+    UNION ALL
+    SELECT 'promo_null', 20, 12, 10, 4, 4, 7, 11, 21, window_rows FROM w4
     UNION ALL
     SELECT 'after_rewrite', 20, 2, 1, 0, 0, 2, 2, 21, window_rows FROM w2
 """

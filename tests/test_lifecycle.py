@@ -1177,6 +1177,94 @@ def test_manifest_multicol_stats_and_persisted_config(
     assert got == want
 
 
+def test_manifest_null_pruning_exact_and_conservative(
+    spark, events, tmp_path
+):
+    """NULL-driven manifest pruning (r12 verdict task 8): IS NULL skips
+    stats proving zero nulls (contains-null=false), IS NOT NULL skips
+    stats proving all-null (contains-only-null, needs the r13 4-element
+    row-count shape), a RANGE predicate skips provably all-NULL files,
+    both planners agree file-for-file, and a legacy 3-element manifest
+    (no row counts) degrades IS NOT NULL to a conservative read — never
+    a wrong skip."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=("ts", "nv"))
+    day = F.dayofmonth("ts")
+    nv = F.when(day <= 10, F.col("value")).alias("nv")
+    aug = events.select("event_id", "ts", "user_id", "value", nv)
+    t.append(aug.filter(day <= 10), n_files=2)     # nv: zero nulls
+    t.append(aug.filter((day > 10) & (day <= 20)), n_files=2)  # all-NULL
+    t.append(aug.filter(day > 20), n_files=2)      # all-NULL
+
+    pn = t.plan_scan_manifests(predicates={"nv": "is_null"})
+    assert pn["manifests_skipped"] == 1  # the null-free first append
+    assert pn["skipped_by_summary"] == 1
+    assert len(pn["files_read"]) == 4
+    assert set(pn["files_read"]) == set(
+        t.plan_scan_null("nv", "is_null")["files_read"]
+    )
+
+    pnn = t.plan_scan_manifests(predicates={"nv": "IS NOT NULL"})
+    assert pnn["manifests_skipped"] == 2  # both all-NULL appends
+    assert pnn["skipped_by_summary"] == 2
+    assert len(pnn["files_read"]) == 2
+    assert set(pnn["files_read"]) == set(
+        t.plan_scan_null("nv", "is_not_null")["files_read"]
+    )
+    # the pruned reads are exact: together they see every row once
+    n_null = t.read_files(pn["files_read"]).filter(
+        F.col("nv").isNull()
+    ).count()
+    n_nn = t.read_files(pnn["files_read"]).filter(
+        F.col("nv").isNotNull()
+    ).count()
+    assert n_null + n_nn == events.count()
+
+    # a RANGE predicate on nv prunes the all-NULL files exactly too
+    pr = t.plan_scan_manifests(predicates={"nv": (-1e18, 1e18)})
+    assert len(pr["files_read"]) == 2
+    assert pr["skipped_by_summary"] == 2
+
+    # malformed predicate strings fail clearly at the API edge
+    with pytest.raises(ValueError, match="unknown predicate"):
+        t.plan_scan_manifests(predicates={"nv": "is_weird"})
+
+    # legacy manifest surgery: strip col_stats/row counts from every
+    # manifest file → IS NULL may still prune via [lo, hi]+null_count?
+    # No — legacy docs carry NO null counts at all, so BOTH null
+    # predicates must degrade to reading everything (conservative)
+    mdir = os.path.join(str(tmp_path / "t"), "snapshots", "manifests")
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        with open(p) as fh:
+            doc = _json.load(fh)
+        doc.pop("col_stats", None)
+        doc.pop("stats_cols", None)
+        doc["stats_col"] = "nv"
+        doc["stats"] = {
+            e: [-1e18, 1e18] for e in doc["entries"]
+        }  # bounds only, like a pre-r11 writer
+        with open(p, "w") as fh:
+            _json.dump(doc, fh)
+    # drop the now-stale snapshot summaries as a legacy list would
+    snapdir = os.path.join(str(tmp_path / "t"), "snapshots")
+    for name in os.listdir(snapdir):
+        p = os.path.join(snapdir, name)
+        if not name.endswith(".json") or name == "table.json":
+            continue
+        with open(p) as fh:
+            doc = _json.load(fh)
+        if "manifest_summaries" in doc:
+            doc["manifest_summaries"] = {}
+            with open(p, "w") as fh:
+                _json.dump(doc, fh)
+    legacy_null = t.plan_scan_manifests(predicates={"nv": "is_null"})
+    legacy_nn = t.plan_scan_manifests(predicates={"nv": "is_not_null"})
+    assert len(legacy_null["files_read"]) == 6  # no fabricated zero-null
+    assert len(legacy_nn["files_read"]) == 6
+
+
 def test_deletion_vector_merge_and_conflicts(spark, events, tmp_path):
     """Iceberg v3 deletion vectors: one vector per data file (second
     wave MERGES, never stacks), reads exclude both waves, a concurrent
