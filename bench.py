@@ -177,6 +177,13 @@ HEADLINE = [
     "manifest_lifecycle_report", # manifest rewrite: planning-I/O 13→2 GETs
     "ann_ivf_opq_rot_cosine",    # full OPQ-P: learned rotation + eigen alloc
     "dedup_jaccard_prefix_filter",  # PPJoin: prefix+size+positional filters
+    "dedup_paragraphs_report",   # CCNet paragraph-grain dedup (one window)
+    "dedup_paragraphs_removed_text",  # survivor rebuild transform
+    "ann_ivf_incremental_assign",  # frozen-centroid append protocol + trigger
+    "ann_ivf_opq_np_cosine",     # OPQ non-parametric alternating optimization
+    "ann_ivf_append_probe",      # append→probe loop closure vs full rebuild
+    "bpe_encode_merges64",       # frozen 64-merge BPE encode (deep artifact)
+    "curation_pipeline_v2",      # fused bloom→PPJoin→classifier→contam→mix→pack
 ]
 # dv_delete_events stays registered + oracle-gated but OFF the headline:
 # it is a 4-commit write-path fixture (two DV waves with per-target vector
@@ -187,6 +194,11 @@ HEADLINE = [
 # semantic_dedup_fold — the intentional 4× HOF-interpretation contrast of
 # the Arrow-dgemm primary; its story lives in SCALE.md, its 4.7 s
 # (contended) was a third of the headline tail for zero added signal.
+# bpe_train_merges_deep stays OFF the headline (the dv_delete_events
+# precedent): 64 driver-iterated merge rounds are inherently ~8× the
+# 8-round bpe_train_merges already benched (~22 s at sf0.1, all of it
+# the round loop, not a plan property); bpe_encode_merges64 benches the
+# deep artifact's map-only consumer instead.
 
 
 def _calibrate() -> float:

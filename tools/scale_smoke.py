@@ -118,6 +118,17 @@ DOC_QUERIES = [
     "bpe_train_merges",          # 8 argmax rounds over the word-freq dict
     "ann_ivf_opq_rot_cosine",    # gram + eigh + two PQ probes (invariants)
     "dedup_jaccard_prefix_filter",  # PPJoin prefix/size/positional filters
+    # round-12 additions
+    "dedup_paragraphs_report",   # paragraph-hash window, digest-bucketed
+    "dedup_paragraphs_removed_text",  # survivor collect_list rebuild
+    "ann_ivf_incremental_assign",  # two map-only assigns + bounded drift join
+    "ann_ivf_opq_np_cosine",     # per-round encode + ≤5120-group decimal agg
+    # round-13 additions (bpe_train_merges_deep is excluded like the
+    # 8-round trainer's row covers it: per-round cost scales with data,
+    # round count is a constant 64 — the 8-round smoke row is the signal)
+    "ann_ivf_append_probe",      # 2 store writes + 2 pruned probes + rebuild
+    "bpe_encode_merges64",       # map-only frozen-merge encode, 64 merges
+    "curation_pipeline_v2",      # 6-stage fused curation chain
 ]
 
 
