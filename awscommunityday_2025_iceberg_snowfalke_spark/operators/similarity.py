@@ -1421,6 +1421,152 @@ def ann_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQ8: trained per-dimension scalar quantization (FAISS QT_8bit) ----------
+SQ8_LEVELS = 255  # 8-bit code range; midpoint decode bounds |x−r| ≤ span/510
+
+
+def _sq8_recon(e, vmin_arr, span_arr):
+    """Reconstructed vector after SQ8 encode→decode, fully in-engine:
+    per dimension i, code = clamp(floor((x − vmin_i)·255/span_i), 0,
+    255) (FAISS ``ScalarQuantizer QT_8bit``'s trained affine map) and
+    midpoint decode r = vmin_i + (code + 0.5)·span_i/255; a degenerate
+    constant dimension (span 0) reconstructs to vmin exactly. Every
+    operation is a deterministic IEEE-754 double op written in the SAME
+    order as the DuckDB oracle, so reconstructions are bit-identical
+    across engines — no Python in the hot path at all (whole-stage
+    codegen), unlike the PQ family's Arrow batches."""
+    lv = float(SQ8_LEVELS)
+
+    def one(x, i):
+        lo = F.element_at(vmin_arr, i + 1)
+        sp = F.element_at(span_arr, i + 1)
+        code = F.when(sp == 0.0, F.lit(0.0)).otherwise(
+            F.least(
+                F.lit(lv),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor((x - lo) * lv / sp).cast("double"),
+                ),
+            )
+        )
+        return lo + (code + 0.5) * sp / lv
+
+    return F.transform(e, one)
+
+
+def _sq8_ranges(emb: DataFrame):
+    """Train the SQ8 quantizer: per-dimension [min, max] over the corpus
+    (FAISS ``QT_8bit``'s RangeStat train pass) — one posexplode
+    aggregation map-side-combined to d groups, collected as a bounded
+    d-row artifact. Min/max are exact (no float accumulation), so both
+    engines train the identical quantizer."""
+    rows = (
+        emb.select(F.posexplode(_as_double("embedding")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    vmin = [float(r["lo"]) for r in rows]
+    span = [float(r["hi"]) - float(r["lo"]) for r in rows]
+    return (
+        F.array(*[F.lit(v) for v in vmin]),
+        F.array(*[F.lit(s) for s in span]),
+    )
+
+
+def ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 search (FAISS ``IndexScalarQuantizer``, QT_8bit):
+    the corpus lives as 1-byte-per-dimension codes (8× smaller than
+    fp64 — ``embedding_quantize_int8`` is the storage artifact shape;
+    here encode→decode runs fused in one pass so the DuckDB oracle can
+    certify the SEARCH full-value), queries stay full precision, and
+    the score is cos(q, reconstruct(code)) — the middle rung of the
+    compression ladder between exact flat (1×) and PQ (64×): SQ8 keeps
+    per-dimension resolution, so recall@k is near-exact while scan
+    bytes drop 8×.
+
+    Plan shape: the trained ranges are a bounded d-row artifact inlined
+    as literal arrays; the corpus makes ONE map-only reconstruct+score
+    pass entirely in whole-stage codegen (transform/zip_with folds — no
+    Python, no Arrow transfer); the only shuffle is the per-query top-k
+    window. At 100 TB the scan reads the 8×-smaller code table and the
+    same plan applies unchanged.
+
+    Determinism: ranges are exact min/max; the reconstruction is the
+    same IEEE op sequence on both engines (see :func:`_sq8_recon`); the
+    cosine uses the parity-proven fold devices; ties break on
+    neighbor_id ASC; ROUND(8) display-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    vmin_arr, span_arr = _sq8_ranges(emb)
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double("embedding").alias("q"),
+        )
+        .withColumn("nq", _norm(F.col("q")))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _sq8_recon(_as_double("embedding"), vmin_arr, span_arr).alias("r"),
+    ).withColumn("nr", _norm(F.col("r")))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("r")) / (F.col("nq") * F.col("nr"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 8).alias("sq8_cos"),
+            "rank",
+        )
+    )
+
+
+def ann_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query integer agreement of the SQ8 top-k with exact brute
+    force — the acceptance gate before swapping fp vectors for 1-byte
+    codes, next to the PQ report so the ladder reads flat → SQ8 (8×) →
+    PQ (64×) with measured recall at each rung. Integer set-overlap
+    counts only (no float compares), so the row is exact on both
+    engines."""
+    bf = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    sq = ann_sq8_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        sq.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_topk"))
+        .join(
+            sq.join(bf, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_match")),
+            "query_id",
+            "left_outer",
+        )
+        .select(
+            "query_id",
+            "n_topk",
+            F.coalesce("n_match", F.lit(0)).alias("n_match"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- OPQ: variance-balanced dimension allocation ----------------------------
 def _opq_perm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OPQ ALLOCATION artifact (d rows): each dimension's variance,
@@ -2656,6 +2802,8 @@ QUERIES = {
     "ann_ivf_recall_report": ann_ivf_recall_report,
     "ann_ivf_pq_cosine": ann_ivf_pq_cosine,
     "ann_ivf_pq_recall_report": ann_ivf_pq_recall_report,
+    "ann_sq8_cosine": ann_sq8_cosine,
+    "ann_sq8_recall_report": ann_sq8_recall_report,
     "embedding_pq_codes": embedding_pq_codes,
     "kmeans_ivf_train": kmeans_ivf_train,
     "knn_hard_negatives": knn_hard_negatives,
@@ -3508,6 +3656,75 @@ ORACLE["ann_ivf_pq_recall_report"] = f"""
     FROM cand c JOIN bf ON c.query_id = bf.query_id
                        AND c.neighbor_id = bf.neighbor_id
     GROUP BY c.n_probe
+"""
+
+# SQ8: per-dim trained ranges + clamp/floor/midpoint reconstruction — the
+# IDENTICAL IEEE double op sequence as _sq8_recon, so reconstructions are
+# bit-equal across engines (ranges are exact min/max)
+_DUCK_SQ8_CTES = f"""
+    src AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    dims AS (
+        SELECT i AS pos, MIN(e[i + 1]) AS lo,
+               MAX(e[i + 1]) - MIN(e[i + 1]) AS sp
+        FROM src, UNNEST(range(len(e))) AS u(i)
+        GROUP BY i
+    ),
+    ranges AS (
+        SELECT list(lo ORDER BY pos) AS vmin, list(sp ORDER BY pos) AS span
+        FROM dims
+    ),
+    recon AS (
+        SELECT s.vec_id,
+               list_transform(list_zip(s.e, r.vmin, r.span),
+                   p -> p[2] + (CASE WHEN p[3] = 0 THEN 0.0
+                                ELSE LEAST({SQ8_LEVELS}.0, GREATEST(0.0,
+                                     FLOOR((p[1] - p[2]) * {SQ8_LEVELS}.0
+                                           / p[3]))) END
+                                + 0.5) * p[3] / {SQ8_LEVELS}.0) AS r
+        FROM src s, ranges r
+    )"""
+
+ORACLE["ann_sq8_cosine"] = f"""
+    WITH {_DUCK_SQ8_CTES}
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 8) AS sq8_cos, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.e, c.r) AS cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.e, c.r) DESC,
+                            c.vec_id ASC
+               ) AS rank
+        FROM src q JOIN recon c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+"""
+
+ORACLE["ann_sq8_recall_report"] = f"""
+    WITH sq AS ({ORACLE["ann_sq8_cosine"]}),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DUCK_COS.format(a="q.embedding", b="c.embedding")} DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    ),
+    tot AS (SELECT query_id, COUNT(*) AS n_topk FROM sq GROUP BY query_id),
+    m AS (
+        SELECT s.query_id, COUNT(*) AS n_match
+        FROM sq s JOIN bf b
+          ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+        GROUP BY s.query_id
+    )
+    SELECT t.query_id, t.n_topk, COALESCE(m.n_match, 0) AS n_match
+    FROM tot t LEFT JOIN m ON t.query_id = m.query_id
+    ORDER BY t.query_id
 """
 
 ORACLE["embedding_pq_codes"] = f"""

@@ -915,6 +915,51 @@ def test_opq_np_train_matches_python_replay(spark):
     ), got_dist
 
 
+def test_sq8_reconstruction_error_bound(spark, tmp_path):
+    """SQ8 invariant on a doctored corpus with edge cases: midpoint
+    decode bounds |x − r| ≤ span/510 per dimension (+fp eps) including
+    the exact extremes x = vmin (code 0) and x = vmax (clamped to code
+    255), and a CONSTANT dimension (span 0) reconstructs to vmin
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        _as_double,
+        _sq8_ranges,
+        _sq8_recon,
+    )
+
+    rows = [
+        (0, 0, [0.0, -5.0, 7.25]),   # vmin on dims 0/1
+        (1, 0, [10.0, -5.0, 7.25]),  # vmax dim 0; dim 2 constant
+        (2, 1, [3.7, 4.0, 7.25]),    # vmax dim 1, interior dim 0
+        (3, 1, [9.999, -4.999, 7.25]),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    vmin_arr, span_arr = _sq8_ranges(emb)
+    got = (
+        emb.select(
+            "vec_id",
+            _as_double("embedding").alias("x"),
+            _sq8_recon(_as_double("embedding"), vmin_arr, span_arr).alias(
+                "r"
+            ),
+        )
+        .collect()
+    )
+    spans = [10.0, 9.0, 0.0]
+    for row in got:
+        for d, (x, r) in enumerate(zip(row["x"], row["r"])):
+            if spans[d] == 0.0:
+                assert r == x, (row["vec_id"], d)  # constant dim: exact
+            else:
+                bound = spans[d] / (2 * 255) + 1e-12
+                assert abs(x - r) <= bound, (row["vec_id"], d, x, r)
+
+
 def test_ann_ivf_incremental_unchanged_cells_agree(spark, tmp_path):
     """Frozen-index invariant on a doctored corpus: arrivals land only
     in clusters 0/1, so the full re-train's centroids for clusters 2/3
