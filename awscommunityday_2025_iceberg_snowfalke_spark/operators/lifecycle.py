@@ -36,7 +36,7 @@ import tempfile
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import det_sum, det_sum_sql
@@ -2094,6 +2094,170 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_lut(n: int = 1 << _Z_NBITS) -> list[int]:
+    """xy2d Hilbert index for an n×n grid (n a power of two) — the
+    standard iterative rotate/flip walk, precomputed once into a flat
+    ``x·n + y``-indexed lookup table. 256 ints for the 16×16 grid: the
+    same nibble-LUT device production Hilbert implementations use, and
+    what keeps the key a pure in-engine expression (a literal array
+    element_at) on BOTH engines instead of a 4-level mutable-state loop
+    SQL cannot express."""
+    lut = [0] * (n * n)
+    for x0 in range(n):
+        for y0 in range(n):
+            x, y, d = x0, y0, 0
+            s = n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:  # rotate the quadrant so the walk stays
+                    if rx == 1:  # contiguous (the flip half-turn)
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s //= 2
+            lut[x0 * n + y0] = d
+    return lut
+
+
+def hilbert_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering vs Z-order — the layout comparison
+    behind 'liquid'-style clustering replacing classic Z-ORDER BY: both
+    map the (user bucket × day bucket) plane to one sort key, and files
+    are EQUAL-ROW-COUNT runs along that key (how a writer actually cuts
+    files — by size, not by key value; at key-ALIGNED power-of-two cuts
+    both curves yield identical perfect rectangles and the comparison is
+    vacuous, measured). At row-count boundaries the z-curve's
+    bit-interleave takes long diagonal jumps mid-file, so a file of
+    contiguous z-keys owns a WIDE bounding box; the Hilbert walk is
+    unit-step everywhere, so the same row budget owns a tighter box.
+    Two measurable claims, one report: (1) ``bbox_area`` — the summed
+    per-file bucket-space bounding-box area, the layout-intrinsic
+    locality metric (Hilbert < z-order on the testdata, pinned in
+    tests); (2) footer-stat skipping under the same three predicate
+    shapes as :func:`zorder_clustering_report`, where tighter boxes mean
+    fewer false-positive file reads. Every pruned read still returns the
+    full predicate row count (pruning is conservative), and the oracle
+    recomputes chunk assignment, files_read and bbox_area from the
+    identical integer arithmetic — the Hilbert key itself is a 256-entry
+    literal LUT (:func:`_hilbert_lut`) inlined into both engines.
+
+    Scale shape: key assignment is a map-side integer expression (a
+    literal-array element_at — no shuffle, no UDF); the equal-row
+    boundaries come from the ≤256-row per-key histogram (one map-side
+    combinable agg) windowed into an EXCLUSIVE running count — a bounded
+    single-partition window over grid-cell rows, never data rows — and
+    broadcast-joined back; the chunked write is one hash-repartition by
+    chunk; stats come from footers exactly as Iceberg manifests would
+    carry them. At 100 TB this is a layout REWRITE job (one pass +
+    a tiny histogram), and the report is the acceptance gate that
+    decides whether re-clustering pays before any query runs."""
+    import datetime as _dt
+
+    ev = load(spark, sf_dir, "events")
+    lo_hi = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.count(F.lit(1))
+    ).collect()[0]
+    umin, umax, total = int(lo_hi[0]), int(lo_hi[1]), int(lo_hi[2])
+    span = umax - umin + 1
+    ulo, uhi = umin + span // 4, umin + span // 2 - 1
+
+    n = 1 << _Z_NBITS
+    lut = ",".join(str(v) for v in _hilbert_lut(n))
+    ub = f"((user_id - {umin}) * {n}) DIV {span}"
+    db = f"(datediff(CAST(ts AS DATE), DATE '2024-01-01') * {n}) DIV 30"
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(ub).alias("ubk"),
+        F.expr(db).alias("dbk"),
+        F.expr(_zkey_sql(ub, db, "DIV")).alias("zkey"),
+        F.expr(
+            f"element_at(array({lut}), "
+            f"CAST(({ub}) * {n} + ({db}) + 1 AS INT))"
+        ).alias("hkey"),
+    )
+    tlo = _dt.datetime.fromisoformat(_Z_TLO).replace(tzinfo=_dt.timezone.utc)
+    thi = _dt.datetime.fromisoformat(_Z_THI).replace(tzinfo=_dt.timezone.utc)
+    preds = {
+        "user_band": (True, False),
+        "time_band": (False, True),
+        "user_and_time": (True, True),
+    }
+    rows = []
+    for layout, key in (("zordered", "zkey"), ("hilbert", "hkey")):
+        # equal-row file boundaries: per-key histogram (≤ n² rows) →
+        # exclusive running count → file id = rows_before·FILES div total
+        w_k = Window.orderBy(key).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        mapping = (
+            base.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("kc"))
+            .withColumn(
+                "cb", F.coalesce(F.sum("kc").over(w_k), F.lit(0))
+            )
+            .withColumn(  # pure integer division: exact on both engines
+                "_c", F.expr(f"(cb * {_Z_FILES}) DIV {total}")
+            )
+            .select(key, "_c")
+        )
+        chunked = base.join(F.broadcast(mapping), key)
+        # layout-intrinsic locality: Σ per-file bucket-bbox area, exact
+        # integer arithmetic over the chunk assignment (no file I/O)
+        bbox = chunked.groupBy("_c").agg(
+            (
+                (F.max("ubk") - F.min("ubk") + 1)
+                * (F.max("dbk") - F.min("dbk") + 1)
+            ).alias("a")
+        ).agg(F.sum("a").alias("s")).collect()[0]["s"]
+        tbl = make_table(spark, f"hilb_{layout}_")
+        _write_chunked(
+            tbl,
+            chunked.select("event_id", "user_id", "ts", "_c"),
+        )
+        ustats = {s["file"]: s for s in tbl.file_stats("user_id")}
+        tstats = {s["file"]: s for s in tbl.file_stats("ts")}
+        for pred, (use_u, use_t) in preds.items():
+            read = []
+            for f in ustats:
+                ok = True
+                if use_u:
+                    s = ustats[f]
+                    ok = ok and s["max"] >= ulo and s["min"] <= uhi
+                if use_t:
+                    s = tstats[f]
+                    ok = ok and s["max"] >= tlo and s["min"] < thi
+                if ok:
+                    read.append(f)
+            sel = tbl.read_files(read) if read else None
+            cond = F.lit(True)
+            if use_u:
+                cond = cond & F.col("user_id").between(ulo, uhi)
+            if use_t:
+                cond = cond & (F.col("ts") >= F.lit(tlo)) & (
+                    F.col("ts") < F.lit(thi)
+                )
+            cnt = sel.filter(cond).count() if sel is not None else 0
+            rows.append(
+                (
+                    layout,
+                    pred,
+                    len(ustats),
+                    len(read),
+                    len(ustats) - len(read),
+                    cnt,
+                    int(bbox),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "layout string, predicate string, files_total int, files_read int,"
+        " files_skipped int, rows_selected long, bbox_area long",
+    )
+
+
 def snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGELOG scan between snapshots — the incremental-consumption
     read path (Iceberg changelog / Delta CDF): v1 = cold append, v2 = hot
@@ -2598,6 +2762,7 @@ QUERIES = {
     "wap_publish_audit": wap_publish_audit,
     "mor_delete_events": mor_delete_events,
     "zorder_clustering_report": zorder_clustering_report,
+    "hilbert_clustering_report": hilbert_clustering_report,
     "schema_evolution_read": schema_evolution_read,
     "file_skipping_report": file_skipping_report,
     "clustering_skipping_report": clustering_skipping_report,
@@ -2690,8 +2855,130 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+def _hilbert_oracle_sql() -> str:
+    n = 1 << _Z_NBITS
+    ub = f"((user_id - umin) * {n}) // span"
+    db = f"(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * {n}) // 30"
+    zkey = _zkey_sql(ub, db, "//")
+    lut = ",".join(str(v) for v in _hilbert_lut(n))
+    hkey = f"([{lut}])[CAST(({ub}) * {n} + ({db}) + 1 AS INT)]"
+    tpred = f"ts >= TIMESTAMP '{_Z_TLO}' AND ts < TIMESTAMP '{_Z_THI}'"
+    tfile = f"tmx >= TIMESTAMP '{_Z_TLO}' AND tmn < TIMESTAMP '{_Z_THI}'"
+    return f"""
+        WITH bounds AS (
+            SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+                   MAX(user_id) - MIN(user_id) + 1 AS span
+            FROM events
+        ),
+        upred AS (
+            SELECT umin + span // 4 AS ulo, umin + span // 2 - 1 AS uhi
+            FROM bounds
+        ),
+        keyed AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   {ub} AS ubk, {db} AS dbk,
+                   {zkey} AS zkey, {hkey} AS hkey
+            FROM events e CROSS JOIN bounds
+        ),
+        tot AS (SELECT COUNT(*) AS total FROM keyed),
+        zmap AS (
+            SELECT k, (COALESCE(cb, 0) * {_Z_FILES}) // total AS f
+            FROM (
+                SELECT zkey AS k,
+                       SUM(COUNT(*)) OVER (ORDER BY zkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS cb
+                FROM keyed GROUP BY zkey
+            ) CROSS JOIN tot
+        ),
+        hmap AS (
+            SELECT k, (COALESCE(cb, 0) * {_Z_FILES}) // total AS f
+            FROM (
+                SELECT hkey AS k,
+                       SUM(COUNT(*)) OVER (ORDER BY hkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS cb
+                FROM keyed GROUP BY hkey
+            ) CROSS JOIN tot
+        ),
+        src AS (
+            SELECT keyed.*, z.f AS zc, h.f AS hc
+            FROM keyed
+            JOIN zmap z ON keyed.zkey = z.k
+            JOIN hmap h ON keyed.hkey = h.k
+        ),
+        zstat AS (SELECT zc AS c, MIN(user_id) umn, MAX(user_id) umx,
+                         MIN(ts) tmn, MAX(ts) tmx FROM src GROUP BY zc),
+        hstat AS (SELECT hc AS c, MIN(user_id) umn, MAX(user_id) umx,
+                         MIN(ts) tmn, MAX(ts) tmx FROM src GROUP BY hc),
+        zbox AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS bbox_area FROM (
+                SELECT (MAX(ubk) - MIN(ubk) + 1)
+                       * (MAX(dbk) - MIN(dbk) + 1) AS a
+                FROM src GROUP BY zc)
+        ),
+        hbox AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS bbox_area FROM (
+                SELECT (MAX(ubk) - MIN(ubk) + 1)
+                       * (MAX(dbk) - MIN(dbk) + 1) AS a
+                FROM src GROUP BY hc)
+        ),
+        counts AS (
+            SELECT 'user_band' AS predicate,
+                   (SELECT COUNT(*) FROM events, upred
+                    WHERE user_id BETWEEN ulo AND uhi) AS rows_selected
+            UNION ALL
+            SELECT 'time_band',
+                   (SELECT COUNT(*) FROM events WHERE {tpred})
+            UNION ALL
+            SELECT 'user_and_time',
+                   (SELECT COUNT(*) FROM events, upred
+                    WHERE user_id BETWEEN ulo AND uhi AND {tpred})
+        ),
+        reads AS (
+            SELECT 'zordered' AS layout, 'user_band' AS predicate,
+                   (SELECT COUNT(*) FROM zstat, upred
+                    WHERE umx >= ulo AND umn <= uhi) AS files_read
+            UNION ALL
+            SELECT 'zordered', 'time_band',
+                   (SELECT COUNT(*) FROM zstat WHERE {tfile})
+            UNION ALL
+            SELECT 'zordered', 'user_and_time',
+                   (SELECT COUNT(*) FROM zstat, upred
+                    WHERE umx >= ulo AND umn <= uhi AND {tfile})
+            UNION ALL
+            SELECT 'hilbert', 'user_band',
+                   (SELECT COUNT(*) FROM hstat, upred
+                    WHERE umx >= ulo AND umn <= uhi)
+            UNION ALL
+            SELECT 'hilbert', 'time_band',
+                   (SELECT COUNT(*) FROM hstat WHERE {tfile})
+            UNION ALL
+            SELECT 'hilbert', 'user_and_time',
+                   (SELECT COUNT(*) FROM hstat, upred
+                    WHERE umx >= ulo AND umn <= uhi AND {tfile})
+        )
+        SELECT r.layout, r.predicate,
+               CAST(CASE WHEN r.layout = 'zordered'
+                         THEN (SELECT COUNT(*) FROM zstat)
+                         ELSE (SELECT COUNT(*) FROM hstat) END AS INT)
+                   AS files_total,
+               CAST(r.files_read AS INT) AS files_read,
+               CAST(CASE WHEN r.layout = 'zordered'
+                         THEN (SELECT COUNT(*) FROM zstat)
+                         ELSE (SELECT COUNT(*) FROM hstat) END AS INT)
+                   - CAST(r.files_read AS INT) AS files_skipped,
+               c.rows_selected,
+               CASE WHEN r.layout = 'zordered'
+                    THEN (SELECT bbox_area FROM zbox)
+                    ELSE (SELECT bbox_area FROM hbox) END AS bbox_area
+        FROM reads r JOIN counts c ON r.predicate = c.predicate
+    """
+
+
 ORACLE = {
     "zorder_clustering_report": _zorder_oracle_sql(),
+    "hilbert_clustering_report": _hilbert_oracle_sql(),
     # tag pins the cold snapshot; branch head and fast-forwarded main both
     # read cold+hot = the full events table
     "snapshot_branch_tag": f"""

@@ -1177,6 +1177,29 @@ def test_manifest_multicol_stats_and_persisted_config(
     assert got == want
 
 
+def test_hilbert_tighter_than_zorder(spark):
+    """The Hilbert claim on the fixed testdata: with equal-row-count
+    file boundaries, the Hilbert layout's summed per-file bounding-box
+    area is strictly smaller than z-order's (no quadrant-seam jumps
+    inside a file), and it never reads MORE files under any of the
+    three predicate shapes; rows_selected (the correctness side) is
+    identical per predicate regardless of layout."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        hilbert_clustering_report,
+    )
+
+    rows = hilbert_clustering_report(spark, SF_DIR).collect()
+    by = {(r["layout"], r["predicate"]): r for r in rows}
+    assert len(by) == 6
+    z_bbox = by[("zordered", "user_band")]["bbox_area"]
+    h_bbox = by[("hilbert", "user_band")]["bbox_area"]
+    assert h_bbox < z_bbox, (h_bbox, z_bbox)
+    for pred in ("user_band", "time_band", "user_and_time"):
+        z, h = by[("zordered", pred)], by[("hilbert", pred)]
+        assert h["files_read"] <= z["files_read"], pred
+        assert h["rows_selected"] == z["rows_selected"], pred
+
+
 def test_manifest_null_pruning_exact_and_conservative(
     spark, events, tmp_path
 ):
