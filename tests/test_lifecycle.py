@@ -1177,6 +1177,36 @@ def test_manifest_multicol_stats_and_persisted_config(
     assert got == want
 
 
+def test_mv_join_incremental_delta_terms_nonempty(spark, events):
+    """Fixture honesty for the delta-join maintenance entry: each of the
+    three IVM delta terms (ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB) carries rows on
+    the testdata — a term that is empty by construction would make the
+    entry's 'incremental == full' pin vacuous for that algebra branch.
+    (The equality pin itself is an in-entry assert; the driver oracle
+    certifies the reported rollup.)"""
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import (
+        load,
+    )
+
+    orders = load(spark, SF_DIR, "orders")
+    line = load(spark, SF_DIR, "lineitem")
+    late_o = F.col("o_orderkey") % 7 == 0
+    late_l = F.col("l_linenumber") >= 4
+    t1 = orders.filter(late_o).join(
+        line.filter(~late_l),
+        orders["o_orderkey"] == line["l_orderkey"],
+    )
+    t2 = orders.filter(~late_o).join(
+        line.filter(late_l),
+        orders["o_orderkey"] == line["l_orderkey"],
+    )
+    t3 = orders.filter(late_o).join(
+        line.filter(late_l),
+        orders["o_orderkey"] == line["l_orderkey"],
+    )
+    assert t1.count() > 0 and t2.count() > 0 and t3.count() > 0
+
+
 def test_hilbert_tighter_than_zorder(spark):
     """The Hilbert claim on the fixed testdata: with equal-row-count
     file boundaries, the Hilbert layout's summed per-file bounding-box
