@@ -1830,6 +1830,100 @@ def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- leakage-safe train/val/test split ---------------------------------------
+SPLIT_MOD = 10  # hash buckets: 0-7 train, 8 val, 9 test (80/10/10)
+
+
+def _split_name(bucket):
+    return (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE train/val/test split — the eval-integrity step after
+    near-dup detection: a naive per-document hash split puts near-
+    duplicate pairs on BOTH sides of the train/test fence (the
+    benchmark-contamination mechanism, self-inflicted), while the
+    cluster-aware split hashes each document's connected-component
+    REPRESENTATIVE (min doc_id of its verified LSH near-dup component),
+    so every near-dup cluster lands whole in exactly one split — zero
+    straddling pairs BY CONSTRUCTION, and the report proves it next to
+    the naive method's measured leak count. Both splits are 80/10/10 by
+    the portable 60-bit hash (deterministic, seedless, any worker
+    recomputes membership from ids alone — the
+    :func:`epoch_shard_assignment` property).
+
+    Output: (method, split_name, n_docs, leaky_pairs) — leaky_pairs is
+    the method-level count of verified near-dup pairs whose endpoints
+    fall in different splits (repeated across the method's rows;
+    cluster_safe rows carry 0, test-pinned).
+
+    Scale shape: reuses the memoized component labels
+    (:func:`_cluster_labels` — one label-propagation pass per corpus,
+    shared with the cluster family), the split assignment is a map-side
+    hash expression, the leak audit joins the bounded verified-pair list
+    (already sub-corpus after LSH banding + verify) against the 2-column
+    assignment twice, and the report aggregates to 6 rows + 1."""
+    labels = _cluster_labels(spark, sf_dir)
+    assign = stage(
+        labels.select(
+            F.col("id").alias("doc_id"),
+            _split_name(
+                F.expr(_SPARK_H.format(expr="cast(id as string)"))
+                % SPLIT_MOD
+            ).alias("nsplit"),
+            _split_name(
+                F.expr(_SPARK_H.format(expr="cast(label as string)"))
+                % SPLIT_MOD
+            ).alias("ssplit"),
+        )
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nsplit").alias("na"),
+        F.col("ssplit").alias("sa"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nsplit").alias("nb"),
+        F.col("ssplit").alias("sb"),
+    )
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.sum((F.col("na") != F.col("nb")).cast("long")).alias("nl"),
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("sl"),
+        )
+        .collect()[0]
+    )
+    nl = int(leaks["nl"] or 0)
+    sl = int(leaks["sl"] or 0)
+    counts = (
+        assign.groupBy(F.lit("naive").alias("method"), F.col("nsplit").alias("split_name"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .unionByName(
+            assign.groupBy(
+                F.lit("cluster_safe").alias("method"),
+                F.col("ssplit").alias("split_name"),
+            ).agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+    )
+    return counts.select(
+        "method",
+        "split_name",
+        "n_docs",
+        F.when(F.col("method") == "naive", F.lit(nl))
+        .otherwise(F.lit(sl))
+        .cast("long")
+        .alias("leaky_pairs"),
+    ).orderBy("method", "split_name")
+
+
 # (session, sf_dir, width) → staged SimHash signature table. Like the
 # shingle index, the signature table is the shared intermediate of the
 # pairing family (both band layouts consume it, and both self-join sides
@@ -2147,6 +2241,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_corpus_summary": dedup_corpus_summary,
+    "leakage_safe_split": leakage_safe_split,
     "dedup_method_agreement": dedup_method_agreement,
     "simhash32": simhash32,
     "simhash_hamming_pairs": simhash_hamming_pairs,
@@ -2459,6 +2554,51 @@ ORACLE = {
         GROUP BY d.lang
     """,
     "simhash32": _duck_simhash_sql(),
+    # split buckets from the canonical portable hash; leak audit over the
+    # same verified pair list the clusters are built from
+    "leakage_safe_split": f"""
+        WITH lab AS (
+            SELECT doc_id,
+                   CASE WHEN nb <= 7 THEN 'train'
+                        WHEN nb = 8 THEN 'val' ELSE 'test' END AS nsplit,
+                   CASE WHEN sb <= 7 THEN 'train'
+                        WHEN sb = 8 THEN 'val' ELSE 'test' END AS ssplit
+            FROM (
+                SELECT doc_id,
+                       {_DUCK_H.format(expr="CAST(doc_id AS VARCHAR)")}
+                           % {SPLIT_MOD} AS nb,
+                       {_DUCK_H.format(expr="CAST(cluster_id AS VARCHAR)")}
+                           % {SPLIT_MOD} AS sb
+                FROM ({_duck_clusters_sql()})
+            )
+        ),
+        mh AS ({_duck_minhash_sql()}),
+        leaks AS (
+            SELECT
+                CAST(COALESCE(SUM(CASE WHEN a.nsplit <> b.nsplit
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    AS nl,
+                CAST(COALESCE(SUM(CASE WHEN a.ssplit <> b.ssplit
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    AS sl
+            FROM mh
+            JOIN lab a ON mh.doc_a = a.doc_id
+            JOIN lab b ON mh.doc_b = b.doc_id
+        ),
+        counts AS (
+            SELECT 'naive' AS method, nsplit AS split_name,
+                   COUNT(*) AS n_docs
+            FROM lab GROUP BY nsplit
+            UNION ALL
+            SELECT 'cluster_safe', ssplit, COUNT(*)
+            FROM lab GROUP BY ssplit
+        )
+        SELECT c.method, c.split_name, c.n_docs,
+               CASE WHEN c.method = 'naive' THEN l.nl ELSE l.sl END
+                   AS leaky_pairs
+        FROM counts c CROSS JOIN leaks l
+        ORDER BY c.method, c.split_name
+    """,
 }
 
 _SIMHASH_BAND_ROWS = " UNION ALL ".join(

@@ -915,6 +915,33 @@ def test_opq_np_train_matches_python_replay(spark):
     ), got_dist
 
 
+def test_leakage_safe_split_zero_straddle(spark):
+    """The split entry's contract on the testdata: the cluster-aware
+    split has ZERO near-dup pairs straddling splits (by construction —
+    members inherit the component representative's bucket) while the
+    naive per-doc split measurably leaks; both are 3-way with every doc
+    assigned exactly once."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+    from conftest import SF_DIR
+
+    rows = leakage_safe_split(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["method"], {})[r["split_name"]] = r
+    assert set(by) == {"naive", "cluster_safe"}
+    for method, splits in by.items():
+        assert set(splits) == {"train", "val", "test"}, method
+    assert all(
+        r["leaky_pairs"] == 0 for r in by["cluster_safe"].values()
+    )
+    assert next(iter(by["naive"].values()))["leaky_pairs"] > 0
+    n_naive = sum(r["n_docs"] for r in by["naive"].values())
+    n_safe = sum(r["n_docs"] for r in by["cluster_safe"].values())
+    assert n_naive == n_safe  # every doc assigned exactly once, both ways
+
+
 def test_sq8_reconstruction_error_bound(spark, tmp_path):
     """SQ8 invariant on a doctored corpus with edge cases: midpoint
     decode bounds |x − r| ≤ span/510 per dimension (+fp eps) including
