@@ -1537,6 +1537,105 @@ def ann_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_sq8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8 composed — FAISS's workhorse ``IVF…,SQ8`` index: cell
+    pruning cuts the SCAN to |probed cells|/k of the corpus and SQ8 cuts
+    the BYTES of what remains 8×; the two compressions are orthogonal
+    and this entry is the proof of composition (cells assigned on
+    full-precision vectors exactly like the uncompressed IVF — FAISS
+    assigns before encoding — then scoring runs on reconstructions).
+
+    Fully in-engine like the flat SQ8 path: the per-vector cell
+    assignment is a k-row broadcast cross join + one rank window (the
+    oracle's own assign CTE shape — no Arrow batch, no Python), probe
+    cells are the bounded driver-side |queries|×k selection shared with
+    :func:`_probe_store`, and the probed candidates score cos(q,
+    reconstruct(x)) through the fold devices. Shuffles: the rank window
+    over (vec_id)-keyed n·k rows and the per-query top-k. At 100 TB the
+    assignment is done ONCE at ingest (the cell-partitioned store), so
+    the query-time plan is just the pruned scan + top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    vmin_arr, span_arr = _sq8_ranges(emb)
+    cents = spark.createDataFrame(
+        [(int(r["label"]), r["centroid"]) for r in cent_rows],
+        "cell int, centroid array<double>",
+    ).withColumn("nc", _norm(F.col("centroid")))
+    vecs = emb.select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).withColumn("ne", _norm(F.col("e")))
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell")
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cell_cos",
+            _dot(F.col("e"), F.col("centroid")) / (F.col("ne") * F.col("nc")),
+        )
+        .withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell", "e")
+    )
+
+    import numpy as np
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    qc = (Q @ C.T) / (Qn[:, None] * Cn[None, :])
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        for ci in np.lexsort((cells, -qc[qi]))[:N_PROBE]:
+            probe_rows.append(
+                (int(q_ids[qi]), int(cells[ci]), [float(x) for x in Q[qi]])
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, q array<double>"
+    ).withColumn("nq", _norm(F.col("q")))
+
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq8_recon(F.col("e"), vmin_arr, span_arr).alias("r"),
+            "q",
+            "nq",
+        )
+        .withColumn("nr", _norm(F.col("r")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("r")) / (F.col("nq") * F.col("nr"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 8).alias("sq8_cos"),
+            "rank",
+        )
+    )
+
+
 def ann_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query integer agreement of the SQ8 top-k with exact brute
     force — the acceptance gate before swapping fp vectors for 1-byte
@@ -2803,6 +2902,7 @@ QUERIES = {
     "ann_ivf_pq_cosine": ann_ivf_pq_cosine,
     "ann_ivf_pq_recall_report": ann_ivf_pq_recall_report,
     "ann_sq8_cosine": ann_sq8_cosine,
+    "ann_ivf_sq8_cosine": ann_ivf_sq8_cosine,
     "ann_sq8_recall_report": ann_sq8_recall_report,
     "embedding_pq_codes": embedding_pq_codes,
     "kmeans_ivf_train": kmeans_ivf_train,
@@ -3698,6 +3798,28 @@ ORACLE["ann_sq8_cosine"] = f"""
                ) AS rank
         FROM src q JOIN recon c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+"""
+
+ORACLE["ann_ivf_sq8_cosine"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    {_DUCK_SQ8_CTES},
+    probes AS (
+        SELECT vec_id AS query_id, cell AS probe_cell, e AS q
+        FROM scored
+        WHERE vec_id < {N_QUERIES} AND cell_rank <= {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 8) AS sq8_cos, rank FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.q, r.r) AS cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.q, r.r) DESC,
+                            a.vec_id ASC
+               ) AS rank
+        FROM assign a
+        JOIN recon r ON a.vec_id = r.vec_id
+        JOIN probes p ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
     ) WHERE rank <= {TOP_K}
 """
 
