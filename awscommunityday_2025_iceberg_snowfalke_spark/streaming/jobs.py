@@ -75,6 +75,40 @@ def streaming_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stream-static enrichment join ------------------------------------------
+def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC dimension join — the single most common production
+    streaming shape (an event stream enriched against a slowly-changing
+    dimension), and the one stream-join variant this family still
+    lacked next to the three stream-stream interval joins: the events
+    stream joins the ``user_profiles`` dim (customer→nation→region,
+    broadcastable at any SF — the dim is read fresh per micro-batch, so
+    dim updates between batches are picked up automatically, which is
+    exactly the semantics Structured Streaming documents for
+    stream-static joins), then aggregates revenue-ish value per region ×
+    event_type. No watermark needed: stream-static inner joins are
+    stateless — each micro-batch joins and moves on, state stores stay
+    empty (the scale contract: enrichment adds ZERO streaming state at
+    any corpus size; the dim side broadcasts).
+
+    Oracle: the equivalent batch join-aggregate — micro-batched
+    execution must be indistinguishable from batch."""
+    from ..functions import det_sum
+    from ..sources.registry import user_profiles
+
+    ev = _events_stream(spark, sf_dir)
+    dim = user_profiles(spark, sf_dir)  # static side: plain DataFrame
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("region", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_sum("value", 2).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg)
+
+
 # --- S10: dynamic table (TARGET_LAG refresh) --------------------------------
 def refresh_dynamic_table(
     spark: SparkSession, source_dir: str, target_path: str
@@ -978,6 +1012,7 @@ def streaming_interval_join_full_outer(
 
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
+    "streaming_dim_join": streaming_dim_join,
     "streaming_watermark_late_drop": streaming_watermark_late_drop,
     "streaming_interval_join_purchase_signup": (
         streaming_interval_join_purchase_signup
@@ -1006,10 +1041,21 @@ _DS2 = det_sum_sql("value", 2)
 
 from ..operators.textstats import _QC_CTES as _QC  # noqa: E402
 
+from ..sources.registry import PROFILES_SQL  # noqa: E402
+
 ORACLE = {
     # four streaming MERGE micro-batches must land the exact final table
     # state the batch twin's single MERGE lands (keys unique ⇒ invariant)
     "streaming_merge_upsert": _LC_ORACLE["merge_upsert_events"],
+    # stream-static joins are stateless and per-batch — the micro-batched
+    # enrichment must equal the batch join-aggregate exactly
+    "streaming_dim_join": f"""
+        SELECT pr.region, e.event_type,
+               COUNT(*) AS n_events,
+               {_DS2} AS sum_value
+        FROM events e JOIN {PROFILES_SQL} pr ON e.user_id = pr.user_id
+        GROUP BY 1, 2
+    """,
     # the stateless gate is batching-invariant: three micro-batch
     # scorings under frozen weights must sum to the batch classifier's
     # per-language rollup exactly
