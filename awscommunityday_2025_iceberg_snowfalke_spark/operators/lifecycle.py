@@ -1190,11 +1190,58 @@ class SnapshotTable:
         raise RuntimeError("merge_mor: commit retries exhausted")
 
     # -- reads ---------------------------------------------------------------
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — METADATA ONLY, the Iceberg
+        semantic (a rename is a field-id relabel in metadata.json; data
+        files are NEVER rewritten): the mapping is recorded in
+        ``table.json`` and :meth:`read` maps old-name columns through a
+        COALESCE at scan time — the name-mapping device Iceberg itself
+        uses for parquet imported without field ids. Chained renames
+        (a→b→c) carry the whole alias history forward; newer names win
+        the coalesce. Scope: the user-facing :meth:`read` scan; the
+        internal provenance readers (delete writers, changelog) keep
+        physical names — matching Iceberg, where tombstones reference
+        field ids, not names."""
+        meta_path = os.path.join(self.path, "snapshots", "table.json")
+        meta: dict = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        renames = meta.get("renames", {})
+        olds = renames.pop(old, [])
+        renames[new] = olds + [old]
+        meta["renames"] = renames
+        tmp = meta_path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+
+    def _apply_renames(self, df: DataFrame) -> DataFrame:
+        meta_path = os.path.join(self.path, "snapshots", "table.json")
+        if not os.path.exists(meta_path):
+            return df
+        with open(meta_path) as fh:
+            renames = json.load(fh).get("renames", {})
+        if not renames:
+            return df
+        cols = set(df.columns)
+        for new, olds in renames.items():
+            present = [o for o in reversed(olds) if o in cols]
+            if not present:
+                continue
+            srcs = ([new] if new in cols else []) + present
+            df = df.withColumn(
+                new, F.coalesce(*[F.col(c) for c in srcs])
+            ).drop(*present)
+        return df
+
     def read(
         self, version: int | None = None, as_of: float | None = None
     ) -> DataFrame:
         """T4 time travel (Iceberg: ``VERSION AS OF`` / ``TIMESTAMP AS OF``).
-        ``mergeSchema`` makes added columns readable over old files (T3)."""
+        ``mergeSchema`` makes added columns readable over old files (T3);
+        recorded column renames map old-name files at scan time (see
+        :meth:`rename_column`)."""
         if as_of is not None:
             versions = [m["version"] for m in self.history() if m["timestamp"] <= as_of]
             if not versions:
@@ -1205,7 +1252,7 @@ class SnapshotTable:
         paths = [os.path.join(self.path, "data", f) for f in m["files"]]
         if not paths:
             raise ValueError("empty table")
-        return self._read_scoped(m, m["files"])
+        return self._apply_renames(self._read_scoped(m, m["files"]))
 
     def _read_scoped(
         self, m: dict, files: list[str], keep_meta: bool = False
@@ -1858,6 +1905,49 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+def schema_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN parity — the other half of schema
+    evolution next to :func:`schema_evolution_read`'s ADD COLUMN: cold
+    files are written with a ``device`` column, the column is renamed to
+    ``client_device`` as a METADATA-ONLY operation (pinned in-entry:
+    the live data-file list and every file's byte size are identical
+    before and after — zero rewrite, the entire point of Iceberg
+    renames), hot files are then written under the NEW name, and one
+    scan reads both generations with the old-name files mapped through
+    the recorded alias — every row carries a non-null ``client_device``
+    (pinned). The aggregate certifies the merged read end-to-end.
+
+    Scale: the rename costs one metadata write regardless of table size
+    — against a 100 TB table the alternative (rewrite every file to
+    relabel a column) is exactly the non-starter this semantic exists
+    to avoid; the scan-time COALESCE is a zero-shuffle projection."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(CUTOFF_7D))
+    dev = F.concat(
+        F.lit("dev_"), (F.col("user_id") % 4).cast("string")
+    )
+    tbl = make_table(spark, "rename_")
+    tbl.append(
+        ev.filter(F.col("ts") < cut).withColumn("device", dev), n_files=4
+    )
+    before = sorted((f["file"], f["bytes"]) for f in tbl.files())
+    tbl.rename_column("device", "client_device")
+    after = sorted((f["file"], f["bytes"]) for f in tbl.files())
+    assert before == after, "rename must not touch a single data file"
+    tbl.append(
+        ev.filter(F.col("ts") >= cut).withColumn("client_device", dev),
+        n_files=4,
+    )
+    out = tbl.read()
+    assert "device" not in out.columns, "old name must not survive the scan"
+    n_null = out.filter(F.col("client_device").isNull()).count()
+    assert n_null == 0, f"{n_null} rows lost the renamed column's values"
+    return out.groupBy("client_device").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 
@@ -2764,6 +2854,7 @@ QUERIES = {
     "zorder_clustering_report": zorder_clustering_report,
     "hilbert_clustering_report": hilbert_clustering_report,
     "schema_evolution_read": schema_evolution_read,
+    "schema_rename_read": schema_rename_read,
     "file_skipping_report": file_skipping_report,
     "clustering_skipping_report": clustering_skipping_report,
 }
@@ -3157,6 +3248,15 @@ ORACLE = {
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY user_agent
+    """,
+    # both generations derive the same device value; after the rename
+    # the merged scan must see it for every row under the NEW name
+    "schema_rename_read": """
+        SELECT concat('dev_', CAST(user_id % 4 AS VARCHAR))
+                   AS client_device,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY client_device
     """,
 }
 

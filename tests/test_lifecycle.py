@@ -1177,6 +1177,43 @@ def test_manifest_multicol_stats_and_persisted_config(
     assert got == want
 
 
+def test_rename_column_chained_and_metadata_only(spark, events, tmp_path):
+    """Chained renames (device → dev2 → dev3) resolve through the whole
+    alias history; files written under ANY generation's name surface
+    under the final name; zero data files are touched by either rename;
+    and a newer-name file wins the coalesce when (degenerate case) a
+    file carries two generations of the column."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    dev = F.concat(F.lit("d"), (F.col("user_id") % 2).cast("string"))
+    day = F.dayofmonth("ts")
+    t.append(events.filter(day <= 10).withColumn("device", dev), n_files=2)
+    t.rename_column("device", "dev2")
+    t.append(
+        events.filter((day > 10) & (day <= 20)).withColumn("dev2", dev),
+        n_files=2,
+    )
+    before = sorted((f["file"], f["bytes"]) for f in t.files())
+    t.rename_column("dev2", "dev3")
+    assert sorted((f["file"], f["bytes"]) for f in t.files()) == before
+    t.append(events.filter(day > 20).withColumn("dev3", dev), n_files=2)
+    out = t.read()
+    assert "device" not in out.columns and "dev2" not in out.columns
+    assert out.filter(F.col("dev3").isNull()).count() == 0
+    assert out.count() == events.count()
+    got = {
+        r["dev3"]: r["n"]
+        for r in out.groupBy("dev3").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        r["d"]: r["n"]
+        for r in events.select(dev.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_mv_join_incremental_delta_terms_nonempty(spark, events):
     """Fixture honesty for the delta-join maintenance entry: each of the
     three IVM delta terms (ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB) carries rows on
