@@ -97,14 +97,19 @@ def _modules():
 #     pack_docs_sequences (quota/bin helpers extracted),
 #     manifest_lifecycle_report + manifest_pruning_report (null-count
 #     guard + unbounded-plan ValueError from the r12 ADVICE);
-# (f) TWENTY-ONE of the 46 r7-vintage rows — the eleven extension
+# (f) EIGHT entries added late in r13 itself (the r10 precedent: new
+#     work outranks stale-but-green vintage rows): the SQ8 family ×3,
+#     the Hilbert layout report, delta-join MV maintenance, the
+#     leakage-safe split, the stream-static dim join, and the
+#     metadata-only rename read;
+# (g) THIRTEEN of the 46 r7-vintage rows — the eleven extension
 #     entries still carrying r7 evidence (semantic_dedup + fold twin,
 #     dedup_clusters_star, knn_hard_negatives, embedding_dim_stats,
 #     simhash family ×4, multimodal_dedup_bytes, ann_ivf_recall_report)
-#     and the first ten TPC-H rows; q11-q22 + the snowsql/props/misc
-#     relational tail (~25 rows) queue for r14, after which every
-#     driver row is ≤5 rounds old.
-# 4 + 4 + 2 + 8 + 11 + 21 = 50 exactly (test_registry pins it).
+#     and TPC-H q1/q2; q3-q22 + the snowsql/props/misc relational tail
+#     (~33 rows) queue for r14, after which every driver row is ≤5
+#     rounds old.
+# 4 + 4 + 2 + 8 + 11 + 8 + 13 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
     # (a) r13 additions
     "curation_pipeline_v2",
@@ -140,7 +145,16 @@ _GATE_FRONT = (
     "pack_docs_sequences",
     "manifest_lifecycle_report",
     "manifest_pruning_report",
-    # (f) r7-vintage tail: extension entries then TPC-H q1-q10
+    # (f) late-r13 additions
+    "ann_sq8_cosine",
+    "ann_ivf_sq8_cosine",
+    "ann_sq8_recall_report",
+    "hilbert_clustering_report",
+    "mv_join_incremental",
+    "leakage_safe_split",
+    "streaming_dim_join",
+    "schema_rename_read",
+    # (g) r7-vintage tail: extension entries then TPC-H q1-q2
     "semantic_dedup",
     "semantic_dedup_fold",
     "dedup_clusters_star",
@@ -154,14 +168,6 @@ _GATE_FRONT = (
     "ann_ivf_recall_report",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_year_revenue",
-    "q10_returned_revenue",
 )
 
 

@@ -184,6 +184,13 @@ HEADLINE = [
     "ann_ivf_append_probe",      # append→probe loop closure vs full rebuild
     "bpe_encode_merges64",       # frozen 64-merge BPE encode (deep artifact)
     "curation_pipeline_v2",      # fused bloom→PPJoin→classifier→contam→mix→pack
+    "ann_sq8_cosine",            # trained per-dim SQ8, in-engine reconstruction
+    "ann_ivf_sq8_cosine",        # IVF cell pruning × SQ8 compression composed
+    "hilbert_clustering_report", # Hilbert vs z-order layout under equal-row cuts
+    "mv_join_incremental",       # delta-join IVM merge + exact-equality pin
+    "leakage_safe_split",        # cluster-representative train/val/test split
+    "streaming_dim_join",        # stream-static broadcast enrichment
+    "schema_rename_read",        # metadata-only rename, merged-generation scan
 ]
 # dv_delete_events stays registered + oracle-gated but OFF the headline:
 # it is a 4-commit write-path fixture (two DV waves with per-target vector
