@@ -902,6 +902,17 @@ def bpe_encode_merges64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_encode_report(spark, sf_dir, BPE_MERGES_64)
 
 
+def _bpe_sym(w, merges: tuple):
+    """The spaced symbol string after applying ``merges`` in priority
+    order to one word — the shared encode kernel (counting consumers
+    split it; the round-trip consumer strips the spaces back off)."""
+    s = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    return s
+
+
 def _bpe_encode_report(
     spark: SparkSession, sf_dir: str, merges: tuple
 ) -> DataFrame:
@@ -910,11 +921,7 @@ def _bpe_encode_report(
     words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
 
     def _encode(w):
-        s = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
-        for a, b in merges:
-            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-            s = F.replace(F.replace(s, pat, rep), pat, rep)
-        return F.size(F.split(F.trim(s), " "))
+        return F.size(F.split(F.trim(_bpe_sym(w, merges)), " "))
 
     n_bpe = F.aggregate(
         F.transform(words, _encode),
@@ -934,6 +941,43 @@ def _bpe_encode_report(
         n_bpe.alias("n_bpe_tokens"),
     ).withColumn(
         "chars_per_token", _ratio6(F.col("n_az_chars"), F.col("n_bpe_tokens"))
+    )
+
+
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESSNESS certification of the production-depth tokenizer: BPE
+    is reversible by construction (merges only ever concatenate adjacent
+    symbols of the SAME word), so decode — strip the symbol delimiters —
+    must reproduce every normalized word exactly. This entry runs
+    encode→decode over every word of every document under the frozen
+    64-merge artifact and reports the per-doc round-trip accounting; a
+    single lost character anywhere (an overlapping replace, a merge pair
+    colliding with the delimiter, a multi-byte boundary bug) breaks the
+    equality for that word and the count drops below ``n_words`` —
+    test-pinned at exactly n_words for the whole corpus. Real tokenizer
+    releases ship exactly this check (detokenize(tokenize(x)) == x).
+
+    Scale: the same pure map-side codegen string machinery as the
+    encode report — zero joins, zero shuffles, integers out."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+
+    def ok(w):
+        decoded = F.replace(
+            F.trim(_bpe_sym(w, BPE_MERGES_64)), F.lit(" "), F.lit("")
+        )
+        return (decoded == w).cast("long")
+
+    n_ok = F.aggregate(
+        F.transform(words, ok),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        n_ok.alias("n_roundtrip_ok"),
     )
 
 
@@ -2010,6 +2054,7 @@ QUERIES = {
     "bpe_first_merges": bpe_first_merges,
     "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
     "bpe_encode_merges64": bpe_encode_merges64,
+    "bpe_decode_roundtrip": bpe_decode_roundtrip,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -2504,6 +2549,53 @@ def _duck_bpe_encode_report(merges: tuple) -> str:
 
 ORACLE["bpe_encode_fixed_merges"] = _duck_bpe_encode_report(BPE_MERGES)
 ORACLE["bpe_encode_merges64"] = _duck_bpe_encode_report(BPE_MERGES_64)
+
+
+def _duck_bpe_roundtrip(merges: tuple) -> str:
+    """Round-trip oracle: the same leveled replace-chain CTEs as the
+    deep encode report (8 merges per level, under the binder depth
+    cap), but the exploded word rides along so the final level can
+    compare strip-spaces(encoded) against it."""
+    chunks = [merges[i : i + 8] for i in range(0, len(merges), 8)]
+    lvls = []
+    for idx, ch in enumerate(chunks):
+        e = (
+            r"(' ' || regexp_replace(wd, '(.)', '\1 ', 'g'))"
+            if idx == 0
+            else "s"
+        )
+        for a, b in ch:
+            pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+            e = f"replace(replace({e}, {pat}, {rep}), {pat}, {rep})"
+        lvls.append(f"e{idx + 1} AS (SELECT doc_id, wd, {e} AS s FROM e{idx})")
+    last = f"e{len(chunks)}"
+    lvl_sql = ",\n    ".join(lvls)
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                   w -> w <> '') AS words
+        FROM documents
+    ),
+    e0 AS (SELECT doc_id, unnest(words) AS wd FROM w),
+    {lvl_sql},
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_words,
+               CAST(SUM(CASE WHEN replace(trim(s), ' ', '') = wd
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_roundtrip_ok
+        FROM {last} GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           CAST(COALESCE(a.n_roundtrip_ok, 0) AS BIGINT) AS n_roundtrip_ok
+    FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
+ORACLE["bpe_decode_roundtrip"] = _duck_bpe_roundtrip(BPE_MERGES_64)
 
 ORACLE["vocab_oov_rate"] = rf"""
     WITH toks AS (

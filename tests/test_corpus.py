@@ -915,6 +915,27 @@ def test_opq_np_train_matches_python_replay(spark):
     ), got_dist
 
 
+def test_bpe_decode_roundtrip_lossless(spark):
+    """The 64-merge tokenizer is lossless over the entire corpus:
+    decode(encode(word)) == word for EVERY word of EVERY document —
+    n_roundtrip_ok must equal n_words corpus-wide."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        bpe_decode_roundtrip,
+    )
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    r = (
+        bpe_decode_roundtrip(spark, SF_DIR)
+        .agg(
+            F.sum("n_words").alias("w"),
+            F.sum("n_roundtrip_ok").alias("ok"),
+        )
+        .collect()[0]
+    )
+    assert r["w"] > 0 and r["w"] == r["ok"], (r["w"], r["ok"])
+
+
 def test_leakage_safe_split_zero_straddle(spark):
     """The split entry's contract on the testdata: the cluster-aware
     split has ZERO near-dup pairs straddling splits (by construction —

@@ -57,6 +57,9 @@ QUERIES = [
     "cdc_latest_events",    # latest-per-key window
     "hll_user_rollup",      # sketch rollup + exact gate column
     "unpivot_user_event_values",  # map-side Expand over the pivot output
+    # late round-13 additions
+    "hilbert_clustering_report",  # LUT key + histogram chunking + 2 writes
+    "schema_rename_read",   # metadata rename + merged-generation scan
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
@@ -129,6 +132,14 @@ DOC_QUERIES = [
     "ann_ivf_append_probe",      # 2 store writes + 2 pruned probes + rebuild
     "bpe_encode_merges64",       # map-only frozen-merge encode, 64 merges
     "curation_pipeline_v2",      # 6-stage fused curation chain
+    # late round-13 additions (docs/embeddings-shaped; hilbert and the
+    # rename read smoke under --family events; mv_join_incremental and
+    # streaming_dim_join consume orders/lineitem/customer, which this
+    # tool does not synthesize — their scale stories are the member
+    # joins' own, documented in their docstrings)
+    "ann_sq8_cosine",            # in-engine SQ8 reconstruct + top-k
+    "ann_ivf_sq8_cosine",        # cell-pruned SQ8 scoring
+    "leakage_safe_split",        # component labels + hash split + leak audit
 ]
 
 
