@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load
@@ -490,10 +490,62 @@ def multimodal_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup asset CLUSTERS — the step after
+    :func:`multimodal_phash_hamming_pairs` that an asset-dedup pass
+    actually acts on (pairs alone don't dedup: original↔variant and
+    variant↔background-collision edges must collapse into one component
+    with one canonical survivor — the text side's
+    ``dedup_clusters`` argument, applied to the media layer). Connected
+    components over the verified pHash pair graph via the same
+    diameter-bounded label propagation the text clusters use; output is
+    one row per ASSET (originals and planted re-encode variants alike):
+    component id = min reachable asset_id, component size, the
+    canonical-survivor flag, and an ``is_variant`` marker so the row set
+    certifies that every planted variant clusters WITH its original
+    (its cluster_id is the original's id — never its own).
+
+    Scale: the pair graph is already sub-corpus (banded, verified); the
+    component pass is the shared O(diameter)-round propagation; the
+    report window partitions by cluster id. Same budgets as the text
+    cluster family."""
+    from .dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nodes = docs.select(F.col("doc_id").alias("id")).unionByName(
+        docs.filter(F.col("doc_id") % PHASH_VARIANT_MOD == 0).select(
+            (F.col("doc_id") + PHASH_VARIANT_OFFSET).alias("id")
+        )
+    )
+    pairs = multimodal_phash_hamming_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(nodes, pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("id").alias("asset_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            "asset_id",
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+            (F.col("asset_id") >= PHASH_VARIANT_OFFSET)
+            .cast("int")
+            .alias("is_variant"),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
     "multimodal_phash_groups": multimodal_phash_groups,
     "multimodal_phash_hamming_pairs": multimodal_phash_hamming_pairs,
+    "multimodal_phash_clusters": multimodal_phash_clusters,
     "multimodal_dedup_bytes": multimodal_dedup_bytes,
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -659,8 +711,10 @@ ORACLE["multimodal_phash_groups"] = f"""
     FROM hashed GROUP BY phash
 """
 
-ORACLE["multimodal_phash_hamming_pairs"] = f"""
-    WITH assets AS (
+# the pHash candidate-pair pipeline as a shared WITH body — consumed by
+# the pairs oracle and (under WITH RECURSIVE) the clusters oracle
+_DUCK_PHASH_CTES = f"""
+    assets AS (
         SELECT doc_id AS asset_id, lower(text) AS t FROM documents
         UNION ALL
         SELECT doc_id + {PHASH_VARIANT_OFFSET},
@@ -688,12 +742,43 @@ ORACLE["multimodal_phash_hamming_pairs"] = f"""
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.v = b.v
                     AND a.asset_id < b.asset_id
-    )
+    )"""
+
+ORACLE["multimodal_phash_hamming_pairs"] = f"""
+    WITH {_DUCK_PHASH_CTES}
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
            CASE WHEN doc_b - doc_a = {PHASH_VARIANT_OFFSET}
                 THEN 1 ELSE 0 END AS is_planted
     FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
+"""
+
+ORACLE["multimodal_phash_clusters"] = f"""
+    WITH RECURSIVE
+    {_DUCK_PHASH_CTES},
+    mh AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
+    ),
+    bi AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM mh
+    ),
+    reach(src, dst) AS (
+        SELECT asset_id, asset_id FROM assets
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a
+    ),
+    lab AS (
+        SELECT src AS asset_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT asset_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           asset_id = cluster_id AS is_canonical,
+           CASE WHEN asset_id >= {PHASH_VARIANT_OFFSET}
+                THEN 1 ELSE 0 END AS is_variant
+    FROM lab
 """
 
 ORACLE["multimodal_dedup_bytes"] = """

@@ -915,6 +915,38 @@ def test_opq_np_train_matches_python_replay(spark):
     ), got_dist
 
 
+def test_phash_clusters_variants_join_originals(spark):
+    """Every planted re-encode variant must land in a cluster whose id
+    is an ORIGINAL asset (cluster ids are min-reachable, variants carry
+    +OFFSET ids, and the ≤2-bit perturbation is within the lossless
+    banding radius — so a variant clustering alone would mean a recall
+    hole in the pair layer)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.multimodal import (
+        PHASH_VARIANT_OFFSET,
+        multimodal_phash_clusters,
+    )
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    df = multimodal_phash_clusters(spark, SF_DIR)
+    variants = df.filter(F.col("is_variant") == 1)
+    assert variants.count() > 0
+    assert (
+        variants.filter(
+            F.col("cluster_id") >= PHASH_VARIANT_OFFSET
+        ).count()
+        == 0
+    )
+    # canonical survivors are exactly one per cluster
+    ones = (
+        df.groupBy("cluster_id")
+        .agg(F.sum(F.col("is_canonical").cast("int")).alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+    )
+    assert ones == 0
+
+
 def test_bpe_decode_roundtrip_lossless(spark):
     """The 64-merge tokenizer is lossless over the entire corpus:
     decode(encode(word)) == word for EVERY word of EVERY document —
