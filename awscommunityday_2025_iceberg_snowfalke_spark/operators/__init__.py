@@ -97,19 +97,18 @@ def _modules():
 #     pack_docs_sequences (quota/bin helpers extracted),
 #     manifest_lifecycle_report + manifest_pruning_report (null-count
 #     guard + unbounded-plan ValueError from the r12 ADVICE);
-# (f) EIGHT entries added late in r13 itself (the r10 precedent: new
+# (f) TEN entries added late in r13 itself (the r10 precedent: new
 #     work outranks stale-but-green vintage rows): the SQ8 family ×3,
 #     the Hilbert layout report, delta-join MV maintenance, the
-#     leakage-safe split, the stream-static dim join, and the
-#     metadata-only rename read;
-# (g) THIRTEEN of the 46 r7-vintage rows — the eleven extension
-#     entries still carrying r7 evidence (semantic_dedup + fold twin,
+#     leakage-safe split, the stream-static dim join, the metadata-only
+#     rename read, the BPE decode round-trip, and pHash clusters;
+# (g) ELEVEN of the 46 r7-vintage rows — the extension entries still
+#     carrying r7 evidence (semantic_dedup + fold twin,
 #     dedup_clusters_star, knn_hard_negatives, embedding_dim_stats,
-#     simhash family ×4, multimodal_dedup_bytes, ann_ivf_recall_report)
-#     and TPC-H q1/q2; q3-q22 + the snowsql/props/misc relational tail
-#     (~33 rows) queue for r14, after which every driver row is ≤5
-#     rounds old.
-# 4 + 4 + 2 + 8 + 11 + 8 + 13 = 50 exactly (test_registry pins it).
+#     simhash family ×4, multimodal_dedup_bytes, ann_ivf_recall_report);
+#     TPC-H q1-q22 + the snowsql/props/misc relational tail (~35 rows)
+#     queue for r14, after which every driver row is ≤5 rounds old.
+# 4 + 4 + 2 + 8 + 11 + 10 + 11 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
     # (a) r13 additions
     "curation_pipeline_v2",
@@ -154,7 +153,9 @@ _GATE_FRONT = (
     "leakage_safe_split",
     "streaming_dim_join",
     "schema_rename_read",
-    # (g) r7-vintage tail: extension entries then TPC-H q1-q2
+    "bpe_decode_roundtrip",
+    "multimodal_phash_clusters",
+    # (g) r7-vintage tail: the eleven extension entries
     "semantic_dedup",
     "semantic_dedup_fold",
     "dedup_clusters_star",
@@ -166,8 +167,6 @@ _GATE_FRONT = (
     "simhash64_hamming_pairs_wide",
     "multimodal_dedup_bytes",
     "ann_ivf_recall_report",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
 )
 
 

@@ -191,6 +191,8 @@ HEADLINE = [
     "leakage_safe_split",        # cluster-representative train/val/test split
     "streaming_dim_join",        # stream-static broadcast enrichment
     "schema_rename_read",        # metadata-only rename, merged-generation scan
+    "bpe_decode_roundtrip",      # tokenizer losslessness certification scan
+    "multimodal_phash_clusters", # component clustering over pHash pairs
 ]
 # dv_delete_events stays registered + oracle-gated but OFF the headline:
 # it is a 4-commit write-path fixture (two DV waves with per-target vector
