@@ -1588,6 +1588,56 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining move (Wenzek et al. 2020 §4.3): partition each
+    language's corpus into HEAD / MIDDLE / TAIL terciles by language-model
+    perplexity — head (most fluent third) trains as-is, middle is kept
+    with caveats, tail is dropped or heavily filtered. The LM here is the
+    interpolated Kneser-Ney bigram scorer this engine already certifies
+    (:func:`kneser_ney_bigram_score` — KenLM's smoothing); CCNet trains
+    its LM on held-out Wikipedia, which at this corpus's scale the
+    in-corpus KN fit stands in for (the frozen-classifier-gate stance).
+    Docs with < 2 tokens are unscoreable and excluded, as CCNet drops
+    them before bucketing.
+
+    Determinism: the per-doc score is the KN entry's own value (already
+    oracle-exact to 6 dp); the tercile is NTILE(3) over (score ASC,
+    doc_id ASC) — standard-SQL NTILE (first n%3 buckets one longer) is
+    identical on both engines and the tie order is total. Per-bucket
+    aggregates use decimal folds over the rounded scores.
+
+    Scale: the KN scorer's documented shape (keyed bigram join +
+    broadcast count tables), one per-language rank window (the corpus
+    partitions by language — no global sort), and a ≤|langs|·3-group
+    aggregate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = kneser_ney_bigram_score(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    b = F.ntile(3).over(w)
+    bucket = (
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_neg_logprob").cast("decimal(28,16)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nlp"),
+            F.min("avg_neg_logprob").alias("nlp_lo"),
+            F.max("avg_neg_logprob").alias("nlp_hi"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 # --- iterative BPE training (N merge rounds) ---------------------------------
 BPE_TRAIN_ROUNDS = 8
 
@@ -2055,6 +2105,7 @@ QUERIES = {
     "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
     "bpe_encode_merges64": bpe_encode_merges64,
     "bpe_decode_roundtrip": bpe_decode_roundtrip,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -2891,6 +2942,29 @@ ORACLE["kneser_ney_bigram_score"] = rf"""
            ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,16))) AS DOUBLE) / COUNT(*),
                  6) AS avg_neg_logprob
     FROM scored GROUP BY doc_id
+"""
+
+ORACLE["ccnet_perplexity_buckets"] = f"""
+    WITH kn AS ({ORACLE["kneser_ney_bigram_score"]}),
+    ranked AS (
+        SELECT d.lang, kn.avg_neg_logprob,
+               NTILE(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY kn.avg_neg_logprob ASC, kn.doc_id ASC
+               ) AS b
+        FROM kn JOIN documents d ON kn.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(avg_neg_logprob AS DECIMAL(28,16)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_nlp,
+           MIN(avg_neg_logprob) AS nlp_lo,
+           MAX(avg_neg_logprob) AS nlp_hi
+    FROM ranked
+    GROUP BY lang, b
+    ORDER BY lang, bucket
 """
 
 # composed AFTER both member oracles exist (function defined above)
