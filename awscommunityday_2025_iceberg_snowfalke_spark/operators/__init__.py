@@ -97,18 +97,20 @@ def _modules():
 #     pack_docs_sequences (quota/bin helpers extracted),
 #     manifest_lifecycle_report + manifest_pruning_report (null-count
 #     guard + unbounded-plan ValueError from the r12 ADVICE);
-# (f) TEN entries added late in r13 itself (the r10 precedent: new
+# (f) ELEVEN entries added late in r13 itself (the r10 precedent: new
 #     work outranks stale-but-green vintage rows): the SQ8 family ×3,
 #     the Hilbert layout report, delta-join MV maintenance, the
 #     leakage-safe split, the stream-static dim join, the metadata-only
-#     rename read, the BPE decode round-trip, and pHash clusters;
-# (g) ELEVEN of the 46 r7-vintage rows — the extension entries still
-#     carrying r7 evidence (semantic_dedup + fold twin,
-#     dedup_clusters_star, knn_hard_negatives, embedding_dim_stats,
-#     simhash family ×4, multimodal_dedup_bytes, ann_ivf_recall_report);
-#     TPC-H q1-q22 + the snowsql/props/misc relational tail (~35 rows)
-#     queue for r14, after which every driver row is ≤5 rounds old.
-# 4 + 4 + 2 + 8 + 11 + 10 + 11 = 50 exactly (test_registry pins it).
+#     rename read, the BPE decode round-trip, pHash clusters, and the
+#     CCNet perplexity terciles;
+# (g) TEN of the 46 r7-vintage rows — the extension entries still
+#     carrying r7 evidence (semantic_dedup — its fold twin joins the
+#     r14 queue, the r11 twin precedent — dedup_clusters_star,
+#     knn_hard_negatives, embedding_dim_stats, simhash family ×4,
+#     multimodal_dedup_bytes, ann_ivf_recall_report); TPC-H q1-q22 +
+#     the snowsql/props/misc relational tail (~36 rows) queue for r14,
+#     after which every driver row is ≤5 rounds old.
+# 4 + 4 + 2 + 8 + 11 + 11 + 10 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
     # (a) r13 additions
     "curation_pipeline_v2",
@@ -155,9 +157,9 @@ _GATE_FRONT = (
     "schema_rename_read",
     "bpe_decode_roundtrip",
     "multimodal_phash_clusters",
+    "ccnet_perplexity_buckets",
     # (g) r7-vintage tail: the eleven extension entries
     "semantic_dedup",
-    "semantic_dedup_fold",
     "dedup_clusters_star",
     "knn_hard_negatives",
     "embedding_dim_stats",

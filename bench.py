@@ -193,6 +193,7 @@ HEADLINE = [
     "schema_rename_read",        # metadata-only rename, merged-generation scan
     "bpe_decode_roundtrip",      # tokenizer losslessness certification scan
     "multimodal_phash_clusters", # component clustering over pHash pairs
+    "ccnet_perplexity_buckets",  # per-language KN-perplexity terciles
 ]
 # dv_delete_events stays registered + oracle-gated but OFF the headline:
 # it is a 4-commit write-path fixture (two DV waves with per-target vector
