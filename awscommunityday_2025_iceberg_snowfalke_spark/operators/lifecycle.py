@@ -1049,9 +1049,11 @@ class SnapshotTable:
 
     def read_branch(self, name: str) -> DataFrame:
         """Read a branch head (Iceberg: ``VERSION AS OF 'name'`` /
-        ``option("branch", name)``)."""
+        ``option("branch", name)``). Column renames are table-level
+        metadata (field-id relabels), so they apply to branch reads
+        exactly as to main (``read_tag`` inherits them via ``read``)."""
         m = self._branch_manifest(name, self.branch_version(name))
-        return self._read_scoped(m, m["files"])
+        return self._apply_renames(self._read_scoped(m, m["files"]))
 
     def fast_forward(self, name: str) -> int:
         """Publish a branch to main (Iceberg: ``CALL system.fast_forward
