@@ -773,6 +773,71 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_SWEEP = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's tuning curve — the ε sweep the paper (Abbas et al.
+    2023) runs before fixing a dedup threshold: removal rate as a
+    function of the cosine cutoff, per cutoff in ``SEMDEDUP_SWEEP``.
+    The entire ladder costs ONE within-cell dgemm pass (the
+    ``jaccard_threshold_sweep`` device): per vector we keep only its MAX
+    lower-vec_id cellmate cosine — the sweep statistic, since the vector
+    is a semdup at ε iff that max ≥ ε — and every threshold is then a
+    count over the same n-row artifact. Running :func:`semantic_dedup`
+    per ε would pay the dgemm ladder-times; this pays it once.
+
+    Cross-engine stance: the max cosine comes from the same numpy matmul
+    as the registered primary (reassociation vs the oracle's
+    list_cosine_similarity — the ``knn_pandas_cosine`` stance, verified
+    on the fixed testdata at all SFs); thresholds are shared literals.
+
+    Scale: one applyInPandas per cell (score matrix never leaves the
+    executor), a 7-row broadcast threshold join, and a ≤7-group agg."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = _assigned_cells(spark, sf_dir)
+
+    def maxcos(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        if len(pdf) <= 1:
+            m = np.full(len(pdf), -1.0)
+        else:
+            En = np.linalg.norm(E, axis=1)
+            S = (E @ E.T) / np.outer(En, En)
+            low = np.tril(S, k=-1)
+            low[np.triu_indices(len(pdf))] = -1.0
+            m = low.max(axis=1)
+            m[0] = -1.0  # no lower cellmate for the first vector
+        return pd.DataFrame({"vec_id": pdf["vec_id"], "max_cos": m})
+
+    mc = assigned.groupBy("cell").applyInPandas(
+        maxcos, "vec_id long, max_cos double"
+    )
+    total = assigned.count()
+    eps_df = spark.createDataFrame(
+        [(float(e),) for e in SEMDEDUP_SWEEP], "eps double"
+    )
+    return (
+        mc.crossJoin(F.broadcast(eps_df))
+        .groupBy("eps")
+        .agg(
+            F.sum((F.col("max_cos") >= F.col("eps")).cast("long")).alias(
+                "n_semdup"
+            )
+        )
+        .select(
+            "eps",
+            F.lit(total).cast("long").alias("n_total"),
+            "n_semdup",
+            (F.lit(total) - F.col("n_semdup")).cast("long").alias("n_kept"),
+        )
+        .orderBy("eps")
+    )
+
+
 N_PROBE = 2  # cells probed per query (defined before its first consumer)
 
 
@@ -2895,6 +2960,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_fold": semantic_dedup_fold,
+    "semantic_dedup_threshold_sweep": semantic_dedup_threshold_sweep,
     "ann_ivf_cosine": ann_ivf_cosine,
     "ann_ivf_partitioned_probe": ann_ivf_partitioned_probe,
     "ann_ivf_append_probe": ann_ivf_append_probe,
@@ -3557,6 +3623,28 @@ ORACLE["semantic_dedup"] = f"""
 # the expression-fold contrast variant must produce the same thresholded
 # flags as the registered dgemm primary — one oracle certifies the A/B
 ORACLE["semantic_dedup_fold"] = ORACLE["semantic_dedup"]
+
+_SWEEP_VALUES = ", ".join(f"({e!r})" for e in SEMDEDUP_SWEEP)
+ORACLE["semantic_dedup_threshold_sweep"] = f"""
+    WITH {_DUCK_ASSIGN_CTES},
+    mc AS (
+        SELECT a.vec_id,
+               MAX(list_cosine_similarity(a.e, b.e)) AS max_cos
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        GROUP BY a.vec_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM assign),
+    eps(eps) AS (SELECT * FROM (VALUES {_SWEEP_VALUES}))
+    SELECT e.eps,
+           CAST(tot.n AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM mc WHERE mc.max_cos >= e.eps)
+                AS BIGINT) AS n_semdup,
+           CAST(tot.n - (SELECT COUNT(*) FROM mc
+                         WHERE mc.max_cos >= e.eps) AS BIGINT) AS n_kept
+    FROM eps e CROSS JOIN tot
+    ORDER BY e.eps
+"""
 
 # the cell-partitioned store probe returns the same top-k as the map-only
 # Arrow formulation — one oracle certifies both storage stories

@@ -915,6 +915,36 @@ def test_opq_np_train_matches_python_replay(spark):
     ), got_dist
 
 
+def test_semdedup_sweep_agrees_with_primary(spark):
+    """The sweep's count at ε = SEMDEDUP_THRESHOLD must equal the
+    registered primary's flagged-duplicate count (the sweep is the same
+    statistic evaluated from the one-pass max-cosine artifact), and the
+    removal curve is monotone non-increasing in ε."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+        semantic_dedup_threshold_sweep,
+    )
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    sweep = {
+        r["eps"]: r
+        for r in semantic_dedup_threshold_sweep(spark, SF_DIR).collect()
+    }
+    flagged = (
+        semantic_dedup(spark, SF_DIR)
+        .agg(F.sum(F.col("is_semdup").cast("long")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert sweep[SEMDEDUP_THRESHOLD]["n_semdup"] == flagged
+    eps_sorted = sorted(sweep)
+    counts = [sweep[e]["n_semdup"] for e in eps_sorted]
+    assert counts == sorted(counts, reverse=True), counts
+    for r in sweep.values():
+        assert r["n_total"] == r["n_semdup"] + r["n_kept"]
+
+
 def test_phash_clusters_variants_join_originals(spark):
     """Every planted re-encode variant must land in a cluster whose id
     is an ORIGINAL asset (cluster ids are min-reachable, variants carry
