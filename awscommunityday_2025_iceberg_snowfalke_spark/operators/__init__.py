@@ -101,16 +101,17 @@ def _modules():
 #     work outranks stale-but-green vintage rows): the SQ8 family ×3,
 #     the Hilbert layout report, delta-join MV maintenance, the
 #     leakage-safe split, the stream-static dim join, the metadata-only
-#     rename read, the BPE decode round-trip, pHash clusters, and the
-#     CCNet perplexity terciles;
-# (g) TEN of the 46 r7-vintage rows — the extension entries still
+#     rename read, the BPE decode round-trip, pHash clusters, the
+#     CCNet perplexity terciles, and the SemDeDup epsilon sweep;
+# (g) NINE of the 46 r7-vintage rows — the extension entries still
 #     carrying r7 evidence (semantic_dedup — its fold twin joins the
 #     r14 queue, the r11 twin precedent — dedup_clusters_star,
-#     knn_hard_negatives, embedding_dim_stats, simhash family ×4,
-#     multimodal_dedup_bytes, ann_ivf_recall_report); TPC-H q1-q22 +
-#     the snowsql/props/misc relational tail (~36 rows) queue for r14,
-#     after which every driver row is ≤5 rounds old.
-# 4 + 4 + 2 + 8 + 11 + 11 + 10 = 50 exactly (test_registry pins it).
+#     knn_hard_negatives, embedding_dim_stats, simhash family ×3 — the
+#     64-bit pair twin joins the queue, its family keeps simhash64 +
+#     the wide layout — multimodal_dedup_bytes, ann_ivf_recall_report);
+#     TPC-H q1-q22 + the snowsql/props/misc relational tail (~37 rows)
+#     queue for r14, after which every driver row is ≤5 rounds old.
+# 4 + 4 + 2 + 8 + 11 + 12 + 9 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
     # (a) r13 additions
     "curation_pipeline_v2",
@@ -158,6 +159,7 @@ _GATE_FRONT = (
     "bpe_decode_roundtrip",
     "multimodal_phash_clusters",
     "ccnet_perplexity_buckets",
+    "semantic_dedup_threshold_sweep",
     # (g) r7-vintage tail: the eleven extension entries
     "semantic_dedup",
     "dedup_clusters_star",
@@ -165,7 +167,6 @@ _GATE_FRONT = (
     "embedding_dim_stats",
     "simhash_hamming_pairs",
     "simhash64",
-    "simhash64_hamming_pairs",
     "simhash64_hamming_pairs_wide",
     "multimodal_dedup_bytes",
     "ann_ivf_recall_report",

@@ -194,6 +194,7 @@ HEADLINE = [
     "bpe_decode_roundtrip",      # tokenizer losslessness certification scan
     "multimodal_phash_clusters", # component clustering over pHash pairs
     "ccnet_perplexity_buckets",  # per-language KN-perplexity terciles
+    "semantic_dedup_threshold_sweep",  # one-pass SemDeDup removal curve
 ]
 # dv_delete_events stays registered + oracle-gated but OFF the headline:
 # it is a 4-commit write-path fixture (two DV waves with per-target vector
