@@ -97,7 +97,7 @@ def _modules():
 #     pack_docs_sequences (quota/bin helpers extracted),
 #     manifest_lifecycle_report + manifest_pruning_report (null-count
 #     guard + unbounded-plan ValueError from the r12 ADVICE);
-# (f) ELEVEN entries added late in r13 itself (the r10 precedent: new
+# (f) TWELVE entries added late in r13 itself (the r10 precedent: new
 #     work outranks stale-but-green vintage rows): the SQ8 family ×3,
 #     the Hilbert layout report, delta-join MV maintenance, the
 #     leakage-safe split, the stream-static dim join, the metadata-only

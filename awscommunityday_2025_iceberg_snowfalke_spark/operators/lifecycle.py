@@ -625,10 +625,18 @@ class SnapshotTable:
                     and st[2] == st[3]
                 )
             if st[0] is None or st[1] is None:
-                # bounds-less stats: the r13 all-NULL shape ([None, None,
-                # n, n]) can never match a range — exact skip; a legacy
-                # [None, None] unknown reads conservatively
-                return len(st) >= 3
+                # bounds-less stats: only the PROVABLY all-NULL shape
+                # ([None, None, n, n] with n > 0) can never match a range
+                # — exact skip, mirroring the is_not_null proof; any
+                # other bounds-less shape (e.g. [None, None, n] with
+                # unknown row count) reads conservatively (r13 advice:
+                # len(st) >= 3 alone wrongly pruned bounds-unknown stats)
+                return (
+                    len(st) >= 4
+                    and st[3] is not None
+                    and st[3] > 0
+                    and st[2] == st[3]
+                )
             return st[1] < pred[0] or st[0] > pred[1]
 
         version = version or self.current_version
@@ -1200,18 +1208,30 @@ class SnapshotTable:
         COALESCE at scan time — the name-mapping device Iceberg itself
         uses for parquet imported without field ids. Chained renames
         (a→b→c) carry the whole alias history forward; newer names win
-        the coalesce. Scope: the user-facing :meth:`read` scan; the
-        internal provenance readers (delete writers, changelog) keep
-        physical names — matching Iceberg, where tombstones reference
-        field ids, not names."""
+        the coalesce. A rename BACK (a→b then b→a) is legal: the target
+        name is excluded from its own alias list, so files written under
+        either generation's name still surface under the final name (the
+        r13-advice fix — storing the target inside its own history made
+        ``_apply_renames`` drop the just-coalesced column). Renaming onto
+        a name that is itself a live rename target (a→b after c→b) is
+        rejected — it would silently COALESCE two unrelated columns;
+        Iceberg raises the same way. Scope: the user-facing :meth:`read`
+        scan; the internal provenance readers (delete writers, changelog)
+        keep physical names — matching Iceberg, where tombstones
+        reference field ids, not names."""
         meta_path = os.path.join(self.path, "snapshots", "table.json")
         meta: dict = {}
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 meta = json.load(fh)
         renames = meta.get("renames", {})
+        if new != old and new in renames:
+            raise ValueError(
+                f"rename_column: {new!r} is already a live renamed column; "
+                "renaming onto it would merge two unrelated columns"
+            )
         olds = renames.pop(old, [])
-        renames[new] = olds + [old]
+        renames[new] = [o for o in olds + [old] if o != new]
         meta["renames"] = renames
         tmp = meta_path + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
@@ -1228,7 +1248,10 @@ class SnapshotTable:
             return df
         cols = set(df.columns)
         for new, olds in renames.items():
-            present = [o for o in reversed(olds) if o in cols]
+            # o != new is belt-and-braces with rename_column's store-side
+            # filter: the target must never appear in its own alias list,
+            # or the drop below would remove the just-coalesced column
+            present = [o for o in reversed(olds) if o in cols and o != new]
             if not present:
                 continue
             srcs = ([new] if new in cols else []) + present

@@ -1355,6 +1355,89 @@ def test_manifest_null_pruning_exact_and_conservative(
     assert len(legacy_nn["files_read"]) == 6
 
 
+def test_manifest_boundsless_unknown_stats_conservative(
+    spark, events, tmp_path
+):
+    """A bounds-less stat is an exact range skip ONLY under the full
+    all-NULL proof ([None, None, n, n] with n > 0); a degraded 3-element
+    [None, None, n] (bounds unknown, row count unknown) must be READ —
+    the r13-advice hazard where any ``len(st) >= 3`` bounds-less shape
+    was treated as provably all-NULL."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=("ts", "nv"))
+    day = F.dayofmonth("ts")
+    nv = F.when(day <= 10, F.col("value")).alias("nv")
+    aug = events.select("event_id", "ts", "user_id", "value", nv)
+    t.append(aug.filter(day <= 10), n_files=2)  # nv: real bounds
+    t.append(aug.filter((day > 10) & (day <= 20)), n_files=2)  # all-NULL
+    t.append(aug.filter(day > 20), n_files=2)  # all-NULL
+
+    # intact table: both all-NULL appends prune under a range predicate
+    pr = t.plan_scan_manifests(predicates={"nv": (-1e18, 1e18)})
+    assert len(pr["files_read"]) == 2
+
+    # surgery: degrade ONE all-NULL manifest's nv stats to the 3-element
+    # bounds-unknown shape and drop the (now stale) list summaries
+    mdir = os.path.join(str(tmp_path / "t"), "snapshots", "manifests")
+    degraded = 0
+    for name in sorted(os.listdir(mdir)):
+        p = os.path.join(mdir, name)
+        with open(p) as fh:
+            doc = _json.load(fh)
+        cs = doc.get("col_stats", {})
+        all_null = cs and all(
+            v.get("nv") and v["nv"][0] is None for v in cs.values()
+        )
+        if all_null and not degraded:
+            for v in cs.values():
+                v["nv"] = v["nv"][:3]  # [None, None, null_count]
+            degraded = len(cs)
+            with open(p, "w") as fh:
+                _json.dump(doc, fh)
+    assert degraded == 2
+    snapdir = os.path.join(str(tmp_path / "t"), "snapshots")
+    for name in os.listdir(snapdir):
+        p = os.path.join(snapdir, name)
+        if not name.endswith(".json") or name == "table.json":
+            continue
+        with open(p) as fh:
+            doc = _json.load(fh)
+        if doc.get("manifest_summaries"):
+            doc["manifest_summaries"] = {}
+            with open(p, "w") as fh:
+                _json.dump(doc, fh)
+
+    # the degraded files are no longer provably all-NULL → read them;
+    # the intact all-NULL append still prunes exactly
+    pr2 = t.plan_scan_manifests(predicates={"nv": (-1e18, 1e18)})
+    assert len(pr2["files_read"]) == 4
+    # IS NOT NULL degrades the same way (needs the 4-element proof)
+    pnn = t.plan_scan_manifests(predicates={"nv": "is_not_null"})
+    assert len(pnn["files_read"]) == 4
+
+
+def test_rename_back_and_collision_guard(spark, events, tmp_path):
+    """Rename BACK (device → dev2 → device): the target name must not
+    enter its own alias history, or the scan-time coalesce drops the
+    just-renamed column (the r13-advice bug). Files written under either
+    generation's name surface under the final name; renaming another
+    column onto a live rename target is rejected."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    dev = F.concat(F.lit("d"), (F.col("user_id") % 2).cast("string"))
+    day = F.dayofmonth("ts")
+    t.append(events.filter(day <= 15).withColumn("device", dev), n_files=2)
+    t.rename_column("device", "dev2")
+    t.append(events.filter(day > 15).withColumn("dev2", dev), n_files=2)
+    t.rename_column("dev2", "device")  # rename back
+    out = t.read()
+    assert "device" in out.columns and "dev2" not in out.columns
+    assert out.filter(F.col("device").isNull()).count() == 0
+    assert out.count() == events.count()
+    with pytest.raises(ValueError, match="live renamed column"):
+        t.rename_column("value", "device")
+
+
 def test_deletion_vector_merge_and_conflicts(spark, events, tmp_path):
     """Iceberg v3 deletion vectors: one vector per data file (second
     wave MERGES, never stacks), reads exclude both waves, a concurrent
