@@ -1059,27 +1059,36 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     then OOV at size s is just rank > s — so the curve costs one extra
     bounded join column, not |sizes| vocabulary builds.
 
-    Scale: staged token explode → one combinable count agg; ranking the
-    vocabulary is a window over the VOCABULARY relation (Heaps-sublinear
-    in corpus rows — ~5k types here; at web scale the ranked head that
-    matters broadcasts and the tail is OOV at every candidate size by
-    construction). The scoring join broadcasts ranks; per-size flags are
-    integer rank compares."""
+    Scale: staged token explode → one combinable count agg. Ranking is
+    the r13-verdict de-skew: only the top-``max(sizes)`` HEAD can matter
+    (a token outside the head is OOV at EVERY candidate size, since
+    every size ≤ max(sizes)), so the head is selected with
+    ``orderBy().limit()`` — TakeOrderedAndProject, a per-partition heap
+    merged at the driver, NEVER a vocabulary-wide sort — and row_number
+    runs over that BOUNDED max(sizes)-row relation only (the former
+    form's ``Window.orderBy`` ranked the full type vocabulary on a
+    single partition: 10⁸-10⁹ rows at web scale). The scoring join
+    broadcasts the head LEFT; a null rank means beyond-head = OOV
+    everywhere; per-size flags are integer rank compares."""
     docs = load(spark, sf_dir, "documents")
     toks = stage(docs.select(F.explode(_toks()).alias("t")))
-    w = Window.orderBy(F.desc("c"), F.asc("t"))
-    ranked = (
+    kmax = max(VOCAB_CURVE_SIZES)
+    head = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rnk", F.row_number().over(w))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(kmax)
     )
-    scored = toks.join(F.broadcast(ranked.select("t", "rnk")), "t")
+    w = Window.orderBy(F.desc("c"), F.asc("t"))  # over ≤ kmax rows
+    ranked = head.withColumn("rnk", F.row_number().over(w))
+    scored = toks.join(F.broadcast(ranked.select("t", "rnk")), "t", "left")
     # ONE corpus pass computes every size's OOV sum; the curve rows then
     # explode from the single aggregate row
+    oov_at = lambda s: F.col("rnk").isNull() | (F.col("rnk") > s)  # noqa: E731
     wide = scored.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         *[
-            F.sum((F.col("rnk") > s).cast("long")).alias(f"oov_{s}")
+            F.sum(oov_at(s).cast("long")).alias(f"oov_{s}")
             for s in VOCAB_CURVE_SIZES
         ],
     )
@@ -1588,6 +1597,239 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact distributed order statistics (the CCNet cutpoint device) ----------
+CCNET_CP_COLLECT_MAX = 4096  # ≤ this many in-interval rows → collect the
+# distinct-value tail directly (bounded driver artifact, the kmeans-
+# centroid precedent); tests shrink it to force the histogram path
+CCNET_CP_HIST_BUCKETS = 1024  # histogram resolution per refinement level
+_CP_MAX_LEVELS = 200  # loud failure far above the geometric worst case
+
+
+def _cp_bucket(val: str, lo: float, width: float, g: int):
+    """Histogram bucket of ``val`` over [lo, lo+g·width): a fixed float
+    expression — subtract, divide, floor, clamp — every step an IEEE op
+    MONOTONE in the value, so buckets always partition the value order
+    even at ulp boundaries (the property the cumulative-rank walk needs);
+    clamping absorbs the ±1-ulp rows that float re-derivation of a
+    sub-interval's lower bound can push to index −1 or g."""
+    raw = F.floor((F.col(val) - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.greatest(F.lit(0), F.least(raw, F.lit(g - 1)))
+
+
+def _exact_rank_values(
+    df: DataFrame, key: str, val: str, rank_fn
+) -> dict:
+    """Exact per-key k-th ORDER STATISTICS of a double column with NO
+    key-wide sort — the r13-verdict de-skew device for
+    :func:`ccnet_perplexity_buckets`: at web scale the dominant language
+    is half the corpus, so ``Window.partitionBy(lang)`` makes its tercile
+    a single-task sort of billions of rows. Iterative histogram
+    refinement instead (the classic distributed exact-quantile): one
+    bounded (key, n, min, max) stats pass; then per level ONE
+    map-side-combinable histogram aggregation (``CCNET_CP_HIST_BUCKETS``
+    buckets, ALL active targets batched into the single pass via a
+    disjoint when-chain) locates the bucket containing each target rank —
+    interval row counts shrink ×G per level, so 10¹⁰ rows resolve in two
+    levels — and once a target's interval holds ≤
+    ``CCNET_CP_COLLECT_MAX`` rows its distinct values collect (bounded)
+    and the rank reads off the cumulative counts. Membership at every
+    level is the SAME clamped floor-bucket expression that built that
+    level's histogram (:func:`_cp_bucket` — monotone, so buckets
+    partition the value order; never a re-derived value range, so float
+    boundary rounding cannot mis-route a row between the count and the
+    refinement). The k-th order statistic is a multiset VALUE — invariant
+    to tie order — so no tiebreak column is needed.
+
+    ``rank_fn(n) -> [k1, …]`` maps a key's row count to its 1-based
+    target ranks; returns ``{(key_value, i): value}``.
+
+    Scale: the stats pass and every histogram pass are hash-partitioned
+    combinable aggs over (key, bucket) — no skewed exchange anywhere;
+    driver traffic per level ≤ |targets|·G counts; the final collect is
+    ≤ |targets|·COLLECT_MAX distinct values. Degenerate same-value runs
+    converge geometrically (interval narrows ×G per level until the
+    float bounds collapse); ``_CP_MAX_LEVELS`` turns a would-be hang
+    into a loud failure."""
+    g = CCNET_CP_HIST_BUCKETS
+    cmax = CCNET_CP_COLLECT_MAX
+    stats = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(val).alias("lo"),
+        F.max(val).alias("hi"),
+    ).collect()
+    targets: list[dict] = []
+    for r in stats:
+        n = int(r["n"])
+        for i, k in enumerate(rank_fn(n)):
+            if not 1 <= k <= n:
+                raise ValueError(f"rank {k} outside 1..{n} for {r[key]!r}")
+            targets.append(
+                dict(
+                    key=r[key], idx=i, k=int(k),
+                    lo=float(r["lo"]), hi=float(r["hi"]),
+                    m=n, path=(),
+                )
+            )
+
+    def _member(kv, path):
+        e = F.col(key) == F.lit(kv)
+        for plo, pwidth, pg in path:
+            e = e & (_cp_bucket(val, plo, pwidth, g) == F.lit(pg))
+        return e
+
+    for _level in range(_CP_MAX_LEVELS):
+        for t in targets:
+            if "value" not in t and t["hi"] <= t["lo"]:
+                t["value"] = t["lo"]  # interval collapsed: all rows equal
+        big = [t for t in targets if "value" not in t and t["m"] > cmax]
+        if not big:
+            break
+        # batch the level into ONE pass: group targets by (key, path) —
+        # disjoint row sets by construction (each row has exactly one
+        # bucket path) — and chain membership into gid/bucket whens
+        groups: dict = {}
+        for t in big:
+            groups.setdefault((t["key"], t["path"]), []).append(t)
+        gid_expr = bkt_expr = None
+        specs = []
+        for gid, ((kv, path), ts) in enumerate(groups.items()):
+            lo, hi = ts[0]["lo"], ts[0]["hi"]
+            width = (hi - lo) / g
+            member = _member(kv, path)
+            b = _cp_bucket(val, lo, width, g)
+            gid_expr = (
+                F.when(member, F.lit(gid))
+                if gid_expr is None
+                else gid_expr.when(member, F.lit(gid))
+            )
+            bkt_expr = (
+                F.when(member, b) if bkt_expr is None else bkt_expr.when(member, b)
+            )
+            specs.append((ts, lo, hi, width))
+        hist_rows = (
+            df.select(gid_expr.alias("_gid"), bkt_expr.alias("_b"))
+            .filter(F.col("_gid").isNotNull())
+            .groupBy("_gid", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        hists: dict = {}
+        for r in hist_rows:
+            hists.setdefault(r["_gid"], {})[r["_b"]] = r["_c"]
+        for gid, (ts, lo, hi, width) in enumerate(specs):
+            h = hists.get(gid, {})
+            for t in ts:
+                cum = 0
+                for gi in range(g):
+                    c = h.get(gi, 0)
+                    if cum + c >= t["k"]:
+                        t["k"] -= cum
+                        t["m"] = c
+                        t["path"] = t["path"] + ((lo, width, gi),)
+                        t["lo"] = lo + gi * width
+                        t["hi"] = hi if gi == g - 1 else lo + (gi + 1) * width
+                        break
+                    cum += c
+                else:
+                    raise RuntimeError("histogram lost rows (rank > count)")
+    else:
+        raise RuntimeError(f"no convergence in {_CP_MAX_LEVELS} levels")
+
+    rest = [t for t in targets if "value" not in t]
+    if rest:
+        groups = {}
+        for t in rest:
+            groups.setdefault((t["key"], t["path"]), []).append(t)
+        gid_expr = None
+        for gid, ((kv, path), ts) in enumerate(groups.items()):
+            member = _member(kv, path)
+            gid_expr = (
+                F.when(member, F.lit(gid))
+                if gid_expr is None
+                else gid_expr.when(member, F.lit(gid))
+            )
+        rows = (
+            df.select(gid_expr.alias("_gid"), F.col(val).alias("_v"))
+            .filter(F.col("_gid").isNotNull())
+            .groupBy("_gid", "_v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        byg: dict = {}
+        for r in rows:
+            byg.setdefault(r["_gid"], []).append((r["_v"], r["_c"]))
+        for gid, ((kv, path), ts) in enumerate(groups.items()):
+            vals = sorted(byg.get(gid, []))
+            for t in ts:
+                cum = 0
+                for v, c in vals:
+                    cum += c
+                    if cum >= t["k"]:
+                        t["value"] = float(v)
+                        break
+                else:
+                    raise RuntimeError("collect tail lost rows")
+    return {(t["key"], t["idx"]): t["value"] for t in targets}
+
+
+def _ccnet_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, lang, avg_neg_logprob) KN scores — shared input of
+    the CCNet cutpoint/bucket entries; staging makes the multi-pass
+    cutpoint refinement re-read parquet instead of re-running the KN
+    scoring join per pass."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stage(
+        kneser_ney_bigram_score(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "avg_neg_logprob")
+    )
+
+
+def _ccnet_terciles(n: int) -> list[int]:
+    """CCNet tercile boundary ranks: k1 = ceil(n/3), k2 = ceil(2n/3) —
+    exactly NTILE(3)'s first- and second-bucket cumulative sizes, so the
+    VALUE cutpoints agree with the NTILE twin away from boundary ties."""
+    return [(n + 2) // 3, (2 * n + 2) // 3]
+
+
+def _ccnet_cutpoints_df(
+    spark: SparkSession, scored: DataFrame
+) -> DataFrame:
+    """Per-language (n_docs, c1, c2) tercile cutpoints of the KN score,
+    via :func:`_exact_rank_values` — a ≤|langs|-row bounded artifact."""
+    ns = {
+        r["lang"]: int(r["n"])
+        for r in scored.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cps = _exact_rank_values(
+        scored, "lang", "avg_neg_logprob", _ccnet_terciles
+    )
+    rows = [
+        (lang, ns[lang], cps[(lang, 0)], cps[(lang, 1)])
+        for lang in sorted(ns)
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, n_docs long, c1 double, c2 double"
+    )
+
+
+def ccnet_tercile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language tercile CUTPOINT table itself — the artifact a
+    CCNet-style release ships (the fixed LM-percentile thresholds new
+    crawl snapshots are bucketed against without re-ranking anything):
+    for each language, the KN scores at ranks ceil(n/3) and ceil(2n/3).
+    Computed by iterative histogram refinement
+    (:func:`_exact_rank_values`) — exact values, zero skewed sorts.
+
+    Determinism: the cutpoints are order statistics of the KN entry's
+    own 6-dp values (already hash-exact cross-engine), and a multiset's
+    k-th value is tie-order invariant — so the oracle's window-ranked
+    form lands on the identical doubles."""
+    return _ccnet_cutpoints_df(spark, _ccnet_scored(spark, sf_dir))
+
+
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's defining move (Wenzek et al. 2020 §4.3): partition each
     language's corpus into HEAD / MIDDLE / TAIL terciles by language-model
@@ -1600,18 +1842,62 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with < 2 tokens are unscoreable and excluded, as CCNet drops
     them before bucketing.
 
-    Determinism: the per-doc score is the KN entry's own value (already
-    oracle-exact to 6 dp); the tercile is NTILE(3) over (score ASC,
-    doc_id ASC) — standard-SQL NTILE (first n%3 buckets one longer) is
-    identical on both engines and the tie order is total. Per-bucket
-    aggregates use decimal folds over the rounded scores.
+    Bucketing is by per-language tercile CUTPOINT VALUES (the r13-verdict
+    de-skew, and CCNet's actual semantics — Wenzek et al. bucket against
+    fixed LM-percentile cutoffs, not per-snapshot ranks): the two
+    cutpoints come from :func:`_exact_rank_values` (iterative histogram
+    refinement — map-side-combinable aggs only, never a per-language
+    sort), broadcast as a ≤|langs|-row table, and every doc buckets
+    MAP-SIDE by two double compares. Ties AT a cutpoint land in the
+    lower bucket on both engines (value semantics); the former NTILE
+    form — which splits boundary ties by doc_id — is kept as
+    :func:`_ccnet_ntile_buckets` and agreement away from boundary ties
+    is test-pinned.
 
-    Scale: the KN scorer's documented shape (keyed bigram join +
-    broadcast count tables), one per-language rank window (the corpus
-    partitions by language — no global sort), and a ≤|langs|·3-group
-    aggregate."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = kneser_ney_bigram_score(spark, sf_dir).join(docs, "doc_id")
+    Determinism: scores are the KN entry's own 6-dp values (hash-exact
+    cross-engine); cutpoints are tie-order-invariant order statistics of
+    those identical doubles; the bucket decision is a double compare
+    against an identical double. Per-bucket aggregates use decimal folds.
+
+    Scale: the KN scorer's documented shape, two bounded histogram-
+    refinement passes, one broadcast join, one ≤|langs|·3-group agg —
+    no window over corpus rows anywhere (plan-tested)."""
+    scored = _ccnet_scored(spark, sf_dir)
+    cp = _ccnet_cutpoints_df(spark, scored).select("lang", "c1", "c2")
+    s = F.col("avg_neg_logprob")
+    bucket = (
+        F.when(s <= F.col("c1"), F.lit("head"))
+        .when(s <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cp), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_neg_logprob").cast("decimal(28,16)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nlp"),
+            F.min("avg_neg_logprob").alias("nlp_lo"),
+            F.max("avg_neg_logprob").alias("nlp_hi"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _ccnet_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 NTILE(3) form, kept as the test-scale agreement twin
+    for :func:`ccnet_perplexity_buckets` (NOT a registry entry — its
+    per-language rank window is exactly the skewed plan the cutpoint
+    form exists to avoid; boundary ties split by doc_id here but land
+    whole in the lower bucket there, so agreement holds wherever no doc
+    score equals a cutpoint — test-pinned)."""
+    scored = _ccnet_scored(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
     b = F.ntile(3).over(w)
     bucket = (
@@ -2106,6 +2392,7 @@ QUERIES = {
     "bpe_encode_merges64": bpe_encode_merges64,
     "bpe_decode_roundtrip": bpe_decode_roundtrip,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "ccnet_tercile_cutpoints": ccnet_tercile_cutpoints,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -2944,26 +3231,53 @@ ORACLE["kneser_ney_bigram_score"] = rf"""
     FROM scored GROUP BY doc_id
 """
 
-ORACLE["ccnet_perplexity_buckets"] = f"""
+# shared CTE chain for the CCNet cutpoint entries: the oracle AFFORDS the
+# per-language window rank (DuckDB at sf0.01) — it defines the same
+# k1 = ceil(n/3) / k2 = ceil(2n/3) ORDER-STATISTIC VALUES the Spark side
+# reaches via histogram refinement; value-compare bucketing (ties into
+# the lower bucket) matches the engine's map-side semantics exactly
+_CCNET_CP_CTES = f"""
     WITH kn AS ({ORACLE["kneser_ney_bigram_score"]}),
-    ranked AS (
-        SELECT d.lang, kn.avg_neg_logprob,
-               NTILE(3) OVER (
-                   PARTITION BY d.lang
-                   ORDER BY kn.avg_neg_logprob ASC, kn.doc_id ASC
-               ) AS b
+    j AS (
+        SELECT d.lang, kn.doc_id, kn.avg_neg_logprob AS s
         FROM kn JOIN documents d ON kn.doc_id = d.doc_id
+    ),
+    r AS (
+        SELECT lang, s,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM j
+    ),
+    cp AS (
+        SELECT lang,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rn <= (n + 2) // 3 THEN s END) AS c1,
+               MAX(CASE WHEN rn <= (2 * n + 2) // 3 THEN s END) AS c2
+        FROM r GROUP BY lang
     )
-    SELECT lang,
-           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                  ELSE 'tail' END AS bucket,
+"""
+
+ORACLE["ccnet_tercile_cutpoints"] = _CCNET_CP_CTES + """
+    SELECT lang, n_docs, c1, c2 FROM cp
+"""
+
+ORACLE["ccnet_perplexity_buckets"] = _CCNET_CP_CTES + """
+    , b AS (
+        SELECT j.lang,
+               CASE WHEN j.s <= cp.c1 THEN 'head'
+                    WHEN j.s <= cp.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               j.s
+        FROM j JOIN cp USING (lang)
+    )
+    SELECT lang, bucket,
            COUNT(*) AS n_docs,
-           ROUND(CAST(SUM(CAST(avg_neg_logprob AS DECIMAL(28,16)))
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,16)))
                       AS DOUBLE) / COUNT(*), 6) AS avg_nlp,
-           MIN(avg_neg_logprob) AS nlp_lo,
-           MAX(avg_neg_logprob) AS nlp_hi
-    FROM ranked
-    GROUP BY lang, b
+           MIN(s) AS nlp_lo,
+           MAX(s) AS nlp_hi
+    FROM b
+    GROUP BY lang, bucket
     ORDER BY lang, bucket
 """
 

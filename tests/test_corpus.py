@@ -1652,3 +1652,74 @@ def test_bpe_encode_merges64_matches_python_reference(spark):
             w for w in re.sub(r"[^a-z ]", " ", text.lower()).split(" ") if w
         ]
         assert got[doc_id] == sum(ref_encode(w) for w in words), doc_id
+
+
+def test_exact_rank_values_vs_sorted(spark, monkeypatch):
+    """The histogram-refinement order-statistic device
+    (textstats._exact_rank_values) vs python sorted() ground truth, on a
+    synthetic skewed multiset with ties, negatives, and a degenerate
+    all-equal key — with COLLECT_MAX and the bucket count shrunk so the
+    refinement loop runs MULTIPLE levels (the 100-TB path, which the
+    500-doc corpus otherwise never exercises)."""
+    import random
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    rng = random.Random(14)
+    rows = []
+    # skewed key 'en' (1200 rows, heavy ties), small 'fr', all-equal 'zz'
+    for _ in range(1200):
+        rows.append(("en", round(rng.gauss(0.0, 2.0), 1)))  # coarse → ties
+    for _ in range(37):
+        rows.append(("fr", rng.uniform(-5, 5)))
+    for _ in range(25):
+        rows.append(("zz", 1.25))
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    def ranks(n):
+        return [1, (n + 2) // 3, (2 * n + 2) // 3, n]
+
+    monkeypatch.setattr(textstats, "CCNET_CP_COLLECT_MAX", 16)
+    monkeypatch.setattr(textstats, "CCNET_CP_HIST_BUCKETS", 4)
+    got = textstats._exact_rank_values(df, "k", "v", ranks)
+    by_key = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vs in by_key.items():
+        vs.sort()
+        for i, r in enumerate(ranks(len(vs))):
+            assert got[(k, i)] == vs[r - 1], (k, i, r)
+
+
+def test_ccnet_histogram_path_matches_collect_path(spark, monkeypatch):
+    """Forcing the multi-level refinement path (tiny COLLECT_MAX /
+    HIST_BUCKETS) must yield byte-identical cutpoints to the default
+    collect-the-tail path on the real corpus."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    base = sorted(
+        map(tuple, textstats.ccnet_tercile_cutpoints(spark, SF_DIR).collect())
+    )
+    monkeypatch.setattr(textstats, "CCNET_CP_COLLECT_MAX", 8)
+    monkeypatch.setattr(textstats, "CCNET_CP_HIST_BUCKETS", 8)
+    forced = sorted(
+        map(tuple, textstats.ccnet_tercile_cutpoints(spark, SF_DIR).collect())
+    )
+    assert forced == base
+
+
+def test_ccnet_cutpoint_buckets_agree_with_ntile_twin(spark):
+    """Value-cutpoint bucketing == the former NTILE(3) form on this
+    corpus (no doc besides the rank-k doc itself shares a cutpoint
+    value, so the two semantics' only divergence class — boundary ties
+    split by doc_id — is empty here; the cutpoint form is the scale-safe
+    primary, the NTILE form the test-scale twin)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    a = sorted(
+        map(tuple, textstats.ccnet_perplexity_buckets(spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, textstats._ccnet_ntile_buckets(spark, SF_DIR).collect())
+    )
+    assert a == b

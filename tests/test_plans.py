@@ -515,6 +515,44 @@ def test_vocab_oov_topk_heap_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_vocab_coverage_curve_bounded_rank_window(spark):
+    """The coverage curve's vocabulary ranking must NOT be a
+    single-partition window over the full type vocabulary (the r13
+    scale flag): head selection is TakeOrderedAndProject (per-partition
+    heap, ≤ max(sizes) rows survive) and the only Window in the plan
+    sits above that bounded GlobalLimit; the ranked head broadcasts
+    into the scoring join."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.vocab_coverage_curve(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "head must be a heap top-k"
+    assert has_broadcast_join(df), "ranked head must broadcast"
+    assert "SortMergeJoin" not in plan
+    # the window input is the limited head, never the raw vocabulary:
+    # with the limit in place the Window subtree contains the
+    # TakeOrderedAndProject; strip everything above the Window node and
+    # check the ordering
+    win_at = plan.index("Window")
+    assert "TakeOrderedAndProject" in plan[win_at:], (
+        "rank window must consume the bounded top-k head"
+    )
+
+
+def test_ccnet_buckets_no_corpus_window(spark):
+    """The CCNet tercile entry must carry NO window over corpus rows (the
+    r13 scale flag: per-language NTILE put the dominant language's
+    billions of rows on one task): bucketing is a broadcast join of the
+    ≤|langs|-row cutpoint table + a map-side double compare."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.ccnet_perplexity_buckets(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "cutpoint bucketing must be map-side"
+    assert has_broadcast_join(df), "cutpoint table must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
 def test_kneser_ney_broadcasts_context_tables(spark):
     """KN scoring: c_a / N1+(a.) / N1+(.b) are vocabulary-bounded and must
     all broadcast; only the bigram table joins by key."""
