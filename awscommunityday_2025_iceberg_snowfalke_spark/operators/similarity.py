@@ -838,6 +838,107 @@ def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — the arriving-batch screen that closes the
+    embedding-side dedup loop the way :func:`ann_ivf_append_probe`
+    closed the ANN loop (r13 verdict task 6): the standing corpus (even
+    vec_ids — already released, its survivors are settled and NEVER
+    re-flagged) sits in the cell-partitioned store under the FROZEN
+    coarse quantizer; an arriving batch (odd vec_ids) is frozen-assigned
+    map-side and screened per cell against (a) the standing cellmates
+    and (b) its own lower-vec_id batchmates. Survivor priority is
+    (generation, vec_id): standing always outranks arriving — the
+    production semantics (new docs dedup against the release, never vice
+    versa), so the screen equals a full-corpus SemDeDup under that
+    priority restricted to arriving docs, by construction. The flag is
+    split by source — ``dup_vs_standing`` (redundant with the release)
+    vs ``dup_vs_batch`` (redundant within the batch) — the attrition
+    audit an incremental ingest publishes.
+
+    Scale shape (the whole point): ONLY the arriving batch is scored —
+    one map-only Arrow assignment pass (:func:`_assign_frozen`, k×d
+    closure matrix) — and the standing store is read PARTITION-PRUNED to
+    the ≤k cells the batch actually touched (`cell IN (...)` over the
+    hive ``cell=`` layout; untouched standing partitions contribute
+    zero I/O, the append-probe economy). The per-cell screen is one
+    dgemm via ``applyInPandas`` (the :func:`semantic_dedup` kernel with
+    a generation column; the m×m score matrix never leaves the
+    executor). Driver traffic: k×d centroids + the ≤k touched-cell list.
+
+    numpy matmul reassociates float adds vs the oracle's sequential
+    fold; parity of the thresholded booleans is verified against the
+    duckdb oracle on the fixed testdata (the ``knn_pandas_cosine``
+    stance, same as the registered SemDeDup primary)."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    frozen_rows = _centroids(standing).orderBy("label").collect()
+
+    path = os.path.join(
+        _session_root(spark), f"semdedup_inc_{_uuid.uuid4().hex[:12]}"
+    )
+    _assign_frozen(standing, frozen_rows, with_embedding=True).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    arr = stage(_assign_frozen(arriving, frozen_rows, with_embedding=True))
+    touched = sorted(
+        int(r["cell"]) for r in arr.select("cell").distinct().collect()
+    )  # bounded ≤ k
+    stand_sub = spark.read.parquet(path).filter(
+        F.col("cell").isin(touched)  # partition pruning: arriving cells only
+    )
+    union = stand_sub.select(
+        "vec_id", "cell", "embedding", F.lit(0).alias("gen")
+    ).unionByName(
+        arr.select("vec_id", "cell", "embedding", F.lit(1).alias("gen"))
+    )
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (gen, vec_id) sort = survivor priority: standing first, then
+        # batch arrival order; tril then reads "every higher-priority
+        # cellmate" for each row
+        pdf = pdf.sort_values(["gen", "vec_id"]).reset_index(drop=True)
+        n = len(pdf)
+        gen = pdf["gen"].to_numpy()
+        if n <= 1:
+            vs_st = np.zeros(n, dtype=bool)
+            vs_ar = np.zeros(n, dtype=bool)
+        else:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = np.linalg.norm(E, axis=1)
+            hit = (E @ E.T) / np.outer(En, En) >= SEMDEDUP_THRESHOLD
+            low = np.tril(hit, k=-1)
+            standing_col = (gen == 0)[None, :]
+            vs_st = (low & standing_col).any(axis=1)
+            vs_ar = (low & ~standing_col).any(axis=1)
+        out = pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "dup_vs_standing": vs_st,
+                "dup_vs_batch": vs_ar,
+            }
+        )
+        return out[gen == 1]  # arriving rows only; standing never re-flagged
+
+    flags = union.groupBy("cell").applyInPandas(
+        screen,
+        "vec_id long, cell int, dup_vs_standing boolean, dup_vs_batch boolean",
+    )
+    return flags.select(
+        "vec_id",
+        "cell",
+        "dup_vs_standing",
+        "dup_vs_batch",
+        (F.col("dup_vs_standing") | F.col("dup_vs_batch")).alias("is_semdup"),
+    )
+
+
 N_PROBE = 2  # cells probed per query (defined before its first consumer)
 
 
@@ -2961,6 +3062,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_fold": semantic_dedup_fold,
     "semantic_dedup_threshold_sweep": semantic_dedup_threshold_sweep,
+    "semantic_dedup_incremental": semantic_dedup_incremental,
     "ann_ivf_cosine": ann_ivf_cosine,
     "ann_ivf_partitioned_probe": ann_ivf_partitioned_probe,
     "ann_ivf_append_probe": ann_ivf_append_probe,
@@ -3644,6 +3746,63 @@ ORACLE["semantic_dedup_threshold_sweep"] = f"""
                          WHERE mc.max_cos >= e.eps) AS BIGINT) AS n_kept
     FROM eps e CROSS JOIN tot
     ORDER BY e.eps
+"""
+
+ORACLE["semantic_dedup_incremental"] = f"""
+    WITH src AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    old AS (SELECT * FROM src WHERE vec_id % 2 = 0),
+    compf AS (
+        SELECT label, e[i + 1] AS v, i AS pos
+        FROM old, UNNEST(range(len(e))) AS u(i)
+    ),
+    centf AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+        FROM compf GROUP BY label, pos
+    ),
+    cf AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS centroid
+        FROM centf GROUP BY label
+    ),
+    fscored AS (
+        SELECT s.vec_id, c.cell, s.e,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY list_cosine_similarity(s.e, c.centroid) DESC,
+                            c.cell ASC) AS rk
+        FROM src s CROSS JOIN cf c
+    ),
+    fassign AS (SELECT vec_id, cell, e FROM fscored WHERE rk = 1),
+    stand AS (SELECT * FROM fassign WHERE vec_id % 2 = 0),
+    arr AS (SELECT * FROM fassign WHERE vec_id % 2 = 1),
+    vstand AS (
+        SELECT a.vec_id,
+               MAX(CASE WHEN list_cosine_similarity(a.e, s.e)
+                             >= {SEMDEDUP_THRESHOLD}
+                        THEN 1 ELSE 0 END) AS hit
+        FROM arr a JOIN stand s ON a.cell = s.cell
+        GROUP BY a.vec_id
+    ),
+    varr AS (
+        SELECT a.vec_id,
+               MAX(CASE WHEN list_cosine_similarity(a.e, b.e)
+                             >= {SEMDEDUP_THRESHOLD}
+                        THEN 1 ELSE 0 END) AS hit
+        FROM arr a JOIN arr b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, a.cell,
+           COALESCE(vs.hit, 0) = 1 AS dup_vs_standing,
+           COALESCE(va.hit, 0) = 1 AS dup_vs_batch,
+           (COALESCE(vs.hit, 0) = 1 OR COALESCE(va.hit, 0) = 1)
+               AS is_semdup
+    FROM arr a
+    LEFT JOIN vstand vs ON a.vec_id = vs.vec_id
+    LEFT JOIN varr va ON a.vec_id = va.vec_id
 """
 
 # the cell-partitioned store probe returns the same top-k as the map-only

@@ -1723,3 +1723,23 @@ def test_ccnet_cutpoint_buckets_agree_with_ntile_twin(spark):
         map(tuple, textstats._ccnet_ntile_buckets(spark, SF_DIR).collect())
     )
     assert a == b
+
+
+def test_semantic_dedup_incremental_arriving_only(spark):
+    """The incremental screen flags ONLY the arriving batch (odd
+    vec_ids): standing rows are never re-flagged, every arriving row is
+    screened exactly once, and the flag decomposes as
+    is_semdup == dup_vs_standing OR dup_vs_batch."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    out = semantic_dedup_incremental(spark, SF_DIR).collect()
+    n_odd = load(spark, SF_DIR, "embeddings").filter("vec_id % 2 = 1").count()
+    assert len(out) == n_odd
+    assert all(r["vec_id"] % 2 == 1 for r in out)
+    assert all(
+        r["is_semdup"] == (r["dup_vs_standing"] or r["dup_vs_batch"])
+        for r in out
+    )
