@@ -159,12 +159,18 @@ def _shingles_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return sh
 
 
-def _duck_shingles_of(rel: str, textcol: str = "text") -> str:
+def _duck_shingles_of(
+    rel: str, textcol: str = "text", materialized: bool = False
+) -> str:
     """sh0/sh CTE fragment (no WITH) over any (doc_id, textcol)
-    relation — the oracle twin of :func:`_shingles_of`."""
+    relation — the oracle twin of :func:`_shingles_of`.
+    ``materialized=True`` pins both CTEs against DuckDB's inline-per-
+    reference default — required when ``rel`` is itself an expensive
+    chain consumed by several downstream CTEs (the fused pipeline)."""
+    kw = "MATERIALIZED " if materialized else ""
     return (
         r"""
-    sh0 AS (
+    sh0 AS {kw}(
         SELECT DISTINCT doc_id,
                toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
         FROM (SELECT doc_id, string_split_regex(lower({textcol}), '\s+') AS toks
@@ -172,7 +178,7 @@ def _duck_shingles_of(rel: str, textcol: str = "text") -> str:
              UNNEST(range(len(toks) - 2)) AS u(i)
         WHERE len(toks) >= 3
     ),
-    sh AS (
+    sh AS {kw}(
         SELECT doc_id,
                COUNT(*) OVER (PARTITION BY doc_id) AS n,
                {duck_h} AS sh_h
@@ -180,6 +186,7 @@ def _duck_shingles_of(rel: str, textcol: str = "text") -> str:
     )
 """
         .replace("{duck_h}", _DUCK_H.format(expr="shingle"))
+        .replace("{kw}", kw)
         .replace("{rel}", rel)
         .replace("{textcol}", textcol)
     )
@@ -1210,7 +1217,22 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
-    sig = _minhash_signatures(_shingles(spark, sf_dir))
+    cand = stage(  # consumed repeatedly: pruning + verify joins
+        _lsh_candidates_of(_shingles(spark, sf_dir))
+    )
+    per_session[sf_dir] = cand
+    return cand
+
+
+def _lsh_candidates_of(sh: DataFrame) -> DataFrame:
+    """Core of :func:`_lsh_candidates` over any shingle relation
+    (doc_id, n, sh_h) — same banding, no memoization, no staging (the
+    caller decides; the fused curation pipeline stages it alongside its
+    other stage boundaries). Shapes: one map-side-combinable MIN agg to
+    the 16-column signature, an in-row band-hash stack, and an equi-join
+    on (band_idx, band_hash) — only (int, 32-byte hash, id) tuples ever
+    shuffle, never shingles."""
+    sig = _minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = [
         F.md5(
@@ -1227,7 +1249,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = long.alias("a")
     b = long.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -1237,9 +1259,6 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    cand = stage(cand)  # consumed repeatedly: pruning + verify joins
-    per_session[sf_dir] = cand
-    return cand
 
 
 def _candidate_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,8 +1267,15 @@ def _candidate_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry and the threshold-sweep diagnostic. The shingle join runs only
     over docs that appear in some candidate pair (semi-join pruning): at
     scale the verify cost tracks |candidates|, not |corpus|²."""
-    sh = _shingles(spark, sf_dir)
-    cand = _lsh_candidates(spark, sf_dir)
+    return _candidate_shared_of(
+        _shingles(spark, sf_dir), _lsh_candidates(spark, sf_dir)
+    )
+
+
+def _candidate_shared_of(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Core of :func:`_candidate_shared` over any shingle relation and
+    any candidate-pair relation — the exact-verify kernel every blocking
+    front (corpus LSH, the fused pipeline's rebuilt-text LSH) feeds."""
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -2277,10 +2303,16 @@ def _duck_clusters_sql() -> str:
     """
 
 
-def _duck_lsh_cand_cte() -> str:
-    """The shared WITH-body through the LSH candidate-pair CTE ``cand`` —
-    the oracle twin of :func:`_lsh_candidates`, reused by every verify
-    layer (Jaccard, edit distance)."""
+def _duck_lsh_body() -> str:
+    """CTE fragment (no WITH) from an existing shingle CTE ``sh`` through
+    the LSH candidate-pair CTE ``cand`` — the oracle twin of
+    :func:`_lsh_candidates_of`, composable over any shingle relation
+    (the fused curation pipeline bands its rebuilt-text ``sh``).
+    ``sig``/``banded``/``cand`` are MATERIALIZED: ``banded`` is
+    referenced once per band by the UNION-ALL stack, and DuckDB would
+    otherwise inline (= recompute) the entire upstream ``sh`` chain per
+    reference — harmless over raw-document shingles, a >25× blowup when
+    ``sh`` sits on the curation pipeline's rebuilt-text chain."""
     mins = ",\n               ".join(
         f"MIN(({a} * hb + {b}) % {_MH_P}) AS m{s}"
         for s, (a, b) in enumerate(_mh_params())
@@ -2297,28 +2329,35 @@ def _duck_lsh_cand_cte() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-        WITH {_DUCK_SHINGLES},
         shb AS (
             SELECT doc_id, sh_h % {_MH_P} AS hb
             FROM sh
         ),
-        sig AS (
+        sig AS MATERIALIZED (
             SELECT doc_id,
                {mins}
             FROM shb GROUP BY doc_id
         ),
-        banded AS (
+        banded AS MATERIALIZED (
             SELECT doc_id,
                {bands}
             FROM sig
         ),
         long AS ({band_rows}),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM long a JOIN long b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
         )"""
+
+
+def _duck_lsh_cand_cte() -> str:
+    """The shared WITH-body through the LSH candidate-pair CTE ``cand`` —
+    the oracle twin of :func:`_lsh_candidates` (corpus shingles), reused
+    by every verify layer (Jaccard, edit distance)."""
+    return f"""
+        WITH {_DUCK_SHINGLES},{_duck_lsh_body()}"""
 
 
 def _duck_minhash_sql() -> str:

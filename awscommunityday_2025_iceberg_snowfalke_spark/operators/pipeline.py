@@ -771,11 +771,18 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 pays the screened one. detail =
                                 definitely-new (docs that skipped the
                                 join: the screen's savings, exact).
-      3 ``ppjoin_neardup``      PPJoin set-similarity self-join at
-                                τ = 0.8 over rebuilt-text shingles
-                                (prefix + size + positional filters,
-                                exact verify — lossless); any doc
-                                near-dup to an EARLIER doc drops.
+      3 ``lsh_neardup``         MinHash-LSH banding over rebuilt-text
+                                shingles (16 hashes × 4 bands), banded
+                                candidates EXACTLY verified at τ = 0.8
+                                — the production near-dup screen (Lee
+                                et al. 2022): candidate volume is the
+                                band join's, not the prefix index's.
+                                Recall is measured, not assumed
+                                (148/149 at sf0.1; == lossless PPJoin
+                                at sf0.01, test-pinned); the oracle
+                                states the banded semantics so the
+                                report is exact at every scale. Any
+                                doc near-dup to an EARLIER doc drops.
                                 detail = near-dup pairs.
       4 ``classifier_gate``     fastText-style linear quality gate with
                                 FROZEN weights trained on the original
@@ -818,7 +825,8 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         INCREMENTAL_SPLIT_FRAC,
         PPJOIN_X,
         _bloom_flags,
-        _ppjoin_verified_of,
+        _candidate_shared_of,
+        _lsh_candidates_of,
         _shingles_of,
         dedup_paragraphs_removed_text,
     )
@@ -888,11 +896,21 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("maybe_dup")).cast("long")).alias("detail")
     )
 
-    # -- stage 3: PPJoin near-dup drop (τ = 0.8, keep earliest doc) --
+    # -- stage 3: LSH-banded near-dup drop (τ = 0.8, keep earliest doc) --
+    # MinHash band screen FIRST (r13 verdict task 5): the exact-verify
+    # core sees banded candidates only — at web scale the band join
+    # shuffles (int, 32-byte hash, id) tuples where the PPJoin prefix
+    # self-join shuffled prefix-token postings that grow with corpus
+    # df². Recall is the banding S-curve's, not 1.0: measured 148/149
+    # τ-pairs at sf0.1 (the single miss is an exactly-j=0.8 boundary
+    # pair sharing no band; SCALE.md r14) and 17/17 at sf0.01 — the
+    # oracle states the SAME banded+verified semantics, so the report
+    # stays full-value exact at every scale.
     num, den = PPJOIN_X
-    verified = _ppjoin_verified_of(
-        _shingles_of(spark, s2.select("doc_id", F.col("text_clean").alias("text")))
+    sh3 = _shingles_of(
+        spark, s2.select("doc_id", F.col("text_clean").alias("text"))
     )
+    verified = _candidate_shared_of(sh3, stage(_lsh_candidates_of(sh3)))
     union_sz = F.col("na") + F.col("nb") - F.col("shared")
     pairs = stage(
         verified.filter(F.col("shared") * den >= num * union_sz).select(
@@ -1029,7 +1047,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         row(0, "input", spread(spark, docs), ntok("text"), zero),
         row(1, "paragraph_dedup", s1, F.col("n"), detail1),
         row(2, "exact_dedup_bloom", s2, F.col("n"), detail2),
-        row(3, "ppjoin_neardup", s3, F.col("n"), detail3),
+        row(3, "lsh_neardup", s3, F.col("n"), detail3),
         row(4, "classifier_gate", s4, F.col("n"), detail4),
         row(5, "contamination_screen", s5, F.col("n"), detail5),
         row(6, "token_budget_mixture", s6, F.col("n"), detail6),
@@ -1039,6 +1057,123 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("stage_rank")
+
+
+# --- corpus datasheet (the release data card) ---------------------------------
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS DATASHEET — the data card a real corpus release ships
+    (Gebru et al. 2021 "Datasheets for Datasets"; the Pile/Dolma release
+    reports): ONE bounded long-format artifact composing the release
+    metrics every consumer asks for, each the corpus-level rollup of a
+    member entry this corpus already certifies value-exactly:
+
+      ``lang_mix``        docs per language + corpus share
+                          (`doc_lang_confusion`'s ground-truth axis).
+      ``source_tokens``   whitespace tokens per source + token share
+                          (`doc_domain_mixture`).
+      ``token_budget``    the α = 0.5 temperature mixture quotas over
+                          ``MIXTURE_BUDGET`` (`token_budget_mixture_plan`
+                          verbatim — same largest-remainder integers).
+      ``dedup``           exact-duplicate doc count (docs − distinct
+                          sha-256 digests; `dedup_exact_hash`).
+      ``quality``         docs the frozen fastText-style classifier
+                          admits (`quality_classifier_score`'s
+                          pred_quality = 1 rollup).
+      ``contamination``   docs sharing a token 8-gram with the held-out
+                          benchmark split (`benchmark_contamination`).
+
+    Every `share` is the `_ratio6` exact-integer division against the
+    natural denominator (corpus docs, corpus tokens, or the budget), so
+    the whole card is bit-portable. Output ≈ |langs| + 2·|sources| + 3
+    rows — the artifact is driver-safe by construction.
+
+    Scale: six independent map-side-combinable aggregations over one
+    corpus scan each (the classifier and contamination members carry
+    their own documented broadcast shapes); totals attach via
+    broadcast-of-one-row crossJoins; no collect anywhere."""
+    from .textstats import (
+        _ratio6,
+        benchmark_contamination,
+        quality_classifier_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    dtot = docs.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    lang_mix = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            F.lit("lang_mix").alias("section"),
+            F.col("lang").alias("metric"),
+            "n",
+            _ratio6(F.col("n"), F.col("total_docs")).alias("share"),
+        )
+    )
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum(n_tok).cast("long").alias("n")
+    )
+    ttot = per_src.agg(F.sum("n").alias("total_tokens"))
+    source_tokens = per_src.crossJoin(F.broadcast(ttot)).select(
+        F.lit("source_tokens").alias("section"),
+        F.col("source").alias("metric"),
+        "n",
+        _ratio6(F.col("n"), F.col("total_tokens")).alias("share"),
+    )
+    budget = token_budget_mixture_plan(spark, sf_dir).select(
+        F.lit("token_budget").alias("section"),
+        F.col("source").alias("metric"),
+        F.col("token_budget").cast("long").alias("n"),
+        _ratio6(F.col("token_budget"), F.lit(MIXTURE_BUDGET)).alias("share"),
+    )
+    dedup = (
+        docs.agg(
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(F.sha2(F.col("text"), 256))
+            )
+            .cast("long")
+            .alias("n")
+        )
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            F.lit("dedup").alias("section"),
+            F.lit("exact_dup_docs").alias("metric"),
+            "n",
+            _ratio6(F.col("n"), F.col("total_docs")).alias("share"),
+        )
+    )
+    quality = (
+        quality_classifier_score(spark, sf_dir)
+        .agg(F.sum("pred_quality").cast("long").alias("n"))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            F.lit("quality").alias("section"),
+            F.lit("classifier_admitted").alias("metric"),
+            "n",
+            _ratio6(F.col("n"), F.col("total_docs")).alias("share"),
+        )
+    )
+    contamination = (
+        benchmark_contamination(spark, sf_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            F.lit("contamination").alias("section"),
+            F.lit("benchmark_8gram_docs").alias("metric"),
+            "n",
+            _ratio6(F.col("n"), F.col("total_docs")).alias("share"),
+        )
+    )
+    out = lang_mix
+    for part in (source_tokens, budget, dedup, quality, contamination):
+        out = out.unionByName(part)
+    return out
 
 
 # --- end-of-pipeline export manifest -----------------------------------------
@@ -1156,6 +1291,7 @@ QUERIES = {
     "doc_domain_mixture": doc_domain_mixture,
     "domain_temperature_reweight": domain_temperature_reweight,
     "token_budget_mixture_plan": token_budget_mixture_plan,
+    "corpus_datasheet": corpus_datasheet,
     "word_doc_frequency_topk": word_doc_frequency_topk,
     "doc_top_terms": doc_top_terms,
     "purchasers_without_errors": purchasers_without_errors,
@@ -1492,8 +1628,10 @@ def _duck_curation_v2() -> str:
     oracles' own CTE fragments: paragraph flags (dedup._DUCK_PARA_FLAGGED),
     the plain keep-first digest window stage 2 is answer-invariant to
     (the Bloom flags fragment supplies only the definitely-new detail),
-    brute-force verified Jaccard pairs (PPJoin is lossless by
-    construction, test-pinned), the classifier training chain
+    the MinHash banding body (dedup._duck_lsh_body) over rebuilt-text
+    shingles feeding the exact-Jaccard verify at τ = 0.8 (banded
+    semantics stated, so the oracle tracks the plan at every scale —
+    banding recall is measured, not assumed), the classifier training chain
     (textstats._QC_CTES_BODY) + a scoring chain over rebuilt text, the
     8-gram contamination screen, the largest-remainder mixture plan, the
     per-source admission window, and the single-window packing twin of
@@ -1501,6 +1639,7 @@ def _duck_curation_v2() -> str:
     from .dedup import (
         _DUCK_PARA_FLAGGED,
         _duck_bloom_flag_ctes,
+        _duck_lsh_body,
         _duck_shingles_of,
         PPJOIN_X,
     )
@@ -1521,7 +1660,7 @@ def _duck_curation_v2() -> str:
     )
     return rf"""
     {_DUCK_PARA_FLAGGED},
-    rebuilt AS (
+    rebuilt AS MATERIALIZED (
         SELECT doc_id, COUNT(*) AS n_paras,
                CAST(SUM(kept) AS BIGINT) AS kept_paras,
                COALESCE(string_agg(CASE WHEN kept = 1 THEN para END,
@@ -1537,18 +1676,19 @@ def _duck_curation_v2() -> str:
                    sha256(text_clean) AS d
             FROM s1),
     {_duck_bloom_flag_ctes("s1d")},
-    s2 AS (
+    s2 AS MATERIALIZED (
         SELECT doc_id, lang, source, text_clean FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY d ORDER BY doc_id) AS rn
             FROM s1d
         ) WHERE rn = 1
     ),
-    {_duck_shingles_of("s2", "text_clean")},
+    {_duck_shingles_of("s2", "text_clean", materialized=True)},{_duck_lsh_body()},
     ppairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n AS na, b.n AS nb, COUNT(*) AS shared
         FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
         GROUP BY 1, 2, 3, 4
         HAVING COUNT(*) * {den} >= {num} * (a.n + b.n - COUNT(*))
     ),
@@ -1686,7 +1826,7 @@ def _duck_curation_v2() -> str:
            (SELECT CAST(SUM(CASE WHEN maybe_dup THEN 0 ELSE 1 END)
                         AS BIGINT) FROM blflags)
     UNION ALL
-    SELECT 3, 'ppjoin_neardup',
+    SELECT 3, 'lsh_neardup',
            (SELECT COUNT(*) FROM s3),
            (SELECT CAST(SUM({n_of.format(c="text_clean")}) AS BIGINT)
             FROM s3),
@@ -1718,3 +1858,105 @@ def _duck_curation_v2() -> str:
 
 
 ORACLE["curation_pipeline_v2"] = _duck_curation_v2()
+
+
+def _duck_datasheet() -> str:
+    """The datasheet's oracle, composed from the member oracles' own
+    devices: the QC training/scoring chain (textstats._QC_CTES_BODY —
+    owns CTE names lab/tk/f/b/counts/tot/w/s, everything else here is
+    named to stay clear of them), the mixture-plan largest-remainder
+    chain, and the 8-gram contamination screen."""
+    from .textstats import (
+        _DUCK_8G,
+        _DUCK_TOKS,
+        _duck_ratio6,
+        _QC_CTES_BODY,
+        CONTAM_MOD,
+        CONTAM_N,
+    )
+
+    return rf"""
+    WITH {_QC_CTES_BODY},
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM documents),
+    lmix AS (
+        SELECT lang AS metric, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ),
+    stok AS (
+        SELECT source AS metric,
+               CAST(SUM(len(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    t -> t <> ''))) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    stot AS (SELECT SUM(n) AS total_tokens FROM stok),
+    weightedq AS (
+        SELECT metric, n,
+               CAST(sqrt(CAST(n AS DOUBLE) / total_tokens)
+                    AS DECIMAL(28,16)) AS w_dec
+        FROM stok CROSS JOIN stot
+    ),
+    wsq AS (SELECT SUM(w_dec) AS w_sum FROM weightedq),
+    quotasq AS (
+        SELECT metric,
+               CAST({MIXTURE_BUDGET} AS DOUBLE)
+                   * (CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE)) AS quota
+        FROM weightedq CROSS JOIN wsq
+    ),
+    basedq AS (
+        SELECT metric, CAST(FLOOR(quota) AS BIGINT) AS base,
+               quota - FLOOR(quota) AS frac
+        FROM quotasq
+    ),
+    rankedq AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY frac DESC, metric ASC) AS rk,
+               {MIXTURE_BUDGET} - SUM(base) OVER () AS short
+        FROM basedq
+    ),
+    planq AS (
+        SELECT metric,
+               base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS n
+        FROM rankedq
+    ),
+    ddup AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS n
+        FROM documents
+    ),
+    qadm AS (
+        SELECT CAST(SUM(CASE WHEN ws > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM s
+    ),
+    cbase AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    cfil AS (SELECT * FROM cbase WHERE len(ts) >= {CONTAM_N}),
+    cgrams AS (SELECT doc_id, unnest({_DUCK_8G}) AS g FROM cfil),
+    cbench AS (SELECT DISTINCT g FROM cgrams WHERE doc_id % {CONTAM_MOD} = 0),
+    ccont AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        FROM cgrams JOIN cbench USING (g)
+        WHERE doc_id % {CONTAM_MOD} <> 0
+    )
+    SELECT 'lang_mix' AS section, metric, n,
+           {_duck_ratio6("n", "total_docs")} AS share
+    FROM lmix CROSS JOIN dtot
+    UNION ALL
+    SELECT 'source_tokens', metric, n, {_duck_ratio6("n", "total_tokens")}
+    FROM stok CROSS JOIN stot
+    UNION ALL
+    SELECT 'token_budget', metric, n, {_duck_ratio6("n", str(MIXTURE_BUDGET))}
+    FROM planq
+    UNION ALL
+    SELECT 'dedup', 'exact_dup_docs', n, {_duck_ratio6("n", "total_docs")}
+    FROM ddup CROSS JOIN dtot
+    UNION ALL
+    SELECT 'quality', 'classifier_admitted', n,
+           {_duck_ratio6("n", "total_docs")}
+    FROM qadm CROSS JOIN dtot
+    UNION ALL
+    SELECT 'contamination', 'benchmark_8gram_docs', n,
+           {_duck_ratio6("n", "total_docs")}
+    FROM ccont CROSS JOIN dtot
+"""
+
+
+ORACLE["corpus_datasheet"] = _duck_datasheet()

@@ -981,6 +981,41 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language under the frozen 64-merge
+    artifact — tokens-per-word, the metric every multilingual tokenizer
+    release publishes (Ács 2019; the mBERT fertility tables): a language
+    whose fertility runs high fragments into more subwords per word,
+    burns more of every context window, and effectively trains on less
+    text. This is the corpus-level certification the per-doc
+    :func:`bpe_encode_merges64` report rolls up to before a vocab is
+    frozen; chars-per-token rides along as the compression view of the
+    same encode. Exact: both ratios are the `_ratio6` integer-division
+    device over exact long sums — no float accumulates anywhere.
+
+    Scale: the encode is the same zero-join zero-shuffle map-side
+    codegen string chain as the per-doc report; the rollup is one
+    map-side-combinable agg to ≤ |langs| rows (the 10 M-row encode
+    throughput itself is certified by the scale smoke — SCALE.md r14)."""
+    per_doc = _bpe_encode_report(spark, sf_dir, BPE_MERGES_64)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_az_chars").cast("long").alias("n_az_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility", _ratio6(F.col("n_bpe_tokens"), F.col("n_words"))
+        )
+        .withColumn(
+            "chars_per_token",
+            _ratio6(F.col("n_az_chars"), F.col("n_bpe_tokens")),
+        )
+    )
+
+
 # --- log2-bucketed length distribution ---------------------------------------
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length distribution per language — the
@@ -2391,6 +2426,7 @@ QUERIES = {
     "bpe_encode_fixed_merges": bpe_encode_fixed_merges,
     "bpe_encode_merges64": bpe_encode_merges64,
     "bpe_decode_roundtrip": bpe_decode_roundtrip,
+    "bpe_fertility_report": bpe_fertility_report,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "ccnet_tercile_cutpoints": ccnet_tercile_cutpoints,
     "text_quality": text_quality,
@@ -2887,6 +2923,19 @@ def _duck_bpe_encode_report(merges: tuple) -> str:
 
 ORACLE["bpe_encode_fixed_merges"] = _duck_bpe_encode_report(BPE_MERGES)
 ORACLE["bpe_encode_merges64"] = _duck_bpe_encode_report(BPE_MERGES_64)
+
+ORACLE["bpe_fertility_report"] = f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_az_chars) AS BIGINT) AS n_az_chars,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           {_duck_ratio6("SUM(n_bpe_tokens)", "SUM(n_words)")} AS fertility,
+           {_duck_ratio6("SUM(n_az_chars)", "SUM(n_bpe_tokens)")}
+               AS chars_per_token
+    FROM ({_duck_bpe_encode_report(BPE_MERGES_64)}) per_doc
+    GROUP BY lang
+"""
 
 
 def _duck_bpe_roundtrip(merges: tuple) -> str:

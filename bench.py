@@ -123,8 +123,16 @@ SUITES: dict[str, list[str]] = {
     ],
 }
 
-# one per baseline class, then the extension workloads
-HEADLINE = [
+# one per baseline class, then the extension workloads.
+#
+# The headline is SPLIT (r13 verdict task 7): HEADLINE_TREND is the
+# 52-query suite every committed bench since r12 has carried — frozen BY
+# NAME so its subtotal (`trend_total_sec` in the JSON line) is the
+# cross-round comparable series; everything added later goes to
+# HEADLINE_ADDITIONS (`additions_total_sec`) so new work never pollutes
+# the trend and the round-over-round comparison needs no judge-side
+# reconstruction. HEADLINE = TREND + ADDITIONS, unchanged as a whole.
+HEADLINE_TREND = [
     "count_all",            # simple COUNT          (baseline 2.4 s budget)
     "filtered_counts_7d",   # filtered aggregation  (4.2 s)
     "event_type_counts",    # aggregation           (5.6 s)
@@ -177,6 +185,11 @@ HEADLINE = [
     "manifest_lifecycle_report", # manifest rewrite: planning-I/O 13→2 GETs
     "ann_ivf_opq_rot_cosine",    # full OPQ-P: learned rotation + eigen alloc
     "dedup_jaccard_prefix_filter",  # PPJoin: prefix+size+positional filters
+]
+
+# post-r12 headline additions (r13 and r14 work) — benched every round,
+# subtotaled separately from the frozen trend suite above
+HEADLINE_ADDITIONS = [
     "dedup_paragraphs_report",   # CCNet paragraph-grain dedup (one window)
     "dedup_paragraphs_removed_text",  # survivor rebuild transform
     "ann_ivf_incremental_assign",  # frozen-centroid append protocol + trigger
@@ -195,7 +208,12 @@ HEADLINE = [
     "multimodal_phash_clusters", # component clustering over pHash pairs
     "ccnet_perplexity_buckets",  # per-language KN-perplexity terciles
     "semantic_dedup_threshold_sweep",  # one-pass SemDeDup removal curve
+    # r14 additions
+    "ccnet_tercile_cutpoints",   # broadcastable per-language cutpoint table
+    "semantic_dedup_incremental",  # arriving-batch SemDeDup vs standing store
 ]
+
+HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS
 # dv_delete_events stays registered + oracle-gated but OFF the headline:
 # it is a 4-commit write-path fixture (two DV waves with per-target vector
 # writes + changelog + 4 versioned reads ≈ 20 s) whose wall-clock is
@@ -342,6 +360,12 @@ def main() -> None:
         # jitter is run-to-run system noise, not block accumulation)
 
     total = round(sum(timings.values()), 3)
+    # the frozen 52-query trend subtotal + the post-r12 additions subtotal
+    # (r13 verdict task 7): comparable-by-construction across rounds
+    trend_total = round(
+        sum(t for n, t in timings.items() if n in set(HEADLINE_TREND)), 3
+    )
+    additions_total = round(total - trend_total, 3)
     # host-condition evidence (see _calibrate): loadavg + fixed-work
     # calibration at suite start and end make the artifact self-labeling
     load_end, calib_end = _load_1m(), _calibrate()
@@ -360,6 +384,8 @@ def main() -> None:
             {
                 "sf": sf_dir,
                 "total_sec": total,
+                "trend_total_sec": trend_total,
+                "additions_total_sec": additions_total,
                 "env": _engine_versions(),
                 "host": host,
                 "queries": report,
@@ -372,6 +398,8 @@ def main() -> None:
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
+        "trend_total_sec": trend_total,
+        "additions_total_sec": additions_total,
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
         # engine versions ride in the bench artifact so every recorded

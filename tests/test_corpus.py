@@ -1530,7 +1530,7 @@ def test_curation_pipeline_v2_attrition_invariants(spark):
         "input",
         "paragraph_dedup",
         "exact_dedup_bloom",
-        "ppjoin_neardup",
+        "lsh_neardup",
         "classifier_gate",
         "contamination_screen",
         "token_budget_mixture",
@@ -1553,7 +1553,60 @@ def test_curation_pipeline_v2_attrition_invariants(spark):
         assert by["packing"]["detail"] >= 1
     assert by["token_budget_mixture"]["detail"] == V2_MIX_BUDGET
     # classifier gate scored every candidate doc it saw
-    assert by["classifier_gate"]["detail"] == by["ppjoin_neardup"]["docs_out"]
+    assert by["classifier_gate"]["detail"] == by["lsh_neardup"]["docs_out"]
+
+
+def test_curation_v2_lsh_screen_matches_lossless_ppjoin(spark):
+    """The r14 banding screen leaves the attrition values unchanged at
+    test scale: over the pipeline's own rebuilt-then-exact-deduped text,
+    the MinHash-banded candidates exactly cover the lossless PPJoin
+    τ = 0.8 pair set (also measured 17/17 at sf0.01; the one sf0.1 miss
+    — a j = 0.80 boundary pair sharing no band — is the documented
+    recall trade the oracle's banded semantics absorb, SCALE.md r14)."""
+    from pyspark.sql import Window, functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        PPJOIN_X,
+        _candidate_shared_of,
+        _lsh_candidates_of,
+        _ppjoin_verified_of,
+        _shingles_of,
+        dedup_paragraphs_removed_text,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import (
+        load,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    rebuilt = dedup_paragraphs_removed_text(spark, SF_DIR)
+    s1 = (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id")
+        .filter(F.col("kept_paras") > 0)
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .withColumn("d", F.sha2("text", 256))
+    )
+    s2 = (
+        s1.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("d").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    sh = _shingles_of(spark, s2)
+    num, den = PPJOIN_X
+    tau = lambda v: (  # noqa: E731 — shared τ = 0.8 keep predicate
+        v.filter(
+            F.col("shared") * den
+            >= num * (F.col("na") + F.col("nb") - F.col("shared"))
+        ).select("doc_a", "doc_b")
+    )
+    banded = set(
+        map(tuple, tau(_candidate_shared_of(sh, _lsh_candidates_of(sh))).collect())
+    )
+    lossless = set(map(tuple, tau(_ppjoin_verified_of(sh)).collect()))
+    assert banded == lossless
+    assert banded  # non-degenerate: the corpus plants near-dup pairs
 
 
 def test_bpe_train_checkpoint_equals_chained(spark):
