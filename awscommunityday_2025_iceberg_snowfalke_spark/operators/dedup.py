@@ -2303,16 +2303,18 @@ def _duck_clusters_sql() -> str:
     """
 
 
-def _duck_lsh_body() -> str:
+def _duck_lsh_body(materialized: bool = False) -> str:
     """CTE fragment (no WITH) from an existing shingle CTE ``sh`` through
     the LSH candidate-pair CTE ``cand`` — the oracle twin of
     :func:`_lsh_candidates_of`, composable over any shingle relation
     (the fused curation pipeline bands its rebuilt-text ``sh``).
-    ``sig``/``banded``/``cand`` are MATERIALIZED: ``banded`` is
-    referenced once per band by the UNION-ALL stack, and DuckDB would
-    otherwise inline (= recompute) the entire upstream ``sh`` chain per
-    reference — harmless over raw-document shingles, a >25× blowup when
+    ``materialized=True`` pins ``sig``/``banded``/``cand``: ``banded``
+    is referenced once per band by the UNION-ALL stack, and DuckDB
+    otherwise inlines (= recomputes) the entire upstream ``sh`` chain
+    per reference — harmless over raw-document shingles (the standalone
+    dedup oracles stay on the long-green default), a >25× blowup when
     ``sh`` sits on the curation pipeline's rebuilt-text chain."""
+    kw = "MATERIALIZED " if materialized else ""
     mins = ",\n               ".join(
         f"MIN(({a} * hb + {b}) % {_MH_P}) AS m{s}"
         for s, (a, b) in enumerate(_mh_params())
@@ -2333,18 +2335,18 @@ def _duck_lsh_body() -> str:
             SELECT doc_id, sh_h % {_MH_P} AS hb
             FROM sh
         ),
-        sig AS MATERIALIZED (
+        sig AS {kw}(
             SELECT doc_id,
                {mins}
             FROM shb GROUP BY doc_id
         ),
-        banded AS MATERIALIZED (
+        banded AS {kw}(
             SELECT doc_id,
                {bands}
             FROM sig
         ),
         long AS ({band_rows}),
-        cand AS MATERIALIZED (
+        cand AS {kw}(
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM long a JOIN long b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash

@@ -1683,7 +1683,7 @@ def _duck_curation_v2() -> str:
             FROM s1d
         ) WHERE rn = 1
     ),
-    {_duck_shingles_of("s2", "text_clean", materialized=True)},{_duck_lsh_body()},
+    {_duck_shingles_of("s2", "text_clean", materialized=True)},{_duck_lsh_body(materialized=True)},
     ppairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n AS na, b.n AS nb, COUNT(*) AS shared

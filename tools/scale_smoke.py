@@ -140,6 +140,11 @@ DOC_QUERIES = [
     "ann_sq8_cosine",            # in-engine SQ8 reconstruct + top-k
     "ann_ivf_sq8_cosine",        # cell-pruned SQ8 scoring
     "leakage_safe_split",        # component labels + hash split + leak audit
+    # round-14 additions
+    "bpe_fertility_report",      # per-lang rollup of the 64-merge encode
+    "corpus_datasheet",          # six independent release-card aggregations
+    "semantic_dedup_incremental",  # arriving-batch screen vs standing cells
+    "ccnet_tercile_cutpoints",   # histogram-refined per-lang cutpoints
 ]
 
 
