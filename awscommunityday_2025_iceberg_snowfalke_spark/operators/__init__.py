@@ -112,64 +112,93 @@ def _modules():
 #     TPC-H q1-q22 + the snowsql/props/misc relational tail (~37 rows)
 #     queue for r14, after which every driver row is ≤5 rounds old.
 # 4 + 4 + 2 + 8 + 11 + 12 + 9 = 50 exactly (test_registry pins it).
+# r14 (this rotation), per the r13 verdict's task 1 — the staleness
+# ledger closes: after this gate every driver row in the registry is
+# ≤5 rounds old for the first time.
+# (a) the THIRTY-SIX remaining r7-vintage rows (the whole queue the r13
+#     ledger named): TPC-H q1-q22, the four r7 snowsql_* rows,
+#     compaction_analysis / event_types_per_user /
+#     events_last_week_interval / hot_cold_union, the three props_*,
+#     value_percentiles, and the two twins queued by the r13 rotation
+#     (semantic_dedup_fold, simhash64_hamming_pairs);
+# (b) the FOUR r14 additions (ccnet_tercile_cutpoints — the broadcast
+#     cutpoint artifact of the de-skewed terciles —
+#     semantic_dedup_incremental, bpe_fertility_report,
+#     corpus_datasheet);
+# (c) the NINE entries whose code or oracle changed in r14 while their
+#     driver rows predate the change: ccnet_perplexity_buckets
+#     (NTILE → exact-cutpoint bucketing) + vocab_coverage_curve
+#     (head-bounded ranking) from the r13-verdict de-skews;
+#     curation_pipeline_v2 (LSH banding before the verify core + the
+#     materialized composed oracle); schema_rename_read +
+#     manifest_lifecycle_report + manifest_pruning_report (the
+#     rename-back alias fix and the bounds-less stat-pruning tighten,
+#     r13 ADVICE); minhash_lsh_pairs + jaccard_threshold_sweep +
+#     dedup_editdist_verify (the _lsh_candidates_of /
+#     _candidate_shared_of helper extraction — oracle texts verified
+#     byte-identical, Spark path re-proven anyway, the r13 precedent);
+# (d) ONE stalest-vintage backfill: benchmark_contamination (r8 row;
+#     its screen is now also composed into corpus_datasheet, so the
+#     re-certification is doubly current).
+# 36 + 4 + 9 + 1 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
-    # (a) r13 additions
+    # (a) the 36 remaining r7-vintage rows — TPC-H q1-q22
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_year_revenue",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_heavy_part_shippers",
+    "q21_last_shippers",
+    "q22_inactive_customers",
+    # (a) … the r7 snowsql dialect rows
+    "snowsql_qualify_top5",
+    "snowsql_filtered_counts",
+    "snowsql_daily_date_expr",
+    "snowsql_interval_region",
+    # (a) … the r7 relational/misc tail
+    "compaction_analysis",
+    "event_types_per_user",
+    "events_last_week_interval",
+    "hot_cold_union",
+    "props_json_stats",
+    "props_map_decode",
+    "props_malformed_rescue",
+    "value_percentiles",
+    # (a) … the two twins the r13 rotation queued
+    "semantic_dedup_fold",
+    "simhash64_hamming_pairs",
+    # (b) r14 additions
+    "ccnet_tercile_cutpoints",
+    "semantic_dedup_incremental",
+    "bpe_fertility_report",
+    "corpus_datasheet",
+    # (c) changed in r14 — driver rows predate the change
+    "ccnet_perplexity_buckets",
+    "vocab_coverage_curve",
     "curation_pipeline_v2",
-    "bpe_train_merges_deep",
-    "bpe_encode_merges64",
-    "ann_ivf_append_probe",
-    # (b) r12 additions (missed the un-rotated r12 gate)
-    "dedup_paragraphs_report",
-    "dedup_paragraphs_removed_text",
-    "ann_ivf_incremental_assign",
-    "ann_ivf_opq_np_cosine",
-    # (c) post-rotation r11 additions
-    "streaming_quality_gate",
-    "dedup_bloom_screen",
-    # (d) r6 rows displaced since r11
-    "top5_per_user_sql",
-    "cube_type_band",
-    "streaming_session_windows",
-    "streaming_daily_windows",
-    "mv_reagg",
-    "daily_counts",
-    "grouping_sets_type_or_day",
-    "event_minmax",
-    # (e) changed in r13 — driver rows predate the change
-    "gopher_quality_rules",
-    "doc_repetition_stats",
-    "dedup_jaccard_prefix_filter",
-    "minhash_lsh_pairs",
-    "ann_ivf_partitioned_probe",
-    "quality_classifier_score",
-    "bpe_encode_fixed_merges",
-    "token_budget_mixture_plan",
-    "pack_docs_sequences",
+    "schema_rename_read",
     "manifest_lifecycle_report",
     "manifest_pruning_report",
-    # (f) late-r13 additions
-    "ann_sq8_cosine",
-    "ann_ivf_sq8_cosine",
-    "ann_sq8_recall_report",
-    "hilbert_clustering_report",
-    "mv_join_incremental",
-    "leakage_safe_split",
-    "streaming_dim_join",
-    "schema_rename_read",
-    "bpe_decode_roundtrip",
-    "multimodal_phash_clusters",
-    "ccnet_perplexity_buckets",
-    "semantic_dedup_threshold_sweep",
-    # (g) r7-vintage tail: the eleven extension entries
-    "semantic_dedup",
-    "dedup_clusters_star",
-    "knn_hard_negatives",
-    "embedding_dim_stats",
-    "simhash_hamming_pairs",
-    "simhash64",
-    "simhash64_hamming_pairs_wide",
-    "multimodal_dedup_bytes",
-    "ann_ivf_recall_report",
+    "minhash_lsh_pairs",
+    "jaccard_threshold_sweep",
+    "dedup_editdist_verify",
+    # (d) stalest-vintage backfill
+    "benchmark_contamination",
 )
 
 
