@@ -121,10 +121,11 @@ def _modules():
 #     events_last_week_interval / hot_cold_union, the three props_*,
 #     value_percentiles, and the two twins queued by the r13 rotation
 #     (semantic_dedup_fold, simhash64_hamming_pairs);
-# (b) the FOUR r14 additions (ccnet_tercile_cutpoints — the broadcast
+# (b) the FIVE r14 additions (ccnet_tercile_cutpoints — the broadcast
 #     cutpoint artifact of the de-skewed terciles —
 #     semantic_dedup_incremental, bpe_fertility_report,
-#     corpus_datasheet);
+#     corpus_datasheet, and ann_ivf_recall_sweep — the one-corpus-pass
+#     recall/probe tuning curve, report-agreement test-pinned);
 # (c) the NINE entries whose code or oracle changed in r14 while their
 #     driver rows predate the change: ccnet_perplexity_buckets
 #     (NTILE → exact-cutpoint bucketing) + vocab_coverage_curve
@@ -137,10 +138,12 @@ def _modules():
 #     dedup_editdist_verify (the _lsh_candidates_of /
 #     _candidate_shared_of helper extraction — oracle texts verified
 #     byte-identical, Spark path re-proven anyway, the r13 precedent);
-# (d) ONE stalest-vintage backfill: benchmark_contamination (r8 row;
-#     its screen is now also composed into corpus_datasheet, so the
-#     re-certification is doubly current).
-# 36 + 4 + 9 + 1 = 50 exactly (test_registry pins it).
+# benchmark_contamination (the planned r8 backfill) was displaced by
+# the late ann_ivf_recall_sweep addition (the r10/r13 precedent: new
+# work outranks stale-but-green vintage rows) and heads the r15 queue;
+# its screen is meanwhile re-certified transitively through the
+# corpus_datasheet composition above.
+# 36 + 5 + 9 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
     # (a) the 36 remaining r7-vintage rows — TPC-H q1-q22
     "q1_pricing_summary",
@@ -187,6 +190,7 @@ _GATE_FRONT = (
     "semantic_dedup_incremental",
     "bpe_fertility_report",
     "corpus_datasheet",
+    "ann_ivf_recall_sweep",
     # (c) changed in r14 — driver rows predate the change
     "ccnet_perplexity_buckets",
     "vocab_coverage_curve",
@@ -197,8 +201,6 @@ _GATE_FRONT = (
     "minhash_lsh_pairs",
     "jaccard_threshold_sweep",
     "dedup_editdist_verify",
-    # (d) stalest-vintage backfill
-    "benchmark_contamination",
 )
 
 

@@ -1268,6 +1268,127 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/probe TUNING CURVE from ONE corpus pass — the sweep
+    companion of :func:`ann_ivf_recall_report` (the
+    `semantic_dedup_threshold_sweep` precedent applied to the ANN
+    family): instead of re-running the IVF probe once per candidate
+    ``n_probe`` (|RECALL_PROBES| corpus passes + 1 brute-force pass),
+    each query is assigned its top-``max(RECALL_PROBES)`` cells WITH
+    the probe rank attached, the corpus is scored in a single map-only
+    Arrow pass emitting (query, neighbor, cos, probe_rank), and the
+    candidate set at any probe count p is just ``probe_rank ≤ p`` — a
+    filter over the staged, query-batch-bounded candidate relation.
+    recall@p for every operating point then costs 2 corpus passes total
+    (the sweep + the exact ground truth) instead of 1 + |probes|.
+
+    Sweep == per-probe agreement is test-pinned (byte-equal rows to
+    `ann_ivf_recall_report`, whose oracle this entry shares verbatim:
+    the candidate set of a top-p probe IS the rank-≤-p prefix of the
+    top-max(P) probe by construction — same lexsort tie-breaks).
+
+    Scale shape: identical to :func:`_ivf_topk` — bounded driver
+    collects (k×d centroids, |queries|×d batch), one mapInPandas dgemm
+    pass over the corpus, per-query top-k windows over candidate rows
+    only — with the corpus-pass count now independent of how many
+    operating points the tuning curve reads."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    qc = (Q @ C.T) / (Qn[:, None] * Cn[None, :])
+    max_p = max(RECALL_PROBES)
+    probes_by_cell: dict = {}
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cells, -qc[qi]))[:max_p]
+        for rank0, ci in enumerate(order):
+            probes_by_cell.setdefault(int(cells[ci]), []).append(
+                (qi, rank0 + 1)
+            )
+    cell_mats = {}
+    for c, pairs in probes_by_cell.items():
+        idx = np.array([qi for qi, _ in pairs], dtype=np.int64)
+        rks = np.array([rk for _, rk in pairs], dtype=np.int64)
+        cell_mats[c] = (q_ids[idx], Q[idx], Qn[idx], rks)
+
+    def score(batches):
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            En = np.linalg.norm(E, axis=1)
+            A = (E @ C.T) / (En[:, None] * Cn[None, :])
+            acell = cells[np.argmax(A, axis=1)]
+            for c, mats in cell_mats.items():
+                sel = acell == c
+                if not sel.any():
+                    continue
+                pq_ids, PQ, PQn, rks = mats
+                S = (E[sel] @ PQ.T) / (En[sel][:, None] * PQn[None, :])
+                b, k = S.shape
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.tile(pq_ids, b),
+                        "neighbor_id": np.repeat(ids[sel], k),
+                        "cos_raw": S.ravel(),
+                        "probe_rank": np.tile(rks, b),
+                    }
+                )
+
+    scored = stage(
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            score,
+            "query_id long, neighbor_id long, cos_raw double,"
+            " probe_rank int",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    cand = None
+    for p in RECALL_PROBES:
+        part = (
+            scored.filter(F.col("probe_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
+            )
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    bf = stage(
+        knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    total = bf.count()  # scalar: |queries| * TOP_K
+    hits = (
+        cand.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return hits.select(
+        "n_probe",
+        F.lit(TOP_K).cast("int").alias("top_k"),
+        "hits",
+        F.lit(total).cast("long").alias("total_pairs"),
+        F.round(F.col("hits").cast("double") / F.lit(float(total)), 6).alias(
+            "recall"
+        ),
+    )
+
+
 # --- IVF-PQ: product-quantized ADC search over the probed cells --------------
 PQ_M = 8  # subspaces
 PQ_SUB = DIM // PQ_M  # dims per subspace
@@ -3067,6 +3188,7 @@ QUERIES = {
     "ann_ivf_partitioned_probe": ann_ivf_partitioned_probe,
     "ann_ivf_append_probe": ann_ivf_append_probe,
     "ann_ivf_recall_report": ann_ivf_recall_report,
+    "ann_ivf_recall_sweep": ann_ivf_recall_sweep,
     "ann_ivf_pq_cosine": ann_ivf_pq_cosine,
     "ann_ivf_pq_recall_report": ann_ivf_pq_recall_report,
     "ann_sq8_cosine": ann_sq8_cosine,
@@ -3874,6 +3996,10 @@ ORACLE["ann_ivf_recall_report"] = f"""
                        AND c.neighbor_id = bf.neighbor_id
     GROUP BY c.n_probe
 """
+
+# the one-pass sweep must land on the identical curve — shared oracle
+# text is the certification (the simhash64 wide-layout twin precedent)
+ORACLE["ann_ivf_recall_sweep"] = ORACLE["ann_ivf_recall_report"]
 
 # --- IVF-PQ oracles: the ENTIRE encode → ADC → top-k pipeline in SQL ---------
 # The codebook is a deterministic artifact of the decimal-mean centroids

@@ -211,6 +211,9 @@ HEADLINE_ADDITIONS = [
     # r14 additions
     "ccnet_tercile_cutpoints",   # broadcastable per-language cutpoint table
     "semantic_dedup_incremental",  # arriving-batch SemDeDup vs standing store
+    "bpe_fertility_report",      # per-lang tokens/word, 64-merge artifact
+    "corpus_datasheet",          # the release data card, six sections
+    "ann_ivf_recall_sweep",      # recall/probe curve from ONE corpus pass
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

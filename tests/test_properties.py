@@ -469,6 +469,26 @@ def test_ann_ivf_recall_floor(spark):
     assert recall >= 0.25, f"IVF recall {recall:.2f} below floor"
 
 
+def test_ann_ivf_recall_sweep_equals_report(spark):
+    """The one-pass sweep must land on the identical recall curve as the
+    per-probe report (the candidate set at probe count p IS the
+    rank-≤-p prefix of the top-max(P) probe assignment — same lexsort
+    tie-breaks, so byte-equal rows, not just close)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import similarity
+    from conftest import SF_DIR
+
+    report = {
+        tuple(r)
+        for r in similarity.ann_ivf_recall_report(spark, SF_DIR).collect()
+    }
+    sweep = {
+        tuple(r)
+        for r in similarity.ann_ivf_recall_sweep(spark, SF_DIR).collect()
+    }
+    assert sweep == report
+    assert len(sweep) == len(similarity.RECALL_PROBES)
+
+
 @settings(
     max_examples=8,
     deadline=None,

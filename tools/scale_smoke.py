@@ -145,6 +145,7 @@ DOC_QUERIES = [
     "corpus_datasheet",          # six independent release-card aggregations
     "semantic_dedup_incremental",  # arriving-batch screen vs standing cells
     "ccnet_tercile_cutpoints",   # histogram-refined per-lang cutpoints
+    "ann_ivf_recall_sweep",      # one-pass recall curve (2 corpus passes)
 ]
 
 
