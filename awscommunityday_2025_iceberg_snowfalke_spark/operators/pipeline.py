@@ -740,6 +740,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 V2_MIX_BUDGET = 8192  # tokens: small enough that admission truncates
+QC_TRAIN_MOD = 8  # classifier trains on the doc_id % 8 == 0 slice (12.5%)
 # at test scale (the corpus-wide MIXTURE_BUDGET of 1M would admit every
 # survivor at sf0.01/sf0.1 and leave the quota window untested)
 
@@ -785,10 +786,14 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 doc near-dup to an EARLIER doc drops.
                                 detail = near-dup pairs.
       4 ``classifier_gate``     fastText-style linear quality gate with
-                                FROZEN weights trained on the original
-                                corpus (production: offline-trained
-                                model applied at ingest — the
-                                ``streaming_quality_gate`` precedent);
+                                FROZEN weights trained on the
+                                deterministic 1-in-``QC_TRAIN_MOD``
+                                slice of the original corpus
+                                (production: offline-trained on a
+                                curated sample, applied at ingest — the
+                                ``streaming_quality_gate`` precedent;
+                                training cost is corpus/8 at any
+                                scale); every survivor is scored.
                                 admit score > 0. detail = scoreable
                                 docs.
       5 ``contamination_screen`` drop the held-out benchmark split
@@ -926,10 +931,19 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     detail3 = pairs.agg(F.count(F.lit(1)).alias("detail"))
 
-    # -- stage 4: frozen classifier gate (train on ORIGINAL corpus) --
+    # -- stage 4: frozen classifier gate (train on a 1-in-K sample) --
+    # Production trains the quality classifier OFFLINE on a curated
+    # sample and applies frozen weights at ingest; the deterministic
+    # stand-in here trains on the doc_id % QC_TRAIN_MOD slice of the
+    # ORIGINAL corpus (12.5%) and scores every survivor — the training
+    # feature explode (the pipeline's single most expensive map at 500 K
+    # docs: ~112 s full-corpus, measured) drops 8× at any scale while
+    # the scoring half keeps `quality_classifier_score`'s exact shape.
     feats_train = stage(
         _qc_features(
-            docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            docs.filter(F.col("doc_id") % QC_TRAIN_MOD == 0).repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            )
         )
     )
     weights = _qc_weights(feats_train)
@@ -1646,7 +1660,7 @@ def _duck_curation_v2() -> str:
     from .textstats import (
         _DUCK_8G,
         _DUCK_TH,
-        _QC_CTES_BODY,
+        _qc_ctes_body,
         CONTAM_MOD,
         CONTAM_N,
         QC_BUCKETS,
@@ -1694,7 +1708,7 @@ def _duck_curation_v2() -> str:
     ),
     s3 AS (SELECT * FROM s2
            WHERE doc_id NOT IN (SELECT doc_b FROM ppairs)),
-    {_QC_CTES_BODY},
+    {_qc_ctes_body(f'WHERE doc_id % {QC_TRAIN_MOD} = 0')},
     tk3 AS (
         SELECT doc_id,
                unnest(list_filter(

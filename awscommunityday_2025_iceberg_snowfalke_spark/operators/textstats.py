@@ -3342,7 +3342,15 @@ _QC_BAND_SQL = " + ".join(
 # body form (no WITH) so the fused curation-pipeline oracle can splice
 # the training chain into its own CTE list; _QC_CTES keeps the
 # standalone form the classifier entries use
-_QC_CTES_BODY = rf"""
+def _qc_ctes_body(train_where: str = "") -> str:
+    """The QC training chain (lab ... w) + full-corpus scoring CTE ``s``
+    as a composable WITH body. ``train_where`` restricts the TRAINING
+    corpus only (the fused pipeline trains its frozen gate on a
+    deterministic 1-in-K sample — the offline-trained-classifier
+    production shape — and scores every survivor); the default empty
+    filter keeps the full-corpus text byte-identical for
+    `quality_classifier_score` and the datasheet."""
+    return rf"""
     lab AS (
         SELECT doc_id, lang, toks,
                CASE WHEN len(toks) >= 10
@@ -3351,7 +3359,8 @@ _QC_CTES_BODY = rf"""
                      AND length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
                          * 5 <= length(text)
                     THEN 1 ELSE 0 END AS lbl
-        FROM (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents)
+        FROM (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks
+              FROM documents {train_where})
     ),
     tk AS (
         SELECT doc_id, lang, lbl, unnest(toks) AS tok FROM lab
@@ -3399,6 +3408,8 @@ _QC_CTES_BODY = rf"""
     )
 """
 
+
+_QC_CTES_BODY = _qc_ctes_body()
 _QC_CTES = "WITH " + _QC_CTES_BODY
 
 ORACLE["quality_classifier_score"] = _QC_CTES + f"""
