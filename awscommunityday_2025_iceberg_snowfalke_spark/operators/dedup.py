@@ -1563,6 +1563,68 @@ EDITDIST_PREFIX = 512  # chars compared per doc — bounds O(L²) per pair
 EDITDIST_SIM_X = (1, 5)  # keep pairs with lev·5 ≤ max_len (≥80% similar)
 
 
+def _banding_theo_catch() -> dict[int, float]:
+    """Theoretical banding catch probability per Jaccard decile bucket:
+    1 − (1 − j^r)^b at the bucket midpoint (r = rows per band, b =
+    bands), bucket 10 = exact duplicates = 1.0. Computed once in Python
+    and emitted as LITERALS on both engines — no pow() ever runs inside
+    a compared expression."""
+    r = N_HASHES // N_BANDS
+    theo = {}
+    for d in range(0, 11):
+        j = 1.0 if d == 10 else (d + 0.5) / 10.0
+        theo[d] = round(1.0 - (1.0 - j**r) ** N_BANDS, 6)
+    return theo
+
+
+def minhash_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding S-CURVE, measured against exact ground truth — the
+    calibration a (bands × rows) choice is made from, and the artifact
+    behind this round's pipeline decision (the fused chain's band screen
+    misses an exactly-j=0.8 pair at sf0.1; this entry quantifies that
+    recall per similarity band instead of leaving it anecdotal). For
+    every exact near-dup pair at J ≥ 0.1 (the capped inverted-index
+    universe `dedup_ngram_jaccard` certifies — same DF cap, exact at
+    test scale), the pair is bucketed by Jaccard decile and scored
+    caught/missed against the MinHash band candidates; the theoretical
+    1 − (1 − j⁴)⁴ midpoint curve rides alongside as a literal column, so
+    the report reads measured-vs-theory directly. catch_rate is the
+    `_ratio6` exact-integer division; the bucket key is floor(10·j) on
+    the already bit-portable rounded Jaccard.
+
+    Scale: ground truth reuses the capped pair join (at 100 TB the
+    calibration runs on a corpus SAMPLE — the curve is a property of
+    the hash family and the similarity distribution, not of corpus
+    size); the band side is the memoized staged candidate set; the
+    rollup is an ≤11-row agg."""
+    from .textstats import _ratio6
+
+    ground = dedup_ngram_jaccard(spark, sf_dir)
+    band = _lsh_candidates(spark, sf_dir).withColumn("caught", F.lit(1))
+    flagged = ground.join(band, ["doc_a", "doc_b"], "left")
+    bucket = F.floor(F.col("jaccard") * 10).cast("int")
+    theo_map = F.create_map(
+        *[
+            F.lit(x)
+            for d, t in sorted(_banding_theo_catch().items())
+            for x in (d, t)
+        ]
+    )
+    return (
+        flagged.select(
+            bucket.alias("j_decile"),
+            F.coalesce(F.col("caught"), F.lit(0)).alias("c"),
+        )
+        .groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("c").cast("long").alias("n_caught"),
+        )
+        .withColumn("catch_rate", _ratio6(F.col("n_caught"), F.col("n_pairs")))
+        .withColumn("theo_catch", F.element_at(theo_map, F.col("j_decile")))
+    )
+
+
 def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level (Levenshtein) verification of the MinHash/LSH
     candidate pairs — the fuzzy-dedup verify layer that catches
@@ -2257,6 +2319,7 @@ QUERIES = {
     "dedup_paragraphs_removed_text": dedup_paragraphs_removed_text,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash_banding_calibration": minhash_banding_calibration,
     "jaccard_threshold_sweep": jaccard_threshold_sweep,
     "dedup_graph_triangle_stats": dedup_graph_triangle_stats,
     "minhash_estimate_accuracy": minhash_estimate_accuracy,
@@ -2908,6 +2971,52 @@ ORACLE["dedup_exact_substrings"] = rf"""
            COUNT(*) AS n_dup_windows
     FROM isl GROUP BY doc_id, g
 """
+
+def _duck_banding_calibration() -> str:
+    """Oracle for the banding S-curve: the uncapped brute pair universe
+    at J ≥ 0.1 (the `dedup_ngram_jaccard` twin — cap-free form is exact
+    at test scale, same note as that entry), LEFT-joined against the
+    banding candidates, bucketed by Jaccard decile; the theoretical
+    midpoint curve is the SAME Python-computed literals the Spark side
+    attaches."""
+    from .textstats import _duck_ratio6 as _tduck_ratio6
+
+    theo_case = " ".join(
+        f"WHEN {d} THEN {t!r}"
+        for d, t in sorted(_banding_theo_catch().items())
+    )
+    return f"""
+    {_duck_lsh_cand_cte()},
+    gpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n AS na, b.n AS nb, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) * {JACCARD_X[1]}
+               >= {JACCARD_X[0]} * (a.n + b.n - COUNT(*))
+    ),
+    flagged AS (
+        SELECT CAST(FLOOR(ROUND(CAST(g.shared AS DOUBLE)
+                                / (g.na + g.nb - g.shared), 6) * 10)
+                   AS INT) AS j_decile,
+               CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+        FROM gpairs g
+        LEFT JOIN cand c ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+    ),
+    agg AS (
+        SELECT j_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(caught) AS BIGINT) AS n_caught
+        FROM flagged GROUP BY j_decile
+    )
+    SELECT j_decile, n_pairs, n_caught,
+           {_tduck_ratio6("n_caught", "n_pairs")} AS catch_rate,
+           CASE j_decile {theo_case} END AS theo_catch
+    FROM agg
+"""
+
+
+ORACLE["minhash_banding_calibration"] = _duck_banding_calibration()
 
 ORACLE["dedup_graph_triangle_stats"] = f"""
     WITH mh AS ({_duck_minhash_sql()}),

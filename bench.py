@@ -214,6 +214,7 @@ HEADLINE_ADDITIONS = [
     "bpe_fertility_report",      # per-lang tokens/word, 64-merge artifact
     "corpus_datasheet",          # the release data card, six sections
     "ann_ivf_recall_sweep",      # recall/probe curve from ONE corpus pass
+    "minhash_banding_calibration",  # measured banding S-curve vs theory
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -469,6 +469,28 @@ def test_ann_ivf_recall_floor(spark):
     assert recall >= 0.25, f"IVF recall {recall:.2f} below floor"
 
 
+def test_minhash_banding_calibration_shape(spark):
+    """The banding S-curve report: deciles bounded, caught ≤ pairs,
+    theo_catch equal to the Python-computed literal for its bucket, and
+    the planted near-identical duplicates (decile ≥ 9, where theory
+    says ≥ 0.9988) are all caught at test scale."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        _banding_theo_catch,
+        minhash_banding_calibration,
+    )
+    from conftest import SF_DIR
+
+    rows = minhash_banding_calibration(spark, SF_DIR).collect()
+    assert rows
+    theo = _banding_theo_catch()
+    for r in rows:
+        assert 0 <= r["j_decile"] <= 10
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert r["theo_catch"] == theo[r["j_decile"]]
+        if r["j_decile"] >= 9:
+            assert r["n_caught"] == r["n_pairs"]
+
+
 def test_ann_ivf_recall_sweep_equals_report(spark):
     """The one-pass sweep must land on the identical recall curve as the
     per-probe report (the candidate set at probe count p IS the

@@ -146,6 +146,7 @@ DOC_QUERIES = [
     "semantic_dedup_incremental",  # arriving-batch screen vs standing cells
     "ccnet_tercile_cutpoints",   # histogram-refined per-lang cutpoints
     "ann_ivf_recall_sweep",      # one-pass recall curve (2 corpus passes)
+    "minhash_banding_calibration",  # capped pair join + band LEFT join
 ]
 
 
