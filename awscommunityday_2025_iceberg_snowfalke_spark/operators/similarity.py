@@ -145,6 +145,74 @@ def ann_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_CONTAM_TAU = 0.35  # cosine radius ≈ top 0.1% of this corpus's pair
+# distribution (max cross-split cosine measured 0.46 — the synthetic
+# embeddings are near-orthogonal, so the band is calibrated to the
+# corpus like RANGE_TAU; on a real encoder the paraphrase band sits
+# ~0.85-0.95 — same plan, one literal)
+
+
+def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the third layer of the contamination
+    stack, and the one n-grams cannot provide: a paraphrased or
+    re-worded copy of an eval item shares no 8-gram
+    (`benchmark_contamination`) and no 50-token span
+    (`benchmark_contamination_substrings`) but still lands next to it
+    in embedding space. Production decontamination runs exactly this
+    screen after the lexical layers (the known weakness the
+    GPT-4/Llama-era reports call out for n-gram-only decontamination).
+    Every corpus vector is scored against the held-out benchmark
+    split's vectors (the same ``doc_id % CONTAM_MOD`` split the lexical
+    screens use); docs with any cosine ≥ ``SEM_CONTAM_TAU`` report
+    their hit count and strongest benchmark match.
+
+    Scale shape: the `ann_range_search_cosine` plan with the benchmark
+    as the query batch — the eval set is bounded at any corpus size, so
+    it BROADCASTS; the corpus streams map-side through the fold dot
+    product; the radius filter replaces any rank exchange (range
+    semantics: every hit matters, not the k best); the only shuffle is
+    the per-doc hit agg over the τ-filtered (tiny) hit set. Composes
+    with IVF cell pruning exactly like the range entry.
+
+    Determinism: `cos_raw` is the identical double on both engines (the
+    left-to-right fold recipe), τ is a literal, and the per-doc MAX of
+    identical doubles picks the identical value — rounding stays
+    display-only."""
+    from .textstats import CONTAM_MOD
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = (
+        emb.filter(F.col("vec_id") % CONTAM_MOD == 0)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            _as_double("embedding").alias("q"),
+        )
+        .withColumn("nq", _norm(F.col("q")))
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % CONTAM_MOD != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _as_double("embedding").alias("e"),
+        )
+        .withColumn("ne", _norm(F.col("e")))
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "doc_id",
+        (_dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))).alias(
+            "cos_raw"
+        ),
+    )
+    return (
+        scored.filter(F.col("cos_raw") >= F.lit(SEM_CONTAM_TAU))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.round(F.max("cos_raw"), 8).alias("max_bench_cos"),
+        )
+    )
+
+
 # --- Matryoshka truncation recall -------------------------------------------
 MRL_DIMS = (16, 32, 64)  # prefix lengths; 64 = full (recall 1.0 sanity row)
 
@@ -3171,6 +3239,7 @@ def knn_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "ann_range_search_cosine": ann_range_search_cosine,
+    "benchmark_contamination_semantic": benchmark_contamination_semantic,
     "mmr_diverse_topk": mmr_diverse_topk,
     "embedding_truncation_recall": embedding_truncation_recall,
     "knn_graph_degree_stats": knn_graph_degree_stats,
@@ -3494,6 +3563,25 @@ ORACLE["ann_range_search_cosine"] = f"""
     WHERE q.vec_id < {N_QUERIES}
       AND {_DUCK_COS.format(a="q.embedding", b="c.embedding")} >= {RANGE_TAU}
 """
+
+def _duck_sem_contam() -> str:
+    from .textstats import CONTAM_MOD
+
+    cos = _DUCK_COS.format(a="b.embedding", b="c.embedding")
+    return f"""
+    WITH hits AS (
+        SELECT c.vec_id AS doc_id, {cos} AS cos_raw
+        FROM embeddings c JOIN embeddings b
+          ON c.vec_id % {CONTAM_MOD} <> 0 AND b.vec_id % {CONTAM_MOD} = 0
+        WHERE {cos} >= {SEM_CONTAM_TAU}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+           ROUND(MAX(cos_raw), 8) AS max_bench_cos
+    FROM hits GROUP BY doc_id
+"""
+
+
+ORACLE["benchmark_contamination_semantic"] = _duck_sem_contam()
 
 ORACLE["knn_graph_degree_stats"] = f"""
     WITH knn AS ({ORACLE["knn_bruteforce_cosine"]}),

@@ -215,6 +215,7 @@ HEADLINE_ADDITIONS = [
     "corpus_datasheet",          # the release data card, six sections
     "ann_ivf_recall_sweep",      # recall/probe curve from ONE corpus pass
     "minhash_banding_calibration",  # measured banding S-curve vs theory
+    "benchmark_contamination_semantic",  # paraphrase-level decontam layer
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

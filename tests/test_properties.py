@@ -469,6 +469,35 @@ def test_ann_ivf_recall_floor(spark):
     assert recall >= 0.25, f"IVF recall {recall:.2f} below floor"
 
 
+def test_benchmark_contamination_semantic_shape(spark):
+    """The paraphrase-level decontamination screen: no benchmark doc
+    flags itself (bench ids are excluded from the corpus side), every
+    flagged doc's strongest match clears the τ literal, and hit counts
+    are bounded by the benchmark batch size."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        SEM_CONTAM_TAU,
+        benchmark_contamination_semantic,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        CONTAM_MOD,
+    )
+    from conftest import SF_DIR
+
+    rows = benchmark_contamination_semantic(spark, SF_DIR).collect()
+    assert rows  # τ is calibrated to flag a non-degenerate band
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    n_bench = (
+        load(spark, SF_DIR, "embeddings")
+        .filter(f"vec_id % {CONTAM_MOD} = 0")
+        .count()
+    )
+    for r in rows:
+        assert r["doc_id"] % CONTAM_MOD != 0
+        assert 1 <= r["n_bench_hits"] <= n_bench
+        assert r["max_bench_cos"] >= SEM_CONTAM_TAU
+
+
 def test_minhash_banding_calibration_shape(spark):
     """The banding S-curve report: deciles bounded, caught ≤ pairs,
     theo_catch equal to the Python-computed literal for its bucket, and

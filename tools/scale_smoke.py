@@ -147,6 +147,7 @@ DOC_QUERIES = [
     "ccnet_tercile_cutpoints",   # histogram-refined per-lang cutpoints
     "ann_ivf_recall_sweep",      # one-pass recall curve (2 corpus passes)
     "minhash_banding_calibration",  # capped pair join + band LEFT join
+    "benchmark_contamination_semantic",  # broadcast bench batch, range scan
 ]
 
 
