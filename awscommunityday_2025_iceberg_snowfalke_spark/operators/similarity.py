@@ -150,6 +150,13 @@ SEM_CONTAM_TAU = 0.35  # cosine radius ≈ top 0.1% of this corpus's pair
 # embeddings are near-orthogonal, so the band is calibrated to the
 # corpus like RANGE_TAU; on a real encoder the paraphrase band sits
 # ~0.85-0.95 — same plan, one literal)
+SEM_BENCH_ID_CAP = 2000  # the benchmark is FROZEN: the held-out split's
+# ids below this cap. Covers every vector at the gate SF (range
+# 0..1999, so the cap changes nothing there) while keeping the bench
+# batch CONSTANT-SIZE as the corpus grows — a real eval set never grows
+# with the corpus, and without the cap the fixture's corpus-fraction
+# split made the smoke quadratic (measured 107× at 100× data; capped:
+# corpus-linear)
 
 
 def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,8 +170,10 @@ def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFr
     GPT-4/Llama-era reports call out for n-gram-only decontamination).
     Every corpus vector is scored against the held-out benchmark
     split's vectors (the same ``doc_id % CONTAM_MOD`` split the lexical
-    screens use); docs with any cosine ≥ ``SEM_CONTAM_TAU`` report
-    their hit count and strongest benchmark match.
+    screens use, FROZEN at ids < ``SEM_BENCH_ID_CAP`` — a real eval set
+    is fixed-size, never a corpus fraction); docs with any cosine ≥
+    ``SEM_CONTAM_TAU`` report their hit count and strongest benchmark
+    match.
 
     Scale shape: the `ann_range_search_cosine` plan with the benchmark
     as the query batch — the eval set is bounded at any corpus size, so
@@ -182,7 +191,10 @@ def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFr
 
     emb = load(spark, sf_dir, "embeddings")
     bench = (
-        emb.filter(F.col("vec_id") % CONTAM_MOD == 0)
+        emb.filter(
+            (F.col("vec_id") % CONTAM_MOD == 0)
+            & (F.col("vec_id") < SEM_BENCH_ID_CAP)
+        )
         .select(
             F.col("vec_id").alias("bench_id"),
             _as_double("embedding").alias("q"),
@@ -3573,6 +3585,7 @@ def _duck_sem_contam() -> str:
         SELECT c.vec_id AS doc_id, {cos} AS cos_raw
         FROM embeddings c JOIN embeddings b
           ON c.vec_id % {CONTAM_MOD} <> 0 AND b.vec_id % {CONTAM_MOD} = 0
+         AND b.vec_id < {SEM_BENCH_ID_CAP}
         WHERE {cos} >= {SEM_CONTAM_TAU}
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
