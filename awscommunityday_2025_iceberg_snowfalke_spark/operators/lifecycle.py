@@ -123,6 +123,17 @@ class CommitConflict(RuntimeError):
     ValidationException from rewrite_data_files / MERGE conflict)."""
 
 
+# Bloom file-index hash family (exact integer arithmetic — the SQL oracle
+# recomputes the identical bitsets): h_i(x) = ((a_i*x + b_i) mod P) mod m.
+# At test scale a_i*x stays well inside int64; a deployment with 64-bit keys
+# swaps in a modmul/xxhash64 step — the planning logic is unchanged.
+BLOOM_M = 65536  # bits per file
+BLOOM_K = 4  # hash count
+BLOOM_P = 1_000_000_007
+BLOOM_A = (2654435761, 2246822519, 3266489917, 668265263)
+BLOOM_B = (1, 7, 31, 127)
+
+
 def make_table(
     spark: SparkSession,
     prefix: str,
@@ -324,6 +335,89 @@ class SnapshotTable:
         """Read an explicit subset of data files (the pruned scan)."""
         paths = [os.path.join(self.path, "data", f) for f in spark_files]
         return self.spark.read.parquet(*paths)
+
+    # -- bloom file index (point-lookup pruning beyond min/max) ---------------
+    def _bloom_path(self, version: int, column: str) -> str:
+        return os.path.join(
+            self.path, "snapshots", f"bloom_v{version}_{column}.json"
+        )
+
+    def build_bloom_index(self, column: str) -> dict:
+        """Per-data-file Bloom filter over an integer ``column`` — the
+        index min/max stats cannot replace: a point lookup on a
+        high-cardinality column that is NOT the clustering key sees every
+        file's [min,max] span the whole domain, so footer pruning reads
+        everything; a per-file Bloom membership bitset skips every file
+        the key provably isn't in. Iceberg exposes exactly this as
+        ``write.parquet.bloom-filter-enabled.column.<col>`` (filters live
+        in the parquet footers); here the bitsets ride a snapshot-pinned
+        sidecar next to the manifests, rebuilt per commit like manifests.
+
+        Hash family: k=4 universal hashes h_i(x) = ((a_i*x + b_i) mod P)
+        mod m with fixed integer constants — exact arithmetic any engine
+        reproduces bit-for-bit (the oracle recomputes the same bitsets in
+        SQL). One Spark job builds the whole index: explode the k
+        positions per row, groupBy file, collect the distinct-position
+        set. Driver-side sidecar write is bounded by files × m bits
+        (m=65536 → 8 KiB/file ceiling — at 1e5 files that is ~a GiB of
+        metadata, the same order Iceberg pays keeping blooms in footers;
+        a cluster deployment shards the sidecar like
+        ``rewrite_manifests`` shards manifests). NULLs set no bits: a
+        point predicate ``col = v`` never matches NULL rows (IS NULL
+        planning is :meth:`plan_scan_null`'s job)."""
+        version = self.current_version
+        m = self._manifest(version)
+        paths = [os.path.join(self.path, "data", f) for f in m["files"]]
+        src = (
+            self.spark.read.parquet(*paths)
+            .where(F.col(column).isNotNull())
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("f"),
+                F.col(column).cast("long").alias("x"),
+            )
+        )
+        pos = [
+            ((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(BLOOM_P))
+            % F.lit(BLOOM_M)
+            for a, b in zip(BLOOM_A, BLOOM_B)
+        ]
+        agg = (
+            src.select("f", F.explode(F.array(*pos)).alias("p"))
+            .groupBy("f")
+            .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        )
+        idx = {r["f"]: [int(v) for v in r["ps"]] for r in agg.collect()}
+        for f in m["files"]:
+            idx.setdefault(f, [])
+        out = self._bloom_path(version, column)
+        tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(idx, fh)
+        os.replace(tmp, out)
+        return idx
+
+    def plan_scan_bloom(self, column: str, value: int) -> dict:
+        """Point-lookup scan planning from the Bloom sidecar: a file is
+        read iff ALL k probe positions are set in its bitset (no false
+        negatives by construction — the correctness invariant the entry's
+        oracle checks via the row count; false positives only cost reads,
+        and the report counts them)."""
+        version = self.current_version
+        with open(self._bloom_path(version, column)) as fh:
+            idx = json.load(fh)
+        need = {
+            ((a * int(value) + b) % BLOOM_P) % BLOOM_M
+            for a, b in zip(BLOOM_A, BLOOM_B)
+        }
+        files = self._manifest(version)["files"]
+        read = [f for f in files if need <= set(idx.get(f, ()))]
+        return {
+            "files_total": len(files),
+            "files_read": read,
+            "files_skipped": len(files) - len(read),
+        }
 
     # -- commits -------------------------------------------------------------
     # -- manifest-file layer (Iceberg: manifest list → manifest files) -------
@@ -2111,6 +2205,80 @@ def clustering_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bloom point-lookup pruning (the beyond-min/max skipping dimension) ------
+_BLM_FILES = 8
+_BLM_SCRAMBLE = 2654435761  # odd multiplier: decorrelates chunk from doc_id
+
+
+def bloom_point_lookup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping via the per-file Bloom index — the
+    pruning dimension Iceberg adds with
+    ``write.parquet.bloom-filter-enabled`` (P:247-258 covers only the
+    min/max walk). Layout is ADVERSARIAL to footer stats on purpose:
+    documents are chunked by a multiplicative scramble of ``doc_id``, so
+    every file's [min,max] spans ~the whole id domain and range planning
+    reads all files; the Bloom planner reads only the files whose bitset
+    contains all k probe positions. Five probes (four present ids spread
+    across the domain + one past-the-end absent id) report, per probe:
+    files the min/max planner reads, files the Bloom planner reads, files
+    truly containing the row, Bloom false positives, and the rows found
+    reading ONLY Bloom-selected files — the oracle recomputes every
+    number from the same chunk expression and hash family, so a false
+    NEGATIVE (skipped file that held the row) surfaces as a rows_found
+    mismatch.
+
+    Scale: the index build is one map-side explode + groupBy(file)
+    collect_set (shuffle bounded by files × m); planning touches sidecar
+    metadata only, never data; each probe read opens O(1) files. At
+    100 TB the win is exactly this shape: point lookups on a
+    high-cardinality secondary key skip ~all of the corpus without any
+    re-clustering of the data."""
+    docs = load(spark, sf_dir, "documents")
+    chunk = (F.col("doc_id") * F.lit(_BLM_SCRAMBLE)) % F.lit(_BLM_FILES)
+    tbl = make_table(spark, "bloomtbl_", stats_col="doc_id")
+    _write_chunked(tbl, docs.select("doc_id").withColumn("_c", chunk))
+    if not hasattr(tbl, "build_bloom_index"):  # real-Iceberg backend:
+        # blooms live in parquet footers via the table property; the
+        # sidecar planner below is the parquet-native path only
+        raise NotImplementedError("bloom sidecar requires SnapshotTable")
+    tbl.build_bloom_index("doc_id")
+    mx = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    probes = [0, mx // 3, (2 * mx) // 3, mx, mx + 7777]
+    rows = []
+    for p in probes:
+        mm = tbl.plan_scan("doc_id", p, p)
+        bl = tbl.plan_scan_bloom("doc_id", p)
+        n_rows, n_files_hit = 0, 0
+        if bl["files_read"]:
+            hit = (
+                tbl.read_files(bl["files_read"])
+                .where(F.col("doc_id") == p)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct(F.col("_metadata.file_path")).alias("nf"),
+                )
+                .collect()[0]
+            )
+            n_rows, n_files_hit = int(hit["n"]), int(hit["nf"])
+        rows.append(
+            (
+                p,
+                bl["files_total"],
+                len(mm["files_read"]),
+                len(bl["files_read"]),
+                n_files_hit,
+                len(bl["files_read"]) - n_files_hit,
+                n_rows,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "probe_id long, files_total int, minmax_files_read int,"
+        " bloom_files_read int, files_with_row int, bloom_fp_files int,"
+        " rows_found long",
+    ).orderBy("probe_id")
+
+
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
 _Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
 _Z_FILES = 8
@@ -2882,7 +3050,75 @@ QUERIES = {
     "schema_rename_read": schema_rename_read,
     "file_skipping_report": file_skipping_report,
     "clustering_skipping_report": clustering_skipping_report,
+    "bloom_point_lookup_report": bloom_point_lookup_report,
 }
+
+
+def _bloom_oracle_sql() -> str:
+    """The Bloom report's SQL twin: recompute chunk assignment, per-chunk
+    distinct bit positions, probe positions, and the all-k-positions
+    membership test — the exact planner logic, in set algebra."""
+    fpos = "\n            UNION\n".join(
+        f"            SELECT c, ((doc_id * {a} + {b}) % {BLOOM_P})"
+        f" % {BLOOM_M} AS bp FROM chunked"
+        for a, b in zip(BLOOM_A, BLOOM_B)
+    )
+    ppos = "\n            UNION\n".join(
+        f"            SELECT p, ((p * {a} + {b}) % {BLOOM_P})"
+        f" % {BLOOM_M} AS bp FROM probes"
+        for a, b in zip(BLOOM_A, BLOOM_B)
+    )
+    return f"""
+        WITH chunked AS (
+            SELECT doc_id, (doc_id * {_BLM_SCRAMBLE}) % {_BLM_FILES} AS c
+            FROM documents
+        ),
+        mxx AS (SELECT MAX(doc_id) AS m FROM documents),
+        probes AS (
+            SELECT CAST(0 AS BIGINT) AS p FROM mxx
+            UNION ALL SELECT m // 3 FROM mxx
+            UNION ALL SELECT (2 * m) // 3 FROM mxx
+            UNION ALL SELECT m FROM mxx
+            UNION ALL SELECT m + 7777 FROM mxx
+        ),
+        fpos AS (
+{fpos}
+        ),
+        ppos AS (
+{ppos}
+        ),
+        pneed AS (SELECT p, COUNT(*) AS need FROM ppos GROUP BY p),
+        cand AS (
+            SELECT pp.p, fp.c, COUNT(DISTINCT pp.bp) AS hit
+            FROM ppos pp JOIN fpos fp ON fp.bp = pp.bp
+            GROUP BY pp.p, fp.c
+        ),
+        bloomsel AS (
+            SELECT cand.p, cand.c
+            FROM cand JOIN pneed ON pneed.p = cand.p
+            WHERE cand.hit = pneed.need
+        ),
+        bounds AS (
+            SELECT c, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+            FROM chunked GROUP BY c
+        )
+        SELECT pr.p AS probe_id,
+               (SELECT CAST(COUNT(*) AS INT) FROM bounds) AS files_total,
+               CAST((SELECT COUNT(*) FROM bounds b
+                     WHERE b.mx >= pr.p AND b.mn <= pr.p) AS INT)
+                   AS minmax_files_read,
+               CAST((SELECT COUNT(*) FROM bloomsel bs
+                     WHERE bs.p = pr.p) AS INT) AS bloom_files_read,
+               CAST((SELECT COUNT(DISTINCT ch.c) FROM chunked ch
+                     WHERE ch.doc_id = pr.p) AS INT) AS files_with_row,
+               CAST((SELECT COUNT(*) FROM bloomsel bs WHERE bs.p = pr.p)
+                    - (SELECT COUNT(DISTINCT ch.c) FROM chunked ch
+                       WHERE ch.doc_id = pr.p) AS INT) AS bloom_fp_files,
+               (SELECT COUNT(*) FROM chunked ch WHERE ch.doc_id = pr.p)
+                   AS rows_found
+        FROM probes pr
+        ORDER BY probe_id
+    """
 
 _TS7 = "TIMESTAMP '2024-01-24 00:00:00'"
 
@@ -3370,3 +3606,5 @@ ORACLE["dv_delete_events"] = """
            (SELECT COUNT(*) FROM events
             WHERE event_type NOT IN ('error', 'click')), TRUE
 """
+
+ORACLE["bloom_point_lookup_report"] = _bloom_oracle_sql()

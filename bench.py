@@ -216,6 +216,7 @@ HEADLINE_ADDITIONS = [
     "ann_ivf_recall_sweep",      # recall/probe curve from ONE corpus pass
     "minhash_banding_calibration",  # measured banding S-curve vs theory
     "benchmark_contamination_semantic",  # paraphrase-level decontam layer
+    "bloom_point_lookup_report",  # per-file bloom index vs min/max planning
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

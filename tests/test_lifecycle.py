@@ -1495,3 +1495,72 @@ def test_deletion_vector_merge_and_conflicts(spark, events, tmp_path):
     t2.compact(target_files=1)
     assert t2.delete_vectors() == []
     assert t2.read().count() == n_all - n_err - n_clk - n_view - n_pur
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, events, tmp_path):
+    """The Bloom planner's two contracts: (a) NEVER skips a file that
+    contains the probed value (reading only planned files reproduces the
+    full filter exactly, for every present user), and (b) actually prunes
+    on a layout where min/max cannot (scrambled chunking — every file
+    spans the id domain)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        _write_chunked,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "bl"), stats_col="user_id")
+    # scramble user_id into 6 chunks so footer min/max is useless
+    chunked = events.select("event_id", "user_id").withColumn(
+        "_c", (F.col("user_id") * F.lit(2654435761)) % F.lit(6)
+    )
+    _write_chunked(t, chunked)
+    t.build_bloom_index("user_id")
+    users = [r[0] for r in events.select("user_id").distinct().collect()]
+    pruned_any = False
+    for u in sorted(users)[:12]:
+        plan = t.plan_scan_bloom("user_id", u)
+        want = events.filter(F.col("user_id") == u).count()
+        got = (
+            t.read_files(plan["files_read"])
+            .filter(F.col("user_id") == u)
+            .count()
+        )
+        assert got == want, (u, got, want)
+        # min/max never beats bloom on this layout (equal only at the
+        # domain edges, where a chunk's min/max happens to bound the probe)
+        mm = t.plan_scan("user_id", u, u)
+        assert len(mm["files_read"]) >= len(plan["files_read"])
+        if len(mm["files_read"]) == plan["files_total"]:
+            pruned_any = True  # interior probe: footer stats read it all
+    # 150 users hashed into 6 files: each file holds most users, so some
+    # probes may legitimately match all files — but an ABSENT id must
+    # always prune everything (up to fp-rate, zero here by construction)
+    absent = max(users) + 999_983
+    assert len(t.plan_scan_bloom("user_id", absent)["files_read"]) == 0
+    assert t.plan_scan_bloom("user_id", absent)["files_skipped"] == 6
+    assert pruned_any  # some interior probe defeated footer stats
+
+
+def test_bloom_report_story_and_determinism(spark):
+    """The entry's headline on the scrambled-doc layout: interior probes
+    read ALL files under min/max and ~1 under Bloom; absent probe reads
+    none; zero false negatives (rows_found == files_with_row for unique
+    ids); two runs (fresh table dirs) agree row-for-row."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        bloom_point_lookup_report,
+    )
+
+    a = bloom_point_lookup_report(spark, SF_DIR).collect()
+    for r in a:
+        assert r["bloom_files_read"] >= r["files_with_row"]  # no misses
+        assert r["rows_found"] == r["files_with_row"]  # unique doc_id
+        assert r["bloom_fp_files"] == r["bloom_files_read"] - r["files_with_row"]
+    present = [r for r in a if r["rows_found"] > 0]
+    # the two mid-domain probes (mx//3, 2mx//3): footer stats read it all,
+    # the bloom reads a strict subset — the entry's whole point
+    defeated = [
+        r for r in present if r["minmax_files_read"] == r["files_total"]
+    ]
+    assert len(defeated) >= 2
+    assert all(r["bloom_files_read"] < r["files_total"] for r in present)
+    b = bloom_point_lookup_report(spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
