@@ -2406,6 +2406,294 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unigram-LM (Kudo/SentencePiece) subword tokenizer ----------------------
+# The OTHER production tokenizer family next to BPE (Kudo 2018,
+# "Subword Regularization"): pieces carry unigram log-probabilities and a
+# word's tokenization is the Viterbi-best segmentation, not a greedy merge
+# chain. Integer cost encoding makes every comparison exact cross-engine:
+#   cost(p)  = round(-COST_SCALE * ln(freq_p / total))       (frozen ints)
+#   weight(p) = cost(p) * 256 + 1
+# so a segmentation's total weight = 256 * total_cost + n_pieces — an
+# int64 whose MIN is the lexicographic (total_cost, n_pieces) optimum
+# (words are capped at UNIGRAM_MAX_WORD << 256 pieces). The DP compares
+# only int64 sums; no float ever crosses an engine boundary.
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_MAX_WORD = 16  # longer word types are excluded from the stats
+UNIGRAM_COST_SCALE = 1000
+UNIGRAM_UNK_COST = 14000  # ~ -1000*ln(1e-6): out-of-vocab single char
+UNIGRAM_UNK_WT = UNIGRAM_UNK_COST * 256 + 1
+UNIGRAM_VOCAB_SIZE = 48  # multi-char pieces kept by the trainer
+
+
+def _unigram_viterbi_weight(w: str, costs: dict) -> int:
+    """Shared DP kernel: minimum total weight over all segmentations of
+    ``w`` into vocab pieces (≤ UNIGRAM_MAX_PIECE chars), unknown single
+    chars allowed at UNIGRAM_UNK_COST. Pure integer min-plus — the SQL
+    oracle's unrolled dp1..dpN CTE chain computes the identical value."""
+    n = len(w)
+    best = [0] * (n + 1)
+    for i in range(1, n + 1):
+        bw = None
+        for j in range(1, min(UNIGRAM_MAX_PIECE, i) + 1):
+            c = costs.get(w[i - j : i])
+            if c is None:
+                if j != 1:
+                    continue
+                c = UNIGRAM_UNK_COST
+            cand = best[i - j] + c * 256 + 1
+            if bw is None or cand < bw:
+                bw = cand
+        best[i] = bw
+    return best[n]
+
+
+def _unigram_viterbi_pieces(w: str, costs: dict) -> list:
+    """Backtraced variant (trainer E-step + tests): the piece sequence of
+    one weight-minimal segmentation. Tie-break is deterministic — among
+    equal-weight candidates the SHORTEST final piece wins (ascending-j
+    scan keeps the first strict minimum) — and affects only which pieces
+    the trainer credits, never the reported weight (the oracle checks
+    weights)."""
+    n = len(w)
+    best = [0] * (n + 1)
+    back = [1] * (n + 1)
+    for i in range(1, n + 1):
+        bw = None
+        for j in range(1, min(UNIGRAM_MAX_PIECE, i) + 1):
+            c = costs.get(w[i - j : i])
+            if c is None:
+                if j != 1:
+                    continue
+                c = UNIGRAM_UNK_COST
+            cand = best[i - j] + c * 256 + 1
+            if bw is None or cand < bw:
+                bw, back[i] = cand, j
+        best[i] = bw
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(w[i - j : i])
+        i -= j
+    out.reverse()
+    return out
+
+
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word types with occurrence counts — the [a-z] word stream
+    (the BPE entries' normalization), capped at UNIGRAM_MAX_WORD chars
+    (corpus max is 8; the cap bounds the oracle's DP depth and is applied
+    identically in SQL). Per-type DP over the distinct-type relation is
+    the scale move: segmentation cost is paid once per TYPE, not per
+    occurrence — Zipf makes types ≪ tokens."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    words = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    return (
+        docs.select(F.explode(words).alias("w"))
+        .where(F.length("w") <= UNIGRAM_MAX_WORD)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _unigram_segmented(spark: SparkSession, words: DataFrame, vocab) -> DataFrame:
+    """Apply the frozen vocab to every word type: Arrow-batched
+    ``mapInPandas`` running the integer DP per type, vocab riding the
+    closure (a 32k-piece production vocab would move to an explicit
+    broadcast — same plan either way: map-only, zero exchanges)."""
+    costs = dict(vocab)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ws = pdf["w"].tolist()
+            tot = [_unigram_viterbi_weight(w, costs) for w in ws]
+            yield pd.DataFrame(
+                {
+                    "w": ws,
+                    "cnt": pdf["cnt"].astype("int64"),
+                    "n_pieces": [t % 256 for t in tot],
+                    "cost": [t // 256 for t in tot],
+                }
+            )
+
+    return words.mapInPandas(gen, "w string, cnt long, n_pieces int, cost long")
+
+
+def unigram_train(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_size: int = UNIGRAM_VOCAB_SIZE,
+    rounds: int = 3,
+):
+    """Viterbi-EM unigram-LM trainer (hard-EM simplification of Kudo's
+    full EM+prune loop — one best segmentation per type instead of
+    expected counts over all segmentations): seed the vocab with the
+    top-``vocab_size`` weighted substring frequencies (1..4 chars) plus
+    every single char; then alternate E (DP-segment every word type under
+    current costs, distributed) and M (re-derive integer costs from piece
+    usage, driver-side over the ≤ vocab_size+26-row table). Returns
+    (sorted [(piece, cost)], [(round, corpus_weight)] history).
+
+    Scale: the E-step is the `_unigram_segmented` map-only pass plus one
+    map-side-combinable groupBy(piece) — per round, two narrow jobs; the
+    M-step touches only the bounded vocab table. Single chars never leave
+    the vocab (Kudo's required-character set), with +1 usage smoothing so
+    an unused char keeps a finite cost."""
+    import math as _math
+
+    words = stage(_unigram_words(spark, sf_dir), "unigram_words")
+    # seed: weighted substring frequencies, 1..UNIGRAM_MAX_PIECE chars
+    sub_arrays = [
+        F.expr(
+            f"CASE WHEN length(w) >= {j} THEN transform("
+            f"sequence(1, length(w)-{j}+1), i -> substring(w, i, {j})) "
+            f"ELSE array() END"
+        )
+        for j in range(1, UNIGRAM_MAX_PIECE + 1)
+    ]
+    subs = (
+        words.select(
+            "cnt", F.explode(F.flatten(F.array(*sub_arrays))).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    singles = {
+        r["p"]: int(r["freq"]) for r in subs.where(F.length("p") == 1).collect()
+    }
+    top = (
+        subs.where(F.length("p") > 1)
+        .orderBy(F.desc("freq"), "p")
+        .limit(vocab_size)
+        .collect()
+    )
+    freqs = dict(singles)
+    freqs.update({r["p"]: int(r["freq"]) for r in top})
+
+    def _costs(fr: dict) -> dict:
+        total = sum(fr.values())
+        return {
+            p: max(1, round(-UNIGRAM_COST_SCALE * _math.log(f / total)))
+            for p, f in fr.items()
+        }
+
+    costs, history = _costs(freqs), []
+    for r in range(1, rounds + 1):
+        bcosts = dict(costs)
+
+        def estep(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ps, ns = [], []
+                for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                    wt = 0
+                    for piece in _unigram_viterbi_pieces(w, bcosts):
+                        ps.append(piece)
+                        ns.append(int(cnt))
+                        wt += bcosts.get(piece, UNIGRAM_UNK_COST)
+                    ps.append("\x00corpus_weight")
+                    ns.append(wt * int(cnt))
+                yield pd.DataFrame({"p": ps, "n": ns})
+
+        usage = {
+            r2["p"]: int(r2["n"])
+            for r2 in words.mapInPandas(estep, "p string, n long")
+            .groupBy("p")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        history.append((r, usage.pop("\x00corpus_weight")))
+        freqs = {p: n for p, n in usage.items() if n > 0 and len(p) > 1}
+        freqs.update({p: usage.get(p, 0) + 1 for p in singles})
+        costs = _costs(freqs)
+    return sorted(costs.items()), history
+
+
+# Frozen release artifact: `unigram_train(spark, sf0.01, 48, 3)`'s own
+# output (test-pinned to the trainer, the BPE_MERGES_64 convention):
+# 17 usage-surviving multi-char pieces + the 26 required single chars,
+# after Viterbi-EM converged (corpus weight 318437638 → 288776376 →
+# fixed point at round 3). Applied everywhere; production never
+# re-trains per query.
+UNIGRAM_VOCAB = (
+    ("a", 2908), ("al", 3796), ("at", 4494), ("b", 3818),
+    ("batc", 4462), ("c", 4488), ("colu", 4466), ("cu", 4466),
+    ("d", 3392), ("e", 2561), ("er", 3785), ("f", 3816),
+    ("g", 2899), ("h", 3822), ("hash", 4452), ("i", 3804),
+    ("in", 3812), ("j", 11305), ("join", 4434), ("k", 3822),
+    ("l", 2872), ("m", 3385), ("mer", 3781), ("n", 4465),
+    ("o", 4465), ("or", 3406), ("ow", 3807), ("p", 4497),
+    ("par", 3833), ("q", 4534), ("r", 3832), ("ro", 4527),
+    ("row", 4456), ("s", 3117), ("scan", 4463), ("st", 3413),
+    ("t", 2908), ("ta", 4494), ("u", 4497), ("ue", 3827),
+    ("v", 3804), ("w", 4517), ("y", 3827),
+)
+
+
+def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every word type under the FROZEN unigram-LM artifact and
+    report the piece-count histogram: per optimal-piece-count bucket, the
+    word types, weighted occurrences, and occurrence-weighted total cost.
+    The oracle re-runs the identical integer DP as an unrolled dp1..dp16
+    CTE chain over the same distinct-type relation, so a single wrong DP
+    transition anywhere shows up as a bucket mismatch.
+
+    Scale: one map-only Arrow pass over word TYPES + one bounded groupBy;
+    the vocab is a closure/broadcast artifact. This is the corpus-wide
+    tokenize-accounting pass a release runs before packing, at the
+    per-type cost Zipf grants."""
+    words = _unigram_words(spark, sf_dir)
+    seg = _unigram_segmented(spark, words, UNIGRAM_VOCAB)
+    return (
+        seg.groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_word_types"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.sum(F.col("cnt") * F.col("cost")).alias("total_cost"),
+        )
+        .orderBy("n_pieces")
+    )
+
+
+def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language pieces-per-word under the frozen unigram artifact —
+    the multilingual release metric (`bpe_fertility_report`'s twin for
+    the unigram family; comparing the two certifies a tokenizer choice).
+    Mechanics: segment word TYPES once, then broadcast-join the bounded
+    (type → n_pieces) table back onto the per-language occurrence stream;
+    over-cap word types (> UNIGRAM_MAX_WORD chars) drop from both engines
+    identically. Exact `_ratio6` ratios."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    wlist = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    occ = (
+        docs.select("lang", F.explode(wlist).alias("w"))
+        .where(F.length("w") <= UNIGRAM_MAX_WORD)
+    )
+    words = _unigram_words(spark, sf_dir)
+    seg = _unigram_segmented(spark, words, UNIGRAM_VOCAB).select(
+        "w", "n_pieces"
+    )
+    return (
+        occ.join(F.broadcast(seg), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            _ratio6(F.col("n_pieces"), F.col("n_words")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "bpe_train_merges": bpe_train_merges,
@@ -2446,6 +2734,8 @@ QUERIES = {
     "gopher_quality_rules": gopher_quality_rules,
     "bigram_logprob_score": bigram_logprob_score,
     "kneser_ney_bigram_score": kneser_ney_bigram_score,
+    "unigram_viterbi_segment": unigram_viterbi_segment,
+    "unigram_fertility_by_lang": unigram_fertility_by_lang,
 }
 
 ORACLE = {
@@ -3423,3 +3713,82 @@ ORACLE["quality_classifier_score"] = _QC_CTES + f"""
 
 ORACLE["bpe_train_merges"] = _duck_bpe_train_oracle()
 ORACLE["bpe_train_merges_deep"] = _duck_bpe_train_oracle(BPE_TRAIN_ROUNDS_DEEP)
+
+
+def _duck_unigram_ctes() -> str:
+    """The frozen-vocab integer DP as SQL: vocab VALUES (piece → packed
+    weight), the capped distinct-word-type relation, and an unrolled
+    dp1..dp{MAX_WORD} chain — level i holds the minimal packed weight of
+    segmenting the first i chars (length-1 transitions LEFT JOIN the
+    vocab so an OOV char falls back to the UNK weight, exactly the
+    Python kernel's rule). `seg` unpacks (cost, n_pieces)."""
+    vals = ", ".join(f"('{p}', {c * 256 + 1})" for p, c in UNIGRAM_VOCAB)
+    lvls = []
+    for i in range(1, UNIGRAM_MAX_WORD + 1):
+        cands = [
+            f"SELECT d.w, d.best + COALESCE(v.wt, {UNIGRAM_UNK_WT}) AS cand"
+            f" FROM dp{i - 1} d LEFT JOIN vocab v"
+            f" ON v.p = substr(d.w, {i}, 1) WHERE LENGTH(d.w) >= {i}"
+        ]
+        for j in range(2, UNIGRAM_MAX_PIECE + 1):
+            if i >= j:
+                cands.append(
+                    f"SELECT d.w, d.best + v.wt AS cand"
+                    f" FROM dp{i - j} d JOIN vocab v"
+                    f" ON v.p = substr(d.w, {i - j + 1}, {j})"
+                    f" WHERE LENGTH(d.w) >= {i}"
+                )
+        u = "\n                UNION ALL\n                ".join(cands)
+        lvls.append(
+            f"dp{i} AS MATERIALIZED (SELECT w, MIN(cand) AS best FROM (\n"
+            f"                {u}\n            ) GROUP BY w)"
+        )
+    lvl_sql = ",\n        ".join(lvls)
+    fin = "\n            UNION ALL\n            ".join(
+        f"SELECT w, best FROM dp{i} WHERE LENGTH(w) = {i}"
+        for i in range(1, UNIGRAM_MAX_WORD + 1)
+    )
+    return f"""
+        vocab(p, wt) AS (VALUES {vals}),
+        wordsrc AS MATERIALIZED (
+            SELECT lang, unnest(list_filter(string_split(
+                       regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                       x -> x <> '')) AS w
+            FROM documents
+        ),
+        words AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wordsrc
+            WHERE LENGTH(w) <= {UNIGRAM_MAX_WORD} GROUP BY w
+        ),
+        dp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS best FROM words),
+        {lvl_sql},
+        finbest AS (
+            {fin}
+        ),
+        seg AS MATERIALIZED (
+            SELECT words.w, words.cnt,
+                   CAST(f.best % 256 AS INT) AS n_pieces,
+                   f.best // 256 AS cost
+            FROM words JOIN finbest f ON f.w = words.w
+        )
+    """
+
+
+ORACLE["unigram_viterbi_segment"] = f"""
+    WITH {_duck_unigram_ctes()}
+    SELECT n_pieces,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           CAST(SUM(cnt * cost) AS BIGINT) AS total_cost
+    FROM seg GROUP BY n_pieces ORDER BY n_pieces
+"""
+
+ORACLE["unigram_fertility_by_lang"] = f"""
+    WITH {_duck_unigram_ctes()}
+    SELECT ws.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_pieces) AS BIGINT) AS n_pieces,
+           {_duck_ratio6("SUM(seg.n_pieces)", "COUNT(*)")} AS fertility
+    FROM wordsrc ws JOIN seg ON seg.w = ws.w
+    GROUP BY ws.lang ORDER BY ws.lang
+"""

@@ -217,6 +217,8 @@ HEADLINE_ADDITIONS = [
     "minhash_banding_calibration",  # measured banding S-curve vs theory
     "benchmark_contamination_semantic",  # paraphrase-level decontam layer
     "bloom_point_lookup_report",  # per-file bloom index vs min/max planning
+    "unigram_viterbi_segment",   # Kudo unigram-LM DP under frozen vocab
+    "unigram_fertility_by_lang", # unigram fertility twin of the BPE metric
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -1796,3 +1796,98 @@ def test_semantic_dedup_incremental_arriving_only(spark):
         r["is_semdup"] == (r["dup_vs_standing"] or r["dup_vs_batch"])
         for r in out
     )
+
+
+def _python_viterbi_best(w, costs, unk, max_piece):
+    """Exponential-enumeration reference: min (total_cost, n_pieces) over
+    ALL segmentations into ≤max_piece-char pieces (unknown single chars at
+    unk cost) — the spec the DP must match."""
+    best = None
+
+    def rec(i, cost, n):
+        nonlocal best
+        if i == len(w):
+            cand = (cost, n)
+            if best is None or cand < best:
+                best = cand
+            return
+        for j in range(1, min(max_piece, len(w) - i) + 1):
+            piece = w[i : i + j]
+            c = costs.get(piece)
+            if c is None:
+                if j != 1:
+                    continue
+                c = unk
+            rec(i + j, cost + c, n + 1)
+
+    rec(0, 0, 0)
+    return best
+
+
+def test_unigram_dp_matches_enumeration_and_packing():
+    """The packed-int64 Viterbi DP equals brute-force enumeration of every
+    segmentation on a battery of words — including OOV chars ('x'/'z' are
+    absent from the frozen vocab, so UNK is a live path) — and the
+    (cost, n_pieces) unpacking is exact."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_UNK_COST,
+        UNIGRAM_VOCAB,
+        _unigram_viterbi_pieces,
+        _unigram_viterbi_weight,
+    )
+
+    costs = dict(UNIGRAM_VOCAB)
+    words = [
+        "a", "x", "join", "hash", "column", "customer", "xerox",
+        "zigzag", "joinhash", "rowrowrow", "q", "batchscan", "merge",
+    ]
+    for w in words:
+        got = _unigram_viterbi_weight(w, costs)
+        cost, n = got // 256, got % 256
+        assert (cost, n) == _python_viterbi_best(
+            w, costs, UNIGRAM_UNK_COST, UNIGRAM_MAX_PIECE
+        ), w
+        pieces = _unigram_viterbi_pieces(w, costs)
+        assert "".join(pieces) == w  # lossless
+        assert len(pieces) == n
+        assert sum(
+            costs.get(p, UNIGRAM_UNK_COST) for p in pieces
+        ) == cost
+
+
+def test_unigram_frozen_artifact_is_trainer_output(spark):
+    """Close the unigram loop (the BPE_MERGES_64 convention): the frozen
+    UNIGRAM_VOCAB must be exactly what the Viterbi-EM trainer produces on
+    this corpus, and the per-round corpus weight must never increase
+    (hard-EM monotonicity on a fixed required-char vocab)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        UNIGRAM_VOCAB,
+        unigram_train,
+    )
+
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    vocab, history = unigram_train(spark, sf01)
+    assert tuple(vocab) == UNIGRAM_VOCAB
+    weights = [w for _, w in history]
+    assert all(a >= b for a, b in zip(weights, weights[1:])), history
+
+
+def test_unigram_segment_histogram_consistency(spark):
+    """The histogram's internal identities: occurrence totals equal the
+    capped word stream, every bucket's type count ≥ 1, and fertility by
+    language reproduces the histogram's corpus-wide piece total."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        unigram_fertility_by_lang,
+        unigram_viterbi_segment,
+    )
+
+    hist = unigram_viterbi_segment(spark, SF_DIR).collect()
+    assert all(r["n_word_types"] >= 1 for r in hist)
+    fert = unigram_fertility_by_lang(spark, SF_DIR).collect()
+    assert sum(r["n_words"] for r in fert) == sum(
+        r["n_occurrences"] for r in hist
+    )
+    # per-word piece counts are ≥1 and ≤ word cap
+    assert all(1 <= r["n_pieces"] <= 16 for r in hist)
+    assert all(r["fertility"] >= 1.0 for r in fert)

@@ -35,6 +35,7 @@ _COVERAGE_NON_ENTRIES = {
     "l_commitdate",  # TPC-H column the driver schema lacks
     "read_staged",  # SnapshotTable WAP method
     "refresh_incremental",  # MaterializedView method
+    "unigram_train",  # trainer library function behind the frozen artifact
     "plan_scan_manifests",  # SnapshotTable planning method
     "refresh_partitions",  # MaterializedView method
     "stats_col",  # SnapshotTable constructor arg
