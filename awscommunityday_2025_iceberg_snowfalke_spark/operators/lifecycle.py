@@ -241,6 +241,39 @@ class SnapshotTable:
         """T10/S12: snapshot history (Iceberg: ``<tbl>.history``)."""
         return [self._manifest(int(f[1:-5])) for f in self._snapshot_files()]
 
+    # -- partition-spec evolution (Iceberg ALTER TABLE ADD PARTITION FIELD) --
+    @property
+    def partition_spec(self) -> str:
+        """The table's CURRENT partition spec label. A handle that never
+        called :meth:`evolve_partition_spec` adopts the latest committed
+        spec (the metadata.json role — concurrent writers agree)."""
+        spec = getattr(self, "_spec", None)
+        if spec:
+            return spec
+        v = self.current_version
+        return (
+            self._manifest(v).get("spec", "unpartitioned")
+            if v
+            else "unpartitioned"
+        )
+
+    def evolve_partition_spec(self, spec: str) -> None:
+        """Iceberg partition evolution: a METADATA-ONLY spec change —
+        no data file is touched or rewritten; files written before the
+        change keep their old spec forever (recorded per-file in every
+        manifest, like ``file_seqs``), files written after carry the new
+        one. Planning needs no spec-specific code here: each file is
+        pruned by its own recorded bounds, which is exactly the effect of
+        Iceberg evaluating each manifest under its own spec."""
+        self._spec = spec
+
+    def files_for_spec(self, spec: str, version: int | None = None) -> list[str]:
+        """Data files written under ``spec`` as of ``version`` (the
+        per-generation view of an evolved table)."""
+        version = version or self.current_version
+        fs = self._manifest(version).get("file_specs", {})
+        return sorted(f for f, s in fs.items() if s == spec)
+
     def files(self, version: int | None = None) -> list[dict]:
         """T10: data-file inventory (Iceberg: ``<tbl>.files``)."""
         version = version or self.current_version
@@ -621,6 +654,16 @@ class SnapshotTable:
                     if nm in prev_sum
                     else self._manifest_summary(nm)
                 )
+        # partition-spec lineage (Iceberg partition evolution): the commit
+        # records the table's CURRENT spec, and every file keeps the spec
+        # it was written under — old data is never rewritten on an ALTER
+        # TABLE ... ADD PARTITION FIELD; the planner evaluates each file
+        # against its own spec (here: uniformly via its stats/bounds)
+        prev_specs = (
+            self._manifest(version - 1).get("file_specs", {})
+            if version > 1
+            else {}
+        )
         manifest = {
             "version": version,
             "operation": operation,
@@ -630,6 +673,10 @@ class SnapshotTable:
             # the commit that introduced it; equality deletes apply only
             # to files with seq <= the delete's seq
             "file_seqs": {f: prev_seqs.get(f, version) for f in files},
+            "spec": self.partition_spec,
+            "file_specs": {
+                f: prev_specs.get(f, self.partition_spec) for f in files
+            },
             "delete_files": delete_files or [],
             "manifests": manifests,
             "manifest_summaries": summaries,
@@ -2279,6 +2326,80 @@ def bloom_point_lookup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+# --- partition evolution: one scan across two spec generations ---------------
+_PE_CUT = "2024-01-16 00:00:00"  # spec change: everything before is gen-1
+_PE_LO = "2024-01-12 00:00:00"  # scan predicate straddles the cut
+_PE_HI = "2024-01-20 00:00:00"
+
+
+def spec_evolution_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition evolution on the SNAPSHOT TABLE, with per-file
+    spec lineage recorded in the manifests (``partition_evolution_scan``
+    covers the Hive-directory flavor; this entry covers the metadata
+    layer: ``evolve_partition_spec`` + ``file_specs`` + one stats-based
+    plan across generations): generation 1 lands under a user-bucket spec (files span
+    the whole time axis), then the spec evolves METADATA-ONLY — zero
+    files rewritten — and generation 2 lands day-bucketed. ONE ts-range
+    scan straddling the cut is then planned across both generations, and
+    the report shows the evolution payoff per spec: the old generation's
+    files all survive planning (their layout cannot prune time), the new
+    generation prunes to the day-buckets the predicate touches. Rows are
+    counted from the PRUNED read only, so a planner that wrongly skips an
+    old-spec file fails the oracle's row counts.
+
+    This is the migration path every long-lived 100 TB table takes: you
+    fix the partition spec going forward without a petabyte rewrite, old
+    data ages out through compaction, and scan planning handles the mixed
+    layout file-by-file (each file judged under its own recorded spec —
+    here uniformly via per-file bounds, Iceberg's net effect)."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_PE_CUT).cast("timestamp")
+    g1 = ev.filter(F.col("ts") < cut)
+    lohi = g1.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    umin, span = int(lohi[0]), int(lohi[1]) - int(lohi[0]) + 1
+    tbl = make_table(spark, "pevol_", stats_col="ts")
+    tbl.evolve_partition_spec("user_bucket4")
+    _write_chunked(
+        tbl,
+        g1.withColumn(
+            "_c", F.expr(f"((user_id - {umin}) * 4) DIV {span}")
+        ),
+    )
+    tbl.evolve_partition_spec("day_bucket4")
+    _write_chunked(
+        tbl,
+        ev.filter(F.col("ts") >= cut).withColumn(
+            "_c",
+            F.expr(
+                "(datediff(CAST(ts AS DATE), DATE '2024-01-16') * 4) DIV 15"
+            ),
+        ),
+    )
+
+    import datetime as _dt
+
+    lo = _dt.datetime.fromisoformat(_PE_LO).replace(tzinfo=_dt.timezone.utc)
+    hi = _dt.datetime.fromisoformat(_PE_HI).replace(tzinfo=_dt.timezone.utc)
+    plan = tbl.plan_scan("ts", lo, hi)
+    rows = []
+    for gen, spec in ((1, "user_bucket4"), (2, "day_bucket4")):
+        gen_files = tbl.files_for_spec(spec)
+        sel = [f for f in plan["files_read"] if f in set(gen_files)]
+        n = (
+            tbl.read_files(sel)
+            .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+            .count()
+            if sel
+            else 0
+        )
+        rows.append((gen, spec, len(gen_files), len(sel), len(gen_files) - len(sel), n))
+    return spark.createDataFrame(
+        rows,
+        "generation int, spec string, files_total int, files_read int,"
+        " files_skipped int, rows_selected long",
+    ).orderBy("generation")
+
+
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
 _Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
 _Z_FILES = 8
@@ -3051,6 +3172,7 @@ QUERIES = {
     "file_skipping_report": file_skipping_report,
     "clustering_skipping_report": clustering_skipping_report,
     "bloom_point_lookup_report": bloom_point_lookup_report,
+    "spec_evolution_skipping_report": spec_evolution_skipping_report,
 }
 
 
@@ -3608,3 +3730,58 @@ ORACLE["dv_delete_events"] = """
 """
 
 ORACLE["bloom_point_lookup_report"] = _bloom_oracle_sql()
+
+# per-generation planning recomputed from the same chunk bounds: gen-1
+# (user-bucketed) bounds all straddle the predicate, gen-2 (day-bucketed)
+# prunes to the buckets the range touches; rows come from the same
+# inclusive [lo, hi] filter the pruned read applies
+ORACLE["spec_evolution_skipping_report"] = f"""
+    WITH g1 AS (
+        SELECT ts, user_id FROM events WHERE ts < TIMESTAMP '{_PE_CUT}'
+    ),
+    ub AS (
+        SELECT MIN(user_id) AS umin,
+               MAX(user_id) - MIN(user_id) + 1 AS span
+        FROM g1
+    ),
+    c1 AS (
+        SELECT ts, ((user_id - umin) * 4) // span AS c
+        FROM g1 CROSS JOIN ub
+    ),
+    b1 AS (SELECT c, MIN(ts) AS mn, MAX(ts) AS mx FROM c1 GROUP BY c),
+    c2 AS (
+        SELECT ts,
+               (date_diff('day', DATE '2024-01-16', CAST(ts AS DATE)) * 4)
+                   // 15 AS c
+        FROM events WHERE ts >= TIMESTAMP '{_PE_CUT}'
+    ),
+    b2 AS (SELECT c, MIN(ts) AS mn, MAX(ts) AS mx FROM c2 GROUP BY c)
+    SELECT 1 AS generation, 'user_bucket4' AS spec,
+           CAST((SELECT COUNT(*) FROM b1) AS INT) AS files_total,
+           CAST((SELECT COUNT(*) FROM b1
+                 WHERE mx >= TIMESTAMP '{_PE_LO}'
+                   AND mn <= TIMESTAMP '{_PE_HI}') AS INT) AS files_read,
+           CAST((SELECT COUNT(*) FROM b1)
+                - (SELECT COUNT(*) FROM b1
+                   WHERE mx >= TIMESTAMP '{_PE_LO}'
+                     AND mn <= TIMESTAMP '{_PE_HI}') AS INT)
+               AS files_skipped,
+           (SELECT COUNT(*) FROM g1
+            WHERE ts >= TIMESTAMP '{_PE_LO}'
+              AND ts <= TIMESTAMP '{_PE_HI}') AS rows_selected
+    UNION ALL
+    SELECT 2, 'day_bucket4',
+           CAST((SELECT COUNT(*) FROM b2) AS INT),
+           CAST((SELECT COUNT(*) FROM b2
+                 WHERE mx >= TIMESTAMP '{_PE_LO}'
+                   AND mn <= TIMESTAMP '{_PE_HI}') AS INT),
+           CAST((SELECT COUNT(*) FROM b2)
+                - (SELECT COUNT(*) FROM b2
+                   WHERE mx >= TIMESTAMP '{_PE_LO}'
+                     AND mn <= TIMESTAMP '{_PE_HI}') AS INT),
+           (SELECT COUNT(*) FROM events
+            WHERE ts >= TIMESTAMP '{_PE_CUT}'
+              AND ts >= TIMESTAMP '{_PE_LO}'
+              AND ts <= TIMESTAMP '{_PE_HI}')
+    ORDER BY generation
+"""

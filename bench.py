@@ -219,6 +219,7 @@ HEADLINE_ADDITIONS = [
     "bloom_point_lookup_report",  # per-file bloom index vs min/max planning
     "unigram_viterbi_segment",   # Kudo unigram-LM DP under frozen vocab
     "unigram_fertility_by_lang", # unigram fertility twin of the BPE metric
+    "spec_evolution_skipping_report",  # metadata-only spec change, mixed-layout plan
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

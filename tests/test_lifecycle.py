@@ -1564,3 +1564,60 @@ def test_bloom_report_story_and_determinism(spark):
     assert all(r["bloom_files_read"] < r["files_total"] for r in present)
     b = bloom_point_lookup_report(spark, SF_DIR).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_partition_spec_evolution_metadata_only(spark, events, tmp_path):
+    """Spec evolution never touches data: every pre-evolution file's
+    bytes and mtime are identical after the ALTER + second append; files
+    keep the spec they were written under; a second handle (no explicit
+    spec) adopts the latest committed spec from the manifest."""
+    t = SnapshotTable(spark, str(tmp_path / "pe"), stats_col="ts")
+    assert t.partition_spec == "unpartitioned"
+    t.append(events.filter(F.col("event_id") % 2 == 0), n_files=3)
+    g1 = t.files_for_spec("unpartitioned")
+    assert len(g1) == 3
+    stats_before = {
+        f: (os.path.getsize(p), os.path.getmtime(p))
+        for f in g1
+        for p in [os.path.join(t.path, "data", f)]
+    }
+    t.evolve_partition_spec("day_bucket")
+    t.append(events.filter(F.col("event_id") % 2 == 1), n_files=2)
+    # old generation: untouched bytes, unchanged spec assignment
+    for f, (sz, mt) in stats_before.items():
+        p = os.path.join(t.path, "data", f)
+        assert (os.path.getsize(p), os.path.getmtime(p)) == (sz, mt)
+    assert t.files_for_spec("unpartitioned") == g1
+    assert len(t.files_for_spec("day_bucket")) == 2
+    # a fresh handle adopts the committed spec (metadata.json role)
+    t2 = SnapshotTable(spark, t.path)
+    assert t2.partition_spec == "day_bucket"
+    assert t2.files_for_spec("day_bucket") == t.files_for_spec("day_bucket")
+    # the full read still sees every row across both generations
+    assert t.read().count() == events.count()
+
+
+def test_spec_evolution_report_prunes_new_generation_only(spark):
+    """The report's headline: the pre-evolution (user-bucketed)
+    generation cannot prune a time predicate (reads all files), the
+    evolved day-bucketed generation skips most, and the two generations'
+    pruned-read rows sum to the plain filter count."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        _PE_HI,
+        _PE_LO,
+        spec_evolution_skipping_report,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    rows = {r["generation"]: r for r in
+            spec_evolution_skipping_report(spark, SF_DIR).collect()}
+    g1, g2 = rows[1], rows[2]
+    assert g1["spec"] == "user_bucket4" and g2["spec"] == "day_bucket4"
+    assert g1["files_read"] == g1["files_total"]  # old layout: no pruning
+    assert g2["files_skipped"] > 0  # evolved layout prunes
+    ev = load(spark, SF_DIR, "events")
+    want = ev.filter(
+        (F.col("ts") >= F.lit(_PE_LO).cast("timestamp"))
+        & (F.col("ts") <= F.lit(_PE_HI).cast("timestamp"))
+    ).count()
+    assert g1["rows_selected"] + g2["rows_selected"] == want

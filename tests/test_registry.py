@@ -36,6 +36,9 @@ _COVERAGE_NON_ENTRIES = {
     "read_staged",  # SnapshotTable WAP method
     "refresh_incremental",  # MaterializedView method
     "unigram_train",  # trainer library function behind the frozen artifact
+    "evolve_partition_spec",  # SnapshotTable spec-evolution method
+    "file_seqs",  # manifest field (sequence numbers)
+    "file_specs",  # manifest field (per-file partition-spec lineage)
     "plan_scan_manifests",  # SnapshotTable planning method
     "refresh_partitions",  # MaterializedView method
     "stats_col",  # SnapshotTable constructor arg
