@@ -71,11 +71,9 @@ def register(spark) -> None:
     spark.dataSource.register(SnapshotDataSource)
 
 
-def _resolve_files(path: str, options) -> list[str]:
-    """Manifest walk (inline — the serialized planner code must not import
-    this package): pick the snapshot version from ``version``/``asof``
-    options, return its data-file paths. Mirrors
-    ``operators.lifecycle.SnapshotTable`` exactly."""
+def _resolve_version(path: str, options) -> int:
+    """Snapshot-version resolution (``version``/``asof`` options, else
+    latest) — shared by the file walk and the bloom-sidecar lookup."""
     import json
 
     snap_dir = os.path.join(path, "snapshots")
@@ -90,10 +88,9 @@ def _resolve_files(path: str, options) -> list[str]:
         with open(os.path.join(snap_dir, f"v{v}.json")) as fh:
             return json.load(fh)
 
-    version = None
     if options.get("version") is not None:
-        version = int(options["version"])
-    elif options.get("asof") is not None:
+        return int(options["version"])
+    if options.get("asof") is not None:
         as_of = float(options["asof"])
         versions = [
             m["version"]
@@ -102,9 +99,44 @@ def _resolve_files(path: str, options) -> list[str]:
         ]
         if not versions:
             raise ValueError(f"no snapshot at or before {as_of}")
-        version = max(versions)
-    version = version or int(snaps[-1][1:-5])
-    return [os.path.join(path, "data", f) for f in manifest(version)["files"]]
+        return max(versions)
+    return int(snaps[-1][1:-5])
+
+
+def _resolve_files(path: str, options) -> list[str]:
+    """Manifest walk (inline — the serialized planner code must not import
+    this package): pick the snapshot version from ``version``/``asof``
+    options, return its data-file paths. Mirrors
+    ``operators.lifecycle.SnapshotTable`` exactly."""
+    import json
+
+    version = _resolve_version(path, options)
+    with open(os.path.join(path, "snapshots", f"v{version}.json")) as fh:
+        manifest = json.load(fh)
+    return [os.path.join(path, "data", f) for f in manifest["files"]]
+
+
+# Bloom sidecar hash family — MUST equal operators.lifecycle's BLOOM_*
+# (test-pinned; duplicated here because the plan-time runner executes this
+# module serialized by value, without the package on its path)
+_BLOOM_M = 65536
+_BLOOM_P = 1_000_000_007
+_BLOOM_A = (2654435761, 2246822519, 3266489917, 668265263)
+_BLOOM_B = (1, 7, 31, 127)
+
+
+def _bloom_index(path: str, version: int, column: str) -> dict | None:
+    """The snapshot-pinned Bloom sidecar for ``column`` (written by
+    ``SnapshotTable.build_bloom_index``), as {basename: set(positions)} —
+    or None when the table carries no bloom for that column (planning
+    then stays footer-stats only)."""
+    import json
+
+    p = os.path.join(path, "snapshots", f"bloom_v{version}_{column}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return {f: set(ps) for f, ps in json.load(fh).items()}
 
 
 @dataclass
@@ -164,11 +196,41 @@ def _file_survives(path: str, flt: Filter) -> bool:
 
 class SnapshotReader(DataSourceReader):
     def __init__(self, options):
-        self._files = _resolve_files(options["path"], options)
+        self._path = options["path"]
+        self._version = _resolve_version(self._path, options)
+        self._files = _resolve_files(self._path, options)
+
+    def _bloom_excludes(self, filters) -> set:
+        """Files a Bloom sidecar PROVES cannot satisfy some EqualTo filter
+        (all k probe positions must be set; integer values only — the
+        sidecar's domain). Min/max footer pruning cannot make this call on
+        an unclustered column; the sidecar can."""
+        out: set = set()
+        for flt in filters:
+            if not isinstance(flt, EqualTo) or len(flt.attribute) != 1:
+                continue
+            if not isinstance(flt.value, int) or isinstance(flt.value, bool):
+                continue
+            idx = _bloom_index(self._path, self._version, flt.attribute[0])
+            if idx is None:
+                continue
+            need = {
+                ((a * flt.value + b) % _BLOOM_P) % _BLOOM_M
+                for a, b in zip(_BLOOM_A, _BLOOM_B)
+            }
+            for path in self._files:
+                base = os.path.basename(path)
+                if base in idx and not need <= idx[base]:
+                    out.add(path)
+        return out
 
     def pushFilters(self, filters):
+        filters = list(filters)
+        bloomed = self._bloom_excludes(filters)
         kept = []
         for path in self._files:
+            if path in bloomed:
+                continue
             if all(_file_survives(path, f) for f in filters):
                 kept.append(path)
         self._files = kept
@@ -400,7 +462,56 @@ def pyds_snapshot_scan(spark, sf_dir: str):
     )
 
 
-QUERIES = {"pyds_snapshot_scan": pyds_snapshot_scan}
+def pyds_bloom_point_scan(spark, sf_dir: str):
+    """Point lookups THROUGH the engine's own source API with Bloom
+    pruning at plan time: documents land in a snapshot table chunked by a
+    multiplicative doc_id scramble (footer min/max useless — every file
+    spans the id domain), ``build_bloom_index`` writes the sidecar, and
+    four ``doc_id = k`` reads via ``spark.read.format("snapshot")`` each
+    push an EqualTo into ``pushFilters``, where the sidecar excludes
+    every file the key provably isn't in (~1 split planned instead of 8;
+    the plan-level test pins it). Spark re-applies the filter row-level,
+    so pruning stays a pure optimization — the oracle's plain IN-list
+    filter catches any unsound exclusion as missing rows.
+
+    Scale: each point lookup plans O(k) sidecar probes + opens O(1)
+    files; without the bloom the same read opens every file of an
+    unclustered 100 TB table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.lifecycle import SnapshotTable, _write_chunked
+    from .registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="pydsbloom_"))
+    _write_chunked(
+        tbl,
+        docs.select("doc_id", "lang", "n_chars").withColumn(
+            "_c", (F.col("doc_id") * F.lit(2654435761)) % F.lit(8)
+        ),
+    )
+    tbl.build_bloom_index("doc_id")
+
+    register(spark)
+    mx = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    out = None
+    for p in (0, mx // 3, (2 * mx) // 3, mx):
+        part = (
+            spark.read.format(FORMAT_NAME)
+            .option("path", tbl.path)
+            .load()
+            .filter(F.col("doc_id") == p)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+QUERIES = {
+    "pyds_snapshot_scan": pyds_snapshot_scan,
+    "pyds_bloom_point_scan": pyds_bloom_point_scan,
+}
 
 ORACLE = {
     "pyds_snapshot_scan": """
@@ -414,5 +525,17 @@ ORACLE = {
         FROM events, bounds
         WHERE user_id BETWEEN umin + span // 4 AND umin + span // 2 - 1
         GROUP BY event_type
+    """,
+    "pyds_bloom_point_scan": """
+        WITH mxx AS (SELECT MAX(doc_id) AS m FROM documents),
+        probes AS (
+            SELECT CAST(0 AS BIGINT) AS p FROM mxx
+            UNION ALL SELECT m // 3 FROM mxx
+            UNION ALL SELECT (2 * m) // 3 FROM mxx
+            UNION ALL SELECT m FROM mxx
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN probes ON d.doc_id = probes.p
+        ORDER BY d.doc_id
     """,
 }

@@ -220,6 +220,7 @@ HEADLINE_ADDITIONS = [
     "unigram_viterbi_segment",   # Kudo unigram-LM DP under frozen vocab
     "unigram_fertility_by_lang", # unigram fertility twin of the BPE metric
     "spec_evolution_skipping_report",  # metadata-only spec change, mixed-layout plan
+    "pyds_bloom_point_scan",     # EqualTo point lookups via source-API bloom pruning
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

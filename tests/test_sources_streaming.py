@@ -339,3 +339,65 @@ def test_load_normalizes_events_ts_repr(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
         got[name] = sorted(r["ts"] for r in df.select("ts").collect())
     assert got["ntz"] == got["ltz"] == got["nanos"]
+
+
+def test_pyds_bloom_pushdown_plan_level(spark, tmp_path):
+    """Bloom-sidecar pruning inside pushFilters: on a scrambled layout
+    where footer min/max keeps every file, an EqualTo on the indexed
+    column plans ~1 split, an absent key plans 0, a column without a
+    sidecar (or a pre-sidecar table) falls back to footer behavior, and
+    the hash constants are pinned to the lifecycle layer's."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import (
+        lifecycle as L,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        SnapshotTable,
+        _write_chunked,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources import pyds
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.pyds import (
+        SnapshotReader,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    assert (pyds._BLOOM_M, pyds._BLOOM_P, pyds._BLOOM_A, pyds._BLOOM_B) == (
+        L.BLOOM_M,
+        L.BLOOM_P,
+        L.BLOOM_A,
+        L.BLOOM_B,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    t = SnapshotTable(spark, str(tmp_path / "b"))
+    _write_chunked(
+        t,
+        docs.withColumn("_c", (F.col("doc_id") * F.lit(2654435761)) % F.lit(8)),
+    )
+    mx = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    probe = mx // 3
+
+    # pre-sidecar: footer stats keep all 8 files (scrambled layout)
+    r0 = SnapshotReader({"path": t.path})
+    r0.pushFilters([EqualTo(("doc_id",), probe)])
+    assert len(r0.partitions()) == 8
+
+    t.build_bloom_index("doc_id")
+    r1 = SnapshotReader({"path": t.path})
+    r1.pushFilters([EqualTo(("doc_id",), probe)])
+    assert len(r1.partitions()) == 1  # fp-free at this density
+
+    r2 = SnapshotReader({"path": t.path})
+    r2.pushFilters([EqualTo(("doc_id",), mx + 999_983)])
+    assert len(r2.partitions()) == 0  # absent key: nothing to read
+
+    # un-indexed column: the bloom stage is a no-op — an in-bounds value
+    # must keep every file (only footer fallback applies)
+    r4 = SnapshotReader({"path": t.path})
+    mid_chars = int(
+        docs.agg(F.expr("percentile_approx(n_chars, 0.5)")).collect()[0][0]
+    )
+    r4.pushFilters([EqualTo(("n_chars",), mid_chars)])
+    assert len(r4.partitions()) == 8
