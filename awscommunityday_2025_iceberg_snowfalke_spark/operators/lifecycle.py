@@ -369,6 +369,97 @@ class SnapshotTable:
         paths = [os.path.join(self.path, "data", f) for f in spark_files]
         return self.spark.read.parquet(*paths)
 
+    # -- type widening (Iceberg v3 ALTER COLUMN TYPE promotion) ---------------
+    _WIDEN_TARGETS = ("bigint", "double")
+
+    def _types_path(self) -> str:
+        return os.path.join(self.path, "snapshots", "types.json")
+
+    def _type_widenings(self) -> dict:
+        if not os.path.exists(self._types_path()):
+            return {}
+        with open(self._types_path()) as fh:
+            return json.load(fh)
+
+    def widen_column_type(self, column: str, to_type: str) -> None:
+        """Iceberg v3 type promotion (``ALTER TABLE ... ALTER COLUMN ...
+        TYPE ...``): METADATA-ONLY — no data file is rewritten; files keep
+        their narrow physical type and every read casts them up to the
+        table type. Only lossless promotions are legal (int→bigint,
+        int/bigint→double, float→double — Iceberg's promotion lattice);
+        the target set here is the lattice's sinks. The mapping persists
+        next to the manifests (the ``metadata.json`` role), so any handle
+        — and the Python DataSource — sees the widened table type."""
+        if to_type not in self._WIDEN_TARGETS:
+            raise ValueError(
+                f"illegal promotion target {to_type!r}"
+                f" (allowed: {self._WIDEN_TARGETS})"
+            )
+        cur = self._type_widenings()
+        if cur.get(column) == "double" and to_type == "bigint":
+            raise ValueError(f"cannot narrow {column} double -> bigint")
+        cur[column] = to_type
+        tmp = self._types_path() + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cur, fh)
+        os.replace(tmp, self._types_path())
+
+    @staticmethod
+    def _with_meta_cols(df: DataFrame) -> DataFrame:
+        """Provenance columns from the parquet scan metadata: file
+        basename + row index (position deletes / changelog pre-images)."""
+        return df.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_df_file"),
+            F.col("_metadata.row_index").alias("_df_pos"),
+            "*",
+        )
+
+    def _read_paths(self, paths: list[str], with_meta: bool = False) -> DataFrame:
+        """The one parquet-read funnel under all table reads. Without
+        widenings it is a plain mergeSchema scan (added columns NULL over
+        old files — T3). With widenings, files are GROUPED by the physical
+        type of each widened column (Spark's schema merge refuses
+        int32-vs-int64 conflicts — correctly: that is table-format
+        territory), each group is cast up to the table type, and the
+        groups union back. ``_metadata`` provenance must be captured
+        per-group (scan columns do not survive a union), so the meta
+        projection happens here, not on the merged result.
+
+        Scale: the grouping is a footer walk the planner already pays
+        (plan_scan's 1 + |files| GETs); groups are bounded by the number
+        of promotions the table has seen (2-3 over a table's life), and
+        each group stays one ordinary vectorized scan."""
+        wid = self._type_widenings()
+        if not wid:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            return self._with_meta_cols(raw) if with_meta else raw
+        import pyarrow.parquet as pq
+
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            sch = pq.ParquetFile(p).schema_arrow
+            sig = tuple(
+                str(sch.field(c).type) if c in sch.names else None
+                for c in sorted(wid)
+            )
+            groups.setdefault(sig, []).append(p)
+        out = None
+        for fs in groups.values():
+            df = self.spark.read.option("mergeSchema", "true").parquet(*fs)
+            if with_meta:
+                df = self._with_meta_cols(df)
+            for c, t in wid.items():
+                if c in df.columns:
+                    df = df.withColumn(c, F.col(c).cast(t))
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        return out
+
     # -- bloom file index (point-lookup pruning beyond min/max) ---------------
     def _bloom_path(self, version: int, column: str) -> str:
         return os.path.join(
@@ -1432,18 +1523,8 @@ class SnapshotTable:
         paths = [os.path.join(self.path, "data", f) for f in files]
         dels = m.get("delete_files", [])
 
-        def _with_meta(df: DataFrame) -> DataFrame:
-            return df.select(
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("_df_file"),
-                F.col("_metadata.row_index").alias("_df_pos"),
-                "*",
-            )
-
         if not dels:
-            raw = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-            return _with_meta(raw) if keep_meta else raw
+            return self._read_paths(paths, with_meta=keep_meta)
         # merge-on-read with SEQUENCE SCOPING (Iceberg v2): a delete
         # applies only to data files whose seq <= the delete's seq — rows
         # re-inserted AFTER the delete survive. Files are grouped by
@@ -1467,11 +1548,10 @@ class SnapshotTable:
             needs_pos = keep_meta or any(
                 dels[i].get("kind") in ("pos", "dv") for i in sig
             )
-            part = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, "data", f) for f in fs]
+            part = self._read_paths(
+                [os.path.join(self.path, "data", f) for f in fs],
+                with_meta=needs_pos,
             )
-            if needs_pos:
-                part = _with_meta(part)
             for i in sig:
                 keys = self.spark.read.parquet(
                     os.path.join(self.path, "data", dels[i]["file"])
@@ -2400,6 +2480,72 @@ def spec_evolution_skipping_report(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("generation")
 
 
+# --- type widening (Iceberg v3 promotion) across three generations -----------
+def type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 TYPE PROMOTION end-to-end: generation 1 lands an
+    ``amount`` column as int32; ``ALTER COLUMN amount TYPE bigint``
+    (metadata-only — zero files rewritten) and generation 2 appends
+    values beyond int32 range (2.2e9 + user_id > 2^31, SF-independent); a second promotion to double and
+    generation 3 appends fractional values. One ``read()`` then returns
+    every generation under the table type (double): the read funnel
+    groups files by their physical type — Spark's own schema merge
+    correctly refuses int32-vs-int64 parquet conflicts, which is exactly
+    why the table format owns this — casts each group up, and unions.
+    The report aggregates per generation, so a missing or double-cast
+    generation breaks counts and exact decimal sums against the oracle.
+
+    All values are chosen exactly representable in double (ints < 2^53
+    and .5 fractions), and the sum goes through ``det_sum``'s DECIMAL
+    fold — no cross-engine float accumulation anywhere. Scale: widening
+    is the schema change a long-lived table hits when a counter outgrows
+    int32; the alternative this entry replaces is a full-table rewrite."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "widen_", stats_col="ts")
+    if not hasattr(tbl, "widen_column_type"):
+        raise NotImplementedError(
+            "real-Iceberg backend handles promotion natively (ALTER COLUMN)"
+        )
+    tbl.append(
+        ev.filter(F.col("event_id") % 3 == 0).select(
+            "event_id",
+            "ts",
+            F.lit(1).cast("int").alias("gen"),
+            F.col("user_id").cast("int").alias("amount"),
+        ),
+        n_files=2,
+    )
+    tbl.widen_column_type("amount", "bigint")
+    tbl.append(
+        ev.filter(F.col("event_id") % 3 == 1).select(
+            "event_id",
+            "ts",
+            F.lit(2).cast("int").alias("gen"),
+            (F.lit(2200000000) + F.col("user_id")).alias("amount"),
+        ),
+        n_files=2,
+    )
+    tbl.widen_column_type("amount", "double")
+    tbl.append(
+        ev.filter(F.col("event_id") % 3 == 2).select(
+            "event_id",
+            "ts",
+            F.lit(3).cast("int").alias("gen"),
+            (F.col("user_id") + F.lit(0.5)).alias("amount"),
+        ),
+        n_files=2,
+    )
+    return (
+        tbl.read()
+        .groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            det_sum("amount").alias("amount_sum"),
+            F.max("amount").alias("amount_max"),
+        )
+        .orderBy("gen")
+    )
+
+
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
 _Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
 _Z_FILES = 8
@@ -3173,6 +3319,7 @@ QUERIES = {
     "clustering_skipping_report": clustering_skipping_report,
     "bloom_point_lookup_report": bloom_point_lookup_report,
     "spec_evolution_skipping_report": spec_evolution_skipping_report,
+    "type_widening_read": type_widening_read,
 }
 
 
@@ -3784,4 +3931,21 @@ ORACLE["spec_evolution_skipping_report"] = f"""
               AND ts >= TIMESTAMP '{_PE_LO}'
               AND ts <= TIMESTAMP '{_PE_HI}')
     ORDER BY generation
+"""
+
+# three generations reconstructed by event_id residue; every amount is
+# exactly double-representable, the sum folds through DECIMAL
+ORACLE["type_widening_read"] = f"""
+    WITH src AS (
+        SELECT CAST(1 + (event_id % 3) AS INT) AS gen,
+               CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS DOUBLE)
+                    WHEN event_id % 3 = 1
+                        THEN CAST(2200000000 + user_id AS DOUBLE)
+                    ELSE user_id + 0.5 END AS amount
+        FROM events
+    )
+    SELECT gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {det_sum_sql("amount")} AS amount_sum,
+           MAX(amount) AS amount_max
+    FROM src GROUP BY gen ORDER BY gen
 """

@@ -221,6 +221,7 @@ HEADLINE_ADDITIONS = [
     "unigram_fertility_by_lang", # unigram fertility twin of the BPE metric
     "spec_evolution_skipping_report",  # metadata-only spec change, mixed-layout plan
     "pyds_bloom_point_scan",     # EqualTo point lookups via source-API bloom pruning
+    "type_widening_read",        # Iceberg v3 promotion: 3 generations, one read
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

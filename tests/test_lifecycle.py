@@ -1621,3 +1621,77 @@ def test_spec_evolution_report_prunes_new_generation_only(spark):
         & (F.col("ts") <= F.lit(_PE_HI).cast("timestamp"))
     ).count()
     assert g1["rows_selected"] + g2["rows_selected"] == want
+
+
+def test_type_widening_metadata_only_and_read(spark, events, tmp_path):
+    """Type promotion is metadata-only (old int32 files byte-identical),
+    the merged read returns every generation under the widened type with
+    exact values, narrowing is rejected, and a fresh handle adopts the
+    widening from disk."""
+    t = SnapshotTable(spark, str(tmp_path / "w"))
+    g1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", F.col("user_id").cast("int").alias("amount")
+    )
+    t.append(g1, n_files=2)
+    old = {
+        f["file"]: (
+            os.path.getsize(os.path.join(t.path, "data", f["file"])),
+            os.path.getmtime(os.path.join(t.path, "data", f["file"])),
+        )
+        for f in t.files()
+    }
+    t.widen_column_type("amount", "bigint")
+    big = 2_200_000_000
+    t.append(
+        events.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", (F.lit(big) + F.col("user_id")).alias("amount")
+        ),
+        n_files=2,
+    )
+    for f, (sz, mt) in old.items():
+        p = os.path.join(t.path, "data", f)
+        assert (os.path.getsize(p), os.path.getmtime(p)) == (sz, mt)
+    df = t.read()
+    assert dict(df.dtypes)["amount"] == "bigint"
+    assert df.count() == events.count()
+    assert df.filter(F.col("amount") >= big).count() == events.filter(
+        F.col("event_id") % 2 == 1
+    ).count()
+    with pytest.raises(ValueError):
+        t.widen_column_type("amount", "int")
+    # promote again: bigint -> double; narrowing back is rejected
+    t.widen_column_type("amount", "double")
+    assert dict(t.read().dtypes)["amount"] == "double"
+    with pytest.raises(ValueError):
+        t.widen_column_type("amount", "bigint")
+    t2 = SnapshotTable(spark, t.path)
+    assert dict(t2.read().dtypes)["amount"] == "double"
+
+
+def test_type_widening_composes_with_mor_deletes(spark, events, tmp_path):
+    """The widened read funnel must keep working under merge-on-read:
+    grouped-by-physical-type scans carry the _metadata provenance
+    per group, so equality tombstones still apply across generations."""
+    t = SnapshotTable(spark, str(tmp_path / "wm"))
+    t.append(
+        events.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type",
+            F.col("user_id").cast("int").alias("amount"),
+        ),
+        n_files=2,
+    )
+    t.widen_column_type("amount", "bigint")
+    t.append(
+        events.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type",
+            (F.lit(2_200_000_000) + F.col("user_id")).alias("amount"),
+        ),
+        n_files=2,
+    )
+    keys = t.read().filter(F.col("event_type") == "error").select("event_type").distinct()
+    t.delete_where_mor(keys, ["event_type"])
+    got = t.read()
+    assert dict(got.dtypes)["amount"] == "bigint"
+    want = events.filter(F.col("event_type") != "error").count()
+    assert got.count() == want
+    assert got.filter(F.col("event_type") == "error").count() == 0

@@ -37,6 +37,7 @@ _COVERAGE_NON_ENTRIES = {
     "refresh_incremental",  # MaterializedView method
     "unigram_train",  # trainer library function behind the frozen artifact
     "evolve_partition_spec",  # SnapshotTable spec-evolution method
+    "widen_column_type",  # SnapshotTable type-promotion method
     "file_seqs",  # manifest field (sequence numbers)
     "file_specs",  # manifest field (per-file partition-spec lineage)
     "plan_scan_manifests",  # SnapshotTable planning method

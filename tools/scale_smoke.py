@@ -60,6 +60,8 @@ QUERIES = [
     # late round-13 additions
     "hilbert_clustering_report",  # LUT key + histogram chunking + 2 writes
     "schema_rename_read",   # metadata rename + merged-generation scan
+    "spec_evolution_skipping_report",  # late r14: mixed-spec planning walk
+    "type_widening_read",   # late r14: grouped-by-physical-type read funnel
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
@@ -148,6 +150,11 @@ DOC_QUERIES = [
     "ann_ivf_recall_sweep",      # one-pass recall curve (2 corpus passes)
     "minhash_banding_calibration",  # capped pair join + band LEFT join
     "benchmark_contamination_semantic",  # broadcast bench batch, range scan
+    # late round-14 additions
+    "bloom_point_lookup_report",  # index build agg + O(1)-file probe reads
+    "pyds_bloom_point_scan",     # source-API point lookups, sidecar-pruned
+    "unigram_viterbi_segment",   # per-TYPE integer DP + bounded histogram
+    "unigram_fertility_by_lang", # type-DP + broadcast join onto occurrences
 ]
 
 
