@@ -62,6 +62,16 @@ _OBJ_KEYED_RE = re.compile(r"\bOBJECT_CONSTRUCT\s*\(", re.IGNORECASE)
 # TO_VARCHAR(expr, fmt) all parse natively (exercised by
 # snowsql_iff_dateadd_span)
 _IFF_RE = re.compile(r"\bIFF\s*\(", re.IGNORECASE)
+# Snowflake VARIANT path access `col:key` (the worksheet way to read the
+# reference's semi-structured properties column) → JSON path extraction.
+# No-space form only (Snowflake's idiomatic spelling); `::` cast operator
+# is explicitly excluded on both sides of the colon — Spark 4 parses
+# `expr::type` natively, so the cast suffix passes through untouched.
+# Single-level paths only (the corpus's shape); nested `a:b:c` would need
+# a scanner, and the shim's contract is regexes, not a SQL parser.
+_COLON_PATH_RE = re.compile(
+    r"(?<!:)\b([A-Za-z_]\w*):(?!:)([A-Za-z_]\w*)"
+)
 # `, LATERAL FLATTEN(input => expr) f` — Snowflake's table function for
 # exploding arrays/objects — maps to Spark's LATERAL VIEW explode. Spark's
 # generator alias takes the output column name directly, so `f.value`
@@ -189,6 +199,9 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
     - ``, LATERAL FLATTEN(input => x) f`` → ``LATERAL VIEW explode(x) f
       AS value`` (the VALUE output column only; FLATTEN's index/key/path
       outputs are unmapped — swap in posexplode if index is needed).
+    - ``col:key`` (VARIANT path access) → ``get_json_object(col, '$.key')``;
+      the ``::type`` cast suffix parses natively in Spark 4 and passes
+      through untouched.
 
     KNOWN SEMANTIC DELTA (keyed OBJECT_CONSTRUCT only): Snowflake's
     OBJECT_CONSTRUCT **omits** key/value pairs whose value is NULL (and
@@ -213,6 +226,9 @@ def translate(sql: str, anchor_date: str | None = ANCHOR_DATE) -> str:
     sql = _sub_outside_literals(_OBJ_STAR_RE, "struct(*)", sql)
     sql = _sub_outside_literals(_OBJ_KEYED_RE, "named_struct(", sql)
     sql = _sub_outside_literals(_IFF_RE, "if(", sql)
+    sql = _sub_outside_literals(
+        _COLON_PATH_RE, r"get_json_object(\1, '$.\2')", sql
+    )
     sql = _rewrite_flatten(sql)
     m = _QUALIFY_RE.match(sql.strip().rstrip(";"))
     if not m or "QUALIFY" not in sql.upper():

@@ -404,6 +404,32 @@ class SnapshotTable:
             json.dump(cur, fh)
         os.replace(tmp, self._types_path())
 
+    # -- column defaults (Iceberg v3 initial-default on ADD COLUMN) -----------
+    def _defaults_path(self) -> str:
+        return os.path.join(self.path, "snapshots", "defaults.json")
+
+    def _column_defaults(self) -> dict:
+        if not os.path.exists(self._defaults_path()):
+            return {}
+        with open(self._defaults_path()) as fh:
+            return json.load(fh)
+
+    def add_column_default(self, column: str, dtype: str, default) -> None:
+        """Iceberg v3 INITIAL DEFAULT (``ALTER TABLE ... ADD COLUMN ...
+        DEFAULT ...``): METADATA-ONLY — files written BEFORE the add read
+        the default for every row; files written AFTER carry the column
+        physically, and a NULL they wrote stays NULL (the default is an
+        initial-value for pre-existing rows, NOT a NULL-coalesce — the
+        distinction ``coalesce`` over a merged scan cannot make, and the
+        grouped read funnel can: only file groups physically LACKING the
+        column get the literal)."""
+        cur = self._column_defaults()
+        cur[column] = {"type": dtype, "default": default}
+        tmp = self._defaults_path() + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cur, fh)
+        os.replace(tmp, self._defaults_path())
+
     @staticmethod
     def _with_meta_cols(df: DataFrame) -> DataFrame:
         """Provenance columns from the parquet scan metadata: file
@@ -418,31 +444,35 @@ class SnapshotTable:
 
     def _read_paths(self, paths: list[str], with_meta: bool = False) -> DataFrame:
         """The one parquet-read funnel under all table reads. Without
-        widenings it is a plain mergeSchema scan (added columns NULL over
-        old files — T3). With widenings, files are GROUPED by the physical
-        type of each widened column (Spark's schema merge refuses
-        int32-vs-int64 conflicts — correctly: that is table-format
-        territory), each group is cast up to the table type, and the
-        groups union back. ``_metadata`` provenance must be captured
-        per-group (scan columns do not survive a union), so the meta
-        projection happens here, not on the merged result.
+        widenings or defaults it is a plain mergeSchema scan (added
+        columns NULL over old files — T3). With them, files are GROUPED
+        by the physical type/presence of each evolved column (Spark's
+        schema merge refuses int32-vs-int64 conflicts — correctly: that
+        is table-format territory), each group is cast up to the table
+        type and filled with the initial default where the column is
+        physically absent, and the groups union back. ``_metadata``
+        provenance must be captured per-group (scan columns do not
+        survive a union), so the meta projection happens here, not on
+        the merged result.
 
         Scale: the grouping is a footer walk the planner already pays
         (plan_scan's 1 + |files| GETs); groups are bounded by the number
-        of promotions the table has seen (2-3 over a table's life), and
-        each group stays one ordinary vectorized scan."""
+        of schema changes the table has seen (a handful over its life),
+        and each group stays one ordinary vectorized scan."""
         wid = self._type_widenings()
-        if not wid:
+        dfl = self._column_defaults()
+        if not wid and not dfl:
             raw = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             return self._with_meta_cols(raw) if with_meta else raw
         import pyarrow.parquet as pq
 
+        cols = sorted(set(wid) | set(dfl))
         groups: dict[tuple, list[str]] = {}
         for p in paths:
             sch = pq.ParquetFile(p).schema_arrow
             sig = tuple(
                 str(sch.field(c).type) if c in sch.names else None
-                for c in sorted(wid)
+                for c in cols
             )
             groups.setdefault(sig, []).append(p)
         out = None
@@ -453,6 +483,11 @@ class SnapshotTable:
             for c, t in wid.items():
                 if c in df.columns:
                     df = df.withColumn(c, F.col(c).cast(t))
+            for c, spec in dfl.items():
+                if c not in df.columns:  # pre-add generation: initial default
+                    df = df.withColumn(
+                        c, F.lit(spec["default"]).cast(spec["type"])
+                    )
             out = (
                 df
                 if out is None
@@ -2546,6 +2581,54 @@ def type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- column default (Iceberg v3 initial-default) across generations ----------
+def column_default_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 INITIAL DEFAULT end-to-end: generation 1 lands without
+    a ``tier`` column; ``ADD COLUMN tier STRING DEFAULT 'standard'``
+    (metadata-only) and generation 2 appends rows that carry explicit
+    tiers — INCLUDING genuine NULLs (every 4th user). The merged read
+    must give every pre-add row the default while keeping the post-add
+    NULLs NULL — the semantic a ``coalesce`` over the merged scan would
+    destroy (it would overwrite the genuine NULLs too), and which the
+    grouped read funnel enforces by filling the literal only into file
+    groups physically lacking the column. The report counts rows per
+    tier value (NULL bucket included), so either failure mode — default
+    not applied, or default leaking into generation-2 NULLs — breaks
+    counts.
+
+    Scale: the default never materializes in storage (zero rewrite on
+    ADD COLUMN over a 100 TB table); it rides the plan as a literal."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "coldef_", stats_col="ts")
+    if not hasattr(tbl, "add_column_default"):
+        raise NotImplementedError(
+            "real-Iceberg backend handles initial-defaults natively"
+        )
+    tbl.append(
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "ts", "user_id"),
+        n_files=2,
+    )
+    tbl.add_column_default("tier", "string", "standard")
+    tier = F.when(F.col("user_id") % 4 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("tier_"), (F.col("user_id") % 3).cast("string"))
+    )
+    tbl.append(
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "ts", "user_id", tier.alias("tier")
+        ),
+        n_files=2,
+    )
+    return (
+        tbl.read()
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("tier").asc_nulls_first())
+    )
+
+
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
 _Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
 _Z_FILES = 8
@@ -3320,6 +3403,7 @@ QUERIES = {
     "bloom_point_lookup_report": bloom_point_lookup_report,
     "spec_evolution_skipping_report": spec_evolution_skipping_report,
     "type_widening_read": type_widening_read,
+    "column_default_read": column_default_read,
 }
 
 
@@ -3948,4 +4032,20 @@ ORACLE["type_widening_read"] = f"""
            {det_sum_sql("amount")} AS amount_sum,
            MAX(amount) AS amount_max
     FROM src GROUP BY gen ORDER BY gen
+"""
+
+# gen-1 (even event_id) rows read the initial default; gen-2 rows keep
+# their written tier, genuine NULLs included
+ORACLE["column_default_read"] = """
+    WITH src AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'standard'
+                    WHEN user_id % 4 = 0 THEN NULL
+                    ELSE concat('tier_', CAST(user_id % 3 AS VARCHAR)) END
+                   AS tier,
+               user_id
+        FROM events
+    )
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM src GROUP BY tier ORDER BY tier NULLS FIRST
 """

@@ -311,6 +311,39 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X10 modern path: VARIANT decode (Spark 4 VariantType) -------------------
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The properties column through Spark 4's VARIANT type — the open
+    binary semi-structured encoding Iceberg v3 standardizes, and the
+    engine-native analogue of the VARIANT column the reference's
+    Snowflake tables use for event properties. ``parse_json`` decodes
+    each row ONCE into the binary form; typed paths come out with
+    ``variant_get`` (no per-field string re-parse — at 100 TB this is
+    the difference between one decode and one decode per extracted
+    field), and absent paths go through ``try_variant_get``, whose
+    NULL-never-error contract is counted to prove the path (always 0
+    hits on this corpus). Aggregates match the string-path
+    ``props_json_stats`` numbers, so the two decode routes certify each
+    other; the oracle extracts via DuckDB's JSON path functions."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.does_not_exist", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            det_avg("k", 4).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias(
+                "high_k_events"
+            ),
+            F.count("m").alias("missing_path_hits"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- X10 robustness: malformed-JSON rescue (PERMISSIVE ingest) ---------------
 def props_malformed_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest robustness for the JSON properties column: 10% of rows are
@@ -498,6 +531,7 @@ QUERIES = {
     "hot_cold_union": hot_cold_union,
     "event_types_per_user": event_types_per_user,
     "props_json_stats": props_json_stats,
+    "props_variant_stats": props_variant_stats,
     "props_malformed_rescue": props_malformed_rescue,
     "value_percentiles": value_percentiles,
     "events_last_week_interval": events_last_week_interval,
@@ -712,6 +746,17 @@ ORACLE = {
                ROUND(CAST(SUM(CAST(k AS DECIMAL(28,8))) AS DOUBLE) / COUNT(k), 4)
                    AS avg_k_rescued
         FROM parsed GROUP BY event_type
+    """,
+    "props_variant_stats": """
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               {AVG_K} AS avg_k,
+               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                       AS INTEGER) > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_k_events,
+               CAST(COUNT(json_extract_string(props, '$.does_not_exist'))
+                   AS BIGINT) AS missing_path_hits
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "props_json_stats": """
         SELECT event_type,

@@ -119,6 +119,21 @@ SNOW_SQL = {
         FROM ext_user_events
         GROUP BY event_type
     """,
+    # Snowflake's VARIANT path access + :: cast — the worksheet way to
+    # read the semi-structured properties column (the reference's tables
+    # type it VARIANT). The shim maps `properties:k` →
+    # get_json_object(properties, '$.k'); the ::INT cast suffix parses
+    # natively in Spark 4. Exact: integer SUMs and counts only.
+    "snowsql_variant_path": """
+        SELECT
+            event_type,
+            COUNT(*) AS event_count,
+            SUM(properties:k::INT) AS k_total,
+            SUM(IFF(properties:k::INT > 50, 1, 0)) AS high_k_events
+        FROM ext_user_events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
 }
 
 
@@ -203,5 +218,17 @@ ORACLE = {
                    AS first_plus_week
         FROM events
         GROUP BY event_type
+    """,
+    "snowsql_variant_path": """
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS BIGINT) AS k_total,
+               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                       AS INTEGER) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_k_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

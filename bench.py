@@ -222,6 +222,9 @@ HEADLINE_ADDITIONS = [
     "spec_evolution_skipping_report",  # metadata-only spec change, mixed-layout plan
     "pyds_bloom_point_scan",     # EqualTo point lookups via source-API bloom pruning
     "type_widening_read",        # Iceberg v3 promotion: 3 generations, one read
+    "column_default_read",       # Iceberg v3 initial-default vs genuine NULLs
+    "props_variant_stats",       # Spark 4 VARIANT decode (parse_json once)
+    "snowsql_variant_path",      # Snowflake col:key::type through the shim
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

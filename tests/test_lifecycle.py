@@ -1695,3 +1695,42 @@ def test_type_widening_composes_with_mor_deletes(spark, events, tmp_path):
     want = events.filter(F.col("event_type") != "error").count()
     assert got.count() == want
     assert got.filter(F.col("event_type") == "error").count() == 0
+
+
+def test_column_default_initial_only_not_coalesce(spark, events, tmp_path):
+    """The v3 initial-default contract: pre-add rows read the default,
+    post-add rows keep what they wrote — INCLUDING genuine NULLs (the
+    case a coalesce-over-merged-scan would silently destroy). Metadata
+    only: pre-add files byte-identical after the ADD COLUMN."""
+    t = SnapshotTable(spark, str(tmp_path / "cd"))
+    g1 = events.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    t.append(g1, n_files=2)
+    old = {
+        f["file"]: os.path.getsize(os.path.join(t.path, "data", f["file"]))
+        for f in t.files()
+    }
+    t.add_column_default("tier", "string", "standard")
+    tier = F.when(F.col("user_id") % 4 == 0, F.lit(None).cast("string")).otherwise(
+        F.lit("explicit")
+    )
+    g2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", tier.alias("tier")
+    )
+    t.append(g2, n_files=2)
+    for f, sz in old.items():
+        assert os.path.getsize(os.path.join(t.path, "data", f)) == sz
+    df = t.read()
+    # every gen-1 row reads the default
+    assert df.filter(
+        (F.col("event_id") % 2 == 0) & (F.col("tier") == "standard")
+    ).count() == g1.count()
+    # gen-2 genuine NULLs survive (NOT coalesced to the default)
+    want_null = g2.filter(F.col("tier").isNull()).count()
+    assert want_null > 0
+    got_null = df.filter(
+        (F.col("event_id") % 2 == 1) & F.col("tier").isNull()
+    ).count()
+    assert got_null == want_null
+    assert df.filter(
+        (F.col("event_id") % 2 == 1) & (F.col("tier") == "standard")
+    ).count() == 0

@@ -940,3 +940,22 @@ def test_translate_iff_inside_string_literal_survives():
     out3 = translate(sql3)
     assert "'OBJECT_CONSTRUCT(*)'" in out3
     assert "struct(*) AS o" in out3
+
+
+def test_translate_colon_path_access():
+    """Snowflake VARIANT path access `col:key` maps to get_json_object;
+    the `::type` cast operator is untouched on both sides of the rewrite,
+    string literals keep their colons, and plain SQL is left alone."""
+    out = translate("SELECT properties:k::INT AS k FROM t WHERE x::INT > 2")
+    assert "get_json_object(properties, '$.k')::INT" in out
+    assert "x::INT > 2" in out  # cast suffixes pass through untouched
+    # literals survive: the colon inside the string is not a path
+    lit = translate("SELECT 'a:b' AS s, props:key AS v FROM t")
+    assert "'a:b'" in lit
+    assert "get_json_object(props, '$.key')" in lit
+    # no colon, no rewrite
+    plain = "SELECT a FROM t WHERE b > 1"
+    assert translate(plain) == plain
+    # time-format literals keep their colons (inside quotes)
+    fmt = translate("SELECT TO_VARCHAR(ts, 'HH:mm:ss') FROM t")
+    assert "'HH:mm:ss'" in fmt

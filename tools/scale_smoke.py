@@ -62,6 +62,8 @@ QUERIES = [
     "schema_rename_read",   # metadata rename + merged-generation scan
     "spec_evolution_skipping_report",  # late r14: mixed-spec planning walk
     "type_widening_read",   # late r14: grouped-by-physical-type read funnel
+    "column_default_read",  # late r14: initial-default fill per file group
+    "props_variant_stats",  # late r14: one VARIANT decode per row, map-only
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
