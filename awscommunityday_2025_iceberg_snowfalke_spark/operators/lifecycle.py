@@ -495,6 +495,91 @@ class SnapshotTable:
             )
         return out
 
+    # -- row lineage (Iceberg v3 _row_id) --------------------------------------
+    def _lineage_path(self) -> str:
+        return os.path.join(self.path, "snapshots", "lineage.json")
+
+    def lineage_enabled(self) -> bool:
+        return os.path.exists(self._lineage_path())
+
+    def enable_row_lineage(self) -> None:
+        """Iceberg v3 ROW LINEAGE: every row gets a stable ``_row_id``
+        that survives compaction and rewrites. Like Iceberg, ids are NOT
+        written into data files on append — the commit assigns each new
+        file a ``first_row_id`` range in the manifest and a reader
+        derives ``_row_id = first_row_id + row position`` from scan
+        metadata (zero storage, zero write amplification). Only a
+        REWRITE materializes the column physically (the file then
+        carries ``first_row_id = null`` in the manifest and reads its
+        ids from data) — exactly the v3 spec's materialize-on-rewrite
+        rule. Within one commit, multi-file ranges are assigned in file-
+        name order (stable per committed manifest; the entry's fixture
+        uses one file per append so values are corpus-deterministic)."""
+        tmp = self._lineage_path() + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"enabled": True}, fh)
+        os.replace(tmp, self._lineage_path())
+
+    def _assign_row_lineage(self, version: int, files: list[str]) -> tuple:
+        """(first_row_ids, next_row_id) for a commit: carried files keep
+        their recorded range; new files containing a physical ``_row_id``
+        column are marked materialized (null range); other new files get
+        the next contiguous range, sized by their footer row count."""
+        import pyarrow.parquet as pq
+
+        prev = self._manifest(version - 1) if version > 1 else {}
+        fri = dict(prev.get("first_row_ids", {}))
+        next_id = prev.get("next_row_id", 0)
+        for f in sorted(f for f in files if f not in fri):
+            md = pq.ParquetFile(os.path.join(self.path, "data", f)).metadata
+            if "_row_id" in md.schema.names:
+                fri[f] = None  # materialized: ids live in the data file
+            else:
+                fri[f] = next_id
+                next_id += md.num_rows
+        return {f: fri[f] for f in files}, next_id
+
+    def read_lineage(self, version: int | None = None) -> DataFrame:
+        """The table WITH its ``_row_id`` column: derived from
+        (first_row_id + row position) for append-born files, read from
+        data for materialized (rewritten) files. The derivation is a
+        map-side expression over scan metadata — a bounded
+        file→first_row_id literal map here; a deployment with millions
+        of files broadcast-joins the manifest instead (same plan)."""
+        version = version or self.current_version
+        m = self._manifest(version)
+        fri = m.get("first_row_ids", {})
+        derived = [f for f in m["files"] if fri.get(f) is not None]
+        phys = [f for f in m["files"] if fri.get(f) is None]
+        out = None
+        if derived:
+            df = self._read_scoped(m, derived, keep_meta=True)
+            pairs = []
+            for f in derived:
+                pairs.extend([F.lit(f), F.lit(int(fri[f]))])
+            df = df.withColumn(
+                "_row_id",
+                F.element_at(F.create_map(*pairs), F.col("_df_file"))
+                + F.col("_df_pos"),
+            ).drop("_df_file", "_df_pos")
+            out = df
+        if phys:
+            df = self._read_scoped(m, phys)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def rewrite_preserving_lineage(self, target_files: int = 1) -> int:
+        """``rewrite_data_files`` under row lineage: the rewrite
+        MATERIALIZES ``_row_id`` into the new files (the only moment ids
+        are ever written), so identities survive arbitrary re-bucketing;
+        the commit marks the files materialized and ``next_row_id``
+        carries forward unchanged (a rewrite creates no rows)."""
+        base = self.current_version
+        df = self.read_lineage(version=base)
+        return self._commit_rewrite(
+            base, self._write_files(df, target_files), "compact"
+        )
+
     # -- bloom file index (point-lookup pruning beyond min/max) ---------------
     def _bloom_path(self, version: int, column: str) -> str:
         return os.path.join(
@@ -807,6 +892,10 @@ class SnapshotTable:
             "manifests": manifests,
             "manifest_summaries": summaries,
         }
+        if self.lineage_enabled():
+            fri, next_id = self._assign_row_lineage(version, files)
+            manifest["first_row_ids"] = fri
+            manifest["next_row_id"] = next_id
         snap_dir = os.path.join(self.path, "snapshots")
         tmp = os.path.join(snap_dir, f".commit-{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as fh:
@@ -2629,6 +2718,68 @@ def column_default_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- row lineage (Iceberg v3 _row_id) across append + rewrite -----------------
+def row_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE end-to-end: two append commits (even then
+    odd event_ids, each sorted and written as one file, so the
+    metadata-derived ids are corpus-deterministic: even rows take
+    0..n_even-1 by event_id rank, odd rows continue from n_even), then a
+    ``rewrite_data_files`` that re-buckets everything into two files —
+    the rewrite MATERIALIZES ``_row_id`` (the only write ids ever get)
+    and identities must survive. The report aggregates per event_type
+    the row count and the exact ``_row_id`` sum BEFORE and AFTER the
+    rewrite plus an ids_preserved flag (set-equality of ids per type,
+    checked in-engine); the oracle reconstructs the id assignment
+    analytically from the same rank rule, so a shifted, duplicated, or
+    dropped id anywhere breaks the sums.
+
+    Scale: append-time lineage is METADATA-ONLY (one footer row count
+    per new file at commit — a read the planner already does); deriving
+    ids is a map-side expression over scan metadata; only rewrites pay
+    the column's storage, which is the v3 trade exactly."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    tbl = make_table(spark, "lineage_", stats_col="event_id")
+    if not hasattr(tbl, "enable_row_lineage"):
+        raise NotImplementedError("real-Iceberg backend: v3 row lineage")
+    tbl.enable_row_lineage()
+    for parity in (0, 1):
+        half = (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .repartition(1)
+            .sortWithinPartitions("event_id")
+        )
+        tbl.append(half, n_files=None)
+    pre = (
+        tbl.read_lineage()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").alias("row_id_sum"),
+            F.sort_array(F.collect_list("_row_id")).alias("_ids"),
+        )
+    )
+    tbl.rewrite_preserving_lineage(target_files=2)
+    post = (
+        tbl.read_lineage()
+        .groupBy("event_type")
+        .agg(
+            F.sum("_row_id").alias("row_id_sum_post"),
+            F.sort_array(F.collect_list("_row_id")).alias("_ids_post"),
+        )
+    )
+    return (
+        pre.join(post, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "row_id_sum",
+            "row_id_sum_post",
+            (F.col("_ids") == F.col("_ids_post")).alias("ids_preserved"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
 _Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
 _Z_FILES = 8
@@ -3404,6 +3555,7 @@ QUERIES = {
     "spec_evolution_skipping_report": spec_evolution_skipping_report,
     "type_widening_read": type_widening_read,
     "column_default_read": column_default_read,
+    "row_lineage_report": row_lineage_report,
 }
 
 
@@ -4048,4 +4200,26 @@ ORACLE["column_default_read"] = """
     SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM src GROUP BY tier ORDER BY tier NULLS FIRST
+"""
+
+# id assignment replayed analytically: rank by event_id within parity,
+# odd half offset by the even half's count; a rewrite creates no rows so
+# pre == post by construction — any drift breaks the sums
+ORACLE["row_lineage_report"] = """
+    WITH ids AS (
+        SELECT event_type,
+               (ROW_NUMBER() OVER (PARTITION BY event_id % 2
+                                   ORDER BY event_id) - 1)
+               + CASE WHEN event_id % 2 = 1
+                      THEN (SELECT COUNT(*) FROM events
+                            WHERE event_id % 2 = 0)
+                      ELSE 0 END AS rid
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS row_id_sum,
+           CAST(SUM(rid) AS BIGINT) AS row_id_sum_post,
+           TRUE AS ids_preserved
+    FROM ids GROUP BY event_type ORDER BY event_type
 """

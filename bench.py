@@ -225,6 +225,7 @@ HEADLINE_ADDITIONS = [
     "column_default_read",       # Iceberg v3 initial-default vs genuine NULLs
     "props_variant_stats",       # Spark 4 VARIANT decode (parse_json once)
     "snowsql_variant_path",      # Snowflake col:key::type through the shim
+    "row_lineage_report",        # v3 _row_id: metadata-derived, rewrite-stable
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -1734,3 +1734,52 @@ def test_column_default_initial_only_not_coalesce(spark, events, tmp_path):
     assert df.filter(
         (F.col("event_id") % 2 == 1) & (F.col("tier") == "standard")
     ).count() == 0
+
+
+def test_row_lineage_stability_and_uniqueness(spark, events, tmp_path):
+    """The v3 lineage contracts: ids are unique and dense after appends
+    (0..n-1), derived purely from metadata (no _row_id column in
+    append-born files), and PRESERVED exactly — as a set, per row — by a
+    rewrite (which is the only writer that materializes them)."""
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(spark, str(tmp_path / "rl"))
+    t.enable_row_lineage()
+    ev = events.select("event_id", "event_type")
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("event_id"),
+        n_files=None,
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("event_id"),
+        n_files=None,
+    )
+    n = ev.count()
+    # append-born files carry NO physical _row_id column
+    for f in t.files():
+        md = pq.ParquetFile(os.path.join(t.path, "data", f["file"])).metadata
+        assert "_row_id" not in md.schema.names
+    pre = t.read_lineage().select("event_id", "_row_id").collect()
+    ids = sorted(r["_row_id"] for r in pre)
+    assert ids == list(range(n))  # dense, unique
+    by_event = {r["event_id"]: r["_row_id"] for r in pre}
+    v = t.rewrite_preserving_lineage(target_files=3)
+    assert t.current_version == v
+    # rewritten files DO carry the materialized column
+    for f in t.files():
+        md = pq.ParquetFile(os.path.join(t.path, "data", f["file"])).metadata
+        assert "_row_id" in md.schema.names
+    post = t.read_lineage().select("event_id", "_row_id").collect()
+    assert {r["event_id"]: r["_row_id"] for r in post} == by_event
+    # appends after the rewrite continue the id sequence, no collisions
+    t.append(
+        ev.limit(10).repartition(1).sortWithinPartitions("event_id"),
+        n_files=None,
+    )
+    final = [r["_row_id"] for r in t.read_lineage().collect()]
+    assert len(final) == len(set(final)) == n + 10
+    assert max(final) == n + 9

@@ -64,6 +64,7 @@ QUERIES = [
     "type_widening_read",   # late r14: grouped-by-physical-type read funnel
     "column_default_read",  # late r14: initial-default fill per file group
     "props_variant_stats",  # late r14: one VARIANT decode per row, map-only
+    "row_lineage_report",   # late r14: metadata-derived ids + materializing rewrite
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
