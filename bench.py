@@ -226,6 +226,7 @@ HEADLINE_ADDITIONS = [
     "props_variant_stats",       # Spark 4 VARIANT decode (parse_json once)
     "snowsql_variant_path",      # Snowflake col:key::type through the shim
     "row_lineage_report",        # v3 _row_id: metadata-derived, rewrite-stable
+    "table_ndv_stats_report",    # Puffin-role ANALYZE: HLL NDV sidecar + contract
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

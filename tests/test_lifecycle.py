@@ -1783,3 +1783,24 @@ def test_row_lineage_stability_and_uniqueness(spark, events, tmp_path):
     final = [r["_row_id"] for r in t.read_lineage().collect()]
     assert len(final) == len(set(final)) == n + 10
     assert max(final) == n + 9
+
+
+def test_ndv_stats_snapshot_pinned(spark, events, tmp_path):
+    """ANALYZE writes stats keyed to the CURRENT snapshot: estimates are
+    within the ±5% contract, a later append does not silently mutate the
+    old stats file, and reading stats for an un-analyzed snapshot raises
+    (never returns stale numbers)."""
+    t = SnapshotTable(spark, str(tmp_path / "ndv"))
+    t.append(events.select("event_id", "user_id"), n_files=2)
+    st = t.write_column_stats(["event_id", "user_id"])
+    exact_users = events.select("user_id").distinct().count()
+    exact_events = events.select("event_id").distinct().count()
+    assert abs(st["ndv"]["user_id"] - exact_users) * 20 <= exact_users
+    assert abs(st["ndv"]["event_id"] - exact_events) * 20 <= exact_events
+    assert st["rows"] == events.count()
+    v1 = t.current_version
+    t.append(events.select("event_id", "user_id").limit(5), n_files=1)
+    # v1 stats unchanged on disk; v2 has none until ANALYZE runs again
+    assert t.column_stats(version=v1) == st
+    with pytest.raises(FileNotFoundError):
+        t.column_stats()
