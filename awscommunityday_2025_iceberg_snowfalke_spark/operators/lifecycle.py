@@ -1539,6 +1539,43 @@ class SnapshotTable:
             base, self._write_files(merged, n_files), "merge"
         )
 
+    def merge_full(
+        self, source: DataFrame, keys: list[str], n_files: int | None = None
+    ) -> dict:
+        """The FULL-SYNC merge — ``MERGE INTO t USING s ON ... WHEN
+        MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT WHEN NOT MATCHED
+        BY SOURCE THEN DELETE`` (the BY SOURCE clause, Spark 3.4+/Iceberg
+        1.3+): after the commit the table is exactly the source, and the
+        call returns the merge ACCOUNTING (updated/inserted/deleted row
+        counts — what a sync job logs and alerts on). One atomic rewrite
+        commit; the counts come from two key anti-joins plus arithmetic,
+        all computed BEFORE the swap so a concurrent-rewrite conflict
+        leaves both table and report untouched.
+
+        At 100 TB the counts are key-projection joins (narrow shuffles on
+        the key only); Iceberg's runtime group filtering would scope the
+        rewrite — the end state being ``source`` makes the full rewrite
+        exact here."""
+        base = self.current_version
+        target = self.read(version=base)
+        tk = target.select(*keys).distinct()
+        sk = source.select(*keys).distinct()
+        n_target, n_source = target.count(), source.count()
+        n_deleted = tk.join(sk, keys, "left_anti").count()
+        n_inserted = sk.join(tk, keys, "left_anti").count()
+        n_updated = n_source - n_inserted
+        version = self._commit_rewrite(
+            base, self._write_files(source, n_files), "merge.full"
+        )
+        return {
+            "version": version,
+            "updated": n_updated,
+            "inserted": n_inserted,
+            "deleted": n_deleted,
+            "rows_before": n_target,
+            "rows_after": n_source,
+        }
+
     def merge_mor(
         self, source: DataFrame, keys: list[str], n_files: int | None = None
     ) -> int:
@@ -2879,6 +2916,49 @@ def table_ndv_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+# --- full-sync MERGE (WHEN NOT MATCHED BY SOURCE THEN DELETE) -----------------
+_MF_CUT_LO = "2024-01-08 00:00:00"  # source window start
+_MF_CUT_HI = "2024-01-21 00:00:00"  # target window end (exclusive)
+
+
+def merge_full_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sync-job MERGE: the table holds the first 20 days of events;
+    the incoming extract covers days 8..30. One ``merge_full`` makes the
+    table exactly the extract and reports the accounting — days 8..20
+    UPDATE (matched), 21..30 INSERT (not matched), 1..7 DELETE (not
+    matched BY SOURCE — the clause plain upsert-MERGE lacks, and the
+    reason sync jobs that use upserts leak deleted rows forever). The
+    oracle reproduces every count from the window arithmetic and the
+    post-merge read re-counts the table, so an off-by-one in any of the
+    three branches is caught twice."""
+    ev = load(spark, sf_dir, "events")
+    lo = F.lit(_MF_CUT_LO).cast("timestamp")
+    hi = F.lit(_MF_CUT_HI).cast("timestamp")
+    tbl = make_table(spark, "mergefull_", stats_col="ts")
+    if not hasattr(tbl, "merge_full"):
+        raise NotImplementedError("real-Iceberg backend: MERGE BY SOURCE")
+    tbl.append(ev.filter(F.col("ts") < hi), n_files=4)
+    acct = tbl.merge_full(ev.filter(F.col("ts") >= lo), ["event_id"], n_files=4)
+    n_after = tbl.read().count()
+    n_days = tbl.read().select(
+        F.countDistinct(F.to_date("ts")).alias("d")
+    ).collect()[0]["d"]
+    return spark.createDataFrame(
+        [
+            (
+                acct["updated"],
+                acct["inserted"],
+                acct["deleted"],
+                acct["rows_before"],
+                n_after,
+                int(n_days),
+            )
+        ],
+        "updated long, inserted long, deleted long, rows_before long,"
+        " rows_after long, days_after long",
+    )
+
+
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
 _Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
 _Z_FILES = 8
@@ -3656,6 +3736,7 @@ QUERIES = {
     "column_default_read": column_default_read,
     "row_lineage_report": row_lineage_report,
     "table_ndv_stats_report": table_ndv_stats_report,
+    "merge_full_sync_events": merge_full_sync_events,
 }
 
 
@@ -4339,4 +4420,21 @@ ORACLE["table_ndv_stats_report"] = """
         SELECT 'user_id', CAST(COUNT(DISTINCT user_id) AS BIGINT)
         FROM events
     ) ORDER BY col_name
+"""
+
+ORACLE["merge_full_sync_events"] = f"""
+    SELECT (SELECT COUNT(*) FROM events
+            WHERE ts >= TIMESTAMP '{_MF_CUT_LO}'
+              AND ts < TIMESTAMP '{_MF_CUT_HI}') AS updated,
+           (SELECT COUNT(*) FROM events
+            WHERE ts >= TIMESTAMP '{_MF_CUT_HI}') AS inserted,
+           (SELECT COUNT(*) FROM events
+            WHERE ts < TIMESTAMP '{_MF_CUT_LO}') AS deleted,
+           (SELECT COUNT(*) FROM events
+            WHERE ts < TIMESTAMP '{_MF_CUT_HI}') AS rows_before,
+           (SELECT COUNT(*) FROM events
+            WHERE ts >= TIMESTAMP '{_MF_CUT_LO}') AS rows_after,
+           (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+            FROM events
+            WHERE ts >= TIMESTAMP '{_MF_CUT_LO}') AS days_after
 """

@@ -88,6 +88,14 @@ def _resolve_version(path: str, options) -> int:
         with open(os.path.join(snap_dir, f"v{v}.json")) as fh:
             return json.load(fh)
 
+    if options.get("tag") is not None:
+        # named immutable ref (Iceberg: VERSION AS OF 'tagname' resolves
+        # through the refs table) — written by SnapshotTable.create_tag
+        tp = os.path.join(snap_dir, f"tag-{options['tag']}.json")
+        if not os.path.exists(tp):
+            raise ValueError(f"unknown tag {options['tag']!r}")
+        with open(tp) as fh:
+            return int(json.load(fh)["version"])
     if options.get("version") is not None:
         return int(options["version"])
     if options.get("asof") is not None:

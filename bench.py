@@ -227,6 +227,7 @@ HEADLINE_ADDITIONS = [
     "snowsql_variant_path",      # Snowflake col:key::type through the shim
     "row_lineage_report",        # v3 _row_id: metadata-derived, rewrite-stable
     "table_ndv_stats_report",    # Puffin-role ANALYZE: HLL NDV sidecar + contract
+    "merge_full_sync_events",    # MERGE with NOT MATCHED BY SOURCE DELETE
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -41,6 +41,7 @@ _COVERAGE_NON_ENTRIES = {
     "add_column_default",  # SnapshotTable initial-default method
     "rewrite_preserving_lineage",  # SnapshotTable lineage rewrite method
     "write_column_stats",  # SnapshotTable ANALYZE/Puffin method
+    "merge_full",  # SnapshotTable full-sync MERGE method
     "file_seqs",  # manifest field (sequence numbers)
     "file_specs",  # manifest field (per-file partition-spec lineage)
     "plan_scan_manifests",  # SnapshotTable planning method

@@ -401,3 +401,70 @@ def test_pyds_bloom_pushdown_plan_level(spark, tmp_path):
     )
     r4.pushFilters([EqualTo(("n_chars",), mid_chars)])
     assert len(r4.partitions()) == 8
+
+
+def test_pyds_tag_read(spark, tmp_path):
+    """`option("tag", name)` resolves the immutable named ref through the
+    source API (Iceberg's VERSION AS OF 'tag'): reads pin to the tagged
+    snapshot across later appends; unknown tags fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        SnapshotTable,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources import pyds
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id")
+    t = SnapshotTable(spark, str(tmp_path / "tg"))
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    t.append(half, n_files=2)
+    t.create_tag("training_v1")
+    t.append(ev.filter(F.col("event_id") % 2 == 1), n_files=2)
+
+    pyds.register(spark)
+    tagged = (
+        spark.read.format(pyds.FORMAT_NAME)
+        .option("path", t.path)
+        .option("tag", "training_v1")
+        .load()
+    )
+    assert tagged.count() == half.count()
+    latest = (
+        spark.read.format(pyds.FORMAT_NAME).option("path", t.path).load()
+    )
+    assert latest.count() == ev.count()
+    with pytest.raises(Exception, match="unknown tag"):
+        (
+            spark.read.format(pyds.FORMAT_NAME)
+            .option("path", t.path)
+            .option("tag", "nope")
+            .load()
+            .count()
+        )
+
+
+def test_merge_full_accounting_and_state(spark, tmp_path):
+    """merge_full leaves the table exactly equal to the source and the
+    accounting identities hold: rows_after = updated + inserted,
+    rows_before = updated + deleted."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        SnapshotTable,
+    )
+
+    events = load(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    t = SnapshotTable(spark, str(tmp_path / "mf"))
+    target = events.filter(F.col("event_id") % 3 != 0)
+    source = events.filter(F.col("event_id") % 2 == 0)
+    t.append(target, n_files=2)
+    acct = t.merge_full(source, ["event_id"], n_files=2)
+    assert acct["rows_after"] == acct["updated"] + acct["inserted"]
+    assert acct["rows_before"] == acct["updated"] + acct["deleted"]
+    assert t.read().count() == source.count()
+    # table state IS the source (exceptAll both ways is empty)
+    assert t.read().exceptAll(source).count() == 0
+    assert source.exceptAll(t.read()).count() == 0
+    assert t.history()[-1]["operation"] == "merge.full"
