@@ -645,3 +645,28 @@ def test_ppjoin_no_cartesian_and_bounded_shuffles(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
     assert shuffle_count(df) <= 8, shuffle_count(df)
+
+
+def test_unigram_fertility_broadcast_join(spark):
+    """The fertility rollup joins the bounded (word type → n_pieces)
+    table back onto the occurrence stream as a BROADCAST — a shuffle
+    join here would hash-exchange the full token stream on the word key
+    at 100 TB."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.unigram_fertility_by_lang(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    assert "SortMergeJoin" not in plan, plan[:500]
+
+
+def test_unigram_segment_maponly_dp(spark):
+    """The segmentation histogram plans exactly two aggregations (the
+    distinct-type build and the bounded histogram) around the map-only
+    Arrow DP — no join, no window, no extra exchange."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.unigram_viterbi_segment(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:500]
+    assert "Window" not in plan, plan[:500]
