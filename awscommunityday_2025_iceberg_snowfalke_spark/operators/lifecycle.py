@@ -1555,7 +1555,10 @@ class SnapshotTable:
         At 100 TB the counts are key-projection joins (narrow shuffles on
         the key only); Iceberg's runtime group filtering would scope the
         rewrite — the end state being ``source`` makes the full rewrite
-        exact here."""
+        exact here. Source keys are assumed unique per MERGE semantics
+        (Iceberg/Spark raise on multiple source matches; with duplicate
+        source keys the 'updated' count here would count rows, not
+        keys)."""
         base = self.current_version
         target = self.read(version=base)
         tk = target.select(*keys).distinct()
