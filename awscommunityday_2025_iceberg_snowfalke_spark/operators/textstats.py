@@ -2694,6 +2694,138 @@ def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+UNIGRAM_PRUNE_MAX_WORD = 8  # this fixture's cap (== the corpus max word)
+
+
+def unigram_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kudo's PRUNE step — the half of unigram-LM training the EM loop
+    alone doesn't give you: for every multi-char piece, the corpus-cost
+    LOSS if that piece were removed (all affected word types re-segment
+    through the remaining vocab). SentencePiece iterates exactly this
+    table, dropping the lowest-loss pieces until the vocab budget holds;
+    the report IS one iteration's decision input, with the full-vocab
+    baseline as the '<none>' row (loss 0). All integer: per-variant
+    corpus cost = Σ types cnt · Viterbi-cost, so the oracle replays every
+    leave-one-out DP exactly (17 variant chains + baseline, word cap 8 =
+    this corpus's max — the cap keeps the unrolled SQL bounded).
+
+    Scale: ONE Arrow pass over word TYPES computes all 18 variants' DPs
+    per type (the vocab table is tiny; the pass is |types| × |vocab|
+    integer work, Zipf-bounded); one bounded groupBy(variant) sums. A
+    30 k-piece production vocab prunes in batches with the same
+    one-pass-many-variants shape."""
+    words = _unigram_words(spark, sf_dir).where(
+        F.length("w") <= UNIGRAM_PRUNE_MAX_WORD
+    )
+    multi = [p for p, _ in UNIGRAM_VOCAB if len(p) > 1]
+    variants = {"<none>": dict(UNIGRAM_VOCAB)}
+    for p in multi:
+        variants[p] = {q: c for q, c in UNIGRAM_VOCAB if q != p}
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            names, costs = [], []
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                for name, vocab in variants.items():
+                    t = _unigram_viterbi_weight(w, vocab)
+                    names.append(name)
+                    costs.append(int(cnt) * (t // 256))
+            yield pd.DataFrame({"piece_removed": names, "wcost": costs})
+
+    per = (
+        words.mapInPandas(gen, "piece_removed string, wcost long")
+        .groupBy("piece_removed")
+        .agg(F.sum("wcost").alias("corpus_cost"))
+    )
+    base = F.min(
+        F.when(F.col("piece_removed") == "<none>", F.col("corpus_cost"))
+    )
+    return (
+        per.withColumn("base_cost", base.over(Window.partitionBy()))
+        .select(
+            F.col("piece_removed").alias("piece"),
+            "corpus_cost",
+            (F.col("corpus_cost") - F.col("base_cost")).alias(
+                "loss_if_removed"
+            ),
+        )
+        .orderBy("piece")
+    )
+
+
+def _duck_unigram_prune_oracle() -> str:
+    """18 leave-one-out DP chains over one shared capped word-type
+    relation: chain v0 is the full vocab (the '<none>' baseline), v1..v17
+    each drop one multi-char piece. Bounded: ~31 word types × 8 levels
+    per chain, every CTE MATERIALIZED (DuckDB would otherwise inline each
+    dp reference — the established unigram-oracle discipline)."""
+    multi = [p for p, _ in UNIGRAM_VOCAB if len(p) > 1]
+    variants = [("<none>", list(UNIGRAM_VOCAB))] + [
+        (p, [(q, c) for q, c in UNIGRAM_VOCAB if q != p]) for p in multi
+    ]
+    chains, selects = [], []
+    for vi, (name, vocab) in enumerate(variants):
+        vals = ", ".join(f"('{q}', {c * 256 + 1})" for q, c in vocab)
+        chains.append(f"vc{vi}(p, wt) AS (VALUES {vals})")
+        for i in range(1, UNIGRAM_PRUNE_MAX_WORD + 1):
+            prev = "dp0" if i == 1 else f"d{vi}_{i - 1}"
+            cands = [
+                f"SELECT d.w, d.best + COALESCE(v.wt, {UNIGRAM_UNK_WT})"
+                f" AS cand FROM {prev} d LEFT JOIN vc{vi} v"
+                f" ON v.p = substr(d.w, {i}, 1) WHERE LENGTH(d.w) >= {i}"
+            ]
+            for j in range(2, UNIGRAM_MAX_PIECE + 1):
+                if i >= j:
+                    pj = "dp0" if i == j else f"d{vi}_{i - j}"
+                    cands.append(
+                        f"SELECT d.w, d.best + v.wt AS cand FROM {pj} d"
+                        f" JOIN vc{vi} v"
+                        f" ON v.p = substr(d.w, {i - j + 1}, {j})"
+                        f" WHERE LENGTH(d.w) >= {i}"
+                    )
+            u = " UNION ALL ".join(cands)
+            chains.append(
+                f"d{vi}_{i} AS MATERIALIZED (SELECT w, MIN(cand) AS best"
+                f" FROM ({u}) GROUP BY w)"
+            )
+        fin = " UNION ALL ".join(
+            f"SELECT w, best FROM d{vi}_{i} WHERE LENGTH(w) = {i}"
+            for i in range(1, UNIGRAM_PRUNE_MAX_WORD + 1)
+        )
+        chains.append(
+            f"cost{vi} AS MATERIALIZED (SELECT CAST(SUM(words.cnt *"
+            f" (f.best // 256)) AS BIGINT) AS c FROM words"
+            f" JOIN ({fin}) f ON f.w = words.w)"
+        )
+        selects.append(
+            f"SELECT '{name}' AS piece, (SELECT c FROM cost{vi})"
+            f" AS corpus_cost, (SELECT c FROM cost{vi})"
+            f" - (SELECT c FROM cost0) AS loss_if_removed"
+        )
+    body = ",\n    ".join(chains)
+    union = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH wordsrc AS MATERIALIZED (
+        SELECT unnest(list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wordsrc
+        WHERE LENGTH(w) <= {UNIGRAM_PRUNE_MAX_WORD} GROUP BY w
+    ),
+    dp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS best FROM words),
+    {body}
+    SELECT * FROM (
+    {union}
+    ) ORDER BY piece
+"""
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "bpe_train_merges": bpe_train_merges,
@@ -2736,6 +2868,7 @@ QUERIES = {
     "kneser_ney_bigram_score": kneser_ney_bigram_score,
     "unigram_viterbi_segment": unigram_viterbi_segment,
     "unigram_fertility_by_lang": unigram_fertility_by_lang,
+    "unigram_prune_report": unigram_prune_report,
 }
 
 ORACLE = {
@@ -3774,6 +3907,9 @@ def _duck_unigram_ctes() -> str:
     """
 
 
+
+
+
 ORACLE["unigram_viterbi_segment"] = f"""
     WITH {_duck_unigram_ctes()}
     SELECT n_pieces,
@@ -3792,3 +3928,5 @@ ORACLE["unigram_fertility_by_lang"] = f"""
     FROM wordsrc ws JOIN seg ON seg.w = ws.w
     GROUP BY ws.lang ORDER BY ws.lang
 """
+
+ORACLE["unigram_prune_report"] = _duck_unigram_prune_oracle()

@@ -228,6 +228,7 @@ HEADLINE_ADDITIONS = [
     "row_lineage_report",        # v3 _row_id: metadata-derived, rewrite-stable
     "table_ndv_stats_report",    # Puffin-role ANALYZE: HLL NDV sidecar + contract
     "merge_full_sync_events",    # MERGE with NOT MATCHED BY SOURCE DELETE
+    "unigram_prune_report",      # Kudo prune: 18 leave-one-out DPs, one pass
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -1891,3 +1891,42 @@ def test_unigram_segment_histogram_consistency(spark):
     # per-word piece counts are ≥1 and ≤ word cap
     assert all(1 <= r["n_pieces"] <= 16 for r in hist)
     assert all(r["fertility"] >= 1.0 for r in fert)
+
+
+def test_unigram_prune_losses_nonnegative_and_attributable(spark):
+    """Prune-table invariants: the baseline row has loss 0, every
+    leave-one-out loss is >= 0 (removing a piece can never IMPROVE the
+    optimal segmentation), and removing a piece the Viterbi never uses
+    costs exactly 0 — cross-checked against a Python leave-one-out
+    replay on the distinct word types."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        UNIGRAM_PRUNE_MAX_WORD,
+        UNIGRAM_VOCAB,
+        _unigram_viterbi_weight,
+        _unigram_words,
+        unigram_prune_report,
+    )
+
+    rows = {r["piece"]: r for r in unigram_prune_report(spark, SF_DIR).collect()}
+    assert rows["<none>"]["loss_if_removed"] == 0
+    assert all(r["loss_if_removed"] >= 0 for r in rows.values())
+    words = [
+        (r["w"], r["cnt"])
+        for r in _unigram_words(spark, SF_DIR)
+        .where(f"length(w) <= {UNIGRAM_PRUNE_MAX_WORD}")
+        .collect()
+    ]
+    full = dict(UNIGRAM_VOCAB)
+    for piece, r in rows.items():
+        if piece == "<none>":
+            continue
+        vocab = {q: c for q, c in UNIGRAM_VOCAB if q != piece}
+        want = sum(
+            cnt * (_unigram_viterbi_weight(w, vocab) // 256)
+            for w, cnt in words
+        )
+        assert r["corpus_cost"] == want, piece
+    base = sum(
+        cnt * (_unigram_viterbi_weight(w, full) // 256) for w, cnt in words
+    )
+    assert rows["<none>"]["corpus_cost"] == base

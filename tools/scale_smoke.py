@@ -158,6 +158,7 @@ DOC_QUERIES = [
     "pyds_bloom_point_scan",     # source-API point lookups, sidecar-pruned
     "unigram_viterbi_segment",   # per-TYPE integer DP + bounded histogram
     "unigram_fertility_by_lang", # type-DP + broadcast join onto occurrences
+    "unigram_prune_report",      # 18-variant leave-one-out DP, one Arrow pass
 ]
 
 
