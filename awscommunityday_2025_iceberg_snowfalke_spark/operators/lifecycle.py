@@ -2962,6 +2962,42 @@ def merge_full_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- snapshot expiry under refs (T6 as driver evidence) -----------------------
+def snapshot_expiry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``expire_snapshots`` end-to-end, REF-AWARE: four quarter-appends
+    build v1..v4, a TAG pins v2 (the 'what did the Q2 model train on'
+    audit ref), then expiry with keep_last=2 runs. Exactly v1 must
+    expire: v3/v4 are the retention window, v2 survives ONLY because the
+    tag pins it — the rule that makes tags safe audit anchors under
+    routine GC (Iceberg's ``expire_snapshots`` honors refs the same
+    way). The report pins snapshot counts before/after, the expired
+    count, the tag read's row count (time travel to the pinned state
+    must still work AFTER expiry), and the current row count.
+
+    Scale: expiry is metadata-only bookkeeping plus unreferenced-file
+    deletes; the 100 TB point is what it does NOT do — never touches
+    live data files, never blocks writers (snapshot isolation)."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "expiry_", stats_col="ts")
+    if not hasattr(tbl, "expire_snapshots"):
+        raise NotImplementedError("real-Iceberg backend: expire_snapshots")
+    for q in range(4):
+        tbl.append(ev.filter(F.col("event_id") % 4 == q), n_files=2)
+    n_before = len(tbl.history())
+    tbl.create_tag("audit_q2", version=2)
+    expired = tbl.expire_snapshots(keep_last=2)
+    rows = [
+        ("current_rows", tbl.read().count()),
+        ("expired_snapshots", len(expired)),
+        ("snapshots_after", len(tbl.history())),
+        ("snapshots_before", n_before),
+        ("tag_rows", tbl.read_tag("audit_q2").count()),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long").orderBy(
+        "metric"
+    )
+
+
 # --- true z-order clustering (bit-interleaved, 2-D skipping) -----------------
 _Z_NBITS = 4  # 4 bits per dimension → 8-bit z-key
 _Z_FILES = 8
@@ -3740,6 +3776,7 @@ QUERIES = {
     "row_lineage_report": row_lineage_report,
     "table_ndv_stats_report": table_ndv_stats_report,
     "merge_full_sync_events": merge_full_sync_events,
+    "snapshot_expiry_report": snapshot_expiry_report,
 }
 
 
@@ -4440,4 +4477,17 @@ ORACLE["merge_full_sync_events"] = f"""
            (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
             FROM events
             WHERE ts >= TIMESTAMP '{_MF_CUT_LO}') AS days_after
+"""
+
+# v1 expires (outside keep_last=2, not pinned); v2 survives via the tag,
+# whose read must still see quarters 0+1 after GC
+ORACLE["snapshot_expiry_report"] = """
+    SELECT 'current_rows' AS metric,
+           (SELECT COUNT(*) FROM events) AS value
+    UNION ALL SELECT 'expired_snapshots', 1
+    UNION ALL SELECT 'snapshots_after', 3
+    UNION ALL SELECT 'snapshots_before', 4
+    UNION ALL SELECT 'tag_rows',
+        (SELECT COUNT(*) FROM events WHERE event_id % 4 IN (0, 1))
+    ORDER BY metric
 """

@@ -229,6 +229,7 @@ HEADLINE_ADDITIONS = [
     "table_ndv_stats_report",    # Puffin-role ANALYZE: HLL NDV sidecar + contract
     "merge_full_sync_events",    # MERGE with NOT MATCHED BY SOURCE DELETE
     "unigram_prune_report",      # Kudo prune: 18 leave-one-out DPs, one pass
+    "snapshot_expiry_report",    # ref-aware expire_snapshots as driver evidence
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -42,6 +42,7 @@ _COVERAGE_NON_ENTRIES = {
     "rewrite_preserving_lineage",  # SnapshotTable lineage rewrite method
     "write_column_stats",  # SnapshotTable ANALYZE/Puffin method
     "merge_full",  # SnapshotTable full-sync MERGE method
+    "expire_snapshots",  # SnapshotTable T6 method
     "file_seqs",  # manifest field (sequence numbers)
     "file_specs",  # manifest field (per-file partition-spec lineage)
     "plan_scan_manifests",  # SnapshotTable planning method
