@@ -2826,6 +2826,533 @@ def _duck_unigram_prune_oracle() -> str:
 """
 
 
+# --- WordPiece tokenizer family (Schuster & Nakajima 2012; Wu et al. 2016) --
+# The THIRD production subword family next to BPE (merge-frequency) and
+# unigram-LM (Viterbi): WordPiece trains with BPE's merge LOOP but ranks
+# candidate pairs by the LIKELIHOOD score freq(ab)/(freq(a)·freq(b)) —
+# the merge that most increases corpus likelihood under a unigram model
+# (the HuggingFace-tokenizers training rule) — and encodes with greedy
+# longest-match-first over a vocab whose continuation pieces carry the
+# '##' prefix (BERT's vocab format).
+WP_TRAIN_ROUNDS = 16
+# The likelihood score is a RATIONAL cnt/(fa·fb); ranking doubles across
+# engines is the r7 driver-red class, so the FROZEN SPEC is the exact
+# integer quantization floor(cnt·10¹⁸/(fa·fb)) with (a, b) lexical
+# tiebreak — both engines compute the identical integer (Spark in
+# DECIMAL(38,0) via the exact floor-division device, DuckDB in HUGEINT),
+# so the argmax can never drift (the QC_BAND_CUTS micro-unit precedent).
+WP_SCORE_SCALE = 10**18
+
+
+def _wp_init_arr(w):
+    """Initial WordPiece symbolization of a word column: first char
+    plain, every later char '##'-prefixed (['h','##e','##l','##l','##o'])."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.when(i == 1, w.substr(i, F.lit(1))).otherwise(
+            F.concat(F.lit("##"), w.substr(i, F.lit(1)))
+        ),
+    )
+
+
+def _wp_fold(arr, a: str, b: str, merged: str):
+    """Tokenwise greedy application of one WordPiece merge (a, b) →
+    ``merged``: the exact left-to-right semantics of ``_bpe_train``'s
+    fold (incl. a == b over runs, reachable here for continuation
+    symbols like ('##l','##l')), emitting the '##'-folded merged symbol
+    instead of plain concatenation."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+        F.lit("").alias("prev"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                (acc["prev"] == la) & (x == lb),
+                F.struct(
+                    F.concat(acc["out"], F.array(lm)).alias("out"),
+                    F.lit("").alias("prev"),
+                ),
+            )
+            .when(
+                acc["prev"] == F.lit(""),
+                F.struct(acc["out"].alias("out"), x.alias("prev")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"] == F.lit(""), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(arr, init, step, finish)
+
+
+def _wp_merged_symbol(a: str, b: str) -> str:
+    """BERT vocab algebra: merged = a + b-without-its-'##' (the merged
+    piece inherits a's word-position class)."""
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def _wp_train(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> list[tuple]:
+    """WordPiece trainer loop: per round, corpus-wide adjacent-pair
+    counts AND per-symbol frequencies over the current tokenization of
+    the distinct-word relation; argmax of the exact quantized likelihood
+    score; apply the merge via the greedy fold; repeat.
+
+    Scale shape: identical to ``_bpe_train`` (reference
+    run_performance_tests.py has no tokenizer — public Sennrich/Wu
+    semantics) — ONE corpus pass builds the Heaps-sublinear (word, freq)
+    dictionary; each round is two bounded map-side-combinable aggs (pair
+    counts, symbol counts) + a broadcast join of the ≤|symbols|-row
+    frequency table onto the ≤|pairs|-row count table + a LIMIT-1 argmax
+    (TakeOrderedAndProject); per-round driver traffic is ONE row."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    wf = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        arr = _wp_init_arr(F.col("w"))
+        merges: list[tuple] = []
+        for _ in range(rounds):
+            pair = F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("a"),
+                        F.element_at(arr, i + 1).alias("b"),
+                    ),
+                )
+            )
+            pairs = (
+                wf.filter(F.size(arr) >= 2)
+                .select("freq", pair.alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            syms = (
+                wf.select("freq", F.explode(arr).alias("s"))
+                .groupBy("s")
+                .agg(F.sum("freq").alias("f"))
+            )
+            fa = syms.select(F.col("s").alias("a"), F.col("f").alias("fa"))
+            fb = syms.select(F.col("s").alias("b"), F.col("f").alias("fb"))
+            big = F.col("cnt").cast("decimal(20,0)") * F.lit(
+                WP_SCORE_SCALE
+            ).cast("decimal(19,0)")
+            den = F.col("fa").cast("decimal(19,0)") * F.col("fb").cast(
+                "decimal(19,0)"
+            )
+            # exact integer floor division (the _qc_weights device):
+            # subtract the exact remainder so the engine divides an
+            # exactly-representable integer
+            score18 = (((big - big % den) / den)).cast("long")
+            best = (
+                pairs.join(F.broadcast(fa), "a")
+                .join(F.broadcast(fb), "b")
+                .select("a", "b", "cnt", "fa", "fb", score18.alias("score18"))
+                .orderBy(F.col("score18").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            r = best[0]
+            a, b = r["a"], r["b"]
+            merged = _wp_merged_symbol(a, b)
+            merges.append(
+                (
+                    len(merges) + 1,
+                    a,
+                    b,
+                    merged,
+                    int(r["cnt"]),
+                    int(r["fa"]),
+                    int(r["fb"]),
+                    int(r["score18"]),
+                )
+            )
+            arr = _wp_fold(arr, a, b, merged)
+    finally:
+        wf.unpersist()
+    return merges
+
+
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING — ``WP_TRAIN_ROUNDS`` likelihood-
+    scored merge rounds (see the family note above). Output: the bounded
+    merge table with the full audit trail per round — the pair, its
+    count, BOTH symbol frequencies, and the exact quantized score — so
+    the oracle re-derives every argmax from first principles; a single
+    wrong pair count, symbol frequency, or fold anywhere changes some
+    round's winner and the tables diverge.
+
+    Trained at sf0.01 this equals ``WORDPIECE_MERGES`` exactly
+    (test-pinned, the ``BPE_MERGES`` convention)."""
+    merges = _wp_train(spark, sf_dir, WP_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, a string, b string, merged string, "
+        "pair_count bigint, freq_a bigint, freq_b bigint, score18 bigint",
+    )
+
+
+def _duck_wp_train_oracle(rounds: int = WP_TRAIN_ROUNDS) -> str:
+    """DuckDB twin of ``wordpiece_train_merges``: the N-round trainer
+    unrolled into MATERIALIZED CTEs — per round (symbol frequencies,
+    pair counts, HUGEINT-exact quantized-score argmax, tokenwise fold),
+    generated from the SAME round count and score scale so the engines
+    can never drift. The fold reuses ``_duck_bpe_train_oracle``'s
+    '<out>|<prev>' list_reduce accumulator, emitting m.merged."""
+    fold = (
+        "list_filter(string_split(replace("
+        "list_reduce(['|'] || arr, (acc, x) -> "
+        "CASE WHEN split_part(acc, '|', 2) = m.a AND x = m.b "
+        "THEN split_part(acc, '|', 1) || m.merged || ' |' "
+        "WHEN split_part(acc, '|', 2) = '' "
+        "THEN split_part(acc, '|', 1) || '|' || x "
+        "ELSE split_part(acc, '|', 1) || split_part(acc, '|', 2) "
+        "|| ' |' || x END"
+        "), '|', ''), ' '), t -> t <> '')"
+    )
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+        SELECT list_transform(range(1, length(w) + 1),
+                   i -> CASE WHEN i = 1
+                             THEN substring(w, CAST(i AS INT), 1)
+                             ELSE '##' || substring(w, CAST(i AS INT), 1)
+                        END) AS arr,
+               COUNT(*) AS freq
+        FROM (
+            SELECT unnest(list_filter(string_split(
+                regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                w -> w <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    )"""
+    ]
+    for k in range(rounds):
+        parts.append(f""",
+    sym{k} AS MATERIALIZED (
+        SELECT s, SUM(freq) AS f FROM (
+            SELECT unnest(arr) AS s, freq FROM w{k}
+        ) GROUP BY s
+    ),
+    p{k} AS MATERIALIZED (
+        SELECT u.a AS a, u.b AS b, SUM(freq) AS cnt FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(arr)),
+                          i -> {{'a': arr[CAST(i AS INT)],
+                                 'b': arr[CAST(i AS INT) + 1]}})) AS u
+            FROM w{k}
+            WHERE len(arr) >= 2
+        ) GROUP BY u.a, u.b
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT p.a AS a, p.b AS b,
+               p.a || CASE WHEN p.b LIKE '##%' THEN substring(p.b, 3)
+                           ELSE p.b END AS merged,
+               p.cnt AS cnt, sa.f AS fa, sb.f AS fb,
+               CAST((CAST(p.cnt AS HUGEINT) * {WP_SCORE_SCALE})
+                    // (CAST(sa.f AS HUGEINT) * CAST(sb.f AS HUGEINT))
+                    AS BIGINT) AS score18
+        FROM p{k} p
+        JOIN sym{k} sa ON sa.s = p.a
+        JOIN sym{k} sb ON sb.s = p.b
+        ORDER BY score18 DESC, p.a, p.b LIMIT 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+        SELECT {fold} AS arr, freq
+        FROM w{k}, (SELECT a, b, merged FROM r{k}) m
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k + 1} AS merge_rank, a, b, merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count, CAST(fa AS BIGINT) AS freq_a, "
+        f"CAST(fb AS BIGINT) AS freq_b, score18 FROM r{k}"
+        for k in range(rounds)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+# Frozen release artifact: `_wp_train(spark, sf0.01, 16)`'s own output
+# (test-pinned to the trainer, the BPE_MERGES convention). Note the
+# family signature vs BPE_MERGES: the likelihood score surfaces
+# low-frequency-but-EXCLUSIVE pairs first ('q ##u' — every q is followed
+# by u — then 'wi ##n ##d'), where BPE's count argmax starts at the
+# globally most frequent pair regardless of exclusivity.
+WORDPIECE_MERGES = (
+    (1, "q", "##u", "qu", 871, 871, 4540, 220264317180616),
+    (2, "l", "##i", "li", 910, 910, 4569, 218866272707375),
+    (3, "w", "##i", "wi", 886, 886, 3659, 273298715496037),
+    (4, "li", "##n", "lin", 910, 910, 4630, 215982721382289),
+    (5, "wi", "##n", "win", 886, 886, 3720, 268817204301075),
+    (6, "win", "##d", "wind", 886, 886, 1798, 556173526140155),
+    (7, "f", "##i", "fi", 933, 1787, 2773, 188281314482061),
+    (8, "b", "##i", "bi", 876, 1813, 1840, 262596225329144),
+    (9, "##i", "##n", "##in", 964, 964, 2834, 352858151023288),
+    (10, "bi", "##g", "big", 876, 876, 3596, 278086763070077),
+    (11, "a", "##g", "ag", 901, 1781, 2720, 185991016282987),
+    (12, "ag", "##g", "agg", 901, 901, 1819, 549752611324903),
+    (13, "t", "##h", "th", 840, 1748, 2724, 176413068680127),
+    (14, "##s", "##h", "##sh", 947, 2735, 1884, 183785714008469),
+    (15, "##c", "##h", "##ch", 937, 2785, 937, 359066427289048),
+    (16, "##b", "##l", "##bl", 908, 908, 6446, 155134967421656),
+)
+
+_WP_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _wp_vocab_sets() -> tuple[frozenset, frozenset, int]:
+    """(initial pieces, continuation pieces WITHOUT their '##', max piece
+    length) under the frozen artifact — BERT's vocab = every single char
+    in both positions (so [a-z] words never hit UNK) plus every merge
+    product in its own position class."""
+    init, cont = set(_WP_AZ), set(_WP_AZ)
+    for _, _, _, merged, *_ in WORDPIECE_MERGES:
+        if merged.startswith("##"):
+            cont.add(merged[2:])
+        else:
+            init.add(merged)
+    lmax = max(len(p) for p in init | cont)
+    return frozenset(init), frozenset(cont), lmax
+
+
+def _wp_segmented(spark: SparkSession, words: DataFrame) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation of every word
+    type under the frozen vocab (BERT's exact inference rule: at each
+    position take the LONGEST vocab piece — '##'-classed after position
+    0 — and advance; single chars are always present so [a-z] input
+    never UNKs). Arrow-batched ``mapInPandas`` over the distinct-type
+    relation, vocab riding the closure — map-only, zero exchanges (the
+    ``_unigram_segmented`` shape)."""
+    init, cont, lmax = _wp_vocab_sets()
+
+    def n_pieces(w: str) -> int:
+        pos, n, ln = 0, 0, len(w)
+        while pos < ln:
+            cand = init if pos == 0 else cont
+            l = min(lmax, ln - pos)
+            while l > 1 and w[pos : pos + l] not in cand:
+                l -= 1
+            pos += l
+            n += 1
+        return n
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ws = pdf["w"].tolist()
+            yield pd.DataFrame(
+                {
+                    "w": ws,
+                    "cnt": pdf["cnt"].astype("int64"),
+                    "n_pieces": [n_pieces(w) for w in ws],
+                }
+            )
+
+    return words.mapInPandas(gen, "w string, cnt long, n_pieces int")
+
+
+def wordpiece_encode_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every word type with the frozen WordPiece vocab (greedy
+    longest-match-first) and report the piece-count histogram: per
+    bucket, the word types, weighted occurrences, and occurrence-weighted
+    character mass. The oracle replays the identical greedy automaton as
+    an unrolled 16-step CTE chain over the same capped distinct-type
+    relation — one wrong longest-match decision anywhere moves a type
+    across buckets.
+
+    Scale: the :func:`unigram_viterbi_segment` shape — one map-only
+    Arrow pass over word TYPES (Zipf-bounded) + one bounded groupBy; the
+    vocab is a closure/broadcast artifact."""
+    words = _unigram_words(spark, sf_dir)
+    seg = _wp_segmented(spark, words)
+    return (
+        seg.groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_word_types"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.sum(F.col("cnt") * F.length("w")).alias("total_chars"),
+        )
+        .orderBy("n_pieces")
+    )
+
+
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKENIZER-CHOICE table a release publishes: per-language
+    fertility (pieces per word) for all three production families — BPE
+    (frozen 64-merge artifact), unigram-LM (frozen Viterbi vocab), and
+    WordPiece (frozen 16-merge vocab) — over ONE shared normalized word
+    stream (the unigram [a-z] stream, capped at ``UNIGRAM_MAX_WORD``
+    chars), so the rows are apples-to-apples: ``n_words`` is identical
+    across families by construction and only ``n_pieces`` moves. This is
+    the cross-family certification `bpe_fertility_report` /
+    `unigram_fertility_by_lang` each give singly (Ács 2019's comparison
+    tables).
+
+    Scale: all three segmenters run once over the DISTINCT-type relation
+    (BPE as pure codegen string folds, unigram and WordPiece as map-only
+    Arrow passes), joined into one bounded type table that broadcasts
+    onto the occurrence stream; one map-side-combinable agg to ≤|langs|
+    rows, exploded to long format driver-free."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    wlist = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    occ = docs.select("lang", F.explode(wlist).alias("w")).where(
+        F.length("w") <= UNIGRAM_MAX_WORD
+    )
+    words = _unigram_words(spark, sf_dir)
+    n_bpe = F.size(F.split(F.trim(_bpe_sym(F.col("w"), BPE_MERGES_64)), " "))
+    bpe = words.select("w", n_bpe.alias("n_bpe"))
+    uni = _unigram_segmented(spark, words, UNIGRAM_VOCAB).select(
+        "w", F.col("n_pieces").alias("n_uni")
+    )
+    wp = _wp_segmented(spark, words).select(
+        "w", F.col("n_pieces").alias("n_wp")
+    )
+    seg = bpe.join(uni, "w").join(wp, "w")
+    per = (
+        occ.join(F.broadcast(seg), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").alias("nb"),
+            F.sum("n_uni").alias("nu"),
+            F.sum("n_wp").alias("nw"),
+        )
+    )
+    fam = F.explode(
+        F.array(
+            F.struct(
+                F.lit("bpe").alias("family"), F.col("nb").alias("n_pieces")
+            ),
+            F.struct(
+                F.lit("unigram").alias("family"), F.col("nu").alias("n_pieces")
+            ),
+            F.struct(
+                F.lit("wordpiece").alias("family"),
+                F.col("nw").alias("n_pieces"),
+            ),
+        )
+    )
+    return (
+        per.select("lang", "n_words", fam.alias("f"))
+        .select(
+            F.col("f.family").alias("family"),
+            "lang",
+            "n_words",
+            F.col("f.n_pieces").alias("n_pieces"),
+            _ratio6(F.col("f.n_pieces"), F.col("n_words")).alias("fertility"),
+        )
+        .orderBy("family", "lang")
+    )
+
+
+def _duck_wp_greedy_ctes(with_words: bool = True) -> str:
+    """The frozen-vocab greedy automaton as SQL: an unrolled 16-step
+    MATERIALIZED CTE chain over the capped distinct-word-type relation —
+    step i advances (pos, n) by the longest vocab match at pos, with the
+    '##'-class branch generated from the SAME frozen sets as the Python
+    kernel so the engines can never drift. Ends in ``wpseg``
+    (w, cnt, n_pieces)."""
+    init, cont, _ = _wp_vocab_sets()
+
+    def by_len(pieces) -> dict[int, list[str]]:
+        d: dict[int, list[str]] = {}
+        for p in pieces:
+            if len(p) > 1:
+                d.setdefault(len(p), []).append(p)
+        return d
+
+    def case(d: dict[int, list[str]]) -> str:
+        br = []
+        for l in sorted(d, reverse=True):
+            lits = ", ".join(f"'{p}'" for p in sorted(d[l]))
+            br.append(
+                f"WHEN list_contains([{lits}], substring(w, pos, {l})) "
+                f"THEN {l}"
+            )
+        return "CASE " + " ".join(br) + " ELSE 1 END"
+
+    init_case, cont_case = case(by_len(init)), case(by_len(cont))
+    steps = [
+        "wp0 AS MATERIALIZED (SELECT w, cnt, CAST(1 AS INT) AS pos, "
+        "CAST(0 AS INT) AS n FROM words)"
+    ]
+    for i in range(1, UNIGRAM_MAX_WORD + 1):
+        steps.append(f"""wp{i} AS MATERIALIZED (
+        SELECT w, cnt,
+               CASE WHEN pos > length(w) THEN pos
+                    ELSE pos + ml END AS pos,
+               CASE WHEN pos > length(w) THEN n ELSE n + 1 END AS n
+        FROM (SELECT w, cnt, pos, n,
+                     CASE WHEN pos = 1 THEN {init_case}
+                          ELSE {cont_case} END AS ml
+              FROM wp{i - 1})
+    )""")
+    steps.append(
+        f"wpseg AS MATERIALIZED (SELECT w, cnt, n AS n_pieces "
+        f"FROM wp{UNIGRAM_MAX_WORD})"
+    )
+    chain = ",\n    ".join(steps)
+    if not with_words:
+        return chain
+    return f"""wordsrc AS MATERIALIZED (
+        SELECT lang, unnest(list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wordsrc
+        WHERE LENGTH(w) <= {UNIGRAM_MAX_WORD} GROUP BY w
+    ),
+    {chain}"""
+
+
+def _duck_bpe_word_levels(merges: tuple, prefix: str = "bl") -> str:
+    """Per-word-TYPE twin of ``_duck_bpe_encode_report``'s chunked
+    device: 8-merge CTE levels over the ``words`` relation (the 128
+    nested replaces of a 64-merge chain exceed DuckDB's binder depth
+    inline). Ends in ``bseg`` (w, cnt, n_bpe)."""
+    chunks = [merges[i : i + 8] for i in range(0, len(merges), 8)]
+    lvls = [
+        f"{prefix}0 AS MATERIALIZED (SELECT w, cnt, "
+        r"(' ' || regexp_replace(w, '(.)', '\1 ', 'g')) AS s FROM words)"
+    ]
+    for idx, ch in enumerate(chunks):
+        e = "s"
+        for a, b in ch:
+            pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+            e = f"replace(replace({e}, {pat}, {rep}), {pat}, {rep})"
+        lvls.append(
+            f"{prefix}{idx + 1} AS MATERIALIZED "
+            f"(SELECT w, cnt, {e} AS s FROM {prefix}{idx})"
+        )
+    lvls.append(
+        f"bseg AS MATERIALIZED (SELECT w, cnt, "
+        f"len(string_split(trim(s), ' ')) AS n_bpe "
+        f"FROM {prefix}{len(chunks)})"
+    )
+    return ",\n    ".join(lvls)
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "bpe_train_merges": bpe_train_merges,
@@ -2869,6 +3396,9 @@ QUERIES = {
     "unigram_viterbi_segment": unigram_viterbi_segment,
     "unigram_fertility_by_lang": unigram_fertility_by_lang,
     "unigram_prune_report": unigram_prune_report,
+    "wordpiece_train_merges": wordpiece_train_merges,
+    "wordpiece_encode_greedy": wordpiece_encode_greedy,
+    "tokenizer_fertility_compare": tokenizer_fertility_compare,
 }
 
 ORACLE = {
@@ -3930,3 +4460,45 @@ ORACLE["unigram_fertility_by_lang"] = f"""
 """
 
 ORACLE["unigram_prune_report"] = _duck_unigram_prune_oracle()
+
+ORACLE["wordpiece_train_merges"] = _duck_wp_train_oracle()
+
+ORACLE["wordpiece_encode_greedy"] = f"""
+    WITH {_duck_wp_greedy_ctes()}
+    SELECT n_pieces,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           CAST(SUM(cnt * length(w)) AS BIGINT) AS total_chars
+    FROM wpseg GROUP BY n_pieces ORDER BY n_pieces
+"""
+
+# Compare oracle: ONE shared word stream (the unigram CTEs' wordsrc /
+# words), three independent segmenter chains (BPE 8-merge levels,
+# unigram DP, WordPiece greedy), one per-lang agg, stacked long.
+ORACLE["tokenizer_fertility_compare"] = f"""
+    WITH {_duck_unigram_ctes()},
+    {_duck_wp_greedy_ctes(with_words=False)},
+    {_duck_bpe_word_levels(BPE_MERGES_64)},
+    agg AS (
+        SELECT ws.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(b.n_bpe) AS BIGINT) AS nb,
+               CAST(SUM(seg.n_pieces) AS BIGINT) AS nu,
+               CAST(SUM(wpseg.n_pieces) AS BIGINT) AS nw
+        FROM wordsrc ws
+        JOIN bseg b ON b.w = ws.w
+        JOIN seg ON seg.w = ws.w
+        JOIN wpseg ON wpseg.w = ws.w
+        GROUP BY ws.lang
+    )
+    SELECT * FROM (
+        SELECT 'bpe' AS family, lang, n_words, nb AS n_pieces,
+               {_duck_ratio6("nb", "n_words")} AS fertility FROM agg
+        UNION ALL
+        SELECT 'unigram', lang, n_words, nu,
+               {_duck_ratio6("nu", "n_words")} FROM agg
+        UNION ALL
+        SELECT 'wordpiece', lang, n_words, nw,
+               {_duck_ratio6("nw", "n_words")} FROM agg
+    ) ORDER BY family, lang
+"""

@@ -230,6 +230,9 @@ HEADLINE_ADDITIONS = [
     "merge_full_sync_events",    # MERGE with NOT MATCHED BY SOURCE DELETE
     "unigram_prune_report",      # Kudo prune: 18 leave-one-out DPs, one pass
     "snapshot_expiry_report",    # ref-aware expire_snapshots as driver evidence
+    "wordpiece_train_merges",    # likelihood-scored merge trainer (3rd family)
+    "wordpiece_encode_greedy",   # BERT greedy longest-match under frozen vocab
+    "tokenizer_fertility_compare",  # BPE vs unigram vs WordPiece, one stream
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS
