@@ -2962,6 +2962,65 @@ def merge_full_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- the `.partitions` metadata table ----------------------------------------
+def partitions_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``<tbl>.partitions`` METADATA TABLE (the summary next to
+    T10's ``.files``; reference aws-community-builders-presentation.md:180-188
+    leans on exactly this stats layer): per-partition file count, row
+    count, value bounds, and null accounting answered from MANIFEST
+    COLUMN STATS ALONE — zero data pages read. This is how a 100 TB
+    table answers "how big is each partition / where does a partition's
+    value range sit" instantly: the rollup touches |files| manifest
+    entries, not rows.
+
+    Layout fixture: events land day-partitioned with TWO files per day
+    (user-parity sub-chunks) via ``_write_chunked``'s one-job fanout
+    write + single ingest commit; per-file stats then prove alignment
+    (each file's ts bounds share one UTC date — asserted, so a straddling
+    file fails loudly rather than mis-attributing rows). Every output
+    column is recomputed by the oracle from the raw rows — n_files
+    included, which the parity construction makes oracle-expressible as
+    ``COUNT(DISTINCT user_id % 2)`` — so one mis-attributed file, lost
+    row, or wrong footer bound breaks the compare.
+
+    Scale: the report aggregates driver-side over the BOUNDED file
+    inventory (file count, not row count — the manifest_lifecycle_report
+    convention); at real scale the same rollup is a groupBy over the
+    manifest-entries relation, still never touching data."""
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(
+        spark, "partsmeta_", stats_col="ts", stats_cols=("ts", "value")
+    )
+    chunk = F.expr(
+        "datediff(CAST(ts AS DATE), DATE '2024-01-01') * 2"
+        " + pmod(user_id, 2)"
+    )
+    _write_chunked(tbl, ev.withColumn("_c", chunk))
+
+    ts_st = {d["file"]: d for d in tbl.file_stats("ts")}
+    val_st = {d["file"]: d for d in tbl.file_stats("value")}
+    agg: dict = {}
+    for f, st in ts_st.items():
+        d_lo, d_hi = st["min"].date(), st["max"].date()
+        if d_lo != d_hi:
+            raise ValueError(
+                f"file {f} straddles partition days {d_lo}..{d_hi}"
+            )
+        v = val_st[f]
+        a = agg.setdefault(d_lo, [0, 0, None, None, 0])
+        a[0] += 1
+        a[1] += st["rows"]
+        a[2] = v["min"] if a[2] is None else min(a[2], v["min"])
+        a[3] = v["max"] if a[3] is None else max(a[3], v["max"])
+        a[4] += v["null_count"]
+    rows = [(d.isoformat(), *a) for d, a in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows,
+        "partition_day string, n_files int, row_count long,"
+        " value_min double, value_max double, null_values long",
+    )
+
+
 # --- snapshot expiry under refs (T6 as driver evidence) -----------------------
 def snapshot_expiry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``expire_snapshots`` end-to-end, REF-AWARE: four quarter-appends
@@ -3777,6 +3836,7 @@ QUERIES = {
     "table_ndv_stats_report": table_ndv_stats_report,
     "merge_full_sync_events": merge_full_sync_events,
     "snapshot_expiry_report": snapshot_expiry_report,
+    "partitions_metadata_report": partitions_metadata_report,
 }
 
 
@@ -4490,4 +4550,17 @@ ORACLE["snapshot_expiry_report"] = """
     UNION ALL SELECT 'tag_rows',
         (SELECT COUNT(*) FROM events WHERE event_id % 4 IN (0, 1))
     ORDER BY metric
+"""
+
+# `.partitions` from manifest stats vs the raw rows: the parity
+# sub-chunk layout makes even n_files recomputable from data
+ORACLE["partitions_metadata_report"] = """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS partition_day,
+           CAST(COUNT(DISTINCT user_id % 2) AS INT) AS n_files,
+           COUNT(*) AS row_count,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_values
+    FROM events
+    GROUP BY 1 ORDER BY 1
 """

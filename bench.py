@@ -233,6 +233,7 @@ HEADLINE_ADDITIONS = [
     "wordpiece_train_merges",    # likelihood-scored merge trainer (3rd family)
     "wordpiece_encode_greedy",   # BERT greedy longest-match under frozen vocab
     "tokenizer_fertility_compare",  # BPE vs unigram vs WordPiece, one stream
+    "partitions_metadata_report",   # .partitions from manifest stats only
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

