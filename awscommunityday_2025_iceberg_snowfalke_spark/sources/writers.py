@@ -190,11 +190,84 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic adversarial rows (the text_redact_pii injection
+# precedent): the corpus text is [ -~]-clean, so JSONL's escaping layer
+# (\n, \t, \", \\, non-ASCII) would otherwise go uncertified. Injected
+# on the Spark side AND re-stated as literals in the oracle, both
+# generated from this one tuple.
+JSONL_ADVERSARIAL = (
+    (-1, "line one\nline two\n\ttabbed end", "xx", "inject"),
+    (-2, 'quote " backslash \\ slash / end', "xx", "inject"),
+    (-3, "unicode é 漢字 \U0001f389 end", "xx", "inject"),
+)
+
+
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LINES interchange round-trip — the format every corpus
+    release actually ships (C4, The Pile, Dolma, RedPajama are JSONL):
+    documents + injected escape-adversarial rows → ``.write.json`` →
+    re-read with the EXPLICIT schema → per-language fidelity aggregate
+    (doc/distinct-text counts, code-point length sums, id sums). A
+    single mangled escape, lost line, or mis-typed field breaks the
+    compare; the injected rows force the escaper through newline, tab,
+    quote, backslash, and non-BMP unicode.
+
+    Scale: JSONL is line-splittable, so the read parallelizes like any
+    text source; the explicit schema matters at 100 TB — omitting it
+    costs a FULL extra inference pass over the corpus before the real
+    scan (and silently widens types on dirty rows). Uncompressed/zstd
+    files stay splittable; a gzip JSONL drop does not — one task per
+    file (why releases shard to many files)."""
+    import tempfile
+
+    from .registry import load
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = load(spark, sf_dir, "documents").select(*cols)
+    adv = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in JSONL_ADVERSARIAL],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = tempfile.mkdtemp(prefix="docs_jsonl_")
+    docs.unionByName(adv).write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _jsonl_adversarial_values() -> str:
+    """The injected rows as DuckDB literals — newline/tab spliced via
+    chr() so the SQL text stays single-line-safe, quotes doubled."""
+    rows = []
+    for i, t, l, s in JSONL_ADVERSARIAL:
+        lit = (
+            t.replace("'", "''")
+            .replace("\\", "\\")
+            .replace("\n", "' || chr(10) || '")
+            .replace("\t", "' || chr(9) || '")
+        )
+        rows.append(
+            f"(CAST({i} AS BIGINT), '{lit}', '{l}', '{s}', "
+            f"CAST({len(t)} AS BIGINT))"
+        )
+    return ", ".join(rows)
+
+
 QUERIES = {
     "csv_roundtrip_profiles": csv_roundtrip_profiles,
     "hot_tier_ctas": hot_tier_ctas,
     "partition_pruned_scan": partition_pruned_scan,
     "partition_evolution_scan": partition_evolution_scan,
+    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
 }
 
 ORACLE = {
@@ -238,3 +311,19 @@ ORACLE = {
         GROUP BY event_type
     """,
 }
+
+ORACLE["jsonl_roundtrip_documents"] = f"""
+    WITH all_docs AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {_jsonl_adversarial_values()})
+            t(doc_id, text, lang, source, n_chars)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM all_docs GROUP BY lang ORDER BY lang
+"""

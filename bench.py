@@ -234,6 +234,7 @@ HEADLINE_ADDITIONS = [
     "wordpiece_encode_greedy",   # BERT greedy longest-match under frozen vocab
     "tokenizer_fertility_compare",  # BPE vs unigram vs WordPiece, one stream
     "partitions_metadata_report",   # .partitions from manifest stats only
+    "jsonl_roundtrip_documents",    # JSONL interchange, escape-adversarial
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -468,3 +468,24 @@ def test_merge_full_accounting_and_state(spark, tmp_path):
     assert t.read().exceptAll(source).count() == 0
     assert source.exceptAll(t.read()).count() == 0
     assert t.history()[-1]["operation"] == "merge.full"
+
+
+def test_jsonl_roundtrip_preserves_adversarial_text(spark, tmp_path):
+    """The injected escape-adversarial rows must survive the JSONL write
+    → explicit-schema read BYTE-EXACTLY (newline, tab, quote, backslash,
+    non-BMP unicode) — the fidelity claim behind the aggregate entry."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.writers import (
+        JSONL_ADVERSARIAL,
+    )
+
+    adv = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in JSONL_ADVERSARIAL],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "jsonl")
+    adv.write.mode("overwrite").json(path)
+    back = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.schema(adv.schema).json(path).collect()
+    }
+    assert back == {i: t for i, t, _, _ in JSONL_ADVERSARIAL}
