@@ -190,6 +190,41 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+load — the OTHER splittable columnar format Spark ships
+    natively (what a lakehouse ingests from Hive-era pipelines): events →
+    ``.write.orc`` → re-read → per-type aggregate spanning every scalar
+    type class (counts, distinct keys, timestamp bounds, a decimal-exact
+    double sum), so a type mangle anywhere in the ORC path — timestamp
+    precision, double bits, string encoding — breaks the compare.
+
+    Scale: ORC is splittable + predicate-pushdown-capable like parquet,
+    so the read parallelizes identically; this entry certifies FORMAT
+    fidelity (the ingest-ORC-drops path), not pruning — the skipping
+    story lives with the parquet entries."""
+    import tempfile
+
+    from .registry import load
+
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_orc_")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,8)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Deterministic adversarial rows (the text_redact_pii injection
 # precedent): the corpus text is [ -~]-clean, so JSONL's escaping layer
 # (\n, \t, \", \\, non-ASCII) would otherwise go uncertified. Injected
@@ -268,6 +303,7 @@ QUERIES = {
     "partition_pruned_scan": partition_pruned_scan,
     "partition_evolution_scan": partition_evolution_scan,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+    "orc_roundtrip_events": orc_roundtrip_events,
 }
 
 ORACLE = {
@@ -326,4 +362,15 @@ ORACLE["jsonl_roundtrip_documents"] = f"""
            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
     FROM all_docs GROUP BY lang ORDER BY lang
+"""
+
+ORACLE["orc_roundtrip_events"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(MIN(ts) AS TIMESTAMP) AS ts_min,
+           CAST(MAX(ts) AS TIMESTAMP) AS ts_max,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 4)
+               AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -235,6 +235,7 @@ HEADLINE_ADDITIONS = [
     "tokenizer_fertility_compare",  # BPE vs unigram vs WordPiece, one stream
     "partitions_metadata_report",   # .partitions from manifest stats only
     "jsonl_roundtrip_documents",    # JSONL interchange, escape-adversarial
+    "orc_roundtrip_events",         # ORC sink+load, all scalar type classes
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

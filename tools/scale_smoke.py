@@ -65,6 +65,8 @@ QUERIES = [
     "column_default_read",  # late r14: initial-default fill per file group
     "props_variant_stats",  # late r14: one VARIANT decode per row, map-only
     "row_lineage_report",   # late r14: metadata-derived ids + materializing rewrite
+    "partitions_metadata_report",  # .partitions rollup from manifest stats
+    "orc_roundtrip_events",        # full-corpus ORC write + re-read agg
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
@@ -159,6 +161,10 @@ DOC_QUERIES = [
     "unigram_viterbi_segment",   # per-TYPE integer DP + bounded histogram
     "unigram_fertility_by_lang", # type-DP + broadcast join onto occurrences
     "unigram_prune_report",      # 18-variant leave-one-out DP, one Arrow pass
+    # continuation-session additions
+    "wordpiece_encode_greedy",   # greedy longest-match per TYPE, one Arrow pass
+    "tokenizer_fertility_compare",  # 3 segmenter passes + broadcast occ join
+    "jsonl_roundtrip_documents", # full-corpus JSONL write + schema'd re-read
 ]
 
 
