@@ -284,9 +284,10 @@ def _jsonl_adversarial_values() -> str:
     chr() so the SQL text stays single-line-safe, quotes doubled."""
     rows = []
     for i, t, l, s in JSONL_ADVERSARIAL:
+        # standard SQL strings: only the quote needs doubling (DuckDB
+        # does not backslash-escape); control chars spliced via chr()
         lit = (
             t.replace("'", "''")
-            .replace("\\", "\\")
             .replace("\n", "' || chr(10) || '")
             .replace("\t", "' || chr(9) || '")
         )
