@@ -3021,6 +3021,70 @@ def partitions_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- the `.snapshots` summary metadata table ----------------------------------
+def snapshots_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``<tbl>.snapshots`` METADATA TABLE with its SUMMARY map
+    (added-data-files / deleted-data-files / added-records /
+    deleted-records / total-records per commit) — the audit surface an
+    operator reads before trusting a table ("what did that 3 AM job
+    actually land?"). Completes the metadata-table set next to
+    ``.files`` (T10), ``.partitions``, ``.history`` and the refs
+    entries. Derived entirely from the snapshot layer: file-set DIFFS
+    between consecutive manifests give the added/removed file lists,
+    per-file footer row counts (one metadata read per file, no data
+    pages) give the record deltas.
+
+    Fixture: three residue-class appends (3, 2, 1 files) then one
+    ``compact`` — so the report must show monotone total_rows through
+    the appends, then a rewrite row where added_rows == removed_rows ==
+    total_rows and the file count collapses to 1. The oracle recomputes
+    every number from the raw rows' residue classes, so a mis-diffed
+    file set or double-counted carried file breaks the compare.
+
+    Scale: per-snapshot summaries are O(|changed files|) metadata work
+    at commit time (real Iceberg stores them IN the snapshot; deriving
+    them by diff is the read-side equivalent); the report is
+    |versions| × |files| bounded driver work, never touching data."""
+    import pyarrow.parquet as pq
+
+    ev = load(spark, sf_dir, "events")
+    tbl = make_table(spark, "snapsum_", stats_col="ts")
+    for residue, nf in ((0, 3), (1, 2), (2, 1)):
+        tbl.append(ev.filter(F.col("event_id") % 3 == residue), n_files=nf)
+    tbl.compact(target_files=1)
+
+    def _rows(fname: str) -> int:
+        return pq.ParquetFile(
+            os.path.join(tbl.path, "data", fname)
+        ).metadata.num_rows
+
+    rows: list = []
+    prev: list = []
+    for m in tbl.history():
+        cur = m["files"]
+        added = [f for f in cur if f not in set(prev)]
+        removed = [f for f in prev if f not in set(cur)]
+        rows.append(
+            (
+                int(m["version"]),
+                m["operation"],
+                len(added),
+                len(removed),
+                len(cur),
+                sum(_rows(f) for f in added),
+                sum(_rows(f) for f in removed),
+                sum(_rows(f) for f in cur),
+            )
+        )
+        prev = cur
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, added_files int,"
+        " removed_files int, n_files int, added_rows long,"
+        " removed_rows long, total_rows long",
+    ).orderBy("version")
+
+
 # --- snapshot expiry under refs (T6 as driver evidence) -----------------------
 def snapshot_expiry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``expire_snapshots`` end-to-end, REF-AWARE: four quarter-appends
@@ -3837,6 +3901,7 @@ QUERIES = {
     "merge_full_sync_events": merge_full_sync_events,
     "snapshot_expiry_report": snapshot_expiry_report,
     "partitions_metadata_report": partitions_metadata_report,
+    "snapshots_summary_report": snapshots_summary_report,
 }
 
 
@@ -4550,6 +4615,31 @@ ORACLE["snapshot_expiry_report"] = """
     UNION ALL SELECT 'tag_rows',
         (SELECT COUNT(*) FROM events WHERE event_id % 4 IN (0, 1))
     ORDER BY metric
+"""
+
+# `.snapshots` summaries recomputed from the residue classes the
+# fixture's writes were defined by
+ORACLE["snapshots_summary_report"] = """
+    WITH c AS (
+        SELECT
+            COUNT(*) FILTER (event_id % 3 = 0) AS c0,
+            COUNT(*) FILTER (event_id % 3 = 1) AS c1,
+            COUNT(*) FILTER (event_id % 3 = 2) AS c2,
+            COUNT(*) AS n
+        FROM events
+    )
+    SELECT * FROM (
+        SELECT 1 AS version, 'append' AS operation,
+               3 AS added_files, 0 AS removed_files, 3 AS n_files,
+               c0 AS added_rows, CAST(0 AS BIGINT) AS removed_rows,
+               c0 AS total_rows FROM c
+        UNION ALL
+        SELECT 2, 'append', 2, 0, 5, c1, 0, c0 + c1 FROM c
+        UNION ALL
+        SELECT 3, 'append', 1, 0, 6, c2, 0, n FROM c
+        UNION ALL
+        SELECT 4, 'compact', 1, 6, 1, n, n, n FROM c
+    ) ORDER BY version
 """
 
 # `.partitions` from manifest stats vs the raw rows: the parity

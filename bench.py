@@ -236,6 +236,7 @@ HEADLINE_ADDITIONS = [
     "partitions_metadata_report",   # .partitions from manifest stats only
     "jsonl_roundtrip_documents",    # JSONL interchange, escape-adversarial
     "orc_roundtrip_events",         # ORC sink+load, all scalar type classes
+    "snapshots_summary_report",     # .snapshots summary map from manifest diffs
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

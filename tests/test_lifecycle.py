@@ -1838,3 +1838,26 @@ def test_partitions_metadata_report_is_metadata_consistent(spark):
         assert rep[day]["row_count"] == n
         assert rep[day]["value_min"] <= rep[day]["value_max"]
     assert sum(r["row_count"] for r in rep.values()) == ev.count()
+
+
+def test_snapshots_summary_diff_identities(spark):
+    """`.snapshots` summary invariants: file-count bookkeeping closes
+    (n_files = prev + added − removed), totals are monotone through the
+    appends, and the compact row is a pure rewrite (added_rows ==
+    removed_rows == total_rows, file count collapses)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        snapshots_summary_report,
+    )
+
+    rows = snapshots_summary_report(spark, SF_DIR).collect()
+    assert [r["operation"] for r in rows] == ["append"] * 3 + ["compact"]
+    prev_files, prev_total = 0, 0
+    for r in rows:
+        assert r["n_files"] == prev_files + r["added_files"] - r["removed_files"]
+        if r["operation"] == "append":
+            assert r["removed_files"] == 0 and r["removed_rows"] == 0
+            assert r["total_rows"] == prev_total + r["added_rows"]
+        prev_files, prev_total = r["n_files"], r["total_rows"]
+    last = rows[-1]
+    assert last["added_rows"] == last["removed_rows"] == last["total_rows"]
+    assert last["n_files"] == 1

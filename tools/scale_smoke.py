@@ -67,6 +67,7 @@ QUERIES = [
     "row_lineage_report",   # late r14: metadata-derived ids + materializing rewrite
     "partitions_metadata_report",  # .partitions rollup from manifest stats
     "orc_roundtrip_events",        # full-corpus ORC write + re-read agg
+    "snapshots_summary_report",    # 4-commit fixture + |files|-bounded diffs
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
