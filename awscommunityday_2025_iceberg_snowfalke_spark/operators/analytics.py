@@ -495,6 +495,91 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+# --- mergeable quantile sketch layer ------------------------------------------
+QSK_BIN_CAP = 1023  # frozen spec: bin = min(floor(value), CAP) — 1024 counters
+QSK_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE layer — the fourth member of the sketch family
+    (``hll_user_rollup`` = distinct, ``approx_topk_users`` = frequency,
+    this = rank/quantile): per-day fixed-bin integer histograms (frozen
+    spec ``bin = min(floor(value), 1023)`` — a 1024-counter sketch),
+    merged by plain SUM into any date range with NO second scan of the
+    facts; the merged histogram answers any quantile to ±1 bin width.
+    Each gate row carries the sketch's bracket [sketch_lo, sketch_hi)
+    AND the exact k-th order statistic, computed scale-safely by
+    :func:`textstats._exact_rank_values`'s iterative histogram
+    refinement (never a global sort) — showing how the same histogram
+    idea tightens the bracket to exactness, one bounded agg per level.
+    The mergeability contract itself is asserted in-engine: daily layer
+    summed == one-pass direct histogram, exceptAll-empty both ways.
+
+    Why not ``percentile_approx``: its KLL-ish buffer is engine-internal
+    and not cross-engine comparable; the fixed-bin histogram is the same
+    one-pass mergeable contract with an EXACT spec both engines compute
+    bit-identically (integer floor + cap). The cap bin (1023) would span
+    to +inf — unreached on this corpus (max value ≈ 560), and a real
+    deployment re-bins when the cap fills, the same re-scale any
+    fixed-range sketch does.
+
+    Scale: the daily layer is a (day, bin)-keyed map-side-combinable agg
+    (≤ 366·1024 rows/year, stored once like the HLL layer); merging any
+    range is a SUM over that bounded relation; the final quantile walk
+    collects ≤ 1024 counters."""
+    import math
+
+    from .textstats import _exact_rank_values
+
+    ev = load(spark, sf_dir, "events")
+    b = F.least(F.floor("value").cast("int"), F.lit(QSK_BIN_CAP)).alias("bin")
+    daily = stage(
+        ev.select(F.to_date("ts").alias("event_date"), b)
+        .groupBy("event_date", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = daily.groupBy("bin").agg(F.sum("c").alias("c"))
+    direct = ev.select(b).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    # the mergeability contract (sum of stored daily sketches == direct
+    # one-pass histogram) — both sides ≤ 1024 rows
+    assert merged.exceptAll(direct).isEmpty(), "daily merge overcounts"
+    assert direct.exceptAll(merged).isEmpty(), "daily merge undercounts"
+    bins = sorted((int(r["bin"]), int(r["c"])) for r in merged.collect())
+    n = sum(c for _, c in bins)
+    n_days = daily.select("event_date").distinct().count()
+
+    def ranks(m: int) -> list[int]:
+        return [math.ceil(q * m) for q in QSK_QUANTILES]
+
+    exact = _exact_rank_values(
+        ev.select(F.lit("all").alias("k"), "value"), "k", "value", ranks
+    )
+    rows = []
+    for i, (q, k) in enumerate(zip(QSK_QUANTILES, ranks(n))):
+        cum, blo = 0, None
+        for bv, c in bins:
+            cum += c
+            if cum >= k:
+                blo = bv
+                break
+        rows.append(
+            (
+                q,
+                k,
+                n,
+                float(blo),
+                float(blo + 1),
+                float(exact[("all", i)]),
+                int(n_days),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "quantile double, target_rank long, n_rows long, sketch_lo double,"
+        " sketch_hi double, exact_value double, n_days_merged int",
+    ).orderBy("quantile")
+
+
 # --- frequent-items sketch (approx_top_k) ------------------------------------
 TOPK_SKETCH_K = 3  # boundary is tie-free at every test SF (checked)
 TOPK_SKETCH_TRACKED = 262144  # sketch capacity: exact below it, ~CMS above
@@ -579,6 +664,7 @@ QUERIES = {
     "pivot_user_event_values": pivot_user_event_values,
     "unpivot_user_event_values": unpivot_user_event_values,
     "hll_user_rollup": hll_user_rollup,
+    "quantile_sketch_rollup": quantile_sketch_rollup,
     "dq_expectations": dq_expectations,
     "rolling_1h_event_count": rolling_1h_event_count,
 }
@@ -830,3 +916,31 @@ ORACLE = {
         FROM events
     """,
 }
+
+ORACLE["quantile_sketch_rollup"] = f"""
+    WITH bins AS (
+        SELECT LEAST(CAST(FLOOR(value) AS INT), {QSK_BIN_CAP}) AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bins),
+    qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+    tgt AS (SELECT CAST(q AS DOUBLE) AS q,
+                   CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT) AS k, n
+            FROM qs, tot),
+    cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cumc FROM bins),
+    est AS (SELECT t.q, t.k, t.n, MIN(cum.b) AS blo
+            FROM tgt t JOIN cum ON cum.cumc >= t.k GROUP BY 1, 2, 3),
+    ranked AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
+               FROM events),
+    ex AS (SELECT t.q, r.value AS exact_value
+           FROM tgt t JOIN ranked r ON r.rn = t.k)
+    SELECT e.q AS quantile, e.k AS target_rank, e.n AS n_rows,
+           CAST(e.blo AS DOUBLE) AS sketch_lo,
+           CAST(e.blo + 1 AS DOUBLE) AS sketch_hi,
+           ex.exact_value,
+           (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT)
+            FROM events) AS n_days_merged
+    FROM est e JOIN ex ON ex.q = e.q
+    ORDER BY quantile
+"""

@@ -237,6 +237,7 @@ HEADLINE_ADDITIONS = [
     "jsonl_roundtrip_documents",    # JSONL interchange, escape-adversarial
     "orc_roundtrip_events",         # ORC sink+load, all scalar type classes
     "snapshots_summary_report",     # .snapshots summary map from manifest diffs
+    "quantile_sketch_rollup",       # mergeable daily quantile layer + exact ranks
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

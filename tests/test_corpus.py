@@ -2093,3 +2093,28 @@ def test_tokenizer_fertility_compare_identities(spark):
     assert uni_total == sum(
         r["n_pieces"] for r in rows if r["family"] == "unigram"
     )
+
+
+def test_quantile_sketch_bracket_contains_exact(spark):
+    """The sketch bracket must CONTAIN its exact order statistic
+    (sketch_lo <= exact < sketch_hi — floor-bin construction), ranks
+    must be ceil(q*n), and the exact value must equal a brute-force
+    sorted-lookup at test scale."""
+    import math
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.analytics import (
+        QSK_QUANTILES,
+        quantile_sketch_rollup,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    rows = quantile_sketch_rollup(spark, SF_DIR).collect()
+    assert [r["quantile"] for r in rows] == list(QSK_QUANTILES)
+    vals = sorted(
+        r[0] for r in load(spark, SF_DIR, "events").select("value").collect()
+    )
+    for r in rows:
+        assert r["target_rank"] == math.ceil(r["quantile"] * r["n_rows"])
+        assert r["n_rows"] == len(vals)
+        assert r["sketch_lo"] <= r["exact_value"] < r["sketch_hi"]
+        assert r["exact_value"] == vals[r["target_rank"] - 1]

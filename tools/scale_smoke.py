@@ -68,6 +68,7 @@ QUERIES = [
     "partitions_metadata_report",  # .partitions rollup from manifest stats
     "orc_roundtrip_events",        # full-corpus ORC write + re-read agg
     "snapshots_summary_report",    # 4-commit fixture + |files|-bounded diffs
+    "quantile_sketch_rollup",      # (day,bin) combinable agg + rank refinement
 ]
 
 # documents/embeddings-family headliners — the 100 TB curation workloads
