@@ -1010,8 +1010,92 @@ def streaming_interval_join_full_outer(
     )
 
 
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING feed of the mergeable quantile layer
+    (:func:`operators.analytics.quantile_sketch_rollup`'s twin — the
+    live percentile dashboard): events arrive as 4 micro-batches
+    (``maxFilesPerTrigger=1``); ``foreachBatch`` reduces each batch to
+    its bounded (bin, count) histogram under the SAME frozen spec
+    (bin = min(floor(value), 1023)) and appends those ≤1024 sketch rows
+    to the store — per batch, sketch-sized I/O, never the raw rows.
+    Because fixed-bin histograms merge by plain SUM, the store answers
+    any quantile at any moment; the in-engine assert pins the
+    stream-merged histogram EQUAL to the one-pass batch histogram
+    (exceptAll-empty both ways — the mergeability contract across
+    micro-batch boundaries), so the output rows are batching-invariant
+    and share the batch twin's oracle arithmetic.
+
+    Scale: each micro-batch contributes one map-side-combinable agg to
+    ≤1024 rows; the store grows by ≤1024 rows per batch and compacts by
+    the same SUM; exactly-once from the checkpoint batch-id ledger (a
+    replayed batch would append its batch_id rows idempotently — dedup
+    by batch_id before the merge, the WAP idempotence convention)."""
+    import math
+
+    ev = load(spark, sf_dir, "events")
+    feed_dir = tempfile.mkdtemp(prefix="qsk_feed_")
+    store_dir = tempfile.mkdtemp(prefix="qsk_store_")
+    ev.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    from ..operators.analytics import QSK_BIN_CAP, QSK_QUANTILES
+
+    b = F.least(F.floor("value").cast("int"), F.lit(QSK_BIN_CAP)).alias(
+        "bin"
+    )
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(b)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="qsk_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(store_dir)
+    n_batches = store.select("batch_id").distinct().count()
+    assert n_batches == 4, f"expected 4 micro-batches, got {n_batches}"
+    merged = store.groupBy("bin").agg(F.sum("c").alias("c"))
+    direct = ev.select(b).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    assert merged.exceptAll(direct).isEmpty(), "stream merge overcounts"
+    assert direct.exceptAll(merged).isEmpty(), "stream merge undercounts"
+    bins = sorted((int(r["bin"]), int(r["c"])) for r in merged.collect())
+    n = sum(c for _, c in bins)
+    rows = []
+    for qv in QSK_QUANTILES:
+        k = math.ceil(qv * n)
+        cum = 0
+        for bv, c in bins:
+            cum += c
+            if cum >= k:
+                rows.append((qv, k, n, float(bv), float(bv + 1), n_batches))
+                break
+    return spark.createDataFrame(
+        rows,
+        "quantile double, target_rank long, n_rows long, sketch_lo double,"
+        " sketch_hi double, n_batches_merged int",
+    ).orderBy("quantile")
+
+
 QUERIES = {
     "streaming_event_counts": streaming_event_counts,
+    "streaming_quantile_sketch": streaming_quantile_sketch,
     "streaming_dim_join": streaming_dim_join,
     "streaming_watermark_late_drop": streaming_watermark_late_drop,
     "streaming_interval_join_purchase_signup": (
@@ -1201,3 +1285,24 @@ if tws_available():  # pragma: no cover — environment-blocked on this image
                AS sum_value
     FROM events GROUP BY event_type
     """
+
+ORACLE["streaming_quantile_sketch"] = """
+    WITH bins AS (
+        SELECT LEAST(CAST(FLOOR(value) AS INT), 1023) AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bins),
+    qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+    tgt AS (SELECT CAST(q AS DOUBLE) AS q,
+                   CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT) AS k, n
+            FROM qs, tot),
+    cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cumc FROM bins),
+    est AS (SELECT t.q, t.k, t.n, MIN(cum.b) AS blo
+            FROM tgt t JOIN cum ON cum.cumc >= t.k GROUP BY 1, 2, 3)
+    SELECT q AS quantile, k AS target_rank, n AS n_rows,
+           CAST(blo AS DOUBLE) AS sketch_lo,
+           CAST(blo + 1 AS DOUBLE) AS sketch_hi,
+           CAST(4 AS INT) AS n_batches_merged
+    FROM est ORDER BY quantile
+"""

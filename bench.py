@@ -238,6 +238,7 @@ HEADLINE_ADDITIONS = [
     "orc_roundtrip_events",         # ORC sink+load, all scalar type classes
     "snapshots_summary_report",     # .snapshots summary map from manifest diffs
     "quantile_sketch_rollup",       # mergeable daily quantile layer + exact ranks
+    "streaming_quantile_sketch",    # micro-batch sketch feed == batch histogram
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS
