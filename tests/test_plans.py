@@ -670,3 +670,30 @@ def test_unigram_segment_maponly_dp(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:500]
     assert "Window" not in plan, plan[:500]
+
+
+def test_wordpiece_segment_maponly_greedy(spark):
+    """The WordPiece encode histogram (the unigram pin's twin): the
+    distinct-type build and the bounded histogram are the only
+    aggregations around the map-only Arrow greedy pass — no join, no
+    window, no extra exchange."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.wordpiece_encode_greedy(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:500]
+    assert "Window" not in plan, plan[:500]
+
+
+def test_tokenizer_compare_broadcasts_type_table(spark):
+    """The fertility-compare rollup must BROADCAST the bounded
+    three-segmenter type table onto the occurrence stream — a shuffle
+    join here would hash-exchange the full token stream at 100 TB —
+    and must not plan a single SortMergeJoin anywhere (the three
+    segmenter outputs join on the same bounded type relation)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
+
+    df = textstats.tokenizer_fertility_compare(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    assert "SortMergeJoin" not in plan, plan[:500]
