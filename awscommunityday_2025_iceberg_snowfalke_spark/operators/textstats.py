@@ -3142,31 +3142,35 @@ def _wp_segmented(spark: SparkSession, words: DataFrame) -> DataFrame:
     ``_unigram_segmented`` shape)."""
     init, cont, lmax = _wp_vocab_sets()
 
-    def n_pieces(w: str) -> int:
-        pos, n, ln = 0, 0, len(w)
+    def segment(w: str) -> tuple[int, str]:
+        pos, ln, out = 0, len(w), []
         while pos < ln:
             cand = init if pos == 0 else cont
             l = min(lmax, ln - pos)
             while l > 1 and w[pos : pos + l] not in cand:
                 l -= 1
+            out.append(w[pos : pos + l] if pos == 0 else "##" + w[pos : pos + l])
             pos += l
-            n += 1
-        return n
+        return len(out), " ".join(out)
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
             ws = pdf["w"].tolist()
+            segs = [segment(w) for w in ws]
             yield pd.DataFrame(
                 {
                     "w": ws,
                     "cnt": pdf["cnt"].astype("int64"),
-                    "n_pieces": [n_pieces(w) for w in ws],
+                    "n_pieces": [n for n, _ in segs],
+                    "pieces": [p for _, p in segs],
                 }
             )
 
-    return words.mapInPandas(gen, "w string, cnt long, n_pieces int")
+    return words.mapInPandas(
+        gen, "w string, cnt long, n_pieces int, pieces string"
+    )
 
 
 def wordpiece_encode_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3191,6 +3195,33 @@ def wordpiece_encode_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.length("w")).alias("total_chars"),
         )
         .orderBy("n_pieces")
+    )
+
+
+def wordpiece_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESSNESS certification for the WordPiece family
+    (:func:`bpe_decode_roundtrip`'s twin — BERT detokenization): greedy
+    pieces re-join by stripping the ``' ##'`` continuation delimiters,
+    and the result must reproduce every word type EXACTLY — a wrong
+    longest-match boundary, a piece emitted under the wrong position
+    class, or a delimiter collision anywhere breaks the equality for
+    that type and the ok-counts drop (test-pinned at exactly n_types /
+    n_occurrences). Both engines decode the piece strings their own
+    greedy automata produced, so the certification is independent per
+    engine AND cross-checked through the shared output.
+
+    Scale: the same one map-only Arrow pass over word TYPES as the
+    encode histogram, plus one global agg to a single row."""
+    words = _unigram_words(spark, sf_dir)
+    seg = _wp_segmented(spark, words)
+    ok = (
+        F.replace(F.col("pieces"), F.lit(" ##"), F.lit("")) == F.col("w")
+    ).cast("long")
+    return seg.agg(
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum("cnt").alias("n_occurrences"),
+        F.sum(ok).alias("n_ok_types"),
+        F.sum(F.col("cnt") * ok).alias("n_ok_occurrences"),
     )
 
 
@@ -3293,21 +3324,24 @@ def _duck_wp_greedy_ctes(with_words: bool = True) -> str:
     init_case, cont_case = case(by_len(init)), case(by_len(cont))
     steps = [
         "wp0 AS MATERIALIZED (SELECT w, cnt, CAST(1 AS INT) AS pos, "
-        "CAST(0 AS INT) AS n FROM words)"
+        "CAST(0 AS INT) AS n, '' AS s FROM words)"
     ]
     for i in range(1, UNIGRAM_MAX_WORD + 1):
         steps.append(f"""wp{i} AS MATERIALIZED (
         SELECT w, cnt,
                CASE WHEN pos > length(w) THEN pos
                     ELSE pos + ml END AS pos,
-               CASE WHEN pos > length(w) THEN n ELSE n + 1 END AS n
-        FROM (SELECT w, cnt, pos, n,
+               CASE WHEN pos > length(w) THEN n ELSE n + 1 END AS n,
+               CASE WHEN pos > length(w) THEN s
+                    ELSE s || CASE WHEN pos = 1 THEN '' ELSE ' ##' END
+                           || substring(w, pos, ml) END AS s
+        FROM (SELECT w, cnt, pos, n, s,
                      CASE WHEN pos = 1 THEN {init_case}
                           ELSE {cont_case} END AS ml
               FROM wp{i - 1})
     )""")
     steps.append(
-        f"wpseg AS MATERIALIZED (SELECT w, cnt, n AS n_pieces "
+        f"wpseg AS MATERIALIZED (SELECT w, cnt, n AS n_pieces, s AS pieces "
         f"FROM wp{UNIGRAM_MAX_WORD})"
     )
     chain = ",\n    ".join(steps)
@@ -3398,6 +3432,7 @@ QUERIES = {
     "unigram_prune_report": unigram_prune_report,
     "wordpiece_train_merges": wordpiece_train_merges,
     "wordpiece_encode_greedy": wordpiece_encode_greedy,
+    "wordpiece_decode_roundtrip": wordpiece_decode_roundtrip,
     "tokenizer_fertility_compare": tokenizer_fertility_compare,
 }
 
@@ -4462,6 +4497,18 @@ ORACLE["unigram_fertility_by_lang"] = f"""
 ORACLE["unigram_prune_report"] = _duck_unigram_prune_oracle()
 
 ORACLE["wordpiece_train_merges"] = _duck_wp_train_oracle()
+
+ORACLE["wordpiece_decode_roundtrip"] = f"""
+    WITH {_duck_wp_greedy_ctes()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN replace(pieces, ' ##', '') = w
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_types,
+           CAST(SUM(CASE WHEN replace(pieces, ' ##', '') = w
+                         THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_ok_occurrences
+    FROM wpseg
+"""
 
 ORACLE["wordpiece_encode_greedy"] = f"""
     WITH {_duck_wp_greedy_ctes()}

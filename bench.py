@@ -239,6 +239,7 @@ HEADLINE_ADDITIONS = [
     "snapshots_summary_report",     # .snapshots summary map from manifest diffs
     "quantile_sketch_rollup",       # mergeable daily quantile layer + exact ranks
     "streaming_quantile_sketch",    # micro-batch sketch feed == batch histogram
+    "wordpiece_decode_roundtrip",   # BERT detokenize losslessness certification
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -2118,3 +2118,16 @@ def test_quantile_sketch_bracket_contains_exact(spark):
         assert r["n_rows"] == len(vals)
         assert r["sketch_lo"] <= r["exact_value"] < r["sketch_hi"]
         assert r["exact_value"] == vals[r["target_rank"] - 1]
+
+
+def test_wordpiece_decode_roundtrip_lossless(spark):
+    """The losslessness certification must hold at exactly full count:
+    every word type (and therefore every occurrence) decodes back
+    byte-exactly from its greedy pieces."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        wordpiece_decode_roundtrip,
+    )
+
+    r = wordpiece_decode_roundtrip(spark, SF_DIR).collect()[0]
+    assert r["n_ok_types"] == r["n_word_types"] > 0
+    assert r["n_ok_occurrences"] == r["n_occurrences"] > 0
