@@ -3198,6 +3198,68 @@ def wordpiece_encode_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_FRONTIER_KS = (0, 8, 16, 32, 64)  # merge-count prefixes of BPE_MERGES_64
+
+
+def bpe_vocab_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-COUNT FRONTIER a tokenizer release reads before
+    freezing its vocab: corpus fertility under the first k merges of
+    the production artifact, for k = 0 (char-level), 8, 16, 32, 64 —
+    the subword twin of :func:`vocab_coverage_curve`'s word-level |V|
+    frontier, answering "how much context window does each extra merge
+    buy". Merge tables are PREFIX-CLOSED (merge k is trained on the
+    state after merges 1..k-1), so every row re-applies a prefix of the
+    same frozen artifact; fertility is non-increasing in k by
+    construction (each merge only ever joins adjacent pieces) —
+    monotonicity test-pinned. vocab_size = 26 + k (each merge adds
+    exactly one symbol).
+
+    Runs over the shared capped word stream (`_unigram_words`, ≤16-char
+    types — the tokenizer_fertility_compare convention; the cap is
+    applied identically in the oracle), so its k=64 row is the same
+    metric as the compare table's BPE row, not bpe_fertility_report's
+    uncapped per-language one.
+
+    Scale: ONE pass over the distinct-TYPE relation computes all five
+    encodings as parallel codegen string chains (zero joins, zero extra
+    shuffles — the per-k chains share the scan), then one global agg;
+    the occurrence weighting rides the type counts."""
+    words = _unigram_words(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum("cnt").alias("n_words"),
+    ]
+    for k in BPE_FRONTIER_KS:
+        n_k = F.size(
+            F.split(F.trim(_bpe_sym(F.col("w"), BPE_MERGES_64[:k])), " ")
+        )
+        aggs.append(F.sum(F.col("cnt") * n_k).alias(f"p{k}"))
+    wide = words.agg(*aggs)
+    fam = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("n_merges"),
+                    F.col(f"p{k}").alias("n_pieces"),
+                )
+                for k in BPE_FRONTIER_KS
+            ]
+        )
+    )
+    return (
+        wide.select("n_word_types", "n_words", fam.alias("f"))
+        .select(
+            F.col("f.n_merges").alias("n_merges"),
+            (F.col("f.n_merges") + 26).alias("vocab_size"),
+            "n_word_types",
+            "n_words",
+            F.col("f.n_pieces").alias("n_pieces"),
+            _ratio6(F.col("f.n_pieces"), F.col("n_words")).alias("fertility"),
+        )
+        .orderBy("n_merges")
+    )
+
+
 def wordpiece_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSLESSNESS certification for the WordPiece family
     (:func:`bpe_decode_roundtrip`'s twin — BERT detokenization): greedy
@@ -3360,11 +3422,13 @@ def _duck_wp_greedy_ctes(with_words: bool = True) -> str:
     {chain}"""
 
 
-def _duck_bpe_word_levels(merges: tuple, prefix: str = "bl") -> str:
+def _duck_bpe_word_levels(
+    merges: tuple, prefix: str = "bl", seg_name: str = "bseg"
+) -> str:
     """Per-word-TYPE twin of ``_duck_bpe_encode_report``'s chunked
     device: 8-merge CTE levels over the ``words`` relation (the 128
     nested replaces of a 64-merge chain exceed DuckDB's binder depth
-    inline). Ends in ``bseg`` (w, cnt, n_bpe)."""
+    inline). Ends in ``seg_name`` (w, cnt, n_bpe)."""
     chunks = [merges[i : i + 8] for i in range(0, len(merges), 8)]
     lvls = [
         f"{prefix}0 AS MATERIALIZED (SELECT w, cnt, "
@@ -3380,7 +3444,7 @@ def _duck_bpe_word_levels(merges: tuple, prefix: str = "bl") -> str:
             f"(SELECT w, cnt, {e} AS s FROM {prefix}{idx})"
         )
     lvls.append(
-        f"bseg AS MATERIALIZED (SELECT w, cnt, "
+        f"{seg_name} AS MATERIALIZED (SELECT w, cnt, "
         f"len(string_split(trim(s), ' ')) AS n_bpe "
         f"FROM {prefix}{len(chunks)})"
     )
@@ -3433,6 +3497,7 @@ QUERIES = {
     "wordpiece_train_merges": wordpiece_train_merges,
     "wordpiece_encode_greedy": wordpiece_encode_greedy,
     "wordpiece_decode_roundtrip": wordpiece_decode_roundtrip,
+    "bpe_vocab_size_frontier": bpe_vocab_size_frontier,
     "tokenizer_fertility_compare": tokenizer_fertility_compare,
 }
 
@@ -4549,3 +4614,44 @@ ORACLE["tokenizer_fertility_compare"] = f"""
                {_duck_ratio6("nw", "n_words")} FROM agg
     ) ORDER BY family, lang
 """
+
+def _duck_bpe_frontier_oracle() -> str:
+    """Per-k chunked encode chains over one shared word-type relation,
+    aggregated and stacked — generated from the SAME (k, artifact)
+    pairs as the Spark entry."""
+    chains, selects = [], []
+    for k in BPE_FRONTIER_KS:
+        chains.append(
+            _duck_bpe_word_levels(
+                BPE_MERGES_64[:k], prefix=f"fl{k}_", seg_name=f"fseg{k}"
+            )
+        )
+        selects.append(
+            f"SELECT {k} AS n_merges, {k} + 26 AS vocab_size,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_word_types,"
+            f" CAST(SUM(cnt) AS BIGINT) AS n_words,"
+            f" CAST(SUM(cnt * n_bpe) AS BIGINT) AS n_pieces,"
+            f" {_duck_ratio6('SUM(cnt * n_bpe)', 'SUM(cnt)')} AS fertility"
+            f" FROM fseg{k}"
+        )
+    chain_sql = ",\n    ".join(chains)
+    sel = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH wordsrc AS MATERIALIZED (
+        SELECT unnest(list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wordsrc
+        WHERE LENGTH(w) <= {UNIGRAM_MAX_WORD} GROUP BY w
+    ),
+    {chain_sql}
+    SELECT * FROM (
+    {sel}
+    ) ORDER BY n_merges
+"""
+
+
+ORACLE["bpe_vocab_size_frontier"] = _duck_bpe_frontier_oracle()

@@ -240,6 +240,7 @@ HEADLINE_ADDITIONS = [
     "quantile_sketch_rollup",       # mergeable daily quantile layer + exact ranks
     "streaming_quantile_sketch",    # micro-batch sketch feed == batch histogram
     "wordpiece_decode_roundtrip",   # BERT detokenize losslessness certification
+    "bpe_vocab_size_frontier",      # fertility vs merge count, 5 prefix encodes
 ]
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS

@@ -2131,3 +2131,34 @@ def test_wordpiece_decode_roundtrip_lossless(spark):
     r = wordpiece_decode_roundtrip(spark, SF_DIR).collect()[0]
     assert r["n_ok_types"] == r["n_word_types"] > 0
     assert r["n_ok_occurrences"] == r["n_occurrences"] > 0
+
+
+def test_bpe_frontier_monotone_and_anchored(spark):
+    """Frontier invariants: fertility is non-increasing in merge count
+    (a merge only ever joins adjacent pieces), the k=0 row is exactly
+    chars-per-word (spaced-char encoding), and the k=64 row equals the
+    corpus total a direct full-artifact encode of the same capped type
+    stream produces."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        BPE_MERGES_64,
+        _bpe_sym,
+        _unigram_words,
+        bpe_vocab_size_frontier,
+    )
+
+    rows = bpe_vocab_size_frontier(spark, SF_DIR).collect()
+    ferts = [r["fertility"] for r in rows]
+    assert ferts == sorted(ferts, reverse=True)
+    assert all(
+        a["n_pieces"] >= b["n_pieces"] for a, b in zip(rows, rows[1:])
+    )
+    from pyspark.sql import functions as SF
+
+    words = _unigram_words(spark, SF_DIR)
+    k0 = words.selectExpr("sum(cnt * length(w)) AS s").collect()[0]["s"]
+    assert rows[0]["n_pieces"] == k0
+    n64 = SF.size(
+        SF.split(SF.trim(_bpe_sym(SF.col("w"), BPE_MERGES_64)), " ")
+    )
+    k64 = words.select(SF.sum(SF.col("cnt") * n64).alias("s")).collect()[0]["s"]
+    assert rows[-1]["n_pieces"] == k64

@@ -167,6 +167,7 @@ DOC_QUERIES = [
     "wordpiece_encode_greedy",   # greedy longest-match per TYPE, one Arrow pass
     "tokenizer_fertility_compare",  # 3 segmenter passes + broadcast occ join
     "jsonl_roundtrip_documents", # full-corpus JSONL write + schema'd re-read
+    "bpe_vocab_size_frontier",   # five prefix encodes, one type-relation pass
 ]
 
 
