@@ -896,17 +896,22 @@ def benchmark_contamination_substrings(
     8-gram screen (8-grams over-flag boilerplate; a verbatim 50-token
     overlap is the smoking gun eval-leak signal GPT-3/PaLM-style
     decontamination acts on). Same held-out convention as the 8-gram
-    entry (doc_id % CONTAM_MOD == 0 = benchmark). Scale shape: the
-    benchmark window set is bounded by the EVAL corpus, so detection is
-    a map-side broadcast semi-join over the training window stream — no
-    corpus-vs-corpus join; output rows are bounded by contaminated docs.
+    entry (doc_id % CONTAM_MOD == 0 AND doc_id < LEX_BENCH_ID_CAP =
+    benchmark — the split is FROZEN at the id cap, so the broadcast
+    window set is bounded by the EVAL corpus at any scale, never a
+    corpus fraction). Detection is then a map-side broadcast semi-join
+    over the training window stream — no corpus-vs-corpus join; output
+    rows are bounded by contaminated docs.
     Reports distinct shared windows and the longest contiguous leaked
     run (consecutive shared positions → islands, like the dedup spans)."""
-    from .textstats import CONTAM_MOD
+    from .textstats import CONTAM_MOD, LEX_BENCH_ID_CAP
 
     wins = _substr_windows(spark, sf_dir)
     bench = (
-        wins.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        wins.filter(
+            (F.col("doc_id") % CONTAM_MOD == 0)
+            & (F.col("doc_id") < LEX_BENCH_ID_CAP)
+        )
         .select("wh")
         .distinct()
     )
@@ -3102,11 +3107,14 @@ ORACLE["dedup_substring_removal_report"] = rf"""
 """
 
 from .textstats import CONTAM_MOD as _CONTAM_MOD  # noqa: E402
+from .textstats import LEX_BENCH_ID_CAP as _LEX_BENCH_ID_CAP  # noqa: E402
 
 ORACLE["benchmark_contamination_substrings"] = rf"""
     WITH {_DUCK_SUBSTR_WINS},
     bench AS (
-        SELECT DISTINCT wh FROM wins WHERE doc_id % {_CONTAM_MOD} = 0
+        SELECT DISTINCT wh FROM wins
+        WHERE doc_id % {_CONTAM_MOD} = 0
+          AND doc_id < {_LEX_BENCH_ID_CAP}
     ),
     train AS (
         SELECT doc_id, pos FROM wins

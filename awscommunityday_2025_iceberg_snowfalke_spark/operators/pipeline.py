@@ -838,6 +838,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import (
         CONTAM_MOD,
         CONTAM_N,
+        LEX_BENCH_ID_CAP,
         _qc_features,
         _qc_scored,
         _qc_weights,
@@ -994,9 +995,18 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
 
-    bench = (  # one consumer (the broadcast): no staging needed
+    bench = (  # one consumer (the broadcast): no staging needed.
+        # The split is FROZEN at ids < LEX_BENCH_ID_CAP (the textstats
+        # convention) so this broadcast is eval-bounded at any corpus
+        # size, never a corpus fraction.
         grams8(
-            spread(spark, docs.filter(F.col("doc_id") % CONTAM_MOD == 0)),
+            spread(
+                spark,
+                docs.filter(
+                    (F.col("doc_id") % CONTAM_MOD == 0)
+                    & (F.col("doc_id") < LEX_BENCH_ID_CAP)
+                ),
+            ),
             "text",
         )
         .select("g")
@@ -1663,6 +1673,7 @@ def _duck_curation_v2() -> str:
         _qc_ctes_body,
         CONTAM_MOD,
         CONTAM_N,
+        LEX_BENCH_ID_CAP,
         QC_BUCKETS,
     )
 
@@ -1738,7 +1749,8 @@ def _duck_curation_v2() -> str:
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\s+'),
                            t -> t <> '') AS ts
-        FROM documents WHERE doc_id % {CONTAM_MOD} = 0
+        FROM documents
+        WHERE doc_id % {CONTAM_MOD} = 0 AND doc_id < {LEX_BENCH_ID_CAP}
     ),
     bgrams AS (
         SELECT DISTINCT unnest({_DUCK_8G}) AS g
@@ -1887,6 +1899,7 @@ def _duck_datasheet() -> str:
         _QC_CTES_BODY,
         CONTAM_MOD,
         CONTAM_N,
+        LEX_BENCH_ID_CAP,
     )
 
     return rf"""
@@ -1944,7 +1957,9 @@ def _duck_datasheet() -> str:
     cbase AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
     cfil AS (SELECT * FROM cbase WHERE len(ts) >= {CONTAM_N}),
     cgrams AS (SELECT doc_id, unnest({_DUCK_8G}) AS g FROM cfil),
-    cbench AS (SELECT DISTINCT g FROM cgrams WHERE doc_id % {CONTAM_MOD} = 0),
+    cbench AS (SELECT DISTINCT g FROM cgrams
+               WHERE doc_id % {CONTAM_MOD} = 0
+                 AND doc_id < {LEX_BENCH_ID_CAP}),
     ccont AS (
         SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
         FROM cgrams JOIN cbench USING (g)

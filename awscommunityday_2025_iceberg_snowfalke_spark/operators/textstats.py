@@ -319,15 +319,31 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- benchmark decontamination (n-gram overlap) ------------------------------
 CONTAM_N = 8  # token n-gram width (the common 8-13 gram decontam range)
 CONTAM_MOD = 11  # doc_id % CONTAM_MOD == 0 -> the held-out 'benchmark' split
+LEX_BENCH_ID_CAP = 500  # the benchmark split is FROZEN: eval-slice ids
+# below this cap (the r14-verdict fix, the similarity.SEM_BENCH_ID_CAP
+# convention). Covers every document at the driver-gate SF (sf0.01 ids
+# run 0..499, so the cap changes no answer there) while pinning the
+# broadcast bench side CONSTANT-SIZE as the corpus grows — a real eval
+# set never grows with the corpus; without the cap the %-slice stood in
+# for 1/11 OF THE CORPUS and the bench n-gram broadcast grew linearly
+# with corpus size (the driver-OOM hazard at 100 TB). Shared by every
+# LEXICAL screen (8-gram here, the 50-token-substring screen in
+# dedup.py, curation_pipeline_v2 stage 5, and corpus_datasheet's
+# contamination member) so all four layers score against the SAME
+# frozen eval set; tests/test_properties.py pins the bench-side row
+# count identical across SFs.
 
 
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination: find corpus documents sharing any
     token 8-gram with the held-out benchmark split (here a deterministic
     doc_id slice stands in for the eval set). The shape that survives
-    100 TB: the benchmark n-gram set is bounded by the *eval* corpus (always
-    broadcast-sized), so contamination detection is a map-side broadcast
-    semi-join over the corpus n-gram stream — no corpus-vs-corpus join.
+    100 TB: the benchmark split is FROZEN at ids < ``LEX_BENCH_ID_CAP``
+    (a real eval set is fixed-size, never a corpus fraction), so its
+    n-gram set is bounded by the *eval* corpus (always broadcast-sized)
+    and contamination detection is a map-side broadcast semi-join over
+    the corpus n-gram stream — no corpus-vs-corpus join, no broadcast
+    that grows with the corpus.
     Output: contaminated doc -> number of distinct shared 8-grams."""
     docs = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", _toks().alias("ts")).filter(
@@ -344,7 +360,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     bench = (
-        grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
+        grams.filter(
+            (F.col("doc_id") % CONTAM_MOD == 0)
+            & (F.col("doc_id") < LEX_BENCH_ID_CAP)
+        )
+        .select("g")
+        .distinct()
     )
     corpus = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
     return (
@@ -3753,7 +3774,9 @@ ORACLE["benchmark_contamination"] = rf"""
     WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
     f AS (SELECT * FROM base WHERE len(ts) >= {CONTAM_N}),
     grams AS (SELECT doc_id, unnest({_DUCK_8G}) AS g FROM f),
-    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {CONTAM_MOD} = 0)
+    bench AS (SELECT DISTINCT g FROM grams
+              WHERE doc_id % {CONTAM_MOD} = 0
+                AND doc_id < {LEX_BENCH_ID_CAP})
     SELECT doc_id, COUNT(DISTINCT g) AS n_shared_ngrams
     FROM grams JOIN bench USING (g)
     WHERE doc_id % {CONTAM_MOD} <> 0

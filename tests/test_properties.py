@@ -959,3 +959,49 @@ def test_translate_colon_path_access():
     # time-format literals keep their colons (inside quotes)
     fmt = translate("SELECT TO_VARCHAR(ts, 'HH:mm:ss') FROM t")
     assert "'HH:mm:ss'" in fmt
+
+
+def test_lex_bench_split_bounded_across_sfs(spark):
+    """The r14-verdict scale fix: every LEXICAL contamination screen
+    (8-gram, 50-token substring, pipeline stage 5, datasheet member)
+    scores against a benchmark split FROZEN at doc ids <
+    LEX_BENCH_ID_CAP. A real eval set is fixed-size; without the cap the
+    %-slice was a corpus FRACTION and the broadcast bench n-gram set
+    grew linearly with the corpus (the 100 TB driver-OOM hazard). Pin:
+    the bench-side doc count is IDENTICAL at sf0.01 and sf0.1 (the
+    corpus grows 10x, the eval split doesn't), and at the driver-gate SF
+    the cap is a no-op (every doc id sits below it), so r8-vintage
+    driver rows stay comparable."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        CONTAM_MOD,
+        LEX_BENCH_ID_CAP,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    def bench_docs(sf_dir):
+        return (
+            load(spark, sf_dir, "documents")
+            .filter(
+                (F.col("doc_id") % CONTAM_MOD == 0)
+                & (F.col("doc_id") < LEX_BENCH_ID_CAP)
+            )
+            .count()
+        )
+
+    small, large = (
+        bench_docs("/root/testdata/sf0.01"),
+        bench_docs("/root/testdata/sf0.1"),
+    )
+    assert small > 0
+    assert small == large, (
+        f"bench split must be constant-size across SFs: {small} vs {large}"
+    )
+    # gate-SF no-op: the cap excludes nothing at sf0.01
+    uncapped = (
+        load(spark, "/root/testdata/sf0.01", "documents")
+        .filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .count()
+    )
+    assert uncapped == small
