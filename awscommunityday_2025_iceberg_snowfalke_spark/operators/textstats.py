@@ -2863,6 +2863,8 @@ WP_TRAIN_ROUNDS = 16
 # DECIMAL(38,0) via the exact floor-division device, DuckDB in HUGEINT),
 # so the argmax can never drift (the QC_BAND_CUTS micro-unit precedent).
 WP_SCORE_SCALE = 10**18
+WP_TRAIN_ROUNDS_DEEP = 32  # production-depth trainer (r14 verdict task 6)
+WP_CHECKPOINT_EVERY = 8  # re-materialize the token arrays every K rounds
 
 
 def _wp_init_arr(w):
@@ -2924,12 +2926,25 @@ def _wp_merged_symbol(a: str, b: str) -> str:
 
 
 def _wp_train(
-    spark: SparkSession, sf_dir: str, rounds: int
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    checkpoint_every: int = 0,
 ) -> list[tuple]:
     """WordPiece trainer loop: per round, corpus-wide adjacent-pair
     counts AND per-symbol frequencies over the current tokenization of
     the distinct-word relation; argmax of the exact quantized likelihood
     score; apply the merge via the greedy fold; repeat.
+    ``checkpoint_every`` > 0 stages the folded token arrays to parquet
+    every K rounds, resetting the expression chain (the ``_bpe_train``
+    device) — output PROVABLY identical to the unbroken chain
+    (test-pinned). One deliberate divergence from the BPE checkpoint:
+    words already merged below 2 tokens are NOT dropped, because the
+    likelihood denominator fa·fb counts a symbol's occurrences in
+    EVERY word including pair-exhausted ones — dropping them would
+    change scores and flip argmaxes. The relation therefore stays the
+    full word dictionary (Heaps-sublinear, still bounded); only the
+    fold-chain depth is capped.
 
     Scale shape: identical to ``_bpe_train`` (reference
     run_performance_tests.py has no tokenizer — public Sennrich/Wu
@@ -2950,7 +2965,7 @@ def _wp_train(
     try:
         arr = _wp_init_arr(F.col("w"))
         merges: list[tuple] = []
-        for _ in range(rounds):
+        for k in range(rounds):
             pair = F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(arr) - 1),
@@ -3009,6 +3024,17 @@ def _wp_train(
                 )
             )
             arr = _wp_fold(arr, a, b, merged)
+            if (
+                checkpoint_every
+                and (k + 1) % checkpoint_every == 0
+                and k + 1 < rounds
+            ):
+                # materialize the folded arrays, reset the chain (keep
+                # ALL words — see the docstring's fa·fb note)
+                wf_next = stage(wf.select(arr.alias("toks"), "freq"))
+                wf.unpersist()
+                wf = wf_next
+                arr = F.col("toks")
     finally:
         wf.unpersist()
     return merges
@@ -3026,6 +3052,34 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trained at sf0.01 this equals ``WORDPIECE_MERGES`` exactly
     (test-pinned, the ``BPE_MERGES`` convention)."""
     merges = _wp_train(spark, sf_dir, WP_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, a string, b string, merged string, "
+        "pair_count bigint, freq_a bigint, freq_b bigint, score18 bigint",
+    )
+
+
+def wordpiece_train_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-DEPTH WordPiece trainer: ``WP_TRAIN_ROUNDS_DEEP``
+    (32) likelihood-scored merge rounds with the token arrays
+    CHECKPOINTED to parquet every ``WP_CHECKPOINT_EVERY`` rounds — the
+    :func:`bpe_train_merges_deep` device brought to the third tokenizer
+    family (the r14-verdict artifact-parity task). The checkpoint caps
+    the live fold chain at K nested ``F.aggregate`` folds so per-round
+    cost stays flat and total work is linear in rounds; unlike the BPE
+    checkpoint it keeps pair-exhausted words (their symbols still feed
+    the likelihood denominator — see ``_wp_train``). Checkpointed ==
+    chained is test-pinned; greedy training is prefix-stable, so rounds
+    1..16 equal ``WORDPIECE_MERGES`` exactly (also test-pinned). The
+    sf0.01 output is FROZEN as ``WORDPIECE_MERGES_DEEP`` — the artifact
+    the encode / decode-roundtrip / fertility entries consume. The
+    DuckDB oracle unrolls the same 32 rounds."""
+    merges = _wp_train(
+        spark,
+        sf_dir,
+        WP_TRAIN_ROUNDS_DEEP,
+        checkpoint_every=WP_CHECKPOINT_EVERY,
+    )
     return spark.createDataFrame(
         merges,
         "merge_rank int, a string, b string, merged string, "
@@ -3135,16 +3189,43 @@ WORDPIECE_MERGES = (
     (16, "##b", "##l", "##bl", 908, 908, 6446, 155134967421656),
 )
 
+# Production-depth frozen artifact: `_wp_train(spark, sf0.01, 32,
+# checkpoint_every=8)`'s own output (test-pinned, the BPE_MERGES_64
+# convention). Greedy training is prefix-stable, so rows 1..16 ARE
+# WORDPIECE_MERGES (test-pinned); the deeper tail is where the vocab
+# grows real multi-char pieces ('cust', 'filt', 'join', 'column') — this
+# is the artifact the greedy encoder / decode roundtrip / fertility
+# entries consume.
+WORDPIECE_MERGES_DEEP = WORDPIECE_MERGES + (
+    (17, "fi", "##l", "fil", 933, 933, 5538, 180570603105814),
+    (18, "##u", "##s", "##us", 934, 3669, 1788, 142374315795378),
+    (19, "c", "##us", "cus", 934, 1868, 934, 535331905781584),
+    (20, "##u", "##p", "##up", 904, 2735, 1784, 185274755904608),
+    (21, "##l", "##u", "##lu", 1831, 4605, 1831, 217155266015200),
+    (22, "s", "##p", "sp", 880, 5422, 880, 184433788270011),
+    (23, "##lu", "##m", "##lum", 934, 1831, 3684, 138464649411658),
+    (24, "##lum", "##n", "##lumn", 934, 934, 1870, 534759358288770),
+    (25, "##s", "##t", "##st", 854, 854, 8116, 123213405618531),
+    (26, "##t", "##ch", "##tch", 937, 7262, 937, 137703112090333),
+    (27, "cus", "##t", "cust", 934, 934, 6325, 158102766798418),
+    (28, "fil", "##t", "filt", 933, 933, 5391, 185494342422556),
+    (29, "##o", "##in", "##oin", 964, 8241, 964, 121344497027059),
+    (30, "j", "##oin", "join", 964, 964, 964, 1037344398340248),
+    (31, "##o", "##lumn", "##olumn", 934, 7277, 934, 137419266181118),
+    (32, "c", "##olumn", "column", 934, 934, 934, 1070663811563169),
+)
+
 _WP_AZ = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _wp_vocab_sets() -> tuple[frozenset, frozenset, int]:
     """(initial pieces, continuation pieces WITHOUT their '##', max piece
-    length) under the frozen artifact — BERT's vocab = every single char
+    length) under the frozen PRODUCTION-DEPTH artifact
+    (``WORDPIECE_MERGES_DEEP``) — BERT's vocab = every single char
     in both positions (so [a-z] words never hit UNK) plus every merge
     product in its own position class."""
     init, cont = set(_WP_AZ), set(_WP_AZ)
-    for _, _, _, merged, *_ in WORDPIECE_MERGES:
+    for _, _, _, merged, *_ in WORDPIECE_MERGES_DEEP:
         if merged.startswith("##"):
             cont.add(merged[2:])
         else:
@@ -3312,7 +3393,7 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TOKENIZER-CHOICE table a release publishes: per-language
     fertility (pieces per word) for all three production families — BPE
     (frozen 64-merge artifact), unigram-LM (frozen Viterbi vocab), and
-    WordPiece (frozen 16-merge vocab) — over ONE shared normalized word
+    WordPiece (frozen 32-merge vocab) — over ONE shared normalized word
     stream (the unigram [a-z] stream, capped at ``UNIGRAM_MAX_WORD``
     chars), so the rows are apples-to-apples: ``n_words`` is identical
     across families by construction and only ``n_pieces`` moves. This is
@@ -3516,6 +3597,7 @@ QUERIES = {
     "unigram_fertility_by_lang": unigram_fertility_by_lang,
     "unigram_prune_report": unigram_prune_report,
     "wordpiece_train_merges": wordpiece_train_merges,
+    "wordpiece_train_merges_deep": wordpiece_train_merges_deep,
     "wordpiece_encode_greedy": wordpiece_encode_greedy,
     "wordpiece_decode_roundtrip": wordpiece_decode_roundtrip,
     "bpe_vocab_size_frontier": bpe_vocab_size_frontier,
@@ -4585,6 +4667,9 @@ ORACLE["unigram_fertility_by_lang"] = f"""
 ORACLE["unigram_prune_report"] = _duck_unigram_prune_oracle()
 
 ORACLE["wordpiece_train_merges"] = _duck_wp_train_oracle()
+ORACLE["wordpiece_train_merges_deep"] = _duck_wp_train_oracle(
+    WP_TRAIN_ROUNDS_DEEP
+)
 
 ORACLE["wordpiece_decode_roundtrip"] = f"""
     WITH {_duck_wp_greedy_ctes()}

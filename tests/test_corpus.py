@@ -2017,6 +2017,45 @@ def test_wordpiece_frozen_artifact_is_trainer_output(spark):
     assert tuple(got) == WORDPIECE_MERGES
 
 
+def test_wp_train_checkpoint_equals_chained(spark):
+    """The deep WordPiece trainer's parquet checkpoint every K rounds is
+    a pure execution detail (the bpe_train precedent): 16 rounds
+    checkpointed every 4 must produce the IDENTICAL merge table —
+    including the selection-time counts, frequencies, and scores, which
+    is where the WP-specific keep-exhausted-words rule matters (dropping
+    them would shift fa/fb and flip argmaxes)."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        _wp_train,
+    )
+
+    chained = _wp_train(spark, SF_DIR, 16, checkpoint_every=0)
+    ckpt = _wp_train(spark, SF_DIR, 16, checkpoint_every=4)
+    assert ckpt == chained
+
+
+def test_wordpiece_deep_artifact_is_trainer_output(spark):
+    """The production-depth frozen artifact (the BPE_MERGES_64
+    convention): WORDPIECE_MERGES_DEEP — the vocab the greedy encoder,
+    decode roundtrip, and fertility compare consume — must be EXACTLY
+    the 32-round checkpointed trainer's sf0.01 output, and greedy
+    training is prefix-stable so its first 16 rows ARE the shallow
+    WORDPIECE_MERGES artifact."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        WORDPIECE_MERGES,
+        WORDPIECE_MERGES_DEEP,
+        WP_CHECKPOINT_EVERY,
+        WP_TRAIN_ROUNDS_DEEP,
+        _wp_train,
+    )
+
+    assert WORDPIECE_MERGES_DEEP[:16] == WORDPIECE_MERGES
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    got = _wp_train(
+        spark, sf01, WP_TRAIN_ROUNDS_DEEP, checkpoint_every=WP_CHECKPOINT_EVERY
+    )
+    assert tuple(got) == WORDPIECE_MERGES_DEEP
+
+
 def test_wordpiece_vocab_and_greedy_invariants(spark):
     """Vocab-set algebra and greedy-segmentation invariants: all 26
     chars present in both position classes (so [a-z] never UNKs), every
