@@ -1071,18 +1071,17 @@ def ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_store(spark, emb, store, cent_rows)
 
 
-def _probe_store(
+def _probe_batch(
     spark: SparkSession,
     emb: DataFrame,
-    store: DataFrame,
     cent_rows: list,
     n_probe: int = N_PROBE,
-) -> DataFrame:
-    """The probe half of :func:`ann_ivf_partitioned_probe` over ANY
-    cell-tagged store relation and ANY centroid artifact — driver-side
-    probe-cell selection (bounded: |queries| × k), cell-pruned scan,
-    broadcast probe join, exact sequential-fold cosine re-rank. Shared
-    by the full-index probe and the append-path probe."""
+) -> tuple:
+    """Driver-side probe-cell selection (bounded: |queries| × k):
+    returns (probes DataFrame (query_id, cell, q), sorted probed-cell
+    list) — the selection half of :func:`_probe_store`, exposed so the
+    snapshot-store probe can plan its manifest-pruned scan from the
+    probed cells BEFORE touching any data file."""
     import numpy as np
 
     cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
@@ -1106,9 +1105,30 @@ def _probe_store(
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int, q array<double>"
     )
-    pruned = store.filter(
-        F.col("cell").isin(sorted({c for _, c, _ in probe_rows}))
-    )
+    return probes, sorted({c for _, c, _ in probe_rows})
+
+
+def _probe_store(
+    spark: SparkSession,
+    emb: DataFrame,
+    store: DataFrame,
+    cent_rows: list,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """The probe half of :func:`ann_ivf_partitioned_probe` over ANY
+    cell-tagged store relation and ANY centroid artifact — driver-side
+    probe-cell selection (bounded: |queries| × k), cell-pruned scan,
+    broadcast probe join, exact sequential-fold cosine re-rank. Shared
+    by the full-index probe and the append-path probe."""
+    probes, probed = _probe_batch(spark, emb, cent_rows, n_probe)
+    pruned = store.filter(F.col("cell").isin(probed))
+    return _score_probes(pruned, probes)
+
+
+def _score_probes(pruned: DataFrame, probes: DataFrame) -> DataFrame:
+    """The scoring half of :func:`_probe_store`: broadcast probe join
+    over an already cell-pruned store relation, exact sequential-fold
+    cosine, per-query top-``TOP_K`` window."""
     scored = (
         pruned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2817,6 +2837,101 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_store_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFY the vector store with the engine's snapshot lifecycle (the
+    r14-verdict task 5): instead of ad-hoc ``cell=`` parquet directories,
+    the IVF store IS a :class:`~.lifecycle.SnapshotTable` with ``cell``
+    as the manifest stats column — vector appends become ATOMIC commits
+    (the CAS manifest swap), probes plan their scan from MANIFEST stats
+    alone (one file per cell per generation, entry stats [c, c], so a
+    probe opens exactly the probed cells' files — zero data-file footer
+    reads at plan time), and TIME TRAVEL gives the pre-append index back
+    for free. Fixture: commit 1 = the standing corpus (even vec_ids)
+    frozen-assigned and written one file per cell; commit 2 = the
+    arriving batch (odd vec_ids) appended the same way. The probe then
+    runs TWICE through manifest-planned scans — version 1 (the
+    time-traveled pre-append index) and version 2 (post-append) — and
+    the report reads per query: both top-k sizes, how many neighbors the
+    append preserved (set agreement), and how many post-append neighbors
+    came from the batch.
+
+    Scale shape: probe-cell selection is the bounded driver artifact
+    (k×d centroids, |queries|×d batch); the per-version scan reads ONLY
+    the files manifest planning selects for the probed cells (plan-
+    tested: files_read = probed cells × generations, the rest skipped
+    with zero GETs beyond the snapshot+manifests); scoring is the shared
+    :func:`_score_probes` broadcast join + top-k window. The commits are
+    the production ingest path — a concurrent append retries on the CAS,
+    never corrupts the manifest, and a reader mid-append sees v1 or v2,
+    never a torn store (the property the ad-hoc ``mode("append")``
+    directories could not give)."""
+    from .lifecycle import _write_chunked, make_table
+
+    emb = load(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    frozen_rows = _centroids(standing).orderBy("label").collect()
+
+    tbl = make_table(spark, "annstore_", stats_col="cell")
+    # _c duplicates cell as the chunk key: partitionBy consumes the
+    # chunk column, so the data files keep their readable cell column
+    stand_df = _assign_frozen(
+        standing, frozen_rows, with_embedding=True
+    ).withColumn("_c", F.col("cell"))
+    _write_chunked(tbl, stand_df, chunk_col="_c")
+    v_pre = tbl.current_version
+    arr_df = _assign_frozen(
+        arriving, frozen_rows, with_embedding=True
+    ).withColumn("_c", F.col("cell"))
+    _write_chunked(tbl, arr_df, chunk_col="_c")
+    v_post = tbl.current_version
+
+    probes, probed = _probe_batch(spark, emb, frozen_rows)
+
+    def store_at(version: int) -> DataFrame:
+        files: list = []
+        for c in probed:
+            plan = tbl.plan_scan_manifests(
+                predicates={"cell": (c, c)}, version=version
+            )
+            files.extend(f for f in plan["files_read"] if f not in files)
+        return tbl.read_files(files)
+
+    top_pre = _score_probes(store_at(v_pre), probes)
+    top_post = _score_probes(store_at(v_post), probes)
+
+    pre_agg = top_pre.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_topk_pre")
+    )
+    post_agg = top_post.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_topk_post"),
+        F.sum((F.col("neighbor_id") % 2 == 1).cast("long")).alias(
+            "n_from_batch"
+        ),
+    )
+    set_agree = (
+        top_pre.select("query_id", "neighbor_id")
+        .join(
+            top_post.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_set_agree"))
+    )
+    return (
+        pre_agg.join(post_agg, "query_id")
+        .join(set_agree, "query_id", "left_outer")
+        .select(
+            "query_id",
+            "n_topk_pre",
+            "n_topk_post",
+            F.coalesce("n_set_agree", F.lit(0)).alias("n_set_agree"),
+            "n_from_batch",
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- hybrid search: BM25 × vector fusion (Reciprocal Rank Fusion) ------------
 RRF_K = 60  # the canonical RRF constant (Cormack, Clarke, Buettcher 2009)
 RRF_TOPK = 10
@@ -3268,6 +3383,7 @@ QUERIES = {
     "ann_ivf_cosine": ann_ivf_cosine,
     "ann_ivf_partitioned_probe": ann_ivf_partitioned_probe,
     "ann_ivf_append_probe": ann_ivf_append_probe,
+    "ann_store_snapshot_probe": ann_store_snapshot_probe,
     "ann_ivf_recall_report": ann_ivf_recall_report,
     "ann_ivf_recall_sweep": ann_ivf_recall_sweep,
     "ann_ivf_pq_cosine": ann_ivf_pq_cosine,
@@ -3931,6 +4047,93 @@ ORACLE["ann_ivf_append_probe"] = f"""
     LEFT JOIN set_agree sa USING (query_id)
     CROSS JOIN anyr
     ORDER BY r.query_id
+"""
+
+# The snapshot-store probe: BOTH versions assign under the FROZEN
+# standing centroids (cf) — v1's corpus is the standing (even) half, v2
+# adds the appended batch; the snapshot/manifest machinery is execution
+# detail (which files a probe opens), the ANSWER is pure probe algebra,
+# so the oracle re-derives both probes from the embeddings table alone.
+ORACLE["ann_store_snapshot_probe"] = f"""
+    WITH src AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    old AS (SELECT * FROM src WHERE vec_id % 2 = 0),
+    compf AS (
+        SELECT label, e[i + 1] AS v, i AS pos
+        FROM old, UNNEST(range(len(e))) AS u(i)
+    ),
+    centf AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(v) AS c
+        FROM compf GROUP BY label, pos
+    ),
+    cf AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS centroid
+        FROM centf GROUP BY label
+    ),
+    fscored AS (
+        SELECT s.vec_id, c.cell, s.e,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY list_cosine_similarity(s.e, c.centroid) DESC,
+                            c.cell ASC) AS rk
+        FROM src s CROSS JOIN cf c
+    ),
+    fassign AS (SELECT vec_id, cell, e FROM fscored WHERE rk = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell AS probe_cell, e AS q
+        FROM fscored
+        WHERE vec_id < {N_QUERIES} AND rk <= {N_PROBE}
+    ),
+    pretop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.q, a.e) DESC,
+                                a.vec_id ASC) AS rank
+            FROM fassign a JOIN probes p
+              ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+            WHERE a.vec_id % 2 = 0
+        ) WHERE rank <= {TOP_K}
+    ),
+    posttop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(p.q, a.e) DESC,
+                                a.vec_id ASC) AS rank
+            FROM fassign a JOIN probes p
+              ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    pre_agg AS (
+        SELECT query_id, COUNT(*) AS n_topk_pre FROM pretop GROUP BY query_id
+    ),
+    post_agg AS (
+        SELECT query_id, COUNT(*) AS n_topk_post,
+               CAST(SUM(CASE WHEN neighbor_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_from_batch
+        FROM posttop GROUP BY query_id
+    ),
+    sagree AS (
+        SELECT a.query_id, COUNT(*) AS n_set_agree
+        FROM pretop a JOIN posttop b
+          ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT p.query_id,
+           CAST(p.n_topk_pre AS BIGINT) AS n_topk_pre,
+           CAST(q.n_topk_post AS BIGINT) AS n_topk_post,
+           CAST(COALESCE(s.n_set_agree, 0) AS BIGINT) AS n_set_agree,
+           q.n_from_batch
+    FROM pre_agg p
+    JOIN post_agg q USING (query_id)
+    LEFT JOIN sagree s USING (query_id)
+    ORDER BY p.query_id
 """
 
 ORACLE["semantic_dedup"] = f"""

@@ -697,3 +697,56 @@ def test_tokenizer_compare_broadcasts_type_table(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:500]
     assert "SortMergeJoin" not in plan, plan[:500]
+
+
+def test_ann_store_snapshot_probe_manifest_pruned(spark):
+    """The snapshot-backed vector store's probe must plan its scan from
+    MANIFEST stats alone: one file per cell per generation, so a
+    single-cell probe reads exactly |generations| files at the current
+    version and exactly one at the time-traveled pre-append version —
+    every other cell's files skipped with zero data-file footer reads.
+    Also pins that the ingested files keep the readable `cell` column
+    (the chunk key `_c` is the one partitionBy consumes)."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.lifecycle import (
+        _write_chunked,
+        make_table,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        _assign_frozen,
+        _centroids,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    frozen = _centroids(standing).orderBy("label").collect()
+    tbl = make_table(spark, "annstore_plan_", stats_col="cell")
+    stand_df = _assign_frozen(standing, frozen, with_embedding=True).withColumn(
+        "_c", F.col("cell")
+    )
+    stand_cells = _write_chunked(tbl, stand_df, chunk_col="_c")
+    v_pre = tbl.current_version
+    arr_df = _assign_frozen(arriving, frozen, with_embedding=True).withColumn(
+        "_c", F.col("cell")
+    )
+    arr_cells = _write_chunked(tbl, arr_df, chunk_col="_c")
+    v_post = tbl.current_version
+
+    c0 = stand_cells[0]
+    gens = 1 + (1 if c0 in arr_cells else 0)
+    plan_post = tbl.plan_scan_manifests(
+        predicates={"cell": (c0, c0)}, version=v_post
+    )
+    assert plan_post["files_total"] == len(stand_cells) + len(arr_cells)
+    assert len(plan_post["files_read"]) == gens, plan_post
+    plan_pre = tbl.plan_scan_manifests(
+        predicates={"cell": (c0, c0)}, version=v_pre
+    )
+    assert plan_pre["files_total"] == len(stand_cells)
+    assert len(plan_pre["files_read"]) == 1, plan_pre
+    # the pruned read sees ONLY the probed cell, with cell readable
+    got = tbl.read_files(plan_post["files_read"])
+    assert [r["cell"] for r in got.select("cell").distinct().collect()] == [c0]
