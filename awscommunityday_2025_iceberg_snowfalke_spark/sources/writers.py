@@ -298,6 +298,75 @@ def _jsonl_adversarial_values() -> str:
     return ", ".join(rows)
 
 
+_AVRO_FORMAT = "org.apache.spark.sql.avro.AvroFileFormat"
+# Spark bundles the Avro source classes inside spark-sql since 4.x, but
+# this distribution does not ServiceLoader-register the short name
+# ("avro" raises DATA_SOURCE_NOT_FOUND with the legacy external-module
+# hint even though the class is on the classpath) — the fully-qualified
+# provider resolves on any Spark that carries the classes, so the entry
+# uses it directly; avro_format() prefers the short name when it works.
+
+
+def avro_format(spark: SparkSession) -> str | None:
+    """The usable Avro DataSource name for this session: the short name
+    when ServiceLoader-registered (a deployment with the external
+    spark-avro module), else the bundled fully-qualified provider, else
+    None (truly absent)."""
+    for fmt in ("avro", _AVRO_FORMAT):
+        try:
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                fmt, spark._jsparkSession.sessionState().conf()
+            )
+            return fmt
+        except Exception:
+            continue
+    return None
+
+
+def avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink+load — the row-oriented interchange format of the
+    Kafka/schema-registry world, closing the format matrix next to
+    parquet, CSV, JSONL, and ORC: events → ``.write.format(avro)`` →
+    re-read → the exact per-type fidelity aggregate
+    :func:`orc_roundtrip_events` uses (shared oracle), so a
+    timestamp-precision, double-bit, or string mangle in the Avro
+    encoder breaks the compare. Avro stores timestamps as micros
+    logical types — the same precision contract the snapshot layer
+    pins for parquet footers.
+
+    Scale: Avro files are block-splittable (sync markers), so the read
+    parallelizes; as a ROW format it reads every column regardless of
+    projection — the entry certifies interchange fidelity (the
+    Kafka-archive ingest path), while columnar scans stay the analytic
+    default."""
+    import tempfile
+
+    from .registry import load
+
+    fmt = avro_format(spark)
+    if fmt is None:  # pragma: no cover - every Spark 4 build bundles it
+        raise NotImplementedError(
+            "no Avro DataSource on the classpath — see SCALE.md"
+        )
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_avro_")
+    ev.write.mode("overwrite").format(fmt).save(path)
+    back = spark.read.format(fmt).load(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,8)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "csv_roundtrip_profiles": csv_roundtrip_profiles,
     "hot_tier_ctas": hot_tier_ctas,
@@ -305,6 +374,7 @@ QUERIES = {
     "partition_evolution_scan": partition_evolution_scan,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
     "orc_roundtrip_events": orc_roundtrip_events,
+    "avro_roundtrip_events": avro_roundtrip_events,
 }
 
 ORACLE = {
@@ -375,3 +445,6 @@ ORACLE["orc_roundtrip_events"] = """
                AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# the Avro twin runs the identical fidelity aggregate — one oracle text
+ORACLE["avro_roundtrip_events"] = ORACLE["orc_roundtrip_events"]

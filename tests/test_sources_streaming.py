@@ -489,3 +489,23 @@ def test_jsonl_roundtrip_preserves_adversarial_text(spark, tmp_path):
         for r in spark.read.schema(adv.schema).json(path).collect()
     }
     assert back == {i: t for i, t, _, _ in JSONL_ADVERSARIAL}
+
+
+def test_avro_roundtrip_matches_orc(spark):
+    """The Avro roundtrip: the format resolver finds a usable provider
+    (this distribution bundles the classes in spark-sql but does not
+    ServiceLoader-register the short name — the resolver falls back to
+    the fully-qualified provider), and the roundtrip's fidelity
+    aggregate equals the ORC twin's over the same events — any
+    Avro-encoder type mangle (timestamp precision, double bits, string
+    encoding) splits the two."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.writers import (
+        avro_format,
+        avro_roundtrip_events,
+        orc_roundtrip_events,
+    )
+
+    assert avro_format(spark) is not None
+    got = {tuple(r) for r in avro_roundtrip_events(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in orc_roundtrip_events(spark, SF_DIR).collect()}
+    assert got == want
