@@ -1200,6 +1200,67 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def contamination_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECONTAMINATION AUDIT a release ships (the r14-verdict 7a
+    artifact): all three screens — lexical 8-gram
+    (:func:`~.textstats.benchmark_contamination`), verbatim 50-token
+    substring (:func:`~.dedup.benchmark_contamination_substrings`), and
+    paraphrase-level semantic
+    (:func:`~.similarity.benchmark_contamination_semantic`) — composed
+    into the LAYER-OVERLAP MATRIX: one row per caught-by combination
+    (which layers flagged the doc), with the doc count and the lowest
+    flagged doc_id as the audit anchor. This is the table that answers
+    "what does each layer add?" — the n-gram-only decontamination gap
+    the GPT-4/Llama-era reports call out is exactly the
+    semantic-only row, and a substring-only row shows leaks the 8-gram
+    screen's boilerplate threshold missed. All three layers screen
+    against the SAME frozen benchmark split (ids below the cap; the
+    ``LEX_BENCH_ID_CAP``/``SEM_BENCH_ID_CAP`` convention).
+
+    Scale shape: each member keeps its own certified plan (bounded
+    broadcast bench side, map-side screens); the composition joins
+    three CONTAMINATED-DOC relations (output-bounded, tiny by
+    construction — contamination is the exception, not the corpus) and
+    groups into ≤ 7 rows. Docs without an embedding simply cannot be
+    semantically flagged (the vector table covers a corpus prefix), as
+    in production where the semantic screen runs on the embedded
+    slice."""
+    from .dedup import benchmark_contamination_substrings
+    from .similarity import benchmark_contamination_semantic
+    from .textstats import benchmark_contamination
+
+    l1 = benchmark_contamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("caught_8gram")
+    )
+    l2 = benchmark_contamination_substrings(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("caught_substring")
+    )
+    l3 = benchmark_contamination_semantic(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("caught_semantic")
+    )
+    flags = l1.join(l2, "doc_id", "full_outer").join(
+        l3, "doc_id", "full_outer"
+    )
+    return (
+        flags.select(
+            "doc_id",
+            F.coalesce("caught_8gram", F.lit(False)).alias("caught_8gram"),
+            F.coalesce("caught_substring", F.lit(False)).alias(
+                "caught_substring"
+            ),
+            F.coalesce("caught_semantic", F.lit(False)).alias(
+                "caught_semantic"
+            ),
+        )
+        .groupBy("caught_8gram", "caught_substring", "caught_semantic")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("caught_8gram", "caught_substring", "caught_semantic")
+    )
+
+
 # --- end-of-pipeline export manifest -----------------------------------------
 def training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The manifest a training run consumes: one row per surviving document
@@ -1316,6 +1377,7 @@ QUERIES = {
     "domain_temperature_reweight": domain_temperature_reweight,
     "token_budget_mixture_plan": token_budget_mixture_plan,
     "corpus_datasheet": corpus_datasheet,
+    "contamination_report_card": contamination_report_card,
     "word_doc_frequency_topk": word_doc_frequency_topk,
     "doc_top_terms": doc_top_terms,
     "purchasers_without_errors": purchasers_without_errors,
@@ -1989,3 +2051,74 @@ def _duck_datasheet() -> str:
 
 
 ORACLE["corpus_datasheet"] = _duck_datasheet()
+
+
+def _duck_report_card() -> str:
+    """The report card's oracle, composed from the three member
+    oracles' own devices: the 8-gram screen's gram/bench CTEs
+    (rc-prefixed to stay clear of the substring fragment's base/wins
+    names), dedup's shared window CTE (``_DUCK_SUBSTR_WINS``), and the
+    semantic screen's capped cosine join — then the same
+    full-outer-composition → combination matrix."""
+    from .dedup import _DUCK_SUBSTR_WINS
+    from .similarity import _DUCK_COS, SEM_BENCH_ID_CAP, SEM_CONTAM_TAU
+    from .textstats import (
+        _DUCK_8G,
+        _DUCK_TOKS,
+        CONTAM_MOD,
+        CONTAM_N,
+        LEX_BENCH_ID_CAP,
+    )
+
+    cos = _DUCK_COS.format(a="b.embedding", b="c.embedding")
+    return rf"""
+    WITH {_DUCK_SUBSTR_WINS},
+    rcbase AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    rcf AS (SELECT * FROM rcbase WHERE len(ts) >= {CONTAM_N}),
+    rcgrams AS (SELECT doc_id, unnest({_DUCK_8G}) AS g FROM rcf),
+    rcbench AS (SELECT DISTINCT g FROM rcgrams
+                WHERE doc_id % {CONTAM_MOD} = 0
+                  AND doc_id < {LEX_BENCH_ID_CAP}),
+    l1 AS (
+        SELECT DISTINCT doc_id FROM rcgrams
+        WHERE doc_id % {CONTAM_MOD} <> 0
+          AND g IN (SELECT g FROM rcbench)
+    ),
+    wbench AS (
+        SELECT DISTINCT wh FROM wins
+        WHERE doc_id % {CONTAM_MOD} = 0 AND doc_id < {LEX_BENCH_ID_CAP}
+    ),
+    l2 AS (
+        SELECT DISTINCT doc_id FROM wins
+        WHERE doc_id % {CONTAM_MOD} <> 0
+          AND wh IN (SELECT wh FROM wbench)
+    ),
+    l3 AS (
+        SELECT DISTINCT c.vec_id AS doc_id
+        FROM embeddings c JOIN embeddings b
+          ON c.vec_id % {CONTAM_MOD} <> 0 AND b.vec_id % {CONTAM_MOD} = 0
+         AND b.vec_id < {SEM_BENCH_ID_CAP}
+        WHERE {cos} >= {SEM_CONTAM_TAU}
+    ),
+    flagged AS (
+        SELECT doc_id FROM l1
+        UNION SELECT doc_id FROM l2
+        UNION SELECT doc_id FROM l3
+    ),
+    flags AS (
+        SELECT f.doc_id,
+               f.doc_id IN (SELECT doc_id FROM l1) AS caught_8gram,
+               f.doc_id IN (SELECT doc_id FROM l2) AS caught_substring,
+               f.doc_id IN (SELECT doc_id FROM l3) AS caught_semantic
+        FROM flagged f
+    )
+    SELECT caught_8gram, caught_substring, caught_semantic,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM flags
+    GROUP BY caught_8gram, caught_substring, caught_semantic
+    ORDER BY caught_8gram, caught_substring, caught_semantic
+"""
+
+
+ORACLE["contamination_report_card"] = _duck_report_card()

@@ -1980,6 +1980,78 @@ def _ccnet_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline END-TO-END (Wenzek et al. 2020, the r14-verdict
+    7b chain): language-ID → per-language LM perplexity bucketing →
+    tercile keep-rule, composed from this corpus's certified members —
+    the stopword-profile :func:`lang_id` supplies the PREDICTED language
+    (production CCNet buckets by what fastText says, not by ground
+    truth), the interpolated Kneser-Ney scorer supplies the perplexity
+    proxy, cutpoints come from the scale-safe
+    :func:`_exact_rank_values` refinement (never a per-language rank
+    window), and the keep-rule retains head+middle (CCNet's default
+    release cut — tail is dropped). Output: the per-predicted-language
+    release accounting — doc counts per bucket, kept count and exact
+    share, and the two cutpoint values the release would freeze for the
+    next crawl snapshot.
+
+    Docs with < 2 tokens are unscoreable under the bigram LM and are
+    dropped before bucketing (CCNet's pre-filter), so ``n_scored`` is
+    the post-langid scoreable population.
+
+    Scale: the members' own certified shapes (map-side lang-id, the KN
+    scorer's bounded count tables, two histogram-refinement passes), a
+    broadcast ≤|langs|-row cutpoint join, one ≤|langs|-group agg; the
+    keep decision never materializes kept text — this is the
+    accounting artifact, the transform stays a filter on `bucket`."""
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    scored = stage(
+        kneser_ney_bigram_score(spark, sf_dir)
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            F.col("pred_lang").alias("lang"),
+            "avg_neg_logprob",
+        )
+    )
+    cp = _ccnet_cutpoints_df(spark, scored).select("lang", "c1", "c2")
+    s = F.col("avg_neg_logprob")
+    bucket = (
+        F.when(s <= F.col("c1"), F.lit("head"))
+        .when(s <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    kept = F.col("bucket").isin("head", "middle")
+    return (
+        scored.join(F.broadcast(cp), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum((F.col("bucket") == "head").cast("long")).alias("n_head"),
+            F.sum((F.col("bucket") == "middle").cast("long")).alias(
+                "n_middle"
+            ),
+            F.sum((F.col("bucket") == "tail").cast("long")).alias("n_tail"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.min("c1").alias("c1"),
+            F.min("c2").alias("c2"),
+        )
+        .select(
+            "lang",
+            "n_scored",
+            "n_head",
+            "n_middle",
+            "n_tail",
+            "n_kept",
+            _ratio6(F.col("n_kept"), F.col("n_scored")).alias("kept_share"),
+            "c1",
+            "c2",
+        )
+        .orderBy("lang")
+    )
+
+
 # --- iterative BPE training (N merge rounds) ---------------------------------
 BPE_TRAIN_ROUNDS = 8
 
@@ -3576,6 +3648,7 @@ QUERIES = {
     "bpe_fertility_report": bpe_fertility_report,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "ccnet_tercile_cutpoints": ccnet_tercile_cutpoints,
+    "ccnet_pipeline": ccnet_pipeline,
     "text_quality": text_quality,
     "text_normalize": text_normalize,
     "lang_id": lang_id,
@@ -4487,6 +4560,75 @@ ORACLE["ccnet_perplexity_buckets"] = _CCNET_CP_CTES + """
     GROUP BY lang, bucket
     ORDER BY lang, bucket
 """
+
+# the end-to-end pipeline buckets by PREDICTED language (the lang_id
+# stopword argmax restated inline), then applies the same value-compare
+# tercile semantics and the head+middle keep-rule
+_CCNET_PRED_CASE = rf"""CASE
+    WHEN len(list_filter({_DUCK_TOKS}, t -> {{en}}))
+         >= len(list_filter({_DUCK_TOKS}, t -> {{de}}))
+     AND len(list_filter({_DUCK_TOKS}, t -> {{en}}))
+         >= len(list_filter({_DUCK_TOKS}, t -> {{fr}}))
+    THEN 'en'
+    WHEN len(list_filter({_DUCK_TOKS}, t -> {{de}}))
+         >= len(list_filter({_DUCK_TOKS}, t -> {{fr}}))
+    THEN 'de' ELSE 'fr' END"""
+
+ORACLE["ccnet_pipeline"] = rf"""
+    WITH kn AS ({{kn}}),
+    pl AS (
+        SELECT doc_id, {{pred}} AS lang FROM documents
+    ),
+    j AS (
+        SELECT pl.lang, kn.doc_id, kn.avg_neg_logprob AS s
+        FROM kn JOIN pl USING (doc_id)
+    ),
+    r AS (
+        SELECT lang, s,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM j
+    ),
+    cp AS (
+        SELECT lang,
+               MAX(CASE WHEN rn <= (n + 2) // 3 THEN s END) AS c1,
+               MAX(CASE WHEN rn <= (2 * n + 2) // 3 THEN s END) AS c2
+        FROM r GROUP BY lang
+    ),
+    b AS (
+        SELECT j.lang,
+               CASE WHEN j.s <= cp.c1 THEN 'head'
+                    WHEN j.s <= cp.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM j JOIN cp USING (lang)
+    )
+    SELECT b.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_head,
+           CAST(SUM(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_middle,
+           CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail,
+           CAST(SUM(CASE WHEN bucket <> 'tail' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           {_duck_ratio6(
+               "SUM(CASE WHEN bucket <> 'tail' THEN 1 ELSE 0 END)",
+               "COUNT(*)",
+           )} AS kept_share,
+           MIN(cp.c1) AS c1,
+           MIN(cp.c2) AS c2
+    FROM b JOIN cp USING (lang)
+    GROUP BY b.lang
+    ORDER BY b.lang
+""".format(
+    kn=ORACLE["kneser_ney_bigram_score"],
+    pred=_CCNET_PRED_CASE.format(
+        en=_duck_in(STOPWORDS_EN),
+        de=_duck_in(STOPWORDS_DE),
+        fr=_duck_in(STOPWORDS_FR),
+    ),
+)
 
 # composed AFTER both member oracles exist (function defined above)
 ORACLE["quality_method_agreement"] = _quality_agreement_oracle()

@@ -1005,3 +1005,26 @@ def test_lex_bench_split_bounded_across_sfs(spark):
         .count()
     )
     assert uncapped == small
+
+
+def test_ccnet_pipeline_accounting(spark):
+    """The end-to-end CCNet chain's release accounting must be
+    internally consistent: buckets partition the scored population,
+    kept = head + middle (the tercile keep-rule), tercile sizes obey
+    the ceil(n/3) boundary ranks, and the cutpoints are ordered."""
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        ccnet_pipeline,
+    )
+    from conftest import SF_DIR
+
+    rows = ccnet_pipeline(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n = r["n_scored"]
+        assert r["n_head"] + r["n_middle"] + r["n_tail"] == n
+        assert r["n_kept"] == r["n_head"] + r["n_middle"]
+        assert r["c1"] <= r["c2"]
+        # value-compare bucketing puts ties in the lower bucket, so the
+        # head/middle cumulative sizes are AT LEAST the boundary ranks
+        assert r["n_head"] >= (n + 2) // 3
+        assert r["n_head"] + r["n_middle"] >= (2 * n + 2) // 3
