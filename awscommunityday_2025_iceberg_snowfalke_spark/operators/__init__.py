@@ -112,95 +112,98 @@ def _modules():
 #     TPC-H q1-q22 + the snowsql/props/misc relational tail (~37 rows)
 #     queue for r14, after which every driver row is ≤5 rounds old.
 # 4 + 4 + 2 + 8 + 11 + 12 + 9 = 50 exactly (test_registry pins it).
-# r14 (this rotation), per the r13 verdict's task 1 — the staleness
-# ledger closes: after this gate every driver row in the registry is
-# ≤5 rounds old for the first time.
-# (a) the THIRTY-SIX remaining r7-vintage rows (the whole queue the r13
-#     ledger named): TPC-H q1-q22, the four r7 snowsql_* rows,
-#     compaction_analysis / event_types_per_user /
-#     events_last_week_interval / hot_cold_union, the three props_*,
-#     value_percentiles, and the two twins queued by the r13 rotation
-#     (semantic_dedup_fold, simhash64_hamming_pairs);
-# (b) the FIVE r14 additions (ccnet_tercile_cutpoints — the broadcast
-#     cutpoint artifact of the de-skewed terciles —
-#     semantic_dedup_incremental, bpe_fertility_report,
-#     corpus_datasheet, and ann_ivf_recall_sweep — the one-corpus-pass
-#     recall/probe tuning curve, report-agreement test-pinned);
-# (c) the NINE entries whose code or oracle changed in r14 while their
-#     driver rows predate the change: ccnet_perplexity_buckets
-#     (NTILE → exact-cutpoint bucketing) + vocab_coverage_curve
-#     (head-bounded ranking) from the r13-verdict de-skews;
-#     curation_pipeline_v2 (LSH banding before the verify core + the
-#     materialized composed oracle); schema_rename_read +
-#     manifest_lifecycle_report + manifest_pruning_report (the
-#     rename-back alias fix and the bounds-less stat-pruning tighten,
-#     r13 ADVICE); minhash_lsh_pairs + jaccard_threshold_sweep +
-#     dedup_editdist_verify (the _lsh_candidates_of /
-#     _candidate_shared_of helper extraction — oracle texts verified
-#     byte-identical, Spark path re-proven anyway, the r13 precedent);
-# benchmark_contamination (the planned r8 backfill) was displaced by
-# the late ann_ivf_recall_sweep addition (the r10/r13 precedent: new
-# work outranks stale-but-green vintage rows) and heads the r15 queue;
-# its screen is meanwhile re-certified transitively through the
-# corpus_datasheet composition above.
-# 36 + 5 + 9 = 50 exactly (test_registry pins it).
+# r14 sampled the 36 remaining r7-vintage rows (TPC-H q1-q22, the r7
+# snowsql/relational tail, the two r13-queued twins), the 5 r14
+# additions, and 9 r14-changed entries (50/50 green — the staleness
+# ledger closed: every pre-rotation driver row ≤5 rounds old;
+# COVERAGE.md has the full list).
+# r15 (this rotation), per the r14 verdict's task 1:
+# (a) the TWENTY-SEVEN post-rotation r14 additions that have never had
+#     a driver row (the r15 queue COVERAGE.md named): the WordPiece
+#     trio + trainer, the unigram trio, the sketch pair, the v3
+#     metadata family, the Bloom pair, the metadata-table pair,
+#     JSONL/ORC, merge_full_sync / snapshot_expiry, the VARIANT pair,
+#     minhash_banding_calibration, benchmark_contamination_semantic,
+#     bpe_vocab_size_frontier;
+# (b) benchmark_contamination — the TWICE-displaced r8 backfill (r8,
+#     r14), this time placed FIRST so nothing can displace it again;
+#     also r15-changed (the LEX_BENCH_ID_CAP freeze — answer unchanged
+#     at the gate SF, cap covers every sf0.01 doc id);
+# (c) the FIVE entries whose code or oracle changed in r15 while their
+#     driver rows predate the change: benchmark_contamination_substrings
+#     + curation_pipeline_v2 + corpus_datasheet (the LEX_BENCH_ID_CAP
+#     freeze, oracles in lockstep), ann_ivf_partitioned_probe +
+#     ann_ivf_append_probe (the _probe_batch/_score_probes split for
+#     the snapshot-store probe — answer-identical, the r13/r14
+#     helper-extraction precedent);
+# (d) the FIVE r15 additions: wordpiece_train_merges_deep (32-round
+#     checkpointed trainer, frozen artifact), ann_store_snapshot_probe
+#     (the snapshot-backed IVF store), contamination_report_card
+#     (3-layer overlap matrix), ccnet_pipeline (lang-id → KN terciles →
+#     keep-rule end-to-end), avro_roundtrip_events (format matrix);
+# (e) TWELVE of the 46 remaining r8-vintage rows (alphabetical head of
+#     the ledger; the other 34 queue for r16): ann_ivf_cell_stats,
+#     ann_ivf_cosine, ann_lsh_cosine, curation_pipeline,
+#     dedup_cluster_size_histogram, dedup_clusters,
+#     dedup_corpus_summary, dedup_embedding_cosine, dedup_exact,
+#     dedup_exact_hash, dedup_incremental, dedup_lines_report.
+# 27 + 1 + 5 + 5 + 12 = 50 exactly (test_registry pins it).
 _GATE_FRONT = (
-    # (a) the 36 remaining r7-vintage rows — TPC-H q1-q22
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_year_revenue",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_heavy_part_shippers",
-    "q21_last_shippers",
-    "q22_inactive_customers",
-    # (a) … the r7 snowsql dialect rows
-    "snowsql_qualify_top5",
-    "snowsql_filtered_counts",
-    "snowsql_daily_date_expr",
-    "snowsql_interval_region",
-    # (a) … the r7 relational/misc tail
-    "compaction_analysis",
-    "event_types_per_user",
-    "events_last_week_interval",
-    "hot_cold_union",
-    "props_json_stats",
-    "props_map_decode",
-    "props_malformed_rescue",
-    "value_percentiles",
-    # (a) … the two twins the r13 rotation queued
-    "semantic_dedup_fold",
-    "simhash64_hamming_pairs",
-    # (b) r14 additions
-    "ccnet_tercile_cutpoints",
-    "semantic_dedup_incremental",
-    "bpe_fertility_report",
-    "corpus_datasheet",
-    "ann_ivf_recall_sweep",
-    # (c) changed in r14 — driver rows predate the change
-    "ccnet_perplexity_buckets",
-    "vocab_coverage_curve",
+    # (b) the twice-displaced r8 backfill goes FIRST
+    "benchmark_contamination",
+    # (a) the 27 never-sampled r14 additions
+    "wordpiece_train_merges",
+    "wordpiece_encode_greedy",
+    "wordpiece_decode_roundtrip",
+    "tokenizer_fertility_compare",
+    "unigram_viterbi_segment",
+    "unigram_fertility_by_lang",
+    "unigram_prune_report",
+    "bpe_vocab_size_frontier",
+    "quantile_sketch_rollup",
+    "streaming_quantile_sketch",
+    "pyds_bloom_point_scan",
+    "bloom_point_lookup_report",
+    "spec_evolution_skipping_report",
+    "type_widening_read",
+    "column_default_read",
+    "row_lineage_report",
+    "table_ndv_stats_report",
+    "merge_full_sync_events",
+    "snapshot_expiry_report",
+    "partitions_metadata_report",
+    "snapshots_summary_report",
+    "jsonl_roundtrip_documents",
+    "orc_roundtrip_events",
+    "props_variant_stats",
+    "snowsql_variant_path",
+    "minhash_banding_calibration",
+    "benchmark_contamination_semantic",
+    # (c) changed in r15 — driver rows predate the change
+    "benchmark_contamination_substrings",
     "curation_pipeline_v2",
-    "schema_rename_read",
-    "manifest_lifecycle_report",
-    "manifest_pruning_report",
-    "minhash_lsh_pairs",
-    "jaccard_threshold_sweep",
-    "dedup_editdist_verify",
+    "corpus_datasheet",
+    "ann_ivf_partitioned_probe",
+    "ann_ivf_append_probe",
+    # (d) r15 additions
+    "wordpiece_train_merges_deep",
+    "ann_store_snapshot_probe",
+    "contamination_report_card",
+    "ccnet_pipeline",
+    "avro_roundtrip_events",
+    # (e) the 12 stalest r8-vintage rows
+    "ann_ivf_cell_stats",
+    "ann_ivf_cosine",
+    "ann_lsh_cosine",
+    "curation_pipeline",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters",
+    "dedup_corpus_summary",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_hash",
+    "dedup_incremental",
+    "dedup_lines_report",
 )
 
 

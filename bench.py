@@ -241,7 +241,17 @@ HEADLINE_ADDITIONS = [
     "streaming_quantile_sketch",    # micro-batch sketch feed == batch histogram
     "wordpiece_decode_roundtrip",   # BERT detokenize losslessness certification
     "bpe_vocab_size_frontier",      # fertility vs merge count, 5 prefix encodes
+    # r15 additions
+    "ann_store_snapshot_probe",     # snapshot-backed IVF store, manifest-planned probe
+    "contamination_report_card",    # 3-layer decontam overlap matrix
+    "ccnet_pipeline",               # lang-id -> KN buckets -> tercile keep, end to end
+    "avro_roundtrip_events",        # Avro interchange leg of the format matrix
 ]
+# wordpiece_train_merges_deep stays OFF the headline (the
+# bpe_train_merges_deep precedent): 32 driver-iterated likelihood rounds
+# are inherently ~2x the 16-round wordpiece_train_merges already benched;
+# the encode/decode/fertility entries bench the frozen deep artifact's
+# map-only consumers instead.
 
 HEADLINE = HEADLINE_TREND + HEADLINE_ADDITIONS
 # dv_delete_events stays registered + oracle-gated but OFF the headline:
@@ -286,9 +296,38 @@ def _load_1m() -> float:
         return -1.0
 
 
+# A 1-min loadavg above this at suite start means another job is still
+# draining on the box (r13/r14 both committed contended starts near 10;
+# idle starts sit under ~2 on the 32-CPU runner): settle before timing
+# anything so the committed artifact reflects the box, not the queue.
+LOAD_SETTLE_THRESHOLD = 6.0
+LOAD_SETTLE_MAX_SEC = 120
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_start, calib_start = _load_1m(), _calibrate()
+    contended_start = None
+    if load_start > LOAD_SETTLE_THRESHOLD and not os.environ.get(
+        "SPARK_GRAFT_BENCH_NO_SETTLE"
+    ):
+        # the r14-verdict bench-hygiene task: two consecutive rounds
+        # committed a contended start — wait (bounded) for the queue to
+        # drain, then RE-MEASURE once; the raw numbers stay in the
+        # artifact so the settle is auditable, and the suite's timings
+        # start from the settled box
+        t0 = time.time()
+        while (
+            time.time() - t0 < LOAD_SETTLE_MAX_SEC
+            and _load_1m() > LOAD_SETTLE_THRESHOLD
+        ):
+            time.sleep(5)
+        contended_start = {
+            "load_1m_raw": load_start,
+            "calibration_sec_raw": calib_start,
+            "settle_wait_sec": round(time.time() - t0, 1),
+        }
+        load_start, calib_start = _load_1m(), _calibrate()
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
@@ -405,6 +444,8 @@ def main() -> None:
         "calibration_sec_start": calib_start,
         "calibration_sec_end": calib_end,
     }
+    if contended_start:
+        host["contended_start"] = contended_start
     # full per-query engine-metrics report (RPT:286-329 parity artifact)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_report.json"),
@@ -424,13 +465,16 @@ def main() -> None:
             indent=2,
         )
 
+    # headline fields FIRST, the per-query dict LAST (r14-verdict bench
+    # hygiene: the driver's artifact tail-truncates, and r14's committed
+    # line lost trend_total_sec to it — a truncated tail must still
+    # carry every headline number and the host-condition evidence)
     line = {
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
         "trend_total_sec": trend_total,
         "additions_total_sec": additions_total,
-        "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("/", 1)[-1],
         # engine versions ride in the bench artifact so every recorded
         # BENCH_r{N}.json names the environment that produced it — the
@@ -440,8 +484,11 @@ def main() -> None:
         "load": {"start_1m": load_start, "end_1m": load_end},
         "calibration": {"start_sec": calib_start, "end_sec": calib_end},
     }
+    if contended_start:
+        line["contended_start"] = contended_start
     if errors:
         line["errors"] = errors
+    line["queries"] = timings
     print(json.dumps(line))
 
 
