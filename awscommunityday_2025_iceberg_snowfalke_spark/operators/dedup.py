@@ -929,6 +929,112 @@ def benchmark_contamination_substrings(
     )
 
 
+def contamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination REMOVAL TRANSFORM — the surgical alternative
+    to dropping a contaminated document whole: every maximal leaked run
+    (consecutive benchmark-shared ``SUBSTR_WINDOW``-token windows, the
+    islands :func:`benchmark_contamination_substrings` reports) is CUT
+    from the training doc and the doc is rebuilt from the survivors —
+    the Lee-et-al span surgery (`dedup_substring_removed_text`) applied
+    to the EVAL-LEAK signal instead of the corpus-dup signal. This
+    completes the decontamination story: detect (three screens) → audit
+    (`contamination_report_card`) → remove (here); production pipelines
+    prefer the cut when the leak is a quoted benchmark item inside an
+    otherwise-good document.
+
+    Output: ONE ROW PER AFFECTED DOC (doc_id, span count, original /
+    clean / removed token counts, rebuilt text) — the patch list an
+    ingest applies; unaffected docs pass through a real pipeline
+    unchanged and are not re-emitted. Overlapping runs (islands closer
+    than the window width) cut correctly: a token leaves if ANY span
+    covers it, and removed = original − clean counts distinct positions.
+
+    Scale shape: the window/bench screen is the substring entry's
+    certified broadcast shape; the span table is bounded by leaked runs
+    (tiny — contamination is the exception); only AFFECTED docs pay the
+    posexplode + anti-join + rebuild, via a semi join on the span table
+    first, so the transform's heavy path is leak-bounded, not
+    corpus-bounded. Rebuild canonicalizes whitespace (lower + single
+    spaces — the tokenization the window digests were computed over),
+    exactly like the dedup removal transform."""
+    from .textstats import CONTAM_MOD, LEX_BENCH_ID_CAP
+
+    wins = _substr_windows(spark, sf_dir)
+    bench = (
+        wins.filter(
+            (F.col("doc_id") % CONTAM_MOD == 0)
+            & (F.col("doc_id") < LEX_BENCH_ID_CAP)
+        )
+        .select("wh")
+        .distinct()
+    )
+    hits = wins.filter(F.col("doc_id") % CONTAM_MOD != 0).join(
+        F.broadcast(bench), "wh"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("g", F.col("pos") - F.row_number().over(wd))
+    spans = stage(
+        isl.groupBy("doc_id", "g").agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SUBSTR_WINDOW)).alias("span_end"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    affected = docs.join(
+        spans.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    toks = affected.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    kept = toks.alias("t").join(
+        spans.alias("s"),
+        (F.col("t.doc_id") == F.col("s.doc_id"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") < F.col("s.span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_clean"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    counts = affected.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    n_spans = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_cut")
+    )
+    return (
+        counts.join(n_spans, "doc_id")
+        .join(rebuilt, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_spans_cut",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_tokens_clean", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_clean"),
+            (
+                F.col("n_tokens")
+                - F.coalesce("n_tokens_clean", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- line-level dedup (C4's duplicate-line removal) ---------------------------
 LINE_TOKENS = 16  # fixed-width pseudo-lines over the testdata's unbroken text
 
@@ -2319,6 +2425,7 @@ QUERIES = {
     "dedup_substring_removal_report": dedup_substring_removal_report,
     "dedup_substring_removed_text": dedup_substring_removed_text,
     "benchmark_contamination_substrings": benchmark_contamination_substrings,
+    "contamination_span_removal": contamination_span_removal,
     "dedup_lines_report": dedup_lines_report,
     "dedup_paragraphs_report": dedup_paragraphs_report,
     "dedup_paragraphs_removed_text": dedup_paragraphs_removed_text,
@@ -3136,6 +3243,69 @@ ORACLE["benchmark_contamination_substrings"] = rf"""
     SELECT doc_id, CAST(SUM(n_wins) AS BIGINT) AS n_shared_windows,
            CAST(MAX(run_tokens) AS INT) AS max_leak_tokens
     FROM runs GROUP BY doc_id
+"""
+
+ORACLE["contamination_span_removal"] = rf"""
+    WITH {_DUCK_SUBSTR_WINS},
+    bench AS (
+        SELECT DISTINCT wh FROM wins
+        WHERE doc_id % {_CONTAM_MOD} = 0
+          AND doc_id < {_LEX_BENCH_ID_CAP}
+    ),
+    train AS (
+        SELECT doc_id, pos FROM wins
+        WHERE doc_id % {_CONTAM_MOD} <> 0
+          AND wh IN (SELECT wh FROM bench)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS g
+        FROM train
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + {SUBSTR_WINDOW} AS span_end
+        FROM isl GROUP BY doc_id, g
+    ),
+    tok_base AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM spans)
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT) + 1] AS tok
+        FROM tok_base, UNNEST(range(len(t))) AS u(i)
+    ),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM toks tk
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tk.doc_id
+              AND tk.pos >= s.span_start
+              AND tk.pos < s.span_end
+        )
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS n_tokens_clean,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    ),
+    nsp AS (
+        SELECT doc_id, COUNT(*) AS n_spans_cut FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(n.n_spans_cut AS BIGINT) AS n_spans_cut,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+           CAST(len(b.t) - COALESCE(r.n_tokens_clean, 0) AS BIGINT)
+               AS n_tokens_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tok_base b
+    JOIN nsp n ON b.doc_id = n.doc_id
+    LEFT JOIN reb r ON b.doc_id = r.doc_id
+    ORDER BY b.doc_id
 """
 
 

@@ -246,6 +246,7 @@ HEADLINE_ADDITIONS = [
     "contamination_report_card",    # 3-layer decontam overlap matrix
     "ccnet_pipeline",               # lang-id -> KN buckets -> tercile keep, end to end
     "avro_roundtrip_events",        # Avro interchange leg of the format matrix
+    "contamination_span_removal",   # leak-span surgery: cut + rebuild affected docs
 ]
 # wordpiece_train_merges_deep stays OFF the headline (the
 # bpe_train_merges_deep precedent): 32 driver-iterated likelihood rounds

@@ -1028,3 +1028,71 @@ def test_ccnet_pipeline_accounting(spark):
         # head/middle cumulative sizes are AT LEAST the boundary ranks
         assert r["n_head"] >= (n + 2) // 3
         assert r["n_head"] + r["n_middle"] >= (2 * n + 2) // 3
+
+
+def test_contamination_span_removal_cleans_all_leaks(spark):
+    """The decontamination surgery's guarantees: the affected-doc set
+    equals the substring screen's flagged set, the token accounting
+    balances, every cut is at least one full window wide, and — the
+    point of the transform — recomputing the sliding windows over the
+    REBUILT text finds zero benchmark-shared windows (the leak is gone,
+    not just shortened)."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
+        SUBSTR_WINDOW,
+        _substr_windows,
+        benchmark_contamination_substrings,
+        contamination_span_removal,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        CONTAM_MOD,
+        LEX_BENCH_ID_CAP,
+    )
+    from conftest import SF_DIR
+
+    out = contamination_span_removal(spark, SF_DIR).collect()
+    assert out, "testdata must contain at least one leaked run"
+    flagged = {
+        r["doc_id"]
+        for r in benchmark_contamination_substrings(spark, SF_DIR).collect()
+    }
+    assert {r["doc_id"] for r in out} == flagged
+    for r in out:
+        assert r["n_spans_cut"] >= 1
+        assert r["n_tokens_removed"] >= SUBSTR_WINDOW
+        assert r["n_tokens_clean"] + r["n_tokens_removed"] == r["n_tokens"]
+
+    bench = {
+        r["wh"]
+        for r in _substr_windows(spark, SF_DIR)
+        .filter(
+            (F.col("doc_id") % CONTAM_MOD == 0)
+            & (F.col("doc_id") < LEX_BENCH_ID_CAP)
+        )
+        .select("wh")
+        .distinct()
+        .collect()
+    }
+    clean = spark.createDataFrame(
+        [(r["doc_id"], r["text_clean"]) for r in out],
+        "doc_id long, text string",
+    )
+    W = SUBSTR_WINDOW
+    rewins = (
+        clean.select(
+            "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+        )
+        .filter(F.size("t") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {W}), i -> "
+                    f"md5(array_join(slice(t, i + 1, {W}), ' ')))"
+                )
+            ).alias("wh"),
+        )
+    )
+    leaked_after = [r for r in rewins.collect() if r["wh"] in bench]
+    assert not leaked_after, leaked_after[:3]
