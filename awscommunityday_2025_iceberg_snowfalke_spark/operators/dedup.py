@@ -904,7 +904,7 @@ def benchmark_contamination_substrings(
     rows are bounded by contaminated docs.
     Reports distinct shared windows and the longest contiguous leaked
     run (consecutive shared positions → islands, like the dedup spans)."""
-    from .textstats import CONTAM_MOD, LEX_BENCH_ID_CAP
+    from .textstats import CONTAM_MOD, LEX_BENCH_ID_CAP, _lex_train_pred
 
     wins = _substr_windows(spark, sf_dir)
     bench = (
@@ -915,7 +915,7 @@ def benchmark_contamination_substrings(
         .select("wh")
         .distinct()
     )
-    train = wins.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    train = wins.filter(_lex_train_pred())
     hits = train.join(F.broadcast(bench), "wh")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn("g", F.col("pos") - F.row_number().over(wd))
@@ -956,8 +956,16 @@ def contamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so the transform's heavy path is leak-bounded, not
     corpus-bounded. Rebuild canonicalizes whitespace (lower + single
     spaces — the tokenization the window digests were computed over),
-    exactly like the dedup removal transform."""
-    from .textstats import CONTAM_MOD, LEX_BENCH_ID_CAP
+    exactly like the dedup removal transform.
+
+    Single-pass caveat (r15 ADVICE): cutting a span splices previously
+    distant tokens into adjacency, which can in principle form a NEW
+    benchmark-matching window across the seam; the zero-residual-leak
+    property is corpus-dependent for one pass (pinned empirically on
+    this testdata by ``test_contamination_span_removal_cleans_all_
+    leaks``, not structurally guaranteed). A production ingest iterates
+    the transform to a fixed point; one pass is the declared entry."""
+    from .textstats import CONTAM_MOD, LEX_BENCH_ID_CAP, _lex_train_pred
 
     wins = _substr_windows(spark, sf_dir)
     bench = (
@@ -968,7 +976,7 @@ def contamination_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("wh")
         .distinct()
     )
-    hits = wins.filter(F.col("doc_id") % CONTAM_MOD != 0).join(
+    hits = wins.filter(_lex_train_pred()).join(
         F.broadcast(bench), "wh"
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -3225,7 +3233,8 @@ ORACLE["benchmark_contamination_substrings"] = rf"""
     ),
     train AS (
         SELECT doc_id, pos FROM wins
-        WHERE doc_id % {_CONTAM_MOD} <> 0
+        WHERE NOT (doc_id % {_CONTAM_MOD} = 0
+                   AND doc_id < {_LEX_BENCH_ID_CAP})
           AND wh IN (SELECT wh FROM bench)
     ),
     isl AS (
@@ -3254,7 +3263,8 @@ ORACLE["contamination_span_removal"] = rf"""
     ),
     train AS (
         SELECT doc_id, pos FROM wins
-        WHERE doc_id % {_CONTAM_MOD} <> 0
+        WHERE NOT (doc_id % {_CONTAM_MOD} = 0
+                   AND doc_id < {_LEX_BENCH_ID_CAP})
           AND wh IN (SELECT wh FROM bench)
     ),
     isl AS (

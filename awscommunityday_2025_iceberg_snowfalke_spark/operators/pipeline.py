@@ -839,8 +839,9 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         CONTAM_MOD,
         CONTAM_N,
         LEX_BENCH_ID_CAP,
+        _lex_train_pred,
         _qc_features,
-        _qc_scored,
+        _qc_scored_fused,
         _qc_weights,
     )
 
@@ -950,16 +951,19 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = _qc_weights(feats_train)
     # the feature explode + per-feature hash is CPU-bound and s3's
     # staged parquet re-reads as few splits — spread to all cores (the
-    # quality_classifier_score precedent; no-op on a many-file corpus)
+    # quality_classifier_score precedent; no-op on a many-file corpus).
+    # Scoring itself is the FUSED form (r16; _qc_scored_fused): weight
+    # lookups ride the feature scan as array-literal element_at, so the
+    # survivor pass keeps ONE shuffle (the per-doc sum) instead of the
+    # (doc, bucket) matrix exchange + broadcast join + per-doc sum —
+    # this stage was 86% of the measured 5M-doc pipeline wall (SCALE.md)
     scored = stage(
-        _qc_scored(
-            _qc_features(
-                spread(
-                    spark,
-                    s3.select(
-                        "doc_id", "lang", F.col("text_clean").alias("text")
-                    ),
-                )
+        _qc_scored_fused(
+            spread(
+                spark,
+                s3.select(
+                    "doc_id", "lang", F.col("text_clean").alias("text")
+                ),
             ),
             weights,
         )
@@ -1012,7 +1016,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .distinct()
     )
-    cand5 = s4.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    cand5 = s4.filter(_lex_train_pred())
     contam = stage(
         grams8(spread(spark, cand5), "text_clean")
         .join(F.broadcast(bench), "g")
@@ -1822,7 +1826,8 @@ def _duck_curation_v2() -> str:
         SELECT doc_id,
                list_filter(string_split_regex(lower(text_clean), '\s+'),
                            t -> t <> '') AS ts
-        FROM s4 WHERE doc_id % {CONTAM_MOD} <> 0
+        FROM s4 WHERE NOT (doc_id % {CONTAM_MOD} = 0
+                           AND doc_id < {LEX_BENCH_ID_CAP})
     ),
     g5 AS (
         SELECT doc_id, unnest({_DUCK_8G}) AS g
@@ -1831,7 +1836,8 @@ def _duck_curation_v2() -> str:
     contam AS (SELECT DISTINCT doc_id FROM g5 JOIN bgrams USING (g)),
     s5 AS (
         SELECT * FROM s4
-        WHERE doc_id % {CONTAM_MOD} <> 0
+        WHERE NOT (doc_id % {CONTAM_MOD} = 0
+                   AND doc_id < {LEX_BENCH_ID_CAP})
           AND doc_id NOT IN (SELECT doc_id FROM contam)
     ),
     s5tok AS (
@@ -2025,7 +2031,8 @@ def _duck_datasheet() -> str:
     ccont AS (
         SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
         FROM cgrams JOIN cbench USING (g)
-        WHERE doc_id % {CONTAM_MOD} <> 0
+        WHERE NOT (doc_id % {CONTAM_MOD} = 0
+                   AND doc_id < {LEX_BENCH_ID_CAP})
     )
     SELECT 'lang_mix' AS section, metric, n,
            {_duck_ratio6("n", "total_docs")} AS share
@@ -2081,7 +2088,8 @@ def _duck_report_card() -> str:
                   AND doc_id < {LEX_BENCH_ID_CAP}),
     l1 AS (
         SELECT DISTINCT doc_id FROM rcgrams
-        WHERE doc_id % {CONTAM_MOD} <> 0
+        WHERE NOT (doc_id % {CONTAM_MOD} = 0
+                   AND doc_id < {LEX_BENCH_ID_CAP})
           AND g IN (SELECT g FROM rcbench)
     ),
     wbench AS (
@@ -2090,13 +2098,16 @@ def _duck_report_card() -> str:
     ),
     l2 AS (
         SELECT DISTINCT doc_id FROM wins
-        WHERE doc_id % {CONTAM_MOD} <> 0
+        WHERE NOT (doc_id % {CONTAM_MOD} = 0
+                   AND doc_id < {LEX_BENCH_ID_CAP})
           AND wh IN (SELECT wh FROM wbench)
     ),
     l3 AS (
         SELECT DISTINCT c.vec_id AS doc_id
         FROM embeddings c JOIN embeddings b
-          ON c.vec_id % {CONTAM_MOD} <> 0 AND b.vec_id % {CONTAM_MOD} = 0
+          ON NOT (c.vec_id % {CONTAM_MOD} = 0
+                  AND c.vec_id < {SEM_BENCH_ID_CAP})
+         AND b.vec_id % {CONTAM_MOD} = 0
          AND b.vec_id < {SEM_BENCH_ID_CAP}
         WHERE {cos} >= {SEM_CONTAM_TAU}
     ),

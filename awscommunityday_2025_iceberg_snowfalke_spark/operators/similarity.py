@@ -202,7 +202,16 @@ def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("nq", _norm(F.col("q")))
     )
     corpus = (
-        emb.filter(F.col("vec_id") % CONTAM_MOD != 0)
+        # training side = the frozen split's complement (r15 ADVICE):
+        # above-cap vec_ids with vec_id % CONTAM_MOD == 0 are TRAINING
+        # docs, screened like any other (no-op at the gate SFs where the
+        # cap covers every id; oracle changed in lockstep)
+        emb.filter(
+            ~(
+                (F.col("vec_id") % CONTAM_MOD == 0)
+                & (F.col("vec_id") < SEM_BENCH_ID_CAP)
+            )
+        )
         .select(
             F.col("vec_id").alias("doc_id"),
             _as_double("embedding").alias("e"),
@@ -1502,6 +1511,8 @@ def _pq_topk(
     subidx: "list | None" = None,
     rot: "object | None" = None,
     codebooks: "list | None" = None,
+    _cent_rows: "list | None" = None,
+    _enc: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF-PQ (Jégou, Douze, Schmid 2011, "Product Quantization for
     Nearest Neighbor Search"): the 100 TB vector-store answer when even
@@ -1566,12 +1577,30 @@ def _pq_topk(
     the rotated-coarse-centroid-slice default — the OPQ-NP hook
     (:func:`ann_ivf_opq_np_cosine`): trained sub-codebooks are free
     parameters living in the rotated space. Default None keeps every
-    existing entry bit-unchanged."""
+    existing entry bit-unchanged.
+
+    ``_enc`` (optional, r16 — guide §1.2/§8 "decide with small rows"):
+    a staged encode table from :func:`_pq_encode` under the SAME
+    (rot, subidx, codebooks). The cell/code/norm encode is
+    probe-count-independent, so the recall reports' per-probe-point
+    calls were re-encoding the full embedding corpus once per p; with
+    ``_enc`` the ADC scan reads the 8-byte-code store instead — the
+    production vector-store shape (:func:`embedding_pq_codes` is that
+    artifact) — and the heavy embedding pass runs ONCE per report.
+    Scores are identical: same codes, same float lookup-table sums in
+    the same order; doubles roundtrip parquet exactly."""
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_rows = _centroids(emb).orderBy("label").collect()
+    # _cent_rows (r16, guide §1.2): callers that already collected the
+    # bounded centroid table (the OPQ entries probe twice per report)
+    # pass it in instead of re-running the corpus centroid pass
+    cent_rows = (
+        _cent_rows
+        if _cent_rows is not None
+        else _centroids(emb).orderBy("label").collect()
+    )
     cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
     C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     if rot is not None:
@@ -1607,27 +1636,9 @@ def _pq_topk(
     # ADC lookup tables: T[m][qi, code] = dot(q_sub_m, codeword)
     T = [Q[:, subidx[m]] @ cb[m].T for m in range(PQ_M)]
 
-    def score(batches):
-        for pdf in batches:
-            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            if rot is not None:
-                E = E @ rot
-            En = np.linalg.norm(E, axis=1)
-            A = (E @ C.T) / (En[:, None] * Cn[None, :])
-            acell = cells[np.argmax(A, axis=1)]
-            # PQ encode: per subspace argmin of ||x − c||² expanded as
-            # x·x − 2x·c + c·c (the oracle writes the same expansion)
-            codes = np.empty((len(ids), PQ_M), dtype=np.int64)
-            rn2 = np.zeros(len(ids))
-            for m in range(PQ_M):
-                Em = E[:, subidx[m]]
-                D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (Em @ cb[m].T)
-                D = D + cn2[m][None, :]
-                cm = np.argmin(D, axis=1)  # first min = lowest code id
-                codes[:, m] = cm
-                rn2 = rn2 + cn2[m][cm]
-            rnorm = np.sqrt(rn2)  # |reconstruction| from code norms alone
+    def _adc_batches(pieces):
+        """Shared ADC scan over (ids, acell, codes, rnorm) batches."""
+        for ids, acell, codes, rnorm in pieces:
             for c, qidx in probes_by_cell.items():
                 sel = acell == c
                 if not sel.any():
@@ -1646,11 +1657,55 @@ def _pq_topk(
                     }
                 )
 
-    scored = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(score, "query_id long, neighbor_id long, adc_raw double")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
+    def score(batches):
+        def encode_then(batches):
+            for pdf in batches:
+                E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                if rot is not None:
+                    E = E @ rot
+                En = np.linalg.norm(E, axis=1)
+                A = (E @ C.T) / (En[:, None] * Cn[None, :])
+                acell = cells[np.argmax(A, axis=1)]
+                # PQ encode: per subspace argmin of ||x − c||² expanded
+                # as x·x − 2x·c + c·c (the oracle's expansion)
+                codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+                rn2 = np.zeros(len(ids))
+                for m in range(PQ_M):
+                    Em = E[:, subidx[m]]
+                    D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (
+                        Em @ cb[m].T
+                    )
+                    D = D + cn2[m][None, :]
+                    cm = np.argmin(D, axis=1)  # first min = lowest code
+                    codes[:, m] = cm
+                    rn2 = rn2 + cn2[m][cm]
+                # |reconstruction| from code norms alone
+                yield ids, acell, codes, np.sqrt(rn2)
+
+        yield from _adc_batches(encode_then(batches))
+
+    def score_enc(batches):
+        def decode_then(batches):
+            for pdf in batches:
+                yield (
+                    pdf["vec_id"].to_numpy(dtype=np.int64),
+                    pdf["cell"].to_numpy(dtype=np.int64),
+                    np.array(pdf["codes"].tolist(), dtype=np.int64),
+                    np.sqrt(pdf["rn2"].to_numpy(dtype=np.float64)),
+                )
+
+        yield from _adc_batches(decode_then(batches))
+
+    if _enc is None:
+        scored = emb.select("vec_id", "embedding").mapInPandas(
+            score, "query_id long, neighbor_id long, adc_raw double"
+        )
+    else:
+        scored = _enc.mapInPandas(
+            score_enc, "query_id long, neighbor_id long, adc_raw double"
+        )
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_raw"), F.asc("neighbor_id")
     )
@@ -1700,6 +1755,78 @@ def _pq_topk(
             F.round("cos_raw", 8).alias("cosine_sim"),
             "rank",
         )
+    )
+
+
+def _pq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    subidx: "list | None" = None,
+    rot: "object | None" = None,
+    codebooks: "list | None" = None,
+    _cent_rows: "list | None" = None,
+) -> DataFrame:
+    """The probe-count-INDEPENDENT half of :func:`_pq_topk` (r16, guide
+    §1.2/§8): one map-only Arrow pass producing the PQ store —
+    (vec_id, cell, codes, ‖reconstruction‖²) — under the same
+    (rot, subidx, codebooks) hooks. The recall reports stage this once
+    and sweep probe counts against the 8-byte-code table instead of
+    re-encoding the full embedding corpus per probe point. Same encode
+    arithmetic as the fused pass (argmin ties to lowest code, rn2
+    accumulated m-ascending), so downstream ADC scores are identical."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        _cent_rows
+        if _cent_rows is not None
+        else _centroids(emb).orderBy("label").collect()
+    )
+    cells = np.array([int(r["label"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    if rot is not None:
+        C = C @ rot
+    Cn = np.linalg.norm(C, axis=1)
+    if subidx is None:
+        subidx = [
+            np.arange(m * PQ_SUB, (m + 1) * PQ_SUB) for m in range(PQ_M)
+        ]
+    if codebooks is None:
+        cb = [C[:, subidx[m]].copy() for m in range(PQ_M)]
+    else:
+        cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    cn2 = [(cb[m] * cb[m]).sum(axis=1) for m in range(PQ_M)]
+
+    def encode(batches):
+        for pdf in batches:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if rot is not None:
+                E = E @ rot
+            En = np.linalg.norm(E, axis=1)
+            A = (E @ C.T) / (En[:, None] * Cn[None, :])
+            acell = cells[np.argmax(A, axis=1)]
+            codes = np.empty((len(ids), PQ_M), dtype=np.int32)
+            rn2 = np.zeros(len(ids))
+            for m in range(PQ_M):
+                Em = E[:, subidx[m]]
+                D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (Em @ cb[m].T)
+                D = D + cn2[m][None, :]
+                cm = np.argmin(D, axis=1)  # first min = lowest code id
+                codes[:, m] = cm
+                rn2 = rn2 + cn2[m][cm]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": acell,
+                    "codes": list(codes),
+                    "rn2": rn2,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, cell long, codes array<int>, rn2 double"
     )
 
 
@@ -1785,11 +1912,22 @@ def ann_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = stage(
         knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     )
+    # ONE centroid collect shared by every probe point (r16, guide §1.2:
+    # the bounded k×d table was re-derived per probe count before)
+    cent_rows = (
+        _centroids(load(spark, sf_dir, "embeddings"))
+        .orderBy("label")
+        .collect()
+    )
+    # encode ONCE, sweep probe counts against the staged 8-byte-code
+    # store (r16, guide §1.2/§8: the encode pass is p-independent; it
+    # previously re-ran per probe point)
+    enc = stage(_pq_encode(spark, sf_dir, _cent_rows=cent_rows))
     cand = None
     for p in RECALL_PROBES:
-        part = _pq_topk(spark, sf_dir, p).select(
-            F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
-        )
+        part = _pq_topk(
+            spark, sf_dir, p, _cent_rows=cent_rows, _enc=enc
+        ).select(F.lit(p).alias("n_probe"), "query_id", "neighbor_id")
         cand = part if cand is None else cand.unionByName(part)
     total = bf.count()  # scalar: |queries| * TOP_K
     hits = (
@@ -2054,7 +2192,9 @@ def ann_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OPQ: variance-balanced dimension allocation ----------------------------
-def _opq_perm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _opq_perm_frame(
+    spark: SparkSession, sf_dir: str, _per_dim: "DataFrame | None" = None
+) -> DataFrame:
     """The OPQ ALLOCATION artifact (d rows): each dimension's variance,
     its variance rank, and its assigned (subspace, slot) under a snake
     allocation — rank 0 → subspace 0, rank PQ_M−1 → subspace PQ_M−1,
@@ -2080,37 +2220,44 @@ def _opq_perm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_pca_variance`` precedent), rank ties break on pos ASC,
     and the snake is pure-integer arithmetic. Scale: one posexplode
     aggregation (map-side combinable) to d groups; the d-row window is
-    bounded work regardless of corpus size."""
-    emb = load(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        F.posexplode(_as_double("embedding")).alias("pos", "v")
-    )
-    mu = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
-        "v"
-    )
-    msq = F.sum(
-        (F.col("v") * F.col("v")).cast("decimal(28,12)")
-    ).cast("double") / F.count("v")
-    per_dim = comp.groupBy("pos").agg(
-        F.greatest(msq - mu * mu, F.lit(0.0)).alias("dim_var")
-    )
+    bounded work regardless of corpus size.
+
+    ``_per_dim`` (r16, guide §1.2 — don't recompute what the caller
+    already has): optional (pos, …, var) frame from the SAME decimal
+    variance device (``ann_ivf_opq_rot_cosine`` computes one for its
+    trace check); when given, the corpus posexplode pass here is
+    skipped and the allocation ranks that frame's identical values."""
+    if _per_dim is not None:
+        per_dim = _per_dim.select("pos", F.col("var").alias("dim_var"))
+    else:
+        emb = load(spark, sf_dir, "embeddings")
+        comp = emb.select(
+            F.posexplode(_as_double("embedding")).alias("pos", "v")
+        )
+        mu = F.sum(
+            F.col("v").cast("decimal(28,12)")
+        ).cast("double") / F.count("v")
+        msq = F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(28,12)")
+        ).cast("double") / F.count("v")
+        per_dim = comp.groupBy("pos").agg(
+            F.greatest(msq - mu * mu, F.lit(0.0)).alias("dim_var")
+        )
     w = Window.orderBy(F.desc("dim_var"), F.asc("pos"))  # d rows: bounded
     ranked = per_dim.withColumn("rk", F.row_number().over(w) - 1)
     band = F.expr(f"rk div {PQ_M}")
     off = F.pmod(F.col("rk"), F.lit(PQ_M))
-    # staged: the d-row artifact is memoized, so the recall report's
-    # repeated probes and the subidx collect pay the corpus pass once
-    return stage(
-        ranked.select(
-            "pos",
-            F.round("dim_var", 10).alias("dim_var"),
-            F.col("rk").cast("int").alias("var_rank"),
-            F.when(F.pmod(band, F.lit(2)) == 0, off)
-            .otherwise(F.lit(PQ_M - 1) - off)
-            .cast("int")
-            .alias("subspace"),
-            band.cast("int").alias("slot"),
-        )
+    # d-row bounded output; consumers collect it once (the r15 stage()
+    # here bought no reuse — its memo never existed — and cost a write)
+    return ranked.select(
+        "pos",
+        F.round("dim_var", 10).alias("dim_var"),
+        F.col("rk").cast("int").alias("var_rank"),
+        F.when(F.pmod(band, F.lit(2)) == 0, off)
+        .otherwise(F.lit(PQ_M - 1) - off)
+        .cast("int")
+        .alias("subspace"),
+        band.cast("int").alias("slot"),
     )
 
 
@@ -2120,13 +2267,15 @@ def embedding_opq_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _opq_perm_frame(spark, sf_dir)
 
 
-def _opq_subidx(spark: SparkSession, sf_dir: str) -> list:
+def _opq_subidx(
+    spark: SparkSession, sf_dir: str, _per_dim: "DataFrame | None" = None
+) -> list:
     """Materialize the allocation as per-subspace numpy index arrays for
     :func:`_pq_topk`'s ``subidx`` hook. Collects d rows — bounded by the
     embedding dimension, never by corpus size."""
     import numpy as np
 
-    rows = _opq_perm_frame(spark, sf_dir).select(
+    rows = _opq_perm_frame(spark, sf_dir, _per_dim=_per_dim).select(
         "pos", "subspace", "slot"
     ).collect()
     by_m: dict[int, list[tuple[int, int]]] = {}
@@ -2160,9 +2309,22 @@ def ann_ivf_opq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = stage(
         knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     )
+    # ONE centroid collect shared by every probe point (r16, guide §1.2)
+    cent_rows = (
+        _centroids(load(spark, sf_dir, "embeddings"))
+        .orderBy("label")
+        .collect()
+    )
+    # encode ONCE under the OPQ allocation, sweep probes against the
+    # staged code store (r16, guide §1.2/§8)
+    enc = stage(
+        _pq_encode(spark, sf_dir, subidx=sub, _cent_rows=cent_rows)
+    )
     cand = None
     for p in RECALL_PROBES:
-        part = _pq_topk(spark, sf_dir, p, subidx=sub).select(
+        part = _pq_topk(
+            spark, sf_dir, p, subidx=sub, _cent_rows=cent_rows, _enc=enc
+        ).select(
             F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
         )
         cand = part if cand is None else cand.unionByName(part)
@@ -2323,12 +2485,24 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _hits(df):
         return df.join(bf, ["query_id", "neighbor_id"]).count()
 
+    # ONE centroid collect serves both probes (r16, guide §1.2)
+    cent_rows = _centroids(emb).orderBy("label").collect()
     # staged: consumed twice (completeness count + recall hits)
-    rot_topk = stage(_pq_topk(spark, sf_dir, N_PROBE, rot=R))
+    rot_topk = stage(
+        _pq_topk(spark, sf_dir, N_PROBE, rot=R, _cent_rows=cent_rows)
+    )
     n_rows = rot_topk.count()
     hits_rot = _hits(rot_topk)
     hits_alloc = _hits(
-        _pq_topk(spark, sf_dir, N_PROBE, subidx=_opq_subidx(spark, sf_dir))
+        _pq_topk(
+            spark,
+            sf_dir,
+            N_PROBE,
+            # reuse this entry's own staged per-dim variance frame for
+            # the allocation (identical values; skips a corpus pass)
+            subidx=_opq_subidx(spark, sf_dir, _per_dim=per_dim),
+            _cent_rows=cent_rows,
+        )
     )
     return spark.createDataFrame(
         [
@@ -2352,7 +2526,7 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 OPQ_NP_ROUNDS = 2
 
 
-def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None):
+def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None, _cent_rows=None):
     """OPQ non-parametric training (Ge, He, Ke, Sun 2013 §3): block
     coordinate descent on min ‖X·R − Y(codes)‖²_F over (codes,
     sub-codebooks, R), warm-started from the OPQ-P rotation (the
@@ -2391,7 +2565,11 @@ def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None):
     vecs = stage(
         emb.select("vec_id", _as_double("embedding").alias("embedding"))
     )
-    cent_rows = _centroids(emb).orderBy("label").collect()
+    cent_rows = (
+        _cent_rows
+        if _cent_rows is not None
+        else _centroids(emb).orderBy("label").collect()
+    )
     C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     k = C.shape[0]
     # Σ‖x‖² once (decimal-exact scalar; rotation-invariant)
@@ -2409,33 +2587,37 @@ def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None):
     for _ in range(OPQ_NP_ROUNDS):
         Rc, cbc = R.copy(), [b.copy() for b in cb]
 
+        # r16 (guide §4.1): the Python side emits ONE row per vector —
+        # its M argmin codes plus the original embedding — instead of
+        # fanning out M·d (m, code, pos, val) rows per vector through
+        # the Arrow boundary (a 3·M·d/(M+d) ≈ 24× serialization cut at
+        # d=64, M=8); the fan-out to (m, code, pos, val) happens JVM-
+        # side in codegen via two posexplodes feeding the SAME decimal
+        # partial agg. Groups and per-group value multisets are
+        # identical, so the decimal sums stay bit-deterministic.
         def encode_emit(batches, _R=Rc, _cb=cbc):
             for pdf in batches:
                 E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
                 Ep = E @ _R
-                n_rows = len(E)
+                codes = np.empty((len(E), PQ_M), dtype=np.int32)
                 for m in range(PQ_M):
                     Em = Ep[:, m * PQ_SUB : (m + 1) * PQ_SUB]
                     D = (Em * Em).sum(axis=1)[:, None] - 2.0 * (
                         Em @ _cb[m].T
                     )
                     D = D + (_cb[m] * _cb[m]).sum(axis=1)[None, :]
-                    cm = np.argmin(D, axis=1)  # first min = lowest code
-                    yield pd.DataFrame(
-                        {
-                            "m": np.full(n_rows * d, m, dtype=np.int32),
-                            "code": np.repeat(cm.astype(np.int64), d),
-                            "pos": np.tile(
-                                np.arange(d, dtype=np.int32), n_rows
-                            ),
-                            "val": E.ravel(),
-                        }
-                    )
+                    codes[:, m] = np.argmin(D, axis=1)  # first-min code
+                yield pd.DataFrame(
+                    {"codes": list(codes), "embedding": pdf["embedding"]}
+                )
 
         agg = (
-            vecs.mapInPandas(
-                encode_emit, "m int, code long, pos int, val double"
+            vecs.select("embedding")  # §4.1: ship only what the fn reads
+            .mapInPandas(
+                encode_emit, "codes array<int>, embedding array<double>"
             )
+            .select(F.posexplode("codes").alias("m", "code"), "embedding")
+            .select("m", "code", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("m", "code", "pos")
             .agg(
                 F.sum(F.col("val").cast("decimal(28,12)"))
@@ -2523,7 +2705,13 @@ def ann_ivf_opq_np_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows:
         mu[int(r["pos"])] = float(r["mean"])
     R_p, _, _ = _opq_rotation(spark, sf_dir, _mu_n=(mu, n))
-    R_np, cb_np, dist = _opq_np_train(spark, sf_dir, R0=R_p)
+    # ONE centroid collect serves the NP trainer and both probes below
+    # (r16, guide §1.2 — the bounded k×d table was re-derived from a
+    # fresh corpus posexplode pass at each of the three sites)
+    cent_rows = _centroids(emb).orderBy("label").collect()
+    R_np, cb_np, dist = _opq_np_train(
+        spark, sf_dir, R0=R_p, _cent_rows=cent_rows
+    )
 
     rot_ok = bool(np.abs(R_np.T @ R_np - np.eye(d)).max() < 1e-9)
     mono_ok = bool(
@@ -2544,11 +2732,20 @@ def ann_ivf_opq_np_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.join(bf, ["query_id", "neighbor_id"]).count()
 
     np_topk = stage(
-        _pq_topk(spark, sf_dir, 2 * N_PROBE, rot=R_np, codebooks=cb_np)
+        _pq_topk(
+            spark,
+            sf_dir,
+            2 * N_PROBE,
+            rot=R_np,
+            codebooks=cb_np,
+            _cent_rows=cent_rows,
+        )
     )
     n_rows = np_topk.count()
     hits_np = _hits(np_topk)
-    hits_rot = _hits(_pq_topk(spark, sf_dir, 2 * N_PROBE, rot=R_p))
+    hits_rot = _hits(
+        _pq_topk(spark, sf_dir, 2 * N_PROBE, rot=R_p, _cent_rows=cent_rows)
+    )
     return spark.createDataFrame(
         [
             (
@@ -2678,13 +2875,41 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the driver. In steady state only the arriving batch is scored —
     the standing corpus is already partitioned by cell (the
     ``ann_ivf_partitioned_probe`` store) and untouched."""
+    return _incremental_assign_report(spark, sf_dir)
+
+
+def _incremental_assign_report(
+    spark: SparkSession, sf_dir: str, _rows=None
+) -> DataFrame:
+    """:func:`ann_ivf_incremental_assign` body with an optional
+    ``(frozen_rows, full_rows)`` centroid hand-off (r16, guide §1.2):
+    ``ann_ivf_append_probe`` already collected both bounded k×d centroid
+    tables for its own probes, so its nested re-train verdict must not
+    re-run the two corpus centroid passes. The drift join's centroid
+    relations are rebuilt from the collected rows (k×d bounded,
+    bit-identical doubles through py4j), which also cuts the standalone
+    entry from four corpus centroid passes (2 collects + 2 more under
+    the shift join's uncached lineage) to two."""
     emb = load(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % 2 == 0)
     arriving = emb.filter(F.col("vec_id") % 2 == 1)
-    cent_frozen = _centroids(standing)
-    cent_full = _centroids(emb)
-    frozen_rows = cent_frozen.orderBy("label").collect()  # bounded k×d
-    full_rows = cent_full.orderBy("label").collect()
+    if _rows is None:
+        frozen_rows = _centroids(standing).orderBy("label").collect()
+        full_rows = _centroids(emb).orderBy("label").collect()
+    else:
+        frozen_rows, full_rows = _rows
+    # bounded k×d relations for the in-engine drift join, rebuilt from
+    # the already-collected artifact instead of re-running the corpus
+    # aggregation under this frame's lineage
+    _cent_schema = "label int, centroid array<double>"
+    cent_frozen = spark.createDataFrame(
+        [(int(r["label"]), list(r["centroid"])) for r in frozen_rows],
+        _cent_schema,
+    )
+    cent_full = spark.createDataFrame(
+        [(int(r["label"]), list(r["centroid"])) for r in full_rows],
+        _cent_schema,
+    )
 
     s_occ = (
         _assign_frozen(standing, frozen_rows)
@@ -2795,9 +3020,12 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt_store = _assign_frozen(emb, full_rows, with_embedding=True)
     top_rebuild = _probe_store(spark, emb, rebuilt_store, full_rows)
 
-    any_retrain = ann_ivf_incremental_assign(spark, sf_dir).agg(
-        F.max("retrain").alias("any_retrain")
-    )
+    # re-use THIS entry's collected centroid tables for the nested
+    # re-train verdict (r16, guide §1.2: previously the inner call
+    # re-ran both corpus centroid passes this entry had just done)
+    any_retrain = _incremental_assign_report(
+        spark, sf_dir, _rows=(frozen_rows, full_rows)
+    ).agg(F.max("retrain").alias("any_retrain"))
     a = top_append.select(
         "query_id", "rank", F.col("neighbor_id").alias("na")
     )
@@ -3700,7 +3928,9 @@ def _duck_sem_contam() -> str:
     WITH hits AS (
         SELECT c.vec_id AS doc_id, {cos} AS cos_raw
         FROM embeddings c JOIN embeddings b
-          ON c.vec_id % {CONTAM_MOD} <> 0 AND b.vec_id % {CONTAM_MOD} = 0
+          ON NOT (c.vec_id % {CONTAM_MOD} = 0
+                  AND c.vec_id < {SEM_BENCH_ID_CAP})
+         AND b.vec_id % {CONTAM_MOD} = 0
          AND b.vec_id < {SEM_BENCH_ID_CAP}
         WHERE {cos} >= {SEM_CONTAM_TAU}
     )

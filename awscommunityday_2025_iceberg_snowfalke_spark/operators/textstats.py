@@ -332,6 +332,30 @@ LEX_BENCH_ID_CAP = 500  # the benchmark split is FROZEN: eval-slice ids
 # contamination member) so all four layers score against the SAME
 # frozen eval set; tests/test_properties.py pins the bench-side row
 # count identical across SFs.
+#
+# FROZEN-SPLIT COMPLEMENT (r15 ADVICE): the TRAINING side is everything
+# NOT in the frozen split — ``NOT (id % CONTAM_MOD == 0 AND id < cap)``,
+# not ``id % CONTAM_MOD != 0``. The old %-only filter left docs with
+# id % 11 == 0 AND id >= cap in NEITHER split beyond the gate SF:
+# undetectable contamination, silently dropped by curation stage 5.
+# No-op at sf0.01 (ids run 0..499 < cap); both engines change in
+# lockstep (see the oracle fragments) so every screen stays full-value
+# exact at any SF. tests/test_properties.py pins an above-cap
+# id % 11 == 0 doc screened as TRAINING at sf0.1.
+
+
+def _lex_train_pred(col: str = "doc_id"):
+    """Spark training-side predicate: the frozen split's complement."""
+    return ~(
+        (F.col(col) % CONTAM_MOD == 0) & (F.col(col) < LEX_BENCH_ID_CAP)
+    )
+
+
+def _lex_train_sql(col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`_lex_train_pred` (lockstep by construction)."""
+    return (
+        f"NOT ({col} % {CONTAM_MOD} = 0 AND {col} < {LEX_BENCH_ID_CAP})"
+    )
 
 
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +391,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    corpus = grams.filter(_lex_train_pred())
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -2144,8 +2168,8 @@ def _bpe_train(
         docs.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .persist()
     )
+
     def _merge_fold(arr, a: str, b: str):
         """Tokenwise greedy application of one merge (a, b): exact BPE
         semantics for every pair incl. a == b over repeated runs."""
@@ -2185,13 +2209,27 @@ def _bpe_train(
 
         return F.aggregate(arr, init, step, finish)
 
+    # r16 NOTE — deliberately the r15 shape, kept after an A/B (numbers
+    # in OPTIMIZATION_r16.md). Two rewrites were measured and DISCARDED
+    # on this trainer: (a) per-round persist of the folded arrays
+    # (17.3 s → 34.9 s on the 16-round wordpiece twin: InMemoryRelation
+    # store/scan of string arrays per round costs more than the fold
+    # re-evaluation it saves); (b) the let-bound single-agg +
+    # driver-argmax shape that DID win for `_wp_train` (BPE isolated:
+    # 4.1-4.4 s r15 vs 7.5 s rewritten — BPE's round is already ONE agg
+    # + a LIMIT-1 collect, so the fused-agg saving that paid for the
+    # wordpiece trainer does not exist here and the wrapper only adds
+    # per-round plan analysis). The word dictionary is Heaps-sublinear
+    # (31 distinct types on this testdata!), so per-round cost is job
+    # overhead, not row work — the r15 expression chain is at the floor.
+    wf = wf.persist()
+    merges: list[tuple[int, str, str, int]] = []
     try:
         # char symbolization via the spaced device, split to an array
         arr = F.split(
             F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
         )
         rel = wf
-        merges: list[tuple[int, str, str, int]] = []
         for k in range(rounds):
             pair = F.explode(
                 F.transform(
@@ -2420,6 +2458,67 @@ def _qc_scored(feats: DataFrame, weights: DataFrame) -> DataFrame:
             F.sum("cnt").alias("n_feats"),
             F.sum(F.col("cnt") * F.col("w6")).alias("ws"),
         )
+    )
+
+
+def _qc_scored_fused(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Classifier INFERENCE with the weight dictionary fused into the
+    feature scan (r16, guide §2.3/§2.4 — the r15-verdict task-5 shape):
+    the ≤``QC_BUCKETS``-row weight table is collected once (bounded by
+    the bucket count, never the corpus) into two array LITERALS —
+    per-bucket micro-weight and presence — and every feature occurrence
+    scores via ``element_at`` in the same codegen stage that hashes it.
+    Against :func:`_qc_scored` ∘ :func:`_qc_features` this removes the
+    (doc, bucket) partial-agg exchange AND the broadcast hash join:
+    the only shuffle left is the per-doc sum (map-side combinable).
+
+    EXACT same result as the join form: Σ_occurrences w6 = Σ_buckets
+    cnt·w6 (int64, order-free); ``n_feats`` counts occurrences whose
+    bucket exists in the weight table (absent buckets score 0 and do
+    not count — the inner join's semantics); docs with zero counted
+    features drop (the join produced no row for them)."""
+    w6 = [0] * QC_BUCKETS
+    present = [0] * QC_BUCKETS
+    for r in weights.collect():  # bounded: ≤ QC_BUCKETS rows
+        w6[int(r["bkt"])] = int(r["w6"])
+        present[int(r["bkt"])] = 1
+    warr, parr = F.lit(w6), F.lit(present)
+
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS_EN)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    lbl = (
+        (n_tokens >= 10)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 5 <= F.length("text"))
+    ).cast("long")
+    tok = docs.select(
+        "doc_id", "lang", lbl.alias("lbl"), F.explode(toks).alias("tok")
+    )
+    padded = F.concat(F.lit("<"), F.col("tok"), F.lit(">"))
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    feat = tok.select(
+        "doc_id",
+        "lang",
+        "lbl",
+        F.explode(F.concat(F.array(F.col("tok")), tris)).alias("t"),
+    )
+    idx = (F.expr(_SPARK_TH) % QC_BUCKETS + 1).cast("int")
+    contrib = feat.select(
+        "doc_id",
+        "lang",
+        "lbl",
+        F.element_at(parr, idx).cast("long").alias("p"),
+        F.element_at(warr, idx).cast("long").alias("w"),
+    )
+    return (
+        contrib.groupBy("doc_id", "lang", "lbl")
+        .agg(F.sum("p").alias("n_feats"), F.sum("w").alias("ws"))
+        .filter(F.col("n_feats") > 0)
     )
 
 
@@ -3021,10 +3120,28 @@ def _wp_train(
     Scale shape: identical to ``_bpe_train`` (reference
     run_performance_tests.py has no tokenizer — public Sennrich/Wu
     semantics) — ONE corpus pass builds the Heaps-sublinear (word, freq)
-    dictionary; each round is two bounded map-side-combinable aggs (pair
-    counts, symbol counts) + a broadcast join of the ≤|symbols|-row
-    frequency table onto the ≤|pairs|-row count table + a LIMIT-1 argmax
-    (TakeOrderedAndProject); per-round driver traffic is ONE row."""
+    dictionary; each round is ONE bounded map-side-combinable agg (pair
+    counts AND symbol counts fused into a single explode, the symbol
+    rows tagged ``b IS NULL``) and the argmax is solved driver-side on
+    the collected ≤|symbols|²-row count table with exact Python integers
+    (floor-division == the decimal device; (a, b) tiebreak == the old
+    TakeOrdered's binary string order for this ASCII symbol set).
+
+    r16 optimization (guide §1.2/§4; A/B numbers in
+    OPTIMIZATION_r16.md): the r15 round ran TWO corpus-dictionary aggs
+    (pair counts, symbol counts) plus a broadcast join and a LIMIT-1
+    sort; now ONE fused agg (symbol occurrences tagged ``b IS NULL``
+    riding the pair explode) feeds a driver-side exact argmax —
+    measured 17.3 s → 7.5 s isolated at sf0.1. Two supporting details:
+    the fold chain is LET-BOUND once per row (higher-order functions
+    are CodegenFallback — every extra reference to the round-k chain
+    re-evaluates it, which matters once the Heaps-sublinear dictionary
+    is millions of rows at 100 TB), and a persist-per-round variant
+    (fold applied once per generation) was measured 2× WORSE
+    uncheckpointed (17.3 s → 34.9 s: InMemoryRelation store/scan of
+    string arrays per round beats the work it saves) and discarded.
+    Output bit-identical — pinned by the existing WORDPIECE_MERGES /
+    checkpointed==chained tests."""
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
     words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
@@ -3034,54 +3151,71 @@ def _wp_train(
         .agg(F.count(F.lit(1)).alias("freq"))
         .persist()
     )
+    merges: list[tuple] = []
     try:
-        arr = _wp_init_arr(F.col("w"))
-        merges: list[tuple] = []
-        for k in range(rounds):
-            pair = F.explode(
+        empty_pairs = F.expr(
+            "CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"
+        )
+
+        def _items(arr):
+            """Symbol occurrences (b IS NULL) + adjacent pairs of the
+            folded array, chain let-bound to evaluate once per row."""
+            return F.flatten(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(arr) - 1),
-                    lambda i: F.struct(
-                        F.element_at(arr, i).alias("a"),
-                        F.element_at(arr, i + 1).alias("b"),
+                    F.array(arr),
+                    lambda toks: F.concat(
+                        F.transform(
+                            toks,
+                            lambda s: F.struct(
+                                s.alias("a"),
+                                F.lit(None).cast("string").alias("b"),
+                            ),
+                        ),
+                        F.when(
+                            F.size(toks) >= 2,
+                            F.transform(
+                                F.sequence(F.lit(1), F.size(toks) - 1),
+                                lambda i: F.struct(
+                                    F.element_at(toks, i).alias("a"),
+                                    F.element_at(toks, i + 1).alias("b"),
+                                ),
+                            ),
+                        ).otherwise(empty_pairs),
                     ),
                 )
             )
-            pairs = (
-                wf.filter(F.size(arr) >= 2)
-                .select("freq", pair.alias("p"))
+
+        arr = _wp_init_arr(F.col("w"))
+        for k in range(rounds):
+            counts = (
+                wf.select("freq", F.explode(_items(arr)).alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("freq").alias("cnt"))
+                .collect()  # bounded by |symbols|² + |symbols|
             )
-            syms = (
-                wf.select("freq", F.explode(arr).alias("s"))
-                .groupBy("s")
-                .agg(F.sum("freq").alias("f"))
-            )
-            fa = syms.select(F.col("s").alias("a"), F.col("f").alias("fa"))
-            fb = syms.select(F.col("s").alias("b"), F.col("f").alias("fb"))
-            big = F.col("cnt").cast("decimal(20,0)") * F.lit(
-                WP_SCORE_SCALE
-            ).cast("decimal(19,0)")
-            den = F.col("fa").cast("decimal(19,0)") * F.col("fb").cast(
-                "decimal(19,0)"
-            )
-            # exact integer floor division (the _qc_weights device):
-            # subtract the exact remainder so the engine divides an
-            # exactly-representable integer
-            score18 = (((big - big % den) / den)).cast("long")
-            best = (
-                pairs.join(F.broadcast(fa), "a")
-                .join(F.broadcast(fb), "b")
-                .select("a", "b", "cnt", "fa", "fb", score18.alias("score18"))
-                .orderBy(F.col("score18").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not best:
+            syms: dict[str, int] = {}
+            pairs: list[tuple[str, str, int]] = []
+            for r in counts:
+                if r["b"] is None:
+                    syms[r["a"]] = int(r["cnt"])
+                else:
+                    pairs.append((r["a"], r["b"], int(r["cnt"])))
+            if not pairs:
                 break
-            r = best[0]
-            a, b = r["a"], r["b"]
+            # exact integer score — Python // on non-negative ints is
+            # the same floor the decimal remainder-subtraction computed
+            best = min(
+                (
+                    (
+                        -((cnt * WP_SCORE_SCALE) // (syms[a] * syms[b])),
+                        a,
+                        b,
+                        cnt,
+                    )
+                    for a, b, cnt in pairs
+                ),
+            )
+            neg_score, a, b, cnt = best
             merged = _wp_merged_symbol(a, b)
             merges.append(
                 (
@@ -3089,10 +3223,10 @@ def _wp_train(
                     a,
                     b,
                     merged,
-                    int(r["cnt"]),
-                    int(r["fa"]),
-                    int(r["fb"]),
-                    int(r["score18"]),
+                    cnt,
+                    syms[a],
+                    syms[b],
+                    -neg_score,
                 )
             )
             arr = _wp_fold(arr, a, b, merged)
@@ -3101,8 +3235,9 @@ def _wp_train(
                 and (k + 1) % checkpoint_every == 0
                 and k + 1 < rounds
             ):
-                # materialize the folded arrays, reset the chain (keep
-                # ALL words — see the docstring's fa·fb note)
+                # parquet barrier: materialize the folded arrays, reset
+                # the chain — keep ALL words (see the docstring's fa·fb
+                # note)
                 wf_next = stage(wf.select(arr.alias("toks"), "freq"))
                 wf.unpersist()
                 wf = wf_next
@@ -3934,7 +4069,7 @@ ORACLE["benchmark_contamination"] = rf"""
                 AND doc_id < {LEX_BENCH_ID_CAP})
     SELECT doc_id, COUNT(DISTINCT g) AS n_shared_ngrams
     FROM grams JOIN bench USING (g)
-    WHERE doc_id % {CONTAM_MOD} <> 0
+    WHERE {_lex_train_sql()}
     GROUP BY doc_id
 """
 

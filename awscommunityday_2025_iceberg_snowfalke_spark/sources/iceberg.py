@@ -328,7 +328,11 @@ class IcebergTable:
             "file plus the manifest list)",
         )
 
-    def plan_scan_manifests(self, lo, hi, version: int | None = None):
+    def plan_scan_manifests(self, *args, **kwargs):
+        # accepts any call shape (SnapshotTable grew keyword forms like
+        # predicates=/version= — ann_store_snapshot_probe calls one) so a
+        # configured-backend run always reaches the explanatory error
+        # below instead of dying with a bare TypeError (r15 ADVICE)
         self._unmapped(
             "plan_scan_manifests",
             "Iceberg's own scan planning (manifest-list + manifest "

@@ -1237,6 +1237,48 @@ def test_quality_classifier_separates_and_bands_monotone(spark):
     assert bands == sorted(bands), "prob_band must be monotone in logit"
 
 
+def test_qc_scored_fused_equals_join_form(spark):
+    """The r16 fused inference path (`_qc_scored_fused`: weight lookups
+    ride the feature scan as array-literal element_at, one shuffle) must
+    return EXACTLY the join form's rows — including the inner-join drop
+    semantics for buckets absent from the weight table and for docs with
+    zero counted features. Weights are trained on a 1/8 sample so that
+    missing buckets are genuinely exercised."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        _qc_features,
+        _qc_scored,
+        _qc_scored_fused,
+        _qc_weights,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    # drop 1/5 of the trained buckets so absent-bucket semantics are
+    # genuinely exercised (a 1/8 training sample still covers every
+    # bucket at sf0.001)
+    weights = _qc_weights(
+        _qc_features(docs.filter(F.col("doc_id") % 8 == 0))
+    ).filter(F.col("bkt") % 5 != 0)
+    joined = {
+        (r["doc_id"], r["lang"], r["lbl"]): (r["n_feats"], r["ws"])
+        for r in _qc_scored(_qc_features(docs), weights).collect()
+    }
+    fused = {
+        (r["doc_id"], r["lang"], r["lbl"]): (r["n_feats"], r["ws"])
+        for r in _qc_scored_fused(docs, weights).collect()
+    }
+    assert fused == joined
+    # sampled training must leave some inference bucket unweighted, or
+    # the drop semantics above were vacuous on this data
+    n_w = weights.count()
+    n_b = (
+        _qc_features(docs).select("bkt").distinct().count()
+    )
+    assert n_w < n_b, (n_w, n_b)
+
+
 def _python_bpe_train(texts, rounds):
     """Reference greedy BPE trainer (tokenwise, no string-replace device)."""
     import re

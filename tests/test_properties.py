@@ -1007,6 +1007,60 @@ def test_lex_bench_split_bounded_across_sfs(spark):
     assert uncapped == small
 
 
+def test_lex_train_side_is_frozen_split_complement(spark):
+    """The r15-ADVICE fix: the TRAINING side of every contamination
+    screen is the frozen split's COMPLEMENT — ``NOT (id % CONTAM_MOD ==
+    0 AND id < cap)`` — not ``id % CONTAM_MOD != 0``. Beyond the gate SF
+    a doc with id % 11 == 0 AND id >= cap must be screened as TRAINING
+    (the old filter left it in NEITHER split: undetectable contamination,
+    silently dropped by pipeline stage 5). Pins: the predicate's truth
+    table, Spark/DuckDB lockstep, and that sf0.1 really contains such
+    above-cap docs (so the scenario is live, not vacuous)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        CONTAM_MOD,
+        LEX_BENCH_ID_CAP,
+        _lex_train_pred,
+        _lex_train_sql,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    ids = [0, CONTAM_MOD, LEX_BENCH_ID_CAP - CONTAM_MOD * 2,
+           506, 1100, 507, LEX_BENCH_ID_CAP + 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    spark_train = {
+        r["doc_id"] for r in df.filter(_lex_train_pred()).collect()
+    }
+    duck_train = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT doc_id FROM (SELECT unnest($ids) AS doc_id) "
+            f"WHERE {_lex_train_sql()}",
+            params={"ids": ids},
+        ).fetchall()
+    }
+    expect = {
+        i
+        for i in ids
+        if not (i % CONTAM_MOD == 0 and i < LEX_BENCH_ID_CAP)
+    }
+    assert spark_train == expect == duck_train
+    # the fix's target class IS training now
+    assert 506 in spark_train and 1100 in spark_train
+    # sf0.1 genuinely contains above-cap id % CONTAM_MOD == 0 docs
+    n_live = (
+        load(spark, "/root/testdata/sf0.1", "documents")
+        .filter(
+            (F.col("doc_id") % CONTAM_MOD == 0)
+            & (F.col("doc_id") >= LEX_BENCH_ID_CAP)
+        )
+        .count()
+    )
+    assert n_live > 0
+
+
 def test_ccnet_pipeline_accounting(spark):
     """The end-to-end CCNet chain's release accounting must be
     internally consistent: buckets partition the scored population,
