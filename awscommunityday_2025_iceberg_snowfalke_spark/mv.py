@@ -391,15 +391,28 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast(dec).alias("revenue"),
         "n_lines",
     )
-    n_diff = (
-        v_inc.exceptAll(v_full).unionByName(v_full.exceptAll(v_inc)).count()
-    )
+    # r16 (guide §1.2): the equality pin and the two delta-size scalars
+    # were three sequential count() jobs; one union of tagged 1-row
+    # aggregates collects all three in a single job (identical counts)
+    def _cnt(df, tag):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
+            F.lit(tag).alias("k"), "v"
+        )
+
+    got = {
+        r["k"]: int(r["v"])
+        for r in _cnt(
+            v_inc.exceptAll(v_full).unionByName(v_full.exceptAll(v_inc)),
+            "n_diff",
+        )
+        .unionByName(_cnt(o_new, "n_do"))
+        .unionByName(_cnt(l_new, "n_dl"))
+        .collect()
+    }
+    n_diff, n_do, n_dl = got["n_diff"], got["n_do"], got["n_dl"]
     assert n_diff == 0, (
         f"incremental maintenance diverged from full rebuild: {n_diff} rows"
     )
-
-    n_do = o_new.count()
-    n_dl = l_new.count()
     return (
         v_inc.groupBy("o_orderpriority")
         .agg(

@@ -3190,6 +3190,11 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ustats = {s["file"]: s for s in tbl.file_stats("user_id")}
         tstats = {s["file"]: s for s in tbl.file_stats("ts")}
+        # r16 (guide §1.2): three sequential per-predicate count() jobs
+        # → ONE union of tagged 1-row aggregates per layout (same pruned
+        # reads, same filters, identical counts)
+        reads: dict[str, list] = {}
+        fused = None
         for pred, (use_u, use_t) in preds.items():
             read = []
             for f in ustats:
@@ -3202,15 +3207,36 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ok = ok and s["max"] >= tlo and s["min"] < thi
                 if ok:
                     read.append(f)
-            sel = tbl.read_files(read) if read else None
+            reads[pred] = read
+            if not read:
+                continue
             cond = F.lit(True)
             if use_u:
                 cond = cond & F.col("user_id").between(ulo, uhi)
             if use_t:
                 cond = cond & (F.col("ts") >= F.lit(tlo)) & (F.col("ts") < F.lit(thi))
-            n = sel.filter(cond).count() if sel is not None else 0
+            part = (
+                tbl.read_files(read)
+                .filter(cond)
+                .agg(F.count(F.lit(1)).cast("long").alias("v"))
+                .select(F.lit(pred).alias("p"), "v")
+            )
+            fused = part if fused is None else fused.unionByName(part)
+        got = (
+            {r["p"]: int(r["v"]) for r in fused.collect()}
+            if fused is not None
+            else {}
+        )
+        for pred in preds:
             rows.append(
-                (layout, pred, len(ustats), len(read), len(ustats) - len(read), n)
+                (
+                    layout,
+                    pred,
+                    len(ustats),
+                    len(reads[pred]),
+                    len(ustats) - len(reads[pred]),
+                    got.get(pred, 0),
+                )
             )
     return spark.createDataFrame(
         rows,
@@ -3330,13 +3356,20 @@ def hilbert_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chunked = base.join(F.broadcast(mapping), key)
         # layout-intrinsic locality: Σ per-file bucket-bbox area, exact
-        # integer arithmetic over the chunk assignment (no file I/O)
-        bbox = chunked.groupBy("_c").agg(
-            (
-                (F.max("ubk") - F.min("ubk") + 1)
-                * (F.max("dbk") - F.min("dbk") + 1)
-            ).alias("a")
-        ).agg(F.sum("a").alias("s")).collect()[0]["s"]
+        # integer arithmetic over the chunk assignment (no file I/O).
+        # r16 (guide §1.2): rides the fused count job below as a tagged
+        # 1-row aggregate instead of its own sequential collect.
+        bbox_agg = (
+            chunked.groupBy("_c")
+            .agg(
+                (
+                    (F.max("ubk") - F.min("ubk") + 1)
+                    * (F.max("dbk") - F.min("dbk") + 1)
+                ).alias("a")
+            )
+            .agg(F.sum("a").cast("long").alias("v"))
+            .select(F.lit("_bbox").alias("p"), "v")
+        )
         tbl = make_table(spark, f"hilb_{layout}_")
         _write_chunked(
             tbl,
@@ -3344,6 +3377,12 @@ def hilbert_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ustats = {s["file"]: s for s in tbl.file_stats("user_id")}
         tstats = {s["file"]: s for s in tbl.file_stats("ts")}
+        # r16 (guide §1.2): the three per-predicate counts were three
+        # sequential count() jobs over the pruned reads; tag each
+        # selection and collect ONE union of 1-row aggregates per layout
+        # (same reads, same filters, identical counts)
+        reads: dict[str, list] = {}
+        fused = bbox_agg
         for pred, (use_u, use_t) in preds.items():
             read = []
             for f in ustats:
@@ -3356,7 +3395,9 @@ def hilbert_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ok = ok and s["max"] >= tlo and s["min"] < thi
                 if ok:
                     read.append(f)
-            sel = tbl.read_files(read) if read else None
+            reads[pred] = read
+            if not read:
+                continue
             cond = F.lit(True)
             if use_u:
                 cond = cond & F.col("user_id").between(ulo, uhi)
@@ -3364,15 +3405,23 @@ def hilbert_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cond = cond & (F.col("ts") >= F.lit(tlo)) & (
                     F.col("ts") < F.lit(thi)
                 )
-            cnt = sel.filter(cond).count() if sel is not None else 0
+            fused = fused.unionByName(
+                tbl.read_files(read)
+                .filter(cond)
+                .agg(F.count(F.lit(1)).cast("long").alias("v"))
+                .select(F.lit(pred).alias("p"), "v")
+            )
+        got = {r["p"]: int(r["v"]) for r in fused.collect()}
+        bbox = got["_bbox"]
+        for pred in preds:
             rows.append(
                 (
                     layout,
                     pred,
                     len(ustats),
-                    len(read),
-                    len(ustats) - len(read),
-                    cnt,
+                    len(reads[pred]),
+                    len(ustats) - len(reads[pred]),
+                    got.get(pred, 0),
                     int(bbox),
                 )
             )

@@ -842,7 +842,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lex_train_pred,
         _qc_features,
         _qc_scored_fused,
-        _qc_weights,
+        _qc_weight_arrays,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -941,14 +941,17 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feature explode (the pipeline's single most expensive map at 500 K
     # docs: ~112 s full-corpus, measured) drops 8× at any scale while
     # the scoring half keeps `quality_classifier_score`'s exact shape.
-    feats_train = stage(
+    # r16 (guide §1.2): _qc_weight_arrays trains in ONE bounded collect
+    # of the training feature matrix, so the matrix has a single
+    # consumer and needs no staging (was: stage + two aggregations +
+    # a join-time recompute of the counts agg)
+    w6p = _qc_weight_arrays(
         _qc_features(
             docs.filter(F.col("doc_id") % QC_TRAIN_MOD == 0).repartition(
                 spark.sparkContext.defaultParallelism, "doc_id"
             )
         )
     )
-    weights = _qc_weights(feats_train)
     # the feature explode + per-feature hash is CPU-bound and s3's
     # staged parquet re-reads as few splits — spread to all cores (the
     # quality_classifier_score precedent; no-op on a many-file corpus).
@@ -965,7 +968,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "lang", F.col("text_clean").alias("text")
                 ),
             ),
-            weights,
+            _arrays=w6p,
         )
     )
     s4 = stage(

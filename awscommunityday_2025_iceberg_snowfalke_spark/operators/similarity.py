@@ -1360,20 +1360,31 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
         )
         cand = part if cand is None else cand.unionByName(part)
-    total = bf.count()  # scalar: |queries| * TOP_K
+    return _recall_tail(cand, bf)
+
+
+def _recall_tail(cand: DataFrame, bf: DataFrame) -> DataFrame:
+    """Shared recall-report tail (r16, guide §1.2): the total-pairs
+    scalar rides the report plan as a broadcast 1-row aggregate instead
+    of an eager ``bf.count()`` job per entry — same integers, same
+    double division (long→double casts of identical counts), one fewer
+    sequential job in each of the four recall reports."""
     hits = (
         cand.join(bf, ["query_id", "neighbor_id"])
         .groupBy("n_probe")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    return hits.select(
+    tot = bf.agg(F.count(F.lit(1)).cast("long").alias("total_pairs"))
+    return hits.crossJoin(F.broadcast(tot)).select(
         "n_probe",
         F.lit(TOP_K).cast("int").alias("top_k"),
         "hits",
-        F.lit(total).cast("long").alias("total_pairs"),
-        F.round(F.col("hits").cast("double") / F.lit(float(total)), 6).alias(
-            "recall"
-        ),
+        "total_pairs",
+        F.round(
+            F.col("hits").cast("double")
+            / F.col("total_pairs").cast("double"),
+            6,
+        ).alias("recall"),
     )
 
 
@@ -1481,21 +1492,7 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = stage(
         knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     )
-    total = bf.count()  # scalar: |queries| * TOP_K
-    hits = (
-        cand.join(bf, ["query_id", "neighbor_id"])
-        .groupBy("n_probe")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return hits.select(
-        "n_probe",
-        F.lit(TOP_K).cast("int").alias("top_k"),
-        "hits",
-        F.lit(total).cast("long").alias("total_pairs"),
-        F.round(F.col("hits").cast("double") / F.lit(float(total)), 6).alias(
-            "recall"
-        ),
-    )
+    return _recall_tail(cand, bf)
 
 
 # --- IVF-PQ: product-quantized ADC search over the probed cells --------------
@@ -1929,21 +1926,7 @@ def ann_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, p, _cent_rows=cent_rows, _enc=enc
         ).select(F.lit(p).alias("n_probe"), "query_id", "neighbor_id")
         cand = part if cand is None else cand.unionByName(part)
-    total = bf.count()  # scalar: |queries| * TOP_K
-    hits = (
-        cand.join(bf, ["query_id", "neighbor_id"])
-        .groupBy("n_probe")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return hits.select(
-        "n_probe",
-        F.lit(TOP_K).cast("int").alias("top_k"),
-        "hits",
-        F.lit(total).cast("long").alias("total_pairs"),
-        F.round(F.col("hits").cast("double") / F.lit(float(total)), 6).alias(
-            "recall"
-        ),
-    )
+    return _recall_tail(cand, bf)
 
 
 # --- SQ8: trained per-dimension scalar quantization (FAISS QT_8bit) ----------
@@ -2328,21 +2311,7 @@ def ann_ivf_opq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(p).alias("n_probe"), "query_id", "neighbor_id"
         )
         cand = part if cand is None else cand.unionByName(part)
-    total = bf.count()  # scalar: |queries| * TOP_K
-    hits = (
-        cand.join(bf, ["query_id", "neighbor_id"])
-        .groupBy("n_probe")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return hits.select(
-        "n_probe",
-        F.lit(TOP_K).cast("int").alias("top_k"),
-        "hits",
-        F.lit(total).cast("long").alias("total_pairs"),
-        F.round(F.col("hits").cast("double") / F.lit(float(total)), 6).alias(
-            "recall"
-        ),
-    )
+    return _recall_tail(cand, bf)
 
 
 # --- OPQ: true learned rotation (OPQ-P, eigenvalue allocation) ---------------
@@ -2480,30 +2449,40 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = stage(
         knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     )
-    total = bf.count()
-
-    def _hits(df):
-        return df.join(bf, ["query_id", "neighbor_id"]).count()
-
     # ONE centroid collect serves both probes (r16, guide §1.2)
     cent_rows = _centroids(emb).orderBy("label").collect()
     # staged: consumed twice (completeness count + recall hits)
     rot_topk = stage(
         _pq_topk(spark, sf_dir, N_PROBE, rot=R, _cent_rows=cent_rows)
     )
-    n_rows = rot_topk.count()
-    hits_rot = _hits(rot_topk)
-    hits_alloc = _hits(
-        _pq_topk(
-            spark,
-            sf_dir,
-            N_PROBE,
-            # reuse this entry's own staged per-dim variance frame for
-            # the allocation (identical values; skips a corpus pass)
-            subidx=_opq_subidx(spark, sf_dir, _per_dim=per_dim),
-            _cent_rows=cent_rows,
-        )
+    alloc_topk = _pq_topk(
+        spark,
+        sf_dir,
+        N_PROBE,
+        # reuse this entry's own staged per-dim variance frame for
+        # the allocation (identical values; skips a corpus pass)
+        subidx=_opq_subidx(spark, sf_dir, _per_dim=per_dim),
+        _cent_rows=cent_rows,
     )
+
+    # r16 (guide §1.2): four sequential count() jobs → one union of four
+    # 1-row aggregates, collected once (identical counts, same frames)
+    def _cnt(df, tag):
+        return df.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit(tag).alias("k"), "v"
+        )
+
+    on = ["query_id", "neighbor_id"]
+    counts = {
+        r["k"]: int(r["v"])
+        for r in _cnt(bf, "total")
+        .unionByName(_cnt(rot_topk, "n_rows"))
+        .unionByName(_cnt(rot_topk.join(bf, on), "hits_rot"))
+        .unionByName(_cnt(alloc_topk.join(bf, on), "hits_alloc"))
+        .collect()
+    }
+    total, n_rows = counts["total"], counts["n_rows"]
+    hits_rot, hits_alloc = counts["hits_rot"], counts["hits_alloc"]
     return spark.createDataFrame(
         [
             (
@@ -2526,7 +2505,9 @@ def ann_ivf_opq_rot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 OPQ_NP_ROUNDS = 2
 
 
-def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None, _cent_rows=None):
+def _opq_np_train(
+    spark: SparkSession, sf_dir: str, R0=None, _cent_rows=None, _sq=None
+):
     """OPQ non-parametric training (Ge, He, Ke, Sun 2013 §3): block
     coordinate descent on min ‖X·R − Y(codes)‖²_F over (codes,
     sub-codebooks, R), warm-started from the OPQ-P rotation (the
@@ -2562,9 +2543,10 @@ def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None, _cent_rows=None):
     d = R.shape[0]
 
     emb = load(spark, sf_dir, "embeddings")
-    vecs = stage(
-        emb.select("vec_id", _as_double("embedding").alias("embedding"))
-    )
+    # r16 (guide §1.2): no staging — the encode passes read only the
+    # embedding column straight off the columnar source (2 round reads
+    # beat a stage write + 3 staged reads; the sq pass is gone below)
+    vecs = emb.select(_as_double("embedding").alias("embedding"))
     cent_rows = (
         _cent_rows
         if _cent_rows is not None
@@ -2572,9 +2554,14 @@ def _opq_np_train(spark: SparkSession, sf_dir: str, R0=None, _cent_rows=None):
     )
     C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     k = C.shape[0]
-    # Σ‖x‖² once (decimal-exact scalar; rotation-invariant)
+    # Σ‖x‖² (decimal-exact scalar; rotation-invariant). _sq (r16): the
+    # caller derives it exactly from its own per-dim decimal sums —
+    # decimal addition is exact, so Σ_pos (Σ_rows v²) = the global sum
+    # bit-for-bit — instead of this extra corpus pass.
     sq = (
-        vecs.select(F.explode("embedding").alias("v"))
+        _sq
+        if _sq is not None
+        else vecs.select(F.explode("embedding").alias("v"))
         .agg(
             F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)"))
             .cast("double")
@@ -2683,19 +2670,24 @@ def ann_ivf_opq_np_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine masks the difference — both 0.38)."""
     import numpy as np
 
+    import decimal as _decimal
+
     emb = load(spark, sf_dir, "embeddings")
     comp = emb.select(F.posexplode(_as_double("embedding")).alias("pos", "v"))
     mean = F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(
         "v"
     )
-    mean_sq = F.sum(
-        (F.col("v") * F.col("v")).cast("decimal(28,12)")
-    ).cast("double") / F.count("v")
+    s2dec = F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)"))
+    mean_sq = s2dec.cast("double") / F.count("v")
     per_dim = stage(
         comp.groupBy("pos").agg(
             F.count("v").alias("n"),
             mean.alias("mean"),
             F.greatest(mean_sq - mean * mean, F.lit(0.0)).alias("var"),
+            # raw per-dim Σv² as DECIMAL (r16): Σ over dims of these is
+            # the trainer's Σ‖x‖² bit-exactly (decimal adds are exact),
+            # deleting _opq_np_train's own corpus pass for it
+            s2dec.alias("s2"),
         )
     )
     rows = per_dim.collect()
@@ -2704,13 +2696,16 @@ def ann_ivf_opq_np_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = np.zeros(d)
     for r in rows:
         mu[int(r["pos"])] = float(r["mean"])
+    with _decimal.localcontext() as ctx:
+        ctx.prec = 60  # exact: ≤ d additions of scale-12 decimals
+        sq = float(sum(r["s2"] for r in rows))
     R_p, _, _ = _opq_rotation(spark, sf_dir, _mu_n=(mu, n))
     # ONE centroid collect serves the NP trainer and both probes below
     # (r16, guide §1.2 — the bounded k×d table was re-derived from a
     # fresh corpus posexplode pass at each of the three sites)
     cent_rows = _centroids(emb).orderBy("label").collect()
     R_np, cb_np, dist = _opq_np_train(
-        spark, sf_dir, R0=R_p, _cent_rows=cent_rows
+        spark, sf_dir, R0=R_p, _cent_rows=cent_rows, _sq=sq
     )
 
     rot_ok = bool(np.abs(R_np.T @ R_np - np.eye(d)).max() < 1e-9)
@@ -2726,11 +2721,6 @@ def ann_ivf_opq_np_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = stage(
         knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     )
-    total = bf.count()
-
-    def _hits(df):
-        return df.join(bf, ["query_id", "neighbor_id"]).count()
-
     np_topk = stage(
         _pq_topk(
             spark,
@@ -2741,11 +2731,31 @@ def ann_ivf_opq_np_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cent_rows=cent_rows,
         )
     )
-    n_rows = np_topk.count()
-    hits_np = _hits(np_topk)
-    hits_rot = _hits(
-        _pq_topk(spark, sf_dir, 2 * N_PROBE, rot=R_p, _cent_rows=cent_rows)
+    rot_topk = _pq_topk(
+        spark, sf_dir, 2 * N_PROBE, rot=R_p, _cent_rows=cent_rows
     )
+
+    # r16 (guide §1.2): total / completeness / both recall hits were four
+    # sequential count() jobs over bounded staged tables; one union of
+    # four 1-row aggregates collects them in a single job (the OPQ-P
+    # probe's plan rides as a subtree — same pass count, fewer round
+    # trips). Counts are identical: same joins, same frames.
+    def _cnt(df, tag):
+        return df.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit(tag).alias("k"), "v"
+        )
+
+    on = ["query_id", "neighbor_id"]
+    counts = {
+        r["k"]: int(r["v"])
+        for r in _cnt(bf, "total")
+        .unionByName(_cnt(np_topk, "n_rows"))
+        .unionByName(_cnt(np_topk.join(bf, on), "hits_np"))
+        .unionByName(_cnt(rot_topk.join(bf, on), "hits_rot"))
+        .collect()
+    }
+    total, n_rows = counts["total"], counts["n_rows"]
+    hits_np, hits_rot = counts["hits_np"], counts["hits_rot"]
     return spark.createDataFrame(
         [
             (
@@ -2879,7 +2889,7 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_assign_report(
-    spark: SparkSession, sf_dir: str, _rows=None
+    spark: SparkSession, sf_dir: str, _rows=None, _frames=None
 ) -> DataFrame:
     """:func:`ann_ivf_incremental_assign` body with an optional
     ``(frozen_rows, full_rows)`` centroid hand-off (r16, guide §1.2):
@@ -2889,7 +2899,15 @@ def _incremental_assign_report(
     relations are rebuilt from the collected rows (k×d bounded,
     bit-identical doubles through py4j), which also cuts the standalone
     entry from four corpus centroid passes (2 collects + 2 more under
-    the shift join's uncached lineage) to two."""
+    the shift join's uncached lineage) to two.
+
+    ``_frames`` (r16, guide §1.2 again): optional
+    ``(standing_assign, arriving_frozen, arriving_full)`` (vec_id, cell)
+    relations — ``ann_ivf_append_probe`` has ALL THREE assignments
+    already materialized (its own store writes), so the nested verdict
+    reads them back instead of re-running three corpus Arrow assignment
+    passes. Cell values are identical: the store IS the frozen/full
+    assignment, and parquet round-trips the ints exactly."""
     emb = load(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % 2 == 0)
     arriving = emb.filter(F.col("vec_id") % 2 == 1)
@@ -2911,15 +2929,17 @@ def _incremental_assign_report(
         _cent_schema,
     )
 
-    s_occ = (
-        _assign_frozen(standing, frozen_rows)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_standing"))
+    if _frames is not None:
+        standing_assign, arriving_frozen, arriving_full = _frames
+    else:
+        standing_assign = _assign_frozen(standing, frozen_rows)
+        arriving_frozen = _assign_frozen(arriving, frozen_rows)
+        arriving_full = _assign_frozen(arriving, full_rows)
+    s_occ = standing_assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_standing")
     )
-    a_frozen = _assign_frozen(arriving, frozen_rows)
-    a_full = _assign_frozen(arriving, full_rows).withColumnRenamed(
-        "cell", "cell_rebuilt"
-    )
+    a_frozen = arriving_frozen
+    a_full = arriving_full.withColumnRenamed("cell", "cell_rebuilt")
     a_cmp = (
         a_frozen.join(a_full, "vec_id")
         .groupBy("cell")
@@ -3015,16 +3035,40 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).partitionBy("cell").parquet(path)
     appended_store = spark.read.parquet(path)
-    top_append = _probe_store(spark, emb, appended_store, frozen_rows)
+    # the rebuild-side store is consumed twice (its probe; the nested
+    # verdict's arriving-under-full assignments) — stage the one Arrow
+    # assignment pass instead of re-running it per consumer (r16 §1.2;
+    # a real rebuild writes its store anyway)
+    rebuilt_store = stage(
+        _assign_frozen(emb, full_rows, with_embedding=True)
+    )
+    # both probes are consumed twice below (rank agreement + set
+    # agreement): stage the bounded |queries|·TOP_K results so each
+    # probe's store scan runs ONCE (r16 §1.2; was recomputed per
+    # consumer under the final plan's lineage)
+    top_append = stage(
+        _probe_store(spark, emb, appended_store, frozen_rows)
+    )
+    top_rebuild = stage(
+        _probe_store(spark, emb, rebuilt_store, full_rows)
+    )
 
-    rebuilt_store = _assign_frozen(emb, full_rows, with_embedding=True)
-    top_rebuild = _probe_store(spark, emb, rebuilt_store, full_rows)
-
-    # re-use THIS entry's collected centroid tables for the nested
-    # re-train verdict (r16, guide §1.2: previously the inner call
-    # re-ran both corpus centroid passes this entry had just done)
+    # re-use THIS entry's collected centroid tables AND materialized
+    # assignments for the nested re-train verdict (r16, guide §1.2:
+    # previously the inner call re-ran both corpus centroid passes and
+    # three corpus Arrow assignment passes this entry had just done —
+    # the appended store IS the frozen assignment, the rebuilt store IS
+    # the full assignment)
+    even = F.col("vec_id") % 2 == 0
     any_retrain = _incremental_assign_report(
-        spark, sf_dir, _rows=(frozen_rows, full_rows)
+        spark,
+        sf_dir,
+        _rows=(frozen_rows, full_rows),
+        _frames=(
+            appended_store.filter(even).select("vec_id", "cell"),
+            appended_store.filter(~even).select("vec_id", "cell"),
+            rebuilt_store.filter(~even).select("vec_id", "cell"),
+        ),
     ).agg(F.max("retrain").alias("any_retrain"))
     a = top_append.select(
         "query_id", "rank", F.col("neighbor_id").alias("na")

@@ -475,16 +475,22 @@ def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(_toks()).alias("t"))
     toks = stage(toks)  # consumed twice: vocab build + scoring join
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # r16 (guide §1.2): the (N, V) totals ride the scoring plan as a
+    # broadcast 1-row aggregate instead of an eager collect that made a
+    # third pass over the staged tokens (long-sum → double cast = the
+    # old float(n+v) literal bit-for-bit)
     totals = toks.agg(
         F.count(F.lit(1)).alias("n_corpus"),
         F.countDistinct("t").alias("v_size"),
-    ).collect()[0]
-    n_corpus, v = int(totals["n_corpus"]), int(totals["v_size"])
-    neg_lp = -F.log(
-        (F.col("c") + 1).cast("double") / F.lit(float(n_corpus + v))
     )
-    scored = toks.join(F.broadcast(vocab), "t").select(
-        "doc_id", neg_lp.alias("nlp")
+    neg_lp = -F.log(
+        (F.col("c") + 1).cast("double")
+        / (F.col("n_corpus") + F.col("v_size")).cast("double")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", neg_lp.alias("nlp"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -666,8 +672,9 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw count + conditional target count per bucket — never two corpus
     passes); the resulting ≤1024-row weight dictionary broadcasts at any
     corpus size, and scoring is token explode → broadcast hash-join →
-    per-doc decimal sum, the proven BM25/unigram-LM budget. The only
-    scalar collect is the two corpus totals. Token-bucket hashing is the
+    per-doc decimal sum, the proven BM25/unigram-LM budget. The two
+    corpus totals ride the weight relation as a broadcast 1-row
+    aggregate (r16: was an eager collect). Token-bucket hashing is the
     portable md5-prefix hash, and ln/decimal accumulation follows the
     cross-engine determinism recipe, so the duckdb twin is bit-exact."""
     docs = load(spark, sf_dir, "documents")
@@ -679,16 +686,21 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("raw_c"), F.sum(is_tgt).alias("tgt_c")
     )
+    # r16 (guide §1.2): the two corpus totals ride the weight relation
+    # as a broadcast 1-row aggregate instead of an eager collect that
+    # made a third pass over the staged tokens (long + int-literal sums
+    # cast to double = the old float(...) literals bit-for-bit)
     tot = toks.agg(
         F.count(F.lit(1)).alias("n_raw"), F.sum(is_tgt).alias("n_tgt")
-    ).collect()[0]
-    n_raw, n_tgt = int(tot["n_raw"]), int(tot["n_tgt"])
-    w = F.log(
-        (F.col("tgt_c") + 1).cast("double") / F.lit(float(n_tgt + DSIR_BUCKETS))
-    ) - F.log(
-        (F.col("raw_c") + 1).cast("double") / F.lit(float(n_raw + DSIR_BUCKETS))
     )
-    weights = counts.select("bkt", w.alias("w"))
+    w = F.log(
+        (F.col("tgt_c") + 1).cast("double")
+        / (F.col("n_tgt") + F.lit(DSIR_BUCKETS)).cast("double")
+    ) - F.log(
+        (F.col("raw_c") + 1).cast("double")
+        / (F.col("n_raw") + F.lit(DSIR_BUCKETS)).cast("double")
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select("bkt", w.alias("w"))
     # per-doc UNROUNDED decimal sum: exact cross-engine (decimal-sum
     # recipe), so consumers may filter/rank on w_sum directly; the rounded
     # double is applied display-side in dsir_importance_weights only
@@ -776,7 +788,8 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (transform over the token array, no self-join); the bigram
     aggregation is the one real exchange (map-side combinable, output
     bounded by distinct adjacent pairs); unigram counts broadcast; the
-    two scalar totals collect. Rare pairs are cut at ``PMI_MIN_PAIR``
+    two corpus totals ride the plan as a broadcast 1-row aggregate (r16:
+    was an eager collect). Rare pairs are cut at ``PMI_MIN_PAIR``
     BEFORE the unigram join, so the join input is the frequent tail."""
     docs = load(spark, sf_dir, "documents")
     toks = _toks()
@@ -800,20 +813,20 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = (
-        docs.select(toks.alias("t"))
-        .agg(
-            F.sum(F.size("t")).alias("n_tokens"),
-            F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_bigrams"),
-        )
-        .collect()[0]
+    # r16 (guide §1.2): the (N, M) totals ride the top-k plan as a
+    # broadcast 1-row aggregate instead of an eager collect that
+    # serialized a doc-scan job before the scoring job (JVM Math.log of
+    # the identical cast double = the folded literal ln bit-for-bit)
+    totals = docs.select(toks.alias("t")).agg(
+        F.sum(F.size("t")).alias("n_tokens"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_bigrams"),
     )
-    n, m = int(totals["n_tokens"]), int(totals["n_bigrams"])
     ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     scored = (
         pair_counts.join(F.broadcast(ua), "w1")
         .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(totals))
         .select(
             "w1",
             "w2",
@@ -822,8 +835,8 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_b",
             F.round(
                 F.log(F.col("c_ab").cast("double"))
-                + F.lit(2.0) * F.log(F.lit(float(n)))
-                - F.log(F.lit(float(m)))
+                + F.lit(2.0) * F.log(F.col("n_tokens").cast("double"))
+                - F.log(F.col("n_bigrams").cast("double"))
                 - F.log(F.col("c_a").cast("double"))
                 - F.log(F.col("c_b").cast("double")),
                 6,
@@ -1601,17 +1614,21 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _bigram_pairs(docs)
     cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     ca = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
-    v = int(
+    # r16 (guide §1.2): V rides the scoring plan as a broadcast 1-row
+    # aggregate instead of an eager driver collect that serialized a
+    # full token-explode pass before the scoring job could start
+    # (long + long = the old long + int-literal sum, value-identical)
+    vv = (
         docs.select(F.explode(_toks()).alias("t"))
         .agg(F.countDistinct("t").alias("v"))
-        .collect()[0]["v"]
     )
     neg_lp = -F.log(
-        (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.lit(v))
+        (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("v"))
     )
     scored = (
         pairs.join(cab, ["a", "b"])
         .join(F.broadcast(ca), "a")
+        .crossJoin(F.broadcast(vv))
         .select("doc_id", neg_lp.alias("nlp"))
     )
     return scored.groupBy("doc_id").agg(
@@ -1640,31 +1657,40 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         p(b|a) = max(c(a,b) − D, 0)/c(a·) + (D·N1+(a·)/c(a·))·p_cont(b)
 
     Scale shape: identical to `bigram_logprob_score` — the shared staged
-    pair explode feeds four map-side-combinable count tables (c_ab keyed;
-    c_a, N1+(a·), N1+(·b) vocabulary-bounded broadcasts; N1+(··) the one
-    scalar collect) and one keyed scoring join; per-doc reduction is the
-    decimal-fold recipe. Determinism: D and every count are exact; the
-    probability is a fixed tree of IEEE ops over identical doubles, and
-    ln rides the parity-probed recipe."""
+    pair explode feeds three map-side-combinable count tables (c_ab
+    keyed; (c_a, N1+(a·)) fused into one vocabulary-bounded broadcast —
+    same groupBy key; N1+(·b) broadcast; N1+(··) a broadcast 1-row
+    aggregate riding the plan, r16: was an eager scalar collect) and one
+    keyed scoring join; per-doc reduction is the decimal-fold recipe.
+    Determinism: D and every count are exact; the probability is a fixed
+    tree of IEEE ops over identical doubles, and ln rides the
+    parity-probed recipe."""
     docs = load(spark, sf_dir, "documents")
     pairs = _bigram_pairs(docs)
     cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ca = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
-    n1a = pairs.groupBy("a").agg(F.countDistinct("b").alias("n1a"))
+    # r16 (guide §1.2/§2.4): c(a·) and N1+(a·) are the SAME groupBy(a)
+    # over the staged pairs — one aggregation and one broadcast join
+    # instead of two of each (values unchanged); N1+(··) rides the plan
+    # as a broadcast 1-row aggregate instead of an eager scalar collect
+    # (count → double cast = the old float(t) literal bit-for-bit)
+    ca_n1a = pairs.groupBy("a").agg(
+        F.count(F.lit(1)).alias("c_a"),
+        F.countDistinct("b").alias("n1a"),
+    )
     n1b = pairs.groupBy("b").agg(F.countDistinct("a").alias("n1b"))
-    t = int(cab.agg(F.count(F.lit(1)).alias("t")).collect()[0]["t"])
+    tt = cab.agg(F.count(F.lit(1)).cast("long").alias("t"))
     d = F.lit(KN_DISCOUNT)
     p = (
         F.greatest(F.col("c_ab").cast("double") - d, F.lit(0.0))
         / F.col("c_a").cast("double")
         + ((d * F.col("n1a").cast("double")) / F.col("c_a").cast("double"))
-        * (F.col("n1b").cast("double") / F.lit(float(t)))
+        * (F.col("n1b").cast("double") / F.col("t").cast("double"))
     )
     scored = (
         pairs.join(cab, ["a", "b"])
-        .join(F.broadcast(ca), "a")
-        .join(F.broadcast(n1a), "a")
+        .join(F.broadcast(ca_n1a), "a")
         .join(F.broadcast(n1b), "b")
+        .crossJoin(F.broadcast(tt))
         .select("doc_id", (-F.log(p)).alias("nlp"))
     )
     return scored.groupBy("doc_id").agg(
@@ -1697,7 +1723,7 @@ def _cp_bucket(val: str, lo: float, width: float, g: int):
 
 
 def _exact_rank_values(
-    df: DataFrame, key: str, val: str, rank_fn
+    df: DataFrame, key: str, val: str, rank_fn, counts_out: "dict | None" = None
 ) -> dict:
     """Exact per-key k-th ORDER STATISTICS of a double column with NO
     key-wide sort — the r13-verdict de-skew device for
@@ -1721,7 +1747,10 @@ def _exact_rank_values(
     to tie order — so no tiebreak column is needed.
 
     ``rank_fn(n) -> [k1, …]`` maps a key's row count to its 1-based
-    target ranks; returns ``{(key_value, i): value}``.
+    target ranks; returns ``{(key_value, i): value}``. ``counts_out``
+    (r16): an optional dict filled with {key_value: n} from the SAME
+    stats pass, so callers that also need per-key counts (the ccnet
+    cutpoint table) don't run a second identical aggregation.
 
     Scale: the stats pass and every histogram pass are hash-partitioned
     combinable aggs over (key, bucket) — no skewed exchange anywhere;
@@ -1740,6 +1769,8 @@ def _exact_rank_values(
     targets: list[dict] = []
     for r in stats:
         n = int(r["n"])
+        if counts_out is not None:
+            counts_out[r[key]] = n
         for i, k in enumerate(rank_fn(n)):
             if not 1 <= k <= n:
                 raise ValueError(f"rank {k} outside 1..{n} for {r[key]!r}")
@@ -1876,15 +1907,13 @@ def _ccnet_cutpoints_df(
     spark: SparkSession, scored: DataFrame
 ) -> DataFrame:
     """Per-language (n_docs, c1, c2) tercile cutpoints of the KN score,
-    via :func:`_exact_rank_values` — a ≤|langs|-row bounded artifact."""
-    ns = {
-        r["lang"]: int(r["n"])
-        for r in scored.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    via :func:`_exact_rank_values` — a ≤|langs|-row bounded artifact.
+    Per-language counts ride the refinement's own stats pass
+    (``counts_out`` — r16: was a second identical aggregation over the
+    staged scores)."""
+    ns: dict = {}
     cps = _exact_rank_values(
-        scored, "lang", "avg_neg_logprob", _ccnet_terciles
+        scored, "lang", "avg_neg_logprob", _ccnet_terciles, counts_out=ns
     )
     rows = [
         (lang, ns[lang], cps[(lang, 0)], cps[(lang, 1)])
@@ -2444,6 +2473,66 @@ def _qc_weights(feats: DataFrame) -> DataFrame:
     return counts.select("bkt", w6.alias("w6"))
 
 
+def _qc_weight_arrays(feats: DataFrame) -> tuple[list, list]:
+    """ONE aggregation pass over the feature matrix → the exact integer
+    micro-weight table as two ``QC_BUCKETS``-slot lists (w6, present) —
+    r16, guide §1.2 (fewer passes): :func:`_qc_weights` ran TWO
+    aggregations over the matrix (per-bucket counts; the eager global
+    totals), and consuming its weights frame re-ran the counts agg under
+    the join's lineage — three matrix passes per training. Here the
+    ≤``QC_BUCKETS`` per-bucket (neg_c, pos_c) rows collect ONCE; the
+    totals are their driver-side sums (identical integers: Σ over
+    buckets of Σ over rows = the global Σ), and the quantization is the
+    decimal device's arithmetic verbatim on Python ints — the products,
+    num/den, and (big − big % den)/den floor division are exact integer
+    math in either engine, so every w6 is bit-identical to
+    :func:`_qc_weights`' (test-pinned)."""
+    rows = (
+        feats.groupBy("bkt")
+        .agg(
+            F.sum(
+                F.when(F.col("lbl") == 0, F.col("cnt")).otherwise(0)
+            ).alias("neg_c"),
+            F.sum(
+                F.when(F.col("lbl") == 1, F.col("cnt")).otherwise(0)
+            ).alias("pos_c"),
+        )
+        .collect()  # bounded: ≤ QC_BUCKETS rows
+    )
+    n_neg = sum(int(r["neg_c"]) for r in rows)
+    n_pos = sum(int(r["pos_c"]) for r in rows)
+    w6 = [0] * QC_BUCKETS
+    present = [0] * QC_BUCKETS
+    for r in rows:
+        an = (int(r["pos_c"]) + 1) * (n_neg + QC_BUCKETS)
+        bn = (int(r["neg_c"]) + 1) * (n_pos + QC_BUCKETS)
+        num, den = an - bn, an + bn
+        q = (abs(num) * 1_000_000) // den
+        w6[int(r["bkt"])] = -q if num < 0 else q
+        present[int(r["bkt"])] = 1
+    return w6, present
+
+
+def _qc_weights_relation(spark: SparkSession, w6: list, present: list):
+    """The ≤``QC_BUCKETS``-row weight dictionary as a LOCAL RELATION
+    rebuilt from :func:`_qc_weight_arrays`' output (r16) — broadcast-
+    joinable by :func:`_qc_scored` with zero plan subtree behind it
+    (the decimal frame re-ran its counts aggregation every time a
+    consumer evaluated it). Identical integers by construction.
+
+    Measured note (r16, this box, interleaved single-session A/B at
+    sf0.1): scoring the staged matrix through ``element_at`` on
+    2048-slot array LITERALS read 2.6-3.0 s vs 0.7-1.1 s for this
+    broadcast join — the array-literal device only pays when it fuses
+    into a scan that a join would otherwise force through an exchange
+    (the curation stage-4 shape); on an already-built matrix the join
+    form wins and is kept."""
+    return spark.createDataFrame(
+        [(b, w6[b]) for b in range(len(w6)) if present[b]],
+        "bkt long, w6 long",
+    )
+
+
 def _qc_scored(feats: DataFrame, weights: DataFrame) -> DataFrame:
     """Per-doc INTEGER-exact score sums: broadcast weight join + one
     doc-keyed aggregation — INFERENCE, usable on any feature matrix
@@ -2461,7 +2550,11 @@ def _qc_scored(feats: DataFrame, weights: DataFrame) -> DataFrame:
     )
 
 
-def _qc_scored_fused(docs: DataFrame, weights: DataFrame) -> DataFrame:
+def _qc_scored_fused(
+    docs: DataFrame,
+    weights: "DataFrame | None" = None,
+    _arrays: "tuple | None" = None,
+) -> DataFrame:
     """Classifier INFERENCE with the weight dictionary fused into the
     feature scan (r16, guide §2.3/§2.4 — the r15-verdict task-5 shape):
     the ≤``QC_BUCKETS``-row weight table is collected once (bounded by
@@ -2476,12 +2569,20 @@ def _qc_scored_fused(docs: DataFrame, weights: DataFrame) -> DataFrame:
     cnt·w6 (int64, order-free); ``n_feats`` counts occurrences whose
     bucket exists in the weight table (absent buckets score 0 and do
     not count — the inner join's semantics); docs with zero counted
-    features drop (the join produced no row for them)."""
-    w6 = [0] * QC_BUCKETS
-    present = [0] * QC_BUCKETS
-    for r in weights.collect():  # bounded: ≤ QC_BUCKETS rows
-        w6[int(r["bkt"])] = int(r["w6"])
-        present[int(r["bkt"])] = 1
+    features drop (the join produced no row for them).
+
+    ``_arrays`` (r16): callers that trained via the single-pass
+    :func:`_qc_weight_arrays` pass (w6, present) directly, skipping the
+    weights-frame collect (which re-ran the matrix aggregation under
+    this plan's lineage)."""
+    if _arrays is not None:
+        w6, present = list(_arrays[0]), list(_arrays[1])
+    else:
+        w6 = [0] * QC_BUCKETS
+        present = [0] * QC_BUCKETS
+        for r in weights.collect():  # bounded: ≤ QC_BUCKETS rows
+            w6[int(r["bkt"])] = int(r["w6"])
+            present[int(r["bkt"])] = 1
     warr, parr = F.lit(w6), F.lit(present)
 
     toks = _toks()
@@ -2563,10 +2664,15 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized it onto one core until the explicit doc_id spread below
     (measured 18.2 s → 2.6 s at sf0.1; a many-file real corpus gets the
     same spread from the scan itself). The model is a ≤QC_BUCKETS-row
-    dictionary that broadcasts at any corpus size; scoring is one
-    broadcast hash-join + per-doc decimal sum. The only collect is two
-    scalar totals. Inference with real offline weights deletes the
-    build half and is strictly cheaper."""
+    dictionary built from ONE bounded collect of the staged matrix
+    (:func:`_qc_weight_arrays` — r16: was two matrix aggregations plus
+    a join-time recompute of the counts agg under the scoring join's
+    lineage) and rebuilt as a LOCAL relation for the broadcast scoring
+    join (:func:`_qc_weights_relation`) — one matrix pass fewer at any
+    scale, join-form scoring kept (measured faster than array-literal
+    lookup on the built matrix; see `_qc_weights_relation`). Inference
+    with real offline weights deletes the build half and is strictly
+    cheaper."""
     # the feature explode + per-feature hash is the expensive map of this
     # operator (~6 subword features per token); a real corpus arrives as
     # many files and parallelizes by itself, but the local single-file
@@ -2579,8 +2685,8 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = stage(  # consumed twice: weight build + scoring join
         _qc_features(docs)
     )
-    weights = _qc_weights(feats)
-    scored = _qc_scored(feats, weights)
+    w6, present = _qc_weight_arrays(feats)
+    scored = _qc_scored(feats, _qc_weights_relation(spark, w6, present))
     band = None
     for c in QC_BAND_CUTS:
         hit = (F.col("ws") > F.lit(c)).cast("int")

@@ -918,7 +918,14 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     corpus = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    weights = _stage(T._qc_weights(_stage(T._qc_features(corpus))))
+    # r16 (guide §1.2): train the frozen weights in ONE pass + bounded
+    # collect (_qc_weight_arrays) and rebuild the ≤QC_BUCKETS-row frozen
+    # dictionary as a local relation — identical integers; was a staged
+    # feature matrix consumed by two aggregations plus a join-time
+    # recompute. Each micro-batch still scores through the unchanged
+    # broadcast-join inference (_qc_scored) against these frozen rows.
+    w6, present = T._qc_weight_arrays(T._qc_features(corpus))
+    weights = T._qc_weights_relation(spark, w6, present)
 
     feed = tempfile.mkdtemp(prefix="qgate_feed_")
     for k in range(3):

@@ -1279,6 +1279,49 @@ def test_qc_scored_fused_equals_join_form(spark):
     assert n_w < n_b, (n_w, n_b)
 
 
+def test_qc_weight_arrays_single_pass_equals_decimal_frame(spark):
+    """The r16 single-pass trainer (`_qc_weight_arrays`: one bounded
+    collect, Python-int quantization) must reproduce `_qc_weights`'
+    decimal-device micro-weights bit-for-bit, and the local-relation
+    rebuild (`_qc_weights_relation`) must score through `_qc_scored`
+    exactly as the decimal frame does (same rows, same integers)."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.textstats import (
+        QC_BUCKETS,
+        _qc_features,
+        _qc_scored,
+        _qc_weight_arrays,
+        _qc_weights,
+        _qc_weights_relation,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    feats = _qc_features(docs)
+    train = _qc_features(docs.filter(F.col("doc_id") % 8 == 0))
+    # 1) weights: decimal frame vs single-pass Python ints, bit-equal
+    frame = {
+        int(r["bkt"]): int(r["w6"]) for r in _qc_weights(train).collect()
+    }
+    w6, present = _qc_weight_arrays(train)
+    assert {b for b in range(QC_BUCKETS) if present[b]} == set(frame)
+    for b, w in frame.items():
+        assert w6[b] == w, (b, w6[b], w)
+    # 2) scoring through the rebuilt local relation == the decimal frame
+    joined = {
+        (r["doc_id"], r["lang"], r["lbl"]): (r["n_feats"], r["ws"])
+        for r in _qc_scored(feats, _qc_weights(train)).collect()
+    }
+    got = {
+        (r["doc_id"], r["lang"], r["lbl"]): (r["n_feats"], r["ws"])
+        for r in _qc_scored(
+            feats, _qc_weights_relation(spark, w6, present)
+        ).collect()
+    }
+    assert got == joined
+
+
 def _python_bpe_train(texts, rounds):
     """Reference greedy BPE trainer (tokenwise, no string-replace device)."""
     import re
@@ -1776,10 +1819,14 @@ def test_exact_rank_values_vs_sorted(spark, monkeypatch):
 
     monkeypatch.setattr(textstats, "CCNET_CP_COLLECT_MAX", 16)
     monkeypatch.setattr(textstats, "CCNET_CP_HIST_BUCKETS", 4)
-    got = textstats._exact_rank_values(df, "k", "v", ranks)
+    ns: dict = {}
+    got = textstats._exact_rank_values(df, "k", "v", ranks, counts_out=ns)
     by_key = {}
     for k, v in rows:
         by_key.setdefault(k, []).append(v)
+    # counts_out (r16) must carry the exact per-key row counts from the
+    # refinement's own stats pass
+    assert ns == {k: len(vs) for k, vs in by_key.items()}
     for k, vs in by_key.items():
         vs.sort()
         for i, r in enumerate(ranks(len(vs))):

@@ -252,14 +252,16 @@ def test_semantic_dedup_pair_join_is_cell_keyed(spark):
 
 
 def test_dsir_weights_broadcast_and_bounded_shuffles(spark):
-    """DSIR: bucket-model agg + per-doc scoring agg are the ONLY
-    exchanges; the ≤1024-row weight dictionary must broadcast — a
-    shuffled scoring join would re-key the whole token stream."""
+    """DSIR: bucket-model agg, per-doc scoring agg, and the 1-row
+    corpus-totals agg (r16: rides the plan as a broadcast instead of an
+    eager collect job) are the ONLY exchanges; the ≤1024-row weight
+    dictionary must broadcast — a shuffled scoring join would re-key
+    the whole token stream."""
     from awscommunityday_2025_iceberg_snowfalke_spark.operators import textstats
 
     df = textstats.dsir_importance_weights(spark, SF_DIR)
     assert has_broadcast_join(df), "weight dictionary must broadcast"
-    assert shuffle_count(df) <= 2
+    assert shuffle_count(df) <= 3
 
 
 def test_quota_sample_single_keyed_window(spark):
