@@ -905,9 +905,18 @@ def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     mc = assigned.groupBy("cell").applyInPandas(
         maxcos, "vec_id long, max_cos double"
     )
-    total = assigned.count()
     eps_df = spark.createDataFrame(
         [(float(e),) for e in SEMDEDUP_SWEEP], "eps double"
+    )
+    # r16 (guide §1.2): n_total was an eager count() that re-ran the
+    # full Arrow cell-assignment pass before the sweep job could start
+    # (the assignment is unstaged — one pass per consumer). The
+    # assignment and the max-cos pass both emit exactly one row per
+    # vector, so n_total IS the embedding-table count — a broadcast
+    # 1-row aggregate the scan answers from parquet metadata, zero
+    # Python passes
+    tot = load(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
     )
     return (
         mc.crossJoin(F.broadcast(eps_df))
@@ -917,11 +926,14 @@ def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
                 "n_semdup"
             )
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "eps",
-            F.lit(total).cast("long").alias("n_total"),
+            "n_total",
             "n_semdup",
-            (F.lit(total) - F.col("n_semdup")).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.col("n_semdup"))
+            .cast("long")
+            .alias("n_kept"),
         )
         .orderBy("eps")
     )

@@ -940,12 +940,12 @@ def bpe_encode_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in Spark and DuckDB, so the encoding is bit-identical
     cross-engine; all outputs are integers plus one exact `_ratio6`.
 
-    Scale: pure map-side codegen string expressions inside `transform`
-    over the in-row word array — zero joins, zero shuffles, no UDF; the
-    merge table rides in the expression tree as literals (a real 30k-merge
-    vocab would move to a broadcast trie inside an Arrow-batched
-    `mapInPandas`, the multimodal-encoder shape — same plan, zero
-    exchanges either way)."""
+    Scale (r16): the replace chain runs once per DISTINCT word type
+    (Heaps-sublinear dictionary; see `_bpe_encode_report`), never per
+    occurrence; totals attach via a broadcast type join + one doc-keyed
+    combinable sum. The merge table rides in the expression tree as
+    literals (a real 30k-merge vocab would move to a broadcast trie
+    inside an Arrow-batched `mapInPandas` over the same type table)."""
     return _bpe_encode_report(spark, sf_dir, BPE_MERGES)
 
 
@@ -955,8 +955,9 @@ def bpe_encode_merges64(spark: SparkSession, sf_dir: str) -> DataFrame:
     output): same two-pass-replace device, 64 merges in priority order
     (exact: the artifact contains no a==b merge), pinned against the
     symbol-level Python greedy reference in tests. Re-certifies the
-    encoder at real tokenizer depth (r12 verdict task 3); still pure
-    map-side codegen string expressions — zero joins, zero shuffles."""
+    encoder at real tokenizer depth (r12 verdict task 3); the 128-pass
+    replace chain runs once per distinct word type (r16 — see
+    `_bpe_encode_report`), not per occurrence."""
     return _bpe_encode_report(spark, sf_dir, BPE_MERGES_64)
 
 
@@ -974,31 +975,56 @@ def _bpe_sym(w, merges: tuple):
 def _bpe_encode_report(
     spark: SparkSession, sf_dir: str, merges: tuple
 ) -> DataFrame:
+    """Per-doc encode accounting via the TYPE-DICTIONARY device (r16,
+    guide §1.2/§8 "decide with small rows"): the 2·|merges| replace
+    chain used to run per word OCCURRENCE inside an interpreted
+    `transform` lambda; a tokenizer's encode of a word depends only on
+    the word, so the chain now runs once per DISTINCT TYPE (Heaps-
+    sublinear in corpus size — the wordpiece-trainer stance, and the
+    `tokenizer_fertility_compare` broadcast-type-table precedent) and
+    per-doc totals attach by broadcast join + doc-keyed sum. Identical
+    integers (Σ over occurrences of a per-word function = Σ over types
+    weighted by occurrence — the join carries each occurrence);
+    measured bit-equal on all sf0.1 docs and 2.09 → 1.33 s interleaved
+    same-session. Zero-word docs keep their row via the left join
+    (n_bpe_tokens = 0, as the old in-row fold produced)."""
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
     words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
-
-    def _encode(w):
-        return F.size(F.split(F.trim(_bpe_sym(w, merges)), " "))
-
-    n_bpe = F.aggregate(
-        F.transform(words, _encode),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    base = docs.select("doc_id", "lang", words.alias("ws"))
+    tok = base.select("doc_id", F.explode("ws").alias("w"))
+    per_type = tok.select("w").distinct().select(
+        "w",
+        F.size(F.split(F.trim(_bpe_sym(F.col("w"), merges)), " "))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(per_type), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").alias("_n_bpe"))
     )
     n_az = F.aggregate(
-        F.transform(words, F.length),
+        F.transform(F.col("ws"), F.length),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.size(words).alias("n_words"),
-        n_az.alias("n_az_chars"),
-        n_bpe.alias("n_bpe_tokens"),
-    ).withColumn(
-        "chars_per_token", _ratio6(F.col("n_az_chars"), F.col("n_bpe_tokens"))
+    return (
+        base.select(
+            "doc_id",
+            "lang",
+            F.size("ws").alias("n_words"),
+            n_az.alias("n_az_chars"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "n_bpe_tokens", F.coalesce(F.col("_n_bpe"), F.lit(0).cast("long"))
+        )
+        .drop("_n_bpe")
+        .withColumn(
+            "chars_per_token",
+            _ratio6(F.col("n_az_chars"), F.col("n_bpe_tokens")),
+        )
     )
 
 
@@ -1015,27 +1041,41 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     test-pinned at exactly n_words for the whole corpus. Real tokenizer
     releases ship exactly this check (detokenize(tokenize(x)) == x).
 
-    Scale: the same pure map-side codegen string machinery as the
-    encode report — zero joins, zero shuffles, integers out."""
+    Scale: the same type-dictionary machinery as the encode report
+    (r16 — the encode→decode→compare chain runs once per distinct word
+    type, totals attach by broadcast type join + doc-keyed sum),
+    integers out."""
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
     words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
-
-    def ok(w):
-        decoded = F.replace(
-            F.trim(_bpe_sym(w, BPE_MERGES_64)), F.lit(" "), F.lit("")
-        )
-        return (decoded == w).cast("long")
-
-    n_ok = F.aggregate(
-        F.transform(words, ok),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # r16: encode→decode→compare depends only on the word, so it runs
+    # once per distinct TYPE (the _bpe_encode_report type-dictionary
+    # device) instead of per occurrence; per-doc ok-counts attach by
+    # broadcast join + doc-keyed sum — identical integers, and the
+    # 2·|merges| replace chain leaves the occurrence stream entirely
+    base = docs.select("doc_id", words.alias("ws"))
+    tok = base.select("doc_id", F.explode("ws").alias("w"))
+    decoded = F.replace(
+        F.trim(_bpe_sym(F.col("w"), BPE_MERGES_64)), F.lit(" "), F.lit("")
     )
-    return docs.select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        n_ok.alias("n_roundtrip_ok"),
+    per_type = tok.select("w").distinct().select(
+        "w", (decoded == F.col("w")).cast("long").alias("ok")
+    )
+    per_doc = (
+        tok.join(F.broadcast(per_type), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("ok").alias("_ok"))
+    )
+    return (
+        base.select("doc_id", F.size("ws").alias("n_words"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("_ok"), F.lit(0).cast("long")).alias(
+                "n_roundtrip_ok"
+            ),
+        )
     )
 
 
@@ -1051,10 +1091,11 @@ def bpe_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     same encode. Exact: both ratios are the `_ratio6` integer-division
     device over exact long sums — no float accumulates anywhere.
 
-    Scale: the encode is the same zero-join zero-shuffle map-side
-    codegen string chain as the per-doc report; the rollup is one
-    map-side-combinable agg to ≤ |langs| rows (the 10 M-row encode
-    throughput itself is certified by the scale smoke — SCALE.md r14)."""
+    Scale: the encode is the per-doc report's type-dictionary device
+    (r16 — the replace chain runs once per distinct word type); the
+    rollup is one map-side-combinable agg to ≤ |langs| rows (the
+    10 M-row encode throughput itself is certified by the scale smoke —
+    SCALE.md r14)."""
     per_doc = _bpe_encode_report(spark, sf_dir, BPE_MERGES_64)
     return (
         per_doc.groupBy("lang")
