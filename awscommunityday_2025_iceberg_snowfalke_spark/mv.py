@@ -393,18 +393,43 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r16 (guide §1.2): the equality pin and the two delta-size scalars
     # were three sequential count() jobs; one union of tagged 1-row
-    # aggregates collects all three in a single job (identical counts)
+    # aggregates collects all three in a single job (identical counts).
+    # r17 (guide §2.4): the two-sided exceptAll embedded the v_full
+    # join-aggregate subtree TWICE in that one job; (o_orderkey,
+    # o_orderpriority) is a grouping key on both sides, so multiset
+    # equality ≡ keyed equality — ONE full-outer join with null-safe
+    # column compares computes v_full once and fires the same assert
+    # (n_diff == 0 exactly when maintained == rebuild; decimal and long
+    # compares are exact).
     def _cnt(df, tag):
         return df.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
             F.lit(tag).alias("k"), "v"
         )
 
+    mv_keys = ["o_orderkey", "o_orderpriority"]
+    mismatch = (
+        v_inc.select(
+            *mv_keys,
+            F.col("revenue").alias("rev_a"),
+            F.col("n_lines").alias("nl_a"),
+        )
+        .join(
+            v_full.select(
+                *mv_keys,
+                F.col("revenue").alias("rev_b"),
+                F.col("n_lines").alias("nl_b"),
+            ),
+            mv_keys,
+            "full_outer",
+        )
+        .filter(
+            ~F.col("rev_a").eqNullSafe(F.col("rev_b"))
+            | ~F.col("nl_a").eqNullSafe(F.col("nl_b"))
+        )
+    )
     got = {
         r["k"]: int(r["v"])
-        for r in _cnt(
-            v_inc.exceptAll(v_full).unionByName(v_full.exceptAll(v_inc)),
-            "n_diff",
-        )
+        for r in _cnt(mismatch, "n_diff")
         .unionByName(_cnt(o_new, "n_do"))
         .unionByName(_cnt(l_new, "n_dl"))
         .collect()

@@ -541,12 +541,37 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.groupBy("bin").agg(F.sum("c").alias("c"))
     direct = ev.select(b).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     # the mergeability contract (sum of stored daily sketches == direct
-    # one-pass histogram) — both sides ≤ 1024 rows
-    assert merged.exceptAll(direct).isEmpty(), "daily merge overcounts"
-    assert direct.exceptAll(merged).isEmpty(), "daily merge undercounts"
-    bins = sorted((int(r["bin"]), int(r["c"])) for r in merged.collect())
+    # one-pass histogram) — both sides ≤ 1024 rows. r17 (guide §1.2):
+    # the two exceptAll probes each re-ran the DIRECT events scan and
+    # the bins/n_days reads were two more sequential jobs; one tagged
+    # union collects both bounded histograms plus the day count in a
+    # single job (one events scan instead of two) and the equality
+    # check — identical on unique bin keys — runs on the driver.
+    def _tag(df, t):
+        return df.select(
+            F.lit(t).alias("t"),
+            F.col("bin").cast("long").alias("k"),
+            F.col("c").cast("long").alias("v"),
+        )
+
+    days_row = daily.agg(
+        F.countDistinct("event_date").cast("long").alias("v")
+    ).select(F.lit("days").alias("t"), F.lit(-1).cast("long").alias("k"), "v")
+    mm: dict = {}
+    dd: dict = {}
+    n_days = 0
+    for r in _tag(merged, "m").unionByName(_tag(direct, "d")).unionByName(
+        days_row
+    ).collect():
+        if r["t"] == "m":
+            mm[int(r["k"])] = int(r["v"])
+        elif r["t"] == "d":
+            dd[int(r["k"])] = int(r["v"])
+        else:
+            n_days = int(r["v"])
+    assert mm == dd, "daily merge diverges from the direct histogram"
+    bins = sorted(mm.items())
     n = sum(c for _, c in bins)
-    n_days = daily.select("event_date").distinct().count()
 
     def ranks(m: int) -> list[int]:
         return [math.ceil(q * m) for q in QSK_QUANTILES]

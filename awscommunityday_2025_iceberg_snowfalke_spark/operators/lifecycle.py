@@ -3411,7 +3411,17 @@ def hilbert_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("long").alias("v"))
                 .select(F.lit(pred).alias("p"), "v")
             )
-        got = {r["p"]: int(r["v"]) for r in fused.collect()}
+        # r16-ADVICE guard: a NULL _bbox sum means the chunked frame was
+        # empty — fail with the layout named instead of a TypeError
+        # inside the dict comprehension masking the condition
+        got = {}
+        for r in fused.collect():
+            if r["v"] is None:
+                raise RuntimeError(
+                    f"hilbert/zorder report: empty {layout} layout — "
+                    f"aggregate {r['p']!r} returned NULL"
+                )
+            got[r["p"]] = int(r["v"])
         bbox = got["_bbox"]
         for pred in preds:
             rows.append(

@@ -745,7 +745,9 @@ QC_TRAIN_MOD = 8  # classifier trains on the doc_id % 8 == 0 slice (12.5%)
 # survivor at sf0.01/sf0.1 and leave the quota window untested)
 
 
-def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_pipeline_v2(
+    spark: SparkSession, sf_dir: str, _stage_survivor_sets: bool = True
+) -> DataFrame:
     """The PRODUCTION curation chain as ONE fused run with a per-stage
     attrition report — the artifact a real training-data run ships
     (r12 verdict tasks 2 + 7). Stages, in CCNet's actual order
@@ -825,7 +827,18 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     member ops' own bounded artifacts only (two classifier totals,
     PACK_SHARDS shard sums, one id-range row). Shuffle budget = the
     member operators' documented budgets, each over a strictly smaller
-    survivor set than the last."""
+    survivor set than the last.
+
+    ``_stage_survivor_sets`` (r17, the r16-verdict barrier A/B): False
+    drops the s3/s4/s5 survivor-set barriers — those frames are cheap
+    joins of the STAGED s2 against the STAGED decision artifacts
+    (pairs/scored/contam), so their consumers re-derive them as extra
+    map-side scans instead of paying three full-text parquet writes.
+    Semantics identical either way (same plans re-rooted); the measured
+    A/B lives in tools/ab_curation_barriers.py and OPTIMIZATION_r17.md.
+    The r16-verdict profile finding stands either way: the pipeline's
+    wall is member COMPUTE (LSH banding, classifier training, paragraph
+    rebuild), not the barrier writes."""
     from .dedup import (
         INCREMENTAL_SPLIT_FRAC,
         PPJOIN_X,
@@ -924,7 +937,8 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b"
         )
     )
-    s3 = stage(
+    survivors = stage if _stage_survivor_sets else (lambda df: df)
+    s3 = survivors(
         s2.join(
             pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
             "doc_id",
@@ -971,7 +985,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             _arrays=w6p,
         )
     )
-    s4 = stage(
+    s4 = survivors(
         s3.join(
             scored.filter(F.col("ws") > 0).select("doc_id"),
             "doc_id",
@@ -1026,7 +1040,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    s5 = stage(cand5.join(contam, "doc_id", "left_anti"))
+    s5 = survivors(cand5.join(contam, "doc_id", "left_anti"))
     detail5 = contam.agg(F.count(F.lit(1)).alias("detail"))
 
     # -- stage 6: token-budget mixture admission --
@@ -1146,8 +1160,17 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
         )
     )
-    per_src = docs.groupBy("source").agg(
-        F.sum(n_tok).cast("long").alias("n")
+    # r17 (guide §1.2): the source_tokens section and the token_budget
+    # member both aggregate the SAME per-source token sums — one staged
+    # aggregation now feeds the section, the section total, and the
+    # mixture-quota member (which consumes it through two subtrees),
+    # removing one full tokenize scan of the corpus and the member's own
+    # redundant staging write. Identical integers: same agg, and
+    # _mixture_quotas runs the identical arithmetic on it.
+    per_src = stage(
+        docs.select("source", n_tok.alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n"))
     )
     ttot = per_src.agg(F.sum("n").alias("total_tokens"))
     source_tokens = per_src.crossJoin(F.broadcast(ttot)).select(
@@ -1156,7 +1179,9 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         _ratio6(F.col("n"), F.col("total_tokens")).alias("share"),
     )
-    budget = token_budget_mixture_plan(spark, sf_dir).select(
+    budget = _mixture_quotas(
+        per_src.select("source", F.col("n").alias("n_tokens"))
+    ).select(
         F.lit("token_budget").alias("section"),
         F.col("source").alias("metric"),
         F.col("token_budget").cast("long").alias("n"),

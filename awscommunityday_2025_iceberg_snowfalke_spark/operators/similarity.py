@@ -1206,6 +1206,60 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _centroids_frozen_full(emb: DataFrame) -> tuple:
+    """(frozen_rows, full_rows) — the standing-half (even ``vec_id``)
+    and whole-corpus centroid tables from ONE corpus pass (r17, guide
+    §1.2: the incremental-assign/append entries each ran
+    ``_centroids(standing)`` AND ``_centroids(emb)`` — two posexplode
+    aggregations over the same corpus). The fused agg carries the even
+    rows' decimal sum and count alongside the full ones; decimal
+    addition is exact and commutative, so ``sum(when(even, v))`` over
+    all rows equals ``sum(v)`` over the even subset bit-for-bit, and
+    the cast/divide reproduce :func:`_centroids`'s doubles identically
+    (test-pinned). Labels with no even member are absent from the
+    frozen table, exactly as ``_centroids(standing)`` omits them.
+    Rows are plain dicts {label, centroid}, label-ascending — the same
+    access pattern the collected Row lists provided."""
+    even = (F.col("vec_id") % 2 == 0).alias("ev")
+    comp = emb.select(
+        "label", even, F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    per = (
+        comp.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count("v")
+            ).alias("c_full"),
+            (
+                F.sum(
+                    F.when(F.col("ev"), F.col("v")).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.when(F.col("ev"), F.col("v")))
+            ).alias("c_frozen"),
+        )
+        .collect()
+    )
+    full: dict = {}
+    frozen: dict = {}
+    for r in per:
+        lab, pos = int(r["label"]), int(r["pos"])
+        full.setdefault(lab, {})[pos] = r["c_full"]
+        if r["c_frozen"] is not None:
+            frozen.setdefault(lab, {})[pos] = r["c_frozen"]
+
+    def rows(d: dict) -> list:
+        return [
+            {
+                "label": lab,
+                "centroid": [d[lab][p] for p in sorted(d[lab])],
+            }
+            for lab in sorted(d)
+        ]
+
+    return rows(frozen), rows(full)
+
+
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN at the default ``N_PROBE`` — see :func:`_ivf_topk`
     for the plan narrative; :func:`ann_ivf_recall_report` certifies the
@@ -1380,7 +1434,14 @@ def _recall_tail(cand: DataFrame, bf: DataFrame) -> DataFrame:
     scalar rides the report plan as a broadcast 1-row aggregate instead
     of an eager ``bf.count()`` job per entry — same integers, same
     double division (long→double casts of identical counts), one fewer
-    sequential job in each of the four recall reports."""
+    sequential job in each of the four recall reports.
+
+    PRECONDITION (r16-ADVICE): ``bf`` must be a STAGED (or otherwise
+    materialized) relation — it is embedded TWICE in this one plan (the
+    hits join and the broadcast total aggregate), so an unstaged caller
+    would recompute the full brute-force KNN twice inside the same job.
+    Every current caller passes ``stage(knn_bruteforce_cosine(...))``;
+    keep it that way."""
     hits = (
         cand.join(bf, ["query_id", "neighbor_id"])
         .groupBy("n_probe")
@@ -2907,11 +2968,12 @@ def _incremental_assign_report(
     ``(frozen_rows, full_rows)`` centroid hand-off (r16, guide §1.2):
     ``ann_ivf_append_probe`` already collected both bounded k×d centroid
     tables for its own probes, so its nested re-train verdict must not
-    re-run the two corpus centroid passes. The drift join's centroid
+    re-run the corpus centroid passes. The drift join's centroid
     relations are rebuilt from the collected rows (k×d bounded,
-    bit-identical doubles through py4j), which also cuts the standalone
+    bit-identical doubles through py4j), which cut the standalone
     entry from four corpus centroid passes (2 collects + 2 more under
-    the shift join's uncached lineage) to two.
+    the shift join's uncached lineage) to two in r16 — and r17's fused
+    :func:`_centroids_frozen_full` collect makes it ONE.
 
     ``_frames`` (r16, guide §1.2 again): optional
     ``(standing_assign, arriving_frozen, arriving_full)`` (vec_id, cell)
@@ -2924,21 +2986,26 @@ def _incremental_assign_report(
     standing = emb.filter(F.col("vec_id") % 2 == 0)
     arriving = emb.filter(F.col("vec_id") % 2 == 1)
     if _rows is None:
-        frozen_rows = _centroids(standing).orderBy("label").collect()
-        full_rows = _centroids(emb).orderBy("label").collect()
+        # r17 (guide §1.2): both centroid tables from ONE corpus pass
+        # (was two posexplode aggregation jobs, one per table)
+        frozen_rows, full_rows = _centroids_frozen_full(emb)
     else:
         frozen_rows, full_rows = _rows
-    # bounded k×d relations for the in-engine drift join, rebuilt from
-    # the already-collected artifact instead of re-running the corpus
-    # aggregation under this frame's lineage
-    _cent_schema = "label int, centroid array<double>"
-    cent_frozen = spark.createDataFrame(
-        [(int(r["label"]), list(r["centroid"])) for r in frozen_rows],
-        _cent_schema,
-    )
-    cent_full = spark.createDataFrame(
-        [(int(r["label"]), list(r["centroid"])) for r in full_rows],
-        _cent_schema,
+    # bounded k×d relation for the in-engine drift computation, rebuilt
+    # from the already-collected artifact instead of re-running the
+    # corpus aggregation under this frame's lineage. r17: the two
+    # per-table relations were joined on label immediately below — the
+    # join is performed driver-side over the collected rows instead
+    # (frozen labels ⊆ full labels, inner semantics preserved), so ONE
+    # local relation replaces two createDataFrame round-trips plus a
+    # 16-row join subtree. Same doubles, same in-engine zip_with.
+    _full_by_label = {int(r["label"]): list(r["centroid"]) for r in full_rows}
+    cent_pair = spark.createDataFrame(
+        [
+            (int(r["label"]), list(r["centroid"]), _full_by_label[int(r["label"])])
+            for r in frozen_rows
+        ],
+        "label int, cf array<double>, cr array<double>",
     )
 
     if _frames is not None:
@@ -2962,22 +3029,18 @@ def _incremental_assign_report(
             ).alias("n_agree_rebuild"),
         )
     )
-    shift = (
-        cent_frozen.alias("f")
-        .join(cent_full.alias("r"), "label")
-        .select(
-            F.col("label").alias("cell"),
-            F.round(
-                F.array_max(
-                    F.zip_with(
-                        F.col("f.centroid"),
-                        F.col("r.centroid"),
-                        lambda x, y: F.abs(x - y),
-                    )
-                ),
-                8,
-            ).alias("centroid_shift"),
-        )
+    shift = cent_pair.select(
+        F.col("label").alias("cell"),
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    F.col("cf"),
+                    F.col("cr"),
+                    lambda x, y: F.abs(x - y),
+                )
+            ),
+            8,
+        ).alias("centroid_shift"),
     )
     out = (
         shift.join(s_occ, "cell", "left_outer")
@@ -3020,18 +3083,21 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger says NO re-train (no growth, no shift), the append path's
     probe results EQUAL the rebuild's.
 
-    Scale shape: two map-only Arrow assignment passes (arriving-only in
+    Scale shape: map-only Arrow assignment passes only (arriving-only in
     steady state; the rebuild side exists to be measured against), one
     parquet append of batch-sized files into existing cell directories
     (no rewrite of standing data — the entire point), two
     partition-pruned probes, and bounded driver artifacts (k×d
-    centroids, |queries|×d batch). The agreement join is top-k-bounded
-    rows per query."""
+    centroids from ONE fused corpus aggregation, |queries|×d batch).
+    The agreement join is top-k-bounded rows per query; the nested
+    re-train verdict reads the appended store back and recomputes only
+    the arriving half's full-rebuild cells (narrow: no embedding column
+    crosses the Arrow boundary)."""
     emb = load(spark, sf_dir, "embeddings")
     standing = emb.filter(F.col("vec_id") % 2 == 0)
     arriving = emb.filter(F.col("vec_id") % 2 == 1)
-    frozen_rows = _centroids(standing).orderBy("label").collect()
-    full_rows = _centroids(emb).orderBy("label").collect()
+    # r17 (guide §1.2): both centroid tables from ONE corpus pass
+    frozen_rows, full_rows = _centroids_frozen_full(emb)
 
     import uuid
 
@@ -3047,13 +3113,17 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).partitionBy("cell").parquet(path)
     appended_store = spark.read.parquet(path)
-    # the rebuild-side store is consumed twice (its probe; the nested
-    # verdict's arriving-under-full assignments) — stage the one Arrow
-    # assignment pass instead of re-running it per consumer (r16 §1.2;
-    # a real rebuild writes its store anyway)
-    rebuilt_store = stage(
-        _assign_frozen(emb, full_rows, with_embedding=True)
-    )
+    # r17 (the r16-verdict re-adjudication): the r16 shape staged the
+    # rebuild-side store (full corpus incl. embeddings) because two
+    # consumers read it — but the probe is its ONLY consumer that needs
+    # embeddings, and the nested verdict needs just the ARRIVING half's
+    # (vec_id, cell). Dropping the full-store write in favor of one
+    # direct rebuild-assign pass under the probe plus a narrow
+    # arriving-only assign pass trades a full-corpus store write+read
+    # for half a map-only Arrow pass — cheaper at sf0.1 (the driver-
+    # visible +0.9 s regression) and at scale (store write is
+    # O(corpus·d) I/O; the narrow pass is O(corpus/2) compute, no I/O).
+    rebuilt_assign = _assign_frozen(emb, full_rows, with_embedding=True)
     # both probes are consumed twice below (rank agreement + set
     # agreement): stage the bounded |queries|·TOP_K results so each
     # probe's store scan runs ONCE (r16 §1.2; was recomputed per
@@ -3062,15 +3132,17 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probe_store(spark, emb, appended_store, frozen_rows)
     )
     top_rebuild = stage(
-        _probe_store(spark, emb, rebuilt_store, full_rows)
+        _probe_store(spark, emb, rebuilt_assign, full_rows)
     )
 
     # re-use THIS entry's collected centroid tables AND materialized
     # assignments for the nested re-train verdict (r16, guide §1.2:
     # previously the inner call re-ran both corpus centroid passes and
     # three corpus Arrow assignment passes this entry had just done —
-    # the appended store IS the frozen assignment, the rebuilt store IS
-    # the full assignment)
+    # the appended store IS the frozen assignment; the full-rebuild
+    # assignment of the arriving half is recomputed narrow (no
+    # embedding column crosses the boundary), cell-identical to the
+    # r16 staged store's odd rows: same argmax over the same doubles)
     even = F.col("vec_id") % 2 == 0
     any_retrain = _incremental_assign_report(
         spark,
@@ -3079,7 +3151,7 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _frames=(
             appended_store.filter(even).select("vec_id", "cell"),
             appended_store.filter(~even).select("vec_id", "cell"),
-            rebuilt_store.filter(~even).select("vec_id", "cell"),
+            _assign_frozen(arriving, full_rows),
         ),
     ).agg(F.max("retrain").alias("any_retrain"))
     a = top_append.select(
@@ -3181,8 +3253,12 @@ def ann_store_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             files.extend(f for f in plan["files_read"] if f not in files)
         return tbl.read_files(files)
 
-    top_pre = _score_probes(store_at(v_pre), probes)
-    top_post = _score_probes(store_at(v_post), probes)
+    # r17 (the append_probe r16 device): both top-k results are consumed
+    # twice below (per-version agg + set agreement) — stage the bounded
+    # |queries|·TOP_K rows so each version's manifest-planned scan and
+    # scoring window run ONCE instead of per consumer
+    top_pre = stage(_score_probes(store_at(v_pre), probes))
+    top_post = stage(_score_probes(store_at(v_post), probes))
 
     pre_agg = top_pre.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_topk_pre")

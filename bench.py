@@ -298,40 +298,87 @@ def _load_1m() -> float:
 
 
 # A 1-min loadavg above this at suite start means another job is still
-# draining on the box (r13/r14 both committed contended starts near 10;
-# idle starts sit under ~2 on the 32-CPU runner): settle before timing
-# anything so the committed artifact reflects the box, not the queue.
-LOAD_SETTLE_THRESHOLD = 6.0
-LOAD_SETTLE_MAX_SEC = 120
+# draining on the box. r16 verdict ("Next round" item 2): three rounds
+# running committed a CONTENDED bench, costing the judge the ability to
+# adjudicate ~22 apparent regressions — the committed artifact must now
+# come from a genuinely quiet host, so the gate is load_1m ≤ 1 (was 6)
+# with a longer bounded wait, PLUS a calibration-stability gate: the
+# first fixed-work calibration of a fresh process is routinely ~2× slow
+# (allocator/JIT warmup — observed 1.39 s vs 0.69 s steady on an idle
+# box), so calibration is re-sampled until two consecutive samples agree
+# within CALIB_DRIFT_MAX before anything is timed.
+LOAD_SETTLE_THRESHOLD = 1.0
+LOAD_SETTLE_MAX_SEC = 600
+CALIB_DRIFT_MAX = 0.10
+CALIB_MAX_SAMPLES = 6
+# bounded decay wait before the END load sample: our own 32-core sweep
+# legitimately leaves load_1m ≈ n_cores the instant it finishes; waiting
+# out the 1-minute decay separates "the bench itself" from "an external
+# job was running at the end" (which would NOT decay). Raw value kept.
+LOAD_END_SETTLE_MAX_SEC = 180
 
 
 def _settle_start(
     load_fn=_load_1m, calib_fn=_calibrate, sleep_fn=time.sleep
 ) -> tuple[float, float, dict | None]:
-    """Sample (loadavg, calibration) at suite start; if the box starts
-    contended (the r14-verdict bench-hygiene task: two consecutive
-    rounds committed a contended start), wait — bounded — for the queue
-    to drain, then RE-MEASURE once. The raw numbers stay in the
-    returned ``contended_start`` dict so the settle is auditable, and
-    the suite's timings start from the settled box. Injectable probes
-    keep the branch unit-testable without a real load."""
-    load_start, calib_start = load_fn(), calib_fn()
-    if load_start <= LOAD_SETTLE_THRESHOLD or os.environ.get(
-        "SPARK_GRAFT_BENCH_NO_SETTLE"
-    ):
-        return load_start, calib_start, None
+    """Quiet-host gate at suite start (r16-verdict item 2). Waits —
+    bounded — until 1-min loadavg ≤ ``LOAD_SETTLE_THRESHOLD``, then
+    samples the fixed-work calibration until two consecutive samples
+    agree within ``CALIB_DRIFT_MAX`` (absorbing fresh-process warmup so
+    the recorded start calibration is the steady-state number the end
+    calibration is compared against). Returns (settled load, settled
+    calibration, audit record | None); the record preserves every raw
+    sample so the settle is auditable. Injectable probes keep the
+    branch unit-testable without a real load."""
     t0 = time.time()
-    while (
-        time.time() - t0 < LOAD_SETTLE_MAX_SEC
-        and load_fn() > LOAD_SETTLE_THRESHOLD
-    ):
-        sleep_fn(5)
-    contended = {
+    no_settle = bool(os.environ.get("SPARK_GRAFT_BENCH_NO_SETTLE"))
+    load_start = load_fn()
+    waited_load = False
+    if load_start > LOAD_SETTLE_THRESHOLD and not no_settle:
+        waited_load = True
+        while (
+            time.time() - t0 < LOAD_SETTLE_MAX_SEC
+            and load_fn() > LOAD_SETTLE_THRESHOLD
+        ):
+            sleep_fn(5)
+    calibs = [calib_fn()]
+    if not no_settle:
+        while len(calibs) < CALIB_MAX_SAMPLES:
+            calibs.append(calib_fn())
+            lo, hi = sorted(calibs[-2:])
+            if hi - lo <= CALIB_DRIFT_MAX * lo:
+                break
+    load_now = load_fn() if waited_load else load_start
+    if not waited_load and len(calibs) <= 2:
+        return load_now, calibs[-1], None
+    record = {
         "load_1m_raw": load_start,
-        "calibration_sec_raw": calib_start,
+        "calibration_sec_raw": calibs[0],
+        "calibration_samples": calibs,
         "settle_wait_sec": round(time.time() - t0, 1),
     }
-    return load_fn(), calib_fn(), contended
+    return load_now, calibs[-1], record
+
+
+def _settle_end(
+    load_fn=_load_1m, sleep_fn=time.sleep
+) -> tuple[float, float]:
+    """END-of-suite load sample behind a bounded decay wait (r16-verdict
+    item 2: the committed artifact must show load_1m ≤ 1 at start AND
+    end). The sweep's own executors leave load_1m high the moment the
+    last query returns; that decays within the wait iff nothing external
+    is running. Returns (raw sample, settled sample)."""
+    raw = load_fn()
+    load_end = raw
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_SETTLE"):
+        t0 = time.time()
+        while (
+            load_end > LOAD_SETTLE_THRESHOLD
+            and time.time() - t0 < LOAD_END_SETTLE_MAX_SEC
+        ):
+            sleep_fn(5)
+            load_end = load_fn()
+    return raw, load_end
 
 
 def main() -> None:
@@ -445,11 +492,16 @@ def main() -> None:
     )
     additions_total = round(total - trend_total, 3)
     # host-condition evidence (see _calibrate): loadavg + fixed-work
-    # calibration at suite start and end make the artifact self-labeling
-    load_end, calib_end = _load_1m(), _calibrate()
+    # calibration at suite start and end make the artifact self-labeling.
+    # The end load sample sits behind a bounded decay wait (_settle_end)
+    # so it measures external contention, not the sweep's own tail; the
+    # raw sample is kept alongside.
+    load_end_raw, load_end = _settle_end()
+    calib_end = _calibrate()
     host = {
         "load_1m_start": load_start,
         "load_1m_end": load_end,
+        "load_1m_end_raw": load_end_raw,
         "calibration_sec_start": calib_start,
         "calibration_sec_end": calib_end,
     }
@@ -490,7 +542,11 @@ def main() -> None:
         # observability gap behind the r7 local-green/driver-red episode
         # (the parity_probe_* gate entries are the per-class complement)
         "env": _engine_versions(),
-        "load": {"start_1m": load_start, "end_1m": load_end},
+        "load": {
+            "start_1m": load_start,
+            "end_1m": load_end,
+            "end_1m_raw": load_end_raw,
+        },
         "calibration": {"start_sec": calib_start, "end_sec": calib_end},
     }
     if contended_start:
@@ -510,6 +566,7 @@ def main() -> None:
         "additions_total_sec": additions_total,
         "load_1m_start": load_start,
         "load_1m_end": load_end,
+        "load_1m_end_raw": load_end_raw,
         "calibration_sec_start": calib_start,
         "calibration_sec_end": calib_end,
         "contended": bool(contended_start),

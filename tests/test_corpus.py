@@ -943,6 +943,21 @@ def test_semdedup_sweep_agrees_with_primary(spark):
     assert counts == sorted(counts, reverse=True), counts
     for r in sweep.values():
         assert r["n_total"] == r["n_semdup"] + r["n_kept"]
+    # r16-ADVICE guard: the sweep answers n_total from the raw embedding
+    # table, which is only correct while the cell-assignment pass emits
+    # EXACTLY one row per embedding row — a future filter/dedup inside
+    # the assignment would silently corrupt n_kept without this pin
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        _assigned_cells,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import (
+        load,
+    )
+
+    n_emb = load(spark, SF_DIR, "embeddings").count()
+    assert _assigned_cells(spark, SF_DIR).count() == n_emb
+    for r in sweep.values():
+        assert r["n_total"] == n_emb
 
 
 def test_phash_clusters_variants_join_originals(spark):

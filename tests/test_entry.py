@@ -57,21 +57,27 @@ def test_all_queries_emit_canonicalizable_schemas(spark):
 
 
 def test_bench_settle_start_branches():
-    """The bench's contended-start settle (r14-verdict hygiene task):
-    an idle start returns immediately with no contended record; a
-    contended start waits until the injected loadavg drops, then
-    re-measures once and preserves the raw numbers for the artifact."""
+    """The bench's quiet-host gate (r16-verdict item 2): an idle start
+    with stable calibration returns with no contended record; a
+    contended start (now gated at load_1m ≤ 1) waits until the injected
+    loadavg drops, then re-measures and preserves every raw sample; an
+    unstable first calibration (fresh-process warmup) is re-sampled
+    until two consecutive samples agree within 10%."""
     import bench
 
-    # idle: no settle, no record
+    # idle + stable calibration: no record; settled calibration = the
+    # second (confirming) sample
+    cals = iter([0.40, 0.41])
     ld, cal, rec = bench._settle_start(
-        load_fn=lambda: 0.5, calib_fn=lambda: 0.4, sleep_fn=lambda s: None
+        load_fn=lambda: 0.5,
+        calib_fn=lambda: next(cals),
+        sleep_fn=lambda s: None,
     )
-    assert (ld, cal, rec) == (0.5, 0.4, None)
+    assert (ld, cal, rec) == (0.5, 0.41, None)
 
     # contended then draining: raw start preserved, settled re-measure
-    seq = iter([9.9, 9.1, 7.2, 1.1, 0.7])  # start, 3 polls, re-measure
-    cals = iter([0.9, 0.41])
+    seq = iter([9.9, 9.1, 7.2, 0.9, 0.7])  # start, 3 polls, re-measure
+    cals = iter([0.42, 0.41])
     ld, cal, rec = bench._settle_start(
         load_fn=lambda: next(seq),
         calib_fn=lambda: next(cals),
@@ -79,5 +85,34 @@ def test_bench_settle_start_branches():
     )
     assert ld == 0.7 and cal == 0.41
     assert rec["load_1m_raw"] == 9.9
-    assert rec["calibration_sec_raw"] == 0.9
+    assert rec["calibration_sec_raw"] == 0.42
     assert rec["settle_wait_sec"] >= 0.0
+
+    # load 2.0 is contended under the r17 gate (old threshold was 6)
+    seq = iter([2.0, 0.8, 0.6])
+    cals = iter([0.40, 0.41])
+    ld, cal, rec = bench._settle_start(
+        load_fn=lambda: next(seq),
+        calib_fn=lambda: next(cals),
+        sleep_fn=lambda s: None,
+    )
+    assert ld == 0.6 and rec["load_1m_raw"] == 2.0
+
+    # cold-start calibration drift: first sample ~2x slow, re-sampled
+    # until consecutive agreement; audit record carries the samples
+    cals = iter([1.39, 0.80, 0.69, 0.68])
+    ld, cal, rec = bench._settle_start(
+        load_fn=lambda: 0.3,
+        calib_fn=lambda: next(cals),
+        sleep_fn=lambda s: None,
+    )
+    assert cal == 0.68
+    assert rec["calibration_samples"] == [1.39, 0.80, 0.69, 0.68]
+
+    # end-of-suite decay wait: raw sample preserved, settled sample
+    # taken once the injected load drops under the gate
+    seq = iter([24.0, 9.0, 3.0, 0.9])
+    raw, settled = bench._settle_end(
+        load_fn=lambda: next(seq), sleep_fn=lambda s: None
+    )
+    assert raw == 24.0 and settled == 0.9

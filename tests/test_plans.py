@@ -755,3 +755,32 @@ def test_ann_store_snapshot_probe_manifest_pruned(spark):
     # the pruned read sees ONLY the probed cell, with cell readable
     got = tbl.read_files(plan_post["files_read"])
     assert [r["cell"] for r in got.select("cell").distinct().collect()] == [c0]
+
+
+def test_centroids_frozen_full_bit_equal_to_two_pass(spark):
+    """r17 fused centroid collect: _centroids_frozen_full's single
+    corpus aggregation must reproduce BOTH _centroids(standing) and
+    _centroids(emb) bit-for-bit — decimal sums are exact and
+    commutative, so the conditional even-row sums equal the filtered
+    aggregation's, and the cast/divide is the identical double op. A
+    ulp of drift anywhere would silently move an IVF cell boundary."""
+    from pyspark.sql import functions as F
+
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators.similarity import (
+        _centroids,
+        _centroids_frozen_full,
+    )
+    from awscommunityday_2025_iceberg_snowfalke_spark.sources.registry import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    frozen_got, full_got = _centroids_frozen_full(emb)
+    frozen_exp = (
+        _centroids(emb.filter(F.col("vec_id") % 2 == 0))
+        .orderBy("label")
+        .collect()
+    )
+    full_exp = _centroids(emb).orderBy("label").collect()
+    for got, exp in ((frozen_got, frozen_exp), (full_got, full_exp)):
+        assert [r["label"] for r in got] == [r["label"] for r in exp]
+        for g, e in zip(got, exp):
+            assert list(g["centroid"]) == list(e["centroid"]), g["label"]

@@ -288,11 +288,26 @@ def test_connected_components_equals_union_find(spark, edges, n_nodes):
     pairs_df = spark.createDataFrame(
         [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
     )
+    # r17: exercise BOTH paths — the driver union-find fast path (the
+    # default at this size) and the distributed propagation rounds
+    # (fast path forced off) must produce identical labels
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
+
     got = {
         r["id"]: r["label"]
         for r in connected_components(nodes_df, pairs_df).collect()
     }
     assert got == expect
+    saved = dedup._CC_DRIVER_MAX_EDGES
+    dedup._CC_DRIVER_MAX_EDGES = 0
+    try:
+        got_dist = {
+            r["id"]: r["label"]
+            for r in connected_components(nodes_df, pairs_df).collect()
+        }
+    finally:
+        dedup._CC_DRIVER_MAX_EDGES = saved
+    assert got_dist == expect
 
 
 @settings(
@@ -349,13 +364,17 @@ def test_connected_components_star_equals_union_find(spark, edges, n_nodes):
     assert got == expect
 
 
-def test_star_handles_chain_beyond_labelprop_budget(spark):
-    """A 60-node chain has diameter 59 > _CC_MAX_ITERS: label propagation
-    must refuse (silently split labels are worse than an error) while the
-    star contraction converges in O(log n) rounds — the documented
-    escalation, now executable."""
+def test_star_handles_chain_beyond_labelprop_budget(spark, monkeypatch):
+    """A 60-node chain has diameter 59 > _CC_MAX_ITERS: the DISTRIBUTED
+    label propagation (driver fast path disabled) must refuse (silently
+    split labels are worse than an error) while the star contraction
+    converges in O(log n) rounds — the documented escalation, now
+    executable. With the r17 driver union-find fast path ON (its default
+    covers this graph), the same chain must instead just solve — the
+    fast path has no diameter budget."""
     import pytest
 
+    from awscommunityday_2025_iceberg_snowfalke_spark.operators import dedup
     from awscommunityday_2025_iceberg_snowfalke_spark.operators.dedup import (
         _CC_MAX_ITERS,
         connected_components,
@@ -373,6 +392,14 @@ def test_star_handles_chain_beyond_labelprop_budget(spark):
         for r in connected_components_star(nodes, chain).collect()
     }
     assert got == {v: 0 for v in range(n)}
+    # r17 fast path: the chain is tiny, so union-find solves it exactly
+    got_fast = {
+        r["id"]: r["label"]
+        for r in connected_components(nodes, chain).collect()
+    }
+    assert got_fast == {v: 0 for v in range(n)}
+    # distributed path (fast path forced off): the refusal contract holds
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", 0)
     with pytest.raises(RuntimeError, match="large-star"):
         connected_components(nodes, chain).collect()
 
