@@ -987,7 +987,17 @@ def _bpe_encode_report(
     weighted by occurrence — the join carries each occurrence);
     measured bit-equal on all sf0.1 docs and 2.09 → 1.33 s interleaved
     same-session. Zero-word docs keep their row via the left join
-    (n_bpe_tokens = 0, as the old in-row fold produced)."""
+    (n_bpe_tokens = 0, as the old in-row fold produced).
+
+    Broadcast domain (r17, re-certifying the r16-ADVICE concern): this
+    BROADCAST-JOIN shape was scale-smoked at 1×/10×/100× docs (500 K
+    docs — plans/r17/bpe_type_broadcast_scale_smoke.json: ≤ linear wall,
+    16.96 s at 100×), superseding the r14 smoke that certified the old
+    map-only shape. The explicit hint is correct while the Heaps-law
+    type table stays broadcast-sized (a few hundred MB — guide §3.1);
+    a corpus whose distinct-type table approaches the 8 GB / 512 M-row
+    broadcast cap must drop the hint and take the keyed join, paying
+    one re-key of the occurrence stream."""
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
     words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))

@@ -318,18 +318,41 @@ CALIB_MAX_SAMPLES = 6
 LOAD_END_SETTLE_MAX_SEC = 180
 
 
+def _calibrate_stable(calib_fn=_calibrate) -> list:
+    """Fixed-work calibration resampled to STABILITY: the first sample
+    of a fresh (or long-lived, post-Spark) process is routinely 2-4×
+    off steady state (allocator/page warmup — observed 1.3867 s cold vs
+    0.6877 s steady, and 0.483 → 0.112 within one process), which
+    poisoned the start-vs-end drift signal in three rounds of committed
+    benches. Re-sample (≤ CALIB_MAX_SAMPLES) until two consecutive
+    samples agree within CALIB_DRIFT_MAX; return ALL samples — the last
+    is the steady-state number, the list is the audit trail. Used
+    symmetrically at suite start AND end so the drift comparison is
+    steady-state vs steady-state."""
+    calibs = [calib_fn()]
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_SETTLE"):
+        return calibs
+    while len(calibs) < CALIB_MAX_SAMPLES:
+        calibs.append(calib_fn())
+        lo, hi = sorted(calibs[-2:])
+        if hi - lo <= CALIB_DRIFT_MAX * lo:
+            break
+    return calibs
+
+
 def _settle_start(
     load_fn=_load_1m, calib_fn=_calibrate, sleep_fn=time.sleep
-) -> tuple[float, float, dict | None]:
+) -> tuple[float, float, dict | None, list]:
     """Quiet-host gate at suite start (r16-verdict item 2). Waits —
     bounded — until 1-min loadavg ≤ ``LOAD_SETTLE_THRESHOLD``, then
-    samples the fixed-work calibration until two consecutive samples
-    agree within ``CALIB_DRIFT_MAX`` (absorbing fresh-process warmup so
-    the recorded start calibration is the steady-state number the end
-    calibration is compared against). Returns (settled load, settled
-    calibration, audit record | None); the record preserves every raw
-    sample so the settle is auditable. Injectable probes keep the
-    branch unit-testable without a real load."""
+    samples the fixed-work calibration to stability
+    (:func:`_calibrate_stable`). Returns (settled load, settled
+    calibration, contended record | None, calibration samples); the
+    record is set ONLY when the LOAD side actually waited — a
+    calibration warm-up resample on an idle box is normal and must not
+    label the run contended (it is auditable via the returned samples
+    instead). Injectable probes keep the branch unit-testable without a
+    real load."""
     t0 = time.time()
     no_settle = bool(os.environ.get("SPARK_GRAFT_BENCH_NO_SETTLE"))
     load_start = load_fn()
@@ -341,23 +364,16 @@ def _settle_start(
             and load_fn() > LOAD_SETTLE_THRESHOLD
         ):
             sleep_fn(5)
-    calibs = [calib_fn()]
-    if not no_settle:
-        while len(calibs) < CALIB_MAX_SAMPLES:
-            calibs.append(calib_fn())
-            lo, hi = sorted(calibs[-2:])
-            if hi - lo <= CALIB_DRIFT_MAX * lo:
-                break
+    calibs = _calibrate_stable(calib_fn)
     load_now = load_fn() if waited_load else load_start
-    if not waited_load and len(calibs) <= 2:
-        return load_now, calibs[-1], None
+    if not waited_load:
+        return load_now, calibs[-1], None, calibs
     record = {
         "load_1m_raw": load_start,
         "calibration_sec_raw": calibs[0],
-        "calibration_samples": calibs,
         "settle_wait_sec": round(time.time() - t0, 1),
     }
-    return load_now, calibs[-1], record
+    return load_now, calibs[-1], record, calibs
 
 
 def _settle_end(
@@ -383,7 +399,9 @@ def _settle_end(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_start, calib_start, contended_start = _settle_start()
+    load_start, calib_start, contended_start, calib_start_samples = (
+        _settle_start()
+    )
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
@@ -497,13 +515,16 @@ def main() -> None:
     # so it measures external contention, not the sweep's own tail; the
     # raw sample is kept alongside.
     load_end_raw, load_end = _settle_end()
-    calib_end = _calibrate()
+    calib_end_samples = _calibrate_stable()
+    calib_end = calib_end_samples[-1]
     host = {
         "load_1m_start": load_start,
         "load_1m_end": load_end,
         "load_1m_end_raw": load_end_raw,
         "calibration_sec_start": calib_start,
         "calibration_sec_end": calib_end,
+        "calibration_start_samples": calib_start_samples,
+        "calibration_end_samples": calib_end_samples,
     }
     if contended_start:
         host["contended_start"] = contended_start

@@ -68,17 +68,17 @@ def test_bench_settle_start_branches():
     # idle + stable calibration: no record; settled calibration = the
     # second (confirming) sample
     cals = iter([0.40, 0.41])
-    ld, cal, rec = bench._settle_start(
+    ld, cal, rec, samples = bench._settle_start(
         load_fn=lambda: 0.5,
         calib_fn=lambda: next(cals),
         sleep_fn=lambda s: None,
     )
-    assert (ld, cal, rec) == (0.5, 0.41, None)
+    assert (ld, cal, rec, samples) == (0.5, 0.41, None, [0.40, 0.41])
 
     # contended then draining: raw start preserved, settled re-measure
     seq = iter([9.9, 9.1, 7.2, 0.9, 0.7])  # start, 3 polls, re-measure
     cals = iter([0.42, 0.41])
-    ld, cal, rec = bench._settle_start(
+    ld, cal, rec, samples = bench._settle_start(
         load_fn=lambda: next(seq),
         calib_fn=lambda: next(cals),
         sleep_fn=lambda s: None,
@@ -91,23 +91,24 @@ def test_bench_settle_start_branches():
     # load 2.0 is contended under the r17 gate (old threshold was 6)
     seq = iter([2.0, 0.8, 0.6])
     cals = iter([0.40, 0.41])
-    ld, cal, rec = bench._settle_start(
+    ld, cal, rec, samples = bench._settle_start(
         load_fn=lambda: next(seq),
         calib_fn=lambda: next(cals),
         sleep_fn=lambda s: None,
     )
     assert ld == 0.6 and rec["load_1m_raw"] == 2.0
 
-    # cold-start calibration drift: first sample ~2x slow, re-sampled
-    # until consecutive agreement; audit record carries the samples
+    # cold-start calibration drift on an IDLE box: first sample ~2x
+    # slow, re-sampled until consecutive agreement; the run must NOT be
+    # labeled contended (rec None) — the samples are the audit trail
     cals = iter([1.39, 0.80, 0.69, 0.68])
-    ld, cal, rec = bench._settle_start(
+    ld, cal, rec, samples = bench._settle_start(
         load_fn=lambda: 0.3,
         calib_fn=lambda: next(cals),
         sleep_fn=lambda s: None,
     )
-    assert cal == 0.68
-    assert rec["calibration_samples"] == [1.39, 0.80, 0.69, 0.68]
+    assert cal == 0.68 and rec is None
+    assert samples == [1.39, 0.80, 0.69, 0.68]
 
     # end-of-suite decay wait: raw sample preserved, settled sample
     # taken once the injected load drops under the gate
